@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+import Queries.Q
+
+/** Training-data-pipeline queries over the documents/embeddings tables:
+  * dedup, text analysis, similarity search. Queries whose hash family has no
+  * DuckDB equivalent (MinHash/SimHash/SRP use Spark's xxhash64) omit the
+  * oracle → driver records the weaker rows-only check; each of those is
+  * covered by a ScalaTest spec with planted duplicates instead.
+  */
+object PipelineQueries {
+
+  import Tables._
+
+  /** DuckDB expression mirroring TextOps.normalizeText. */
+  private val SqlNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on md5(text); one shuffle over a 16-byte key,
+    * never over full document text. */
+  private val q40 = Q("q40_dedup_exact",
+    (s, d) => Dedup.exactDupGroups(documents(s, d), "doc_id", "text")
+      .orderBy(col("text_hash")),
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY text_hash"""))
+
+  /** Document fingerprint (rolling-hash style canonical digest): md5 over
+    * case/punctuation/whitespace-normalized text. */
+  private val q41 = Q("q41_fingerprint",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some(s"SELECT doc_id, md5($SqlNorm) AS fp FROM documents ORDER BY doc_id"))
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidates share
+    * (lang, length-bucket); quadratic comparison confined to blocks. */
+  private val q42 = Q("q42_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH s AS (SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS blk,
+               list_distinct(list_transform(
+                 range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' '))) AS sh
+             FROM documents)
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+             FROM s a JOIN s b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+             WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1
+             ORDER BY id_a, id_b"""))
+
+  /** MinHash+LSH candidate pairs (xxhash64 family — no SQL oracle). */
+  private val q43 = Q("q43_minhash_lsh",
+    (s, d) => Dedup.minHashLshCandidates(documents(s, d), "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  /** 64-bit SimHash per document (xxhash64 family — no SQL oracle). */
+  private val q44 = Q("q44_simhash",
+    (s, d) => Dedup.simHash(documents(s, d), "doc_id", "text")
+      .orderBy(col("id")),
+    None)
+
+  // ---------------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  private val q45 = Q("q45_token_count",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).as("ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS ws_tokens,
+            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+              AS bpeish_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  /** Quality scoring: length / punctuation ratio / word stats / keep flag. */
+  private val q46 = Q("q46_quality_score",
+    (s, d) => {
+      val chars = length(col("text"))
+      val words = TextOps.wsTokenCount(col("text"))
+      val punct = TextOps.nonAlnumCount(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), chars.as("n_chars2"), words.as("n_words"),
+          round(punct.cast("double") / chars, 6).as("punct_ratio"),
+          round(chars.cast("double") / words, 4).as("avg_word_len"),
+          when(words >= 5 && words <= 100000 &&
+            punct.cast("double") / chars < 0.3, 1).otherwise(0).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars2,
+            CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_words,
+            round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+              / length(text), 6) AS punct_ratio,
+            round(CAST(length(text) AS DOUBLE)
+              / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_word_len,
+            CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 5 AND 100000
+              AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+                / length(text) < 0.3
+              THEN 1 ELSE 0 END AS keep
+            FROM documents ORDER BY doc_id"""))
+
+  /** Language ID: stopword-marker scores + fixed-priority argmax. */
+  private val q47 = Q("q47_lang_id", (s, d) => {
+    val scores = TextOps.LangMarkers.map { case (lang, pat) =>
+      lang -> TextOps.langScore(col("text"), pat)
+    }
+    documents(s, d)
+      .select(Seq(col("doc_id")) ++
+        scores.map { case (l, c) => c.as(s"score_$l") } :+
+        TextOps.langId(scores).as("lang_guess") :+ col("lang"): _*)
+      .orderBy(col("doc_id"))
+  }, Some {
+    val score = Map(
+      "en" -> """len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|is|that|for|with|was)\b'))""",
+      "de" -> """len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|mit|ein|eine|den)\b'))""",
+      "es" -> """len(regexp_extract_all(lower(text), '\b(?:el|la|los|las|es|y|en|que|por|una)\b'))""",
+      "fr" -> """len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|est|une|des|dans|pour|que)\b'))""",
+      "zh" -> """len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]'))""")
+    val Seq(en, de, es, fr, zh) = Seq("en", "de", "es", "fr", "zh").map(score)
+    s"""SELECT doc_id, CAST($en AS INTEGER) AS score_en, CAST($de AS INTEGER) AS score_de,
+       CAST($es AS INTEGER) AS score_es, CAST($fr AS INTEGER) AS score_fr,
+       CAST($zh AS INTEGER) AS score_zh,
+       CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+            WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+            WHEN $es >= $fr AND $es >= $zh THEN 'es'
+            WHEN $fr >= $zh THEN 'fr'
+            ELSE 'zh' END AS lang_guess, lang
+       FROM documents ORDER BY doc_id"""
+  })
+
+  // ---------------------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: query set (vec_id < 20) broadcast against the
+    * corpus (vec_id >= 20); exact f64 math on both engines. */
+  private val q48 = Q("q48_cosine_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding", 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
+  /** Sign-random-projection LSH buckets: cell statistics (xxhash64-derived
+    * hyperplanes — no SQL oracle; always ≥1 row). */
+  private val q49 = Q("q49_srp_buckets",
+    (s, d) => Similarity.ivfCellStats(embeddings(s, d), "vec_id", "embedding", 8)
+      .orderBy(col("bucket")),
+    None)
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata (byte
+    * length + digest); decode itself is stubbed (see graft.multimodal). */
+  private val q50 = Q("q50_binary_metadata",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("digest"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+            md5(text) AS digest FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+}

@@ -1,0 +1,476 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Declared relational queries — one per [Q] operator row of SURVEY.md §2 —
+  * each paired with the equivalent DuckDB SQL oracle (driver t2 gate).
+  *
+  * Determinism contract: every query imposes a total output order on
+  * non-null keys and rounds floating aggregates, so the Spark parquet dump
+  * hash-matches the DuckDB result despite engine-order differences. Casts:
+  * Spark row_number/count are aligned to BIGINT on both sides; DuckDB
+  * sum(INTEGER) is cast from HUGEINT to BIGINT in the oracle.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  import Tables._
+
+  // ---------------------------------------------------------------- scans / projections / filters
+
+  /** S1+P2+P3: parquet scan, projection, rename. Column pruning reaches the
+    * scan (ReadSchema carries only 4 of 16 lineitem columns). */
+  private val q01 = Q("q01_scan_project",
+    (s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, qty, price"""))
+
+  /** P5: comparison-predicate filter, pushed to the parquet scan. */
+  private val q02 = Q("q02_filter_compare",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_quantity") >= 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_quantity >= 30 ORDER BY l_orderkey, l_linenumber, l_quantity"""))
+
+  /** P6: equality-predicate filter. */
+  private val q03 = Q("q03_filter_equality",
+    (s, d) => orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price FROM orders
+            WHERE o_orderstatus = 'O' ORDER BY o_orderkey"""))
+
+  /** P4+F2: derived scalar columns (the reference's rating_10 = rating*2,
+    * /root/reference/explicit_ratings/functions.py:23-26). */
+  private val q04 = Q("q04_derived_columns",
+    (s, d) => lineitem(s, d)
+      .withColumn("qty2", col("l_quantity") * 2)
+      .withColumn("disc_price", round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty2"), col("disc_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty2"), col("disc_price")),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2,
+            round(l_extendedprice * (1 - l_discount), 4) AS disc_price
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, qty2, disc_price"""))
+
+  /** P1+P3: drop + rename (reference drops `timestamp` on ingest). */
+  private val q05 = Q("q05_drop_rename",
+    (s, d) => nation(s, d).drop("n_regionkey")
+      .withColumnRenamed("n_nationkey", "id").withColumnRenamed("n_name", "name")
+      .orderBy(col("id")),
+    Some("SELECT n_nationkey AS id, n_name AS name FROM nation ORDER BY id"))
+
+  /** P7: negated membership filter (NOT IN small literal list). */
+  private val q06 = Q("q06_not_in_filter",
+    (s, d) => customer(s, d)
+      .filter(!col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment NOT IN ('BUILDING', 'AUTOMOBILE') ORDER BY c_custkey"""))
+
+  /** P8: predicate on an aggregate (reference: keep ids with count < limit,
+    * /root/reference/explicit_ratings/functions.py:636-642). */
+  private val q07 = Q("q07_having_count",
+    (s, d) => orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") < 5)
+      .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, count(*) AS cnt FROM orders
+            GROUP BY o_custkey HAVING count(*) < 5 ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------- aggregations
+
+  /** A1: group-count (value_counts). */
+  private val q08 = Q("q08_group_count",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(*) AS cnt FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A2: normalized group-count (popularity distribution,
+    * /root/reference/implicit_feedback/prac_2.py:17-25). */
+  private val q09 = Q("q09_relative_freq",
+    (s, d) => Relational.relativeFreq(orders(s, d), "o_orderpriority")
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+            round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM orders), 6) AS freq
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** A3: frequency-of-frequencies (degree distribution). */
+  private val q10 = Q("q10_freq_of_freq",
+    (s, d) => Relational.freqOfFreq(orders(s, d), "o_custkey", "n_orders", "n_customers")
+      .orderBy(col("n_orders")),
+    Some("""SELECT n_orders, count(*) AS n_customers FROM
+            (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+            GROUP BY n_orders ORDER BY n_orders"""))
+
+  /** A4: exact distinct counts (model dims M, N). */
+  private val q11 = Q("q11_distinct_count",
+    (s, d) => lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supps FROM lineitem"""))
+
+  /** A5: min/max sanity aggregates. */
+  private val q12 = Q("q12_min_max",
+    (s, d) => lineitem(s, d)
+      .agg(min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price")),
+    Some("""SELECT min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+            round(min(l_extendedprice), 2) AS min_price,
+            round(max(l_extendedprice), 2) AS max_price FROM lineitem"""))
+
+  /** A6: group-mean. */
+  private val q13 = Q("q13_group_mean",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag")).agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A7: group-median (exact percentile, not approx — dims are small after
+    * grouping; declare percentile_approx only for diagnostics at scale). */
+  private val q14 = Q("q14_group_median",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, round(median(l_quantity), 6) AS med_qty FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** A8: distinct rows. */
+  private val q15 = Q("q15_distinct_rows",
+    (s, d) => lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** A9+W3: running total with explicit ROWS frame (CSR offsets analogue). */
+  private val q16 = Q("q16_running_sum",
+    (s, d) => Relational.runningSum(orders(s, d), "o_custkey", "o_orderkey",
+        "o_totalprice", "running_total")
+      .select(col("o_custkey"), col("o_orderkey"), round(col("running_total"), 2).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey")),
+    Some("""SELECT o_custkey, o_orderkey,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // ---------------------------------------------------------------- windows
+
+  /** W1: dense 0..N-1 re-index of sparse ids
+    * (/root/reference/explicit_ratings/functions.py:37-45). */
+  private val q17 = Q("q17_dense_reindex",
+    (s, d) => Relational.denseReindex(lineitem(s, d), "l_partkey", "partkey_order")
+      .orderBy(col("l_partkey")),
+    Some("""SELECT l_partkey, CAST(row_number() OVER (ORDER BY l_partkey) - 1 AS BIGINT)
+              AS partkey_order
+            FROM (SELECT DISTINCT l_partkey FROM lineitem) ORDER BY l_partkey"""))
+
+  /** W2: per-group top-k with deterministic tie-break
+    * (/root/reference/implicit_feedback/functions.py:233-238). */
+  private val q18 = Q("q18_topk_per_group",
+    (s, d) => Relational.topKPerGroup(orders(s, d), Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn")),
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM
+            (SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+             FROM orders)
+            WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** Ranking + analytic lag delta (per-iteration parameter-difference
+    * analogue, /root/reference/explicit_ratings/prac_1_multiprocessing.py:219-228). */
+  private val q19 = Q("q19_rank_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          rank().over(w).cast("long").as("rnk"),
+          round(col("l_quantity") - lag(col("l_quantity"), 1).over(w), 2).as("qty_delta"))
+        .orderBy(col("l_suppkey"), col("rnk"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+            CAST(rank() OVER w AS BIGINT) AS rnk,
+            round(l_quantity - lag(l_quantity, 1) OVER w, 2) AS qty_delta
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
+            ORDER BY l_suppkey, rnk"""))
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1: fact-fact join (sort-merge/shuffled-hash) + broadcast dimension
+    * joins, revenue per nation. */
+  private val q20 = Q("q20_join_revenue_per_nation",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name")),
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+            count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** J2: anti-join (reference's NOT-IN exclusion,
+    * /root/reference/explicit_ratings/functions.py:643-645). */
+  private val q21 = Q("q21_anti_join",
+    (s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** J3: semi-join (membership intersection,
+    * /root/reference/implicit_feedback/functions.py:240). */
+  private val q22 = Q("q22_semi_join",
+    (s, d) => part(s, d)
+      .join(lineitem(s, d).filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, p_name FROM part p
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+            ORDER BY p_partkey"""))
+
+  // ---------------------------------------------------------------- sorts / limits
+
+  /** O1: multi-column sort (range-partitioned global sort). */
+  private val q23 = Q("q23_multi_sort",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_quantity").desc, col("l_orderkey").asc, col("l_linenumber").asc),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            WHERE l_orderkey < 100
+            ORDER BY l_quantity DESC, l_orderkey, l_linenumber"""))
+
+  /** O2: global top-k — plans as TakeOrderedAndProject, no full sort
+    * (/root/reference/explicit_ratings/functions.py:634-647). */
+  private val q24 = Q("q24_global_topk",
+    (s, d) => orders(s, d)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(20),
+    Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+            ORDER BY price DESC, o_orderkey LIMIT 20"""))
+
+  // ---------------------------------------------------------------- set ops
+
+  /** T1: except/difference (negative-candidate complement,
+    * /root/reference/implicit_feedback/functions.py:77-80). */
+  private val q25 = Q("q25_except",
+    (s, d) => part(s, d).select(col("p_partkey"))
+      .except(lineitem(s, d).select(col("l_partkey").as("p_partkey")))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey FROM
+            (SELECT p_partkey FROM part EXCEPT SELECT l_partkey AS p_partkey FROM lineitem)
+            ORDER BY p_partkey"""))
+
+  /** T2: intersect. */
+  private val q26 = Q("q26_intersect",
+    (s, d) => customer(s, d).filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM
+            (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+             INTERSECT SELECT o_custkey AS c_custkey FROM orders)
+            ORDER BY c_custkey"""))
+
+  /** T3: union. */
+  private val q27 = Q("q27_union",
+    (s, d) => {
+      val o = orders(s, d)
+      o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"), lit("high").as("tag"))
+        .unionByName(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k"), lit("urgent").as("tag")))
+        .orderBy(col("k"), col("tag"))
+    },
+    Some("""SELECT o_orderkey AS k, 'high' AS tag FROM orders WHERE o_totalprice > 400000
+            UNION ALL
+            SELECT o_orderkey AS k, 'urgent' AS tag FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY k, tag"""))
+
+  // ---------------------------------------------------------------- scalar functions
+
+  /** F1+F4+S2: string split to array, length, element access. */
+  private val q28 = Q("q28_string_split",
+    (s, d) => part(s, d)
+      .select(col("p_partkey"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        upper(col("p_type")).as("type_upper"))
+      .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+            string_split(p_name, ' ')[1] AS first_word, upper(p_type) AS type_upper
+            FROM part ORDER BY p_partkey"""))
+
+  /** F2: arithmetic scalar functions (sqrt/abs/exp/pow). */
+  private val q29 = Q("q29_math_functions",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+        round(abs(col("l_discount") - 0.05), 6).as("abs_disc"),
+        round(exp(col("l_tax")), 6).as("exp_tax"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("sqrt_qty"), col("abs_disc"), col("exp_tax")),
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(sqrt(l_quantity), 6) AS sqrt_qty,
+            round(abs(l_discount - 0.05), 6) AS abs_disc,
+            round(exp(l_tax), 6) AS exp_tax,
+            round(pow(l_quantity, 2), 2) AS qty_sq
+            FROM lineitem WHERE l_orderkey < 200
+            ORDER BY l_orderkey, l_linenumber, sqrt_qty, abs_disc, exp_tax"""))
+
+  /** J4/P9: broadcast-map (dict) lookup via a literal map
+    * (/root/reference/explicit_ratings/ab_test.py:218-220). */
+  private val q30 = Q("q30_map_lookup",
+    (s, d) => {
+      val regionNames = typedLit(Map(0 -> "AFRICA", 1 -> "AMERICA", 2 -> "ASIA",
+        3 -> "EUROPE", 4 -> "MIDDLE EAST"))
+      nation(s, d)
+        .select(col("n_nationkey"), col("n_name"),
+          element_at(regionNames, col("n_regionkey")).as("region_name"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name,
+            CASE n_regionkey WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA' WHEN 2 THEN 'ASIA'
+              WHEN 3 THEN 'EUROPE' WHEN 4 THEN 'MIDDLE EAST' END AS region_name
+            FROM nation ORDER BY n_nationkey"""))
+
+  // ---------------------------------------------------------------- composites / extensions
+
+  /** X2: deterministic group-size equalization
+    * (/root/reference/explicit_ratings/ab_test.py:240-265). */
+  private val q31 = Q("q31_group_equalize",
+    (s, d) => Relational.equalizeGroups(events(s, d), "event_type", "event_id")
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_type"), col("event_id")),
+    Some("""WITH counts AS (SELECT event_type, count(*) AS c FROM events GROUP BY event_type),
+            m AS (SELECT min(c) AS mc FROM counts),
+            r AS (SELECT event_id, event_type,
+              row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn FROM events)
+            SELECT event_id, event_type FROM r, m WHERE rn <= mc
+            ORDER BY event_type, event_id"""))
+
+  /** Grouping-sets extension: ROLLUP over orders (Catalyst Expand). */
+  private val q32 = Q("q32_rollup",
+    (s, d) => orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("total"))
+      .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+            coalesce(o_orderpriority, 'ALL') AS priority,
+            count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  /** X5 moment stats: per-group n/mean/variance/stddev — the sufficient
+    * statistics feeding the t-test (/root/reference/explicit_ratings/ab_test.py:305-347). */
+  private val q33 = Q("q33_moment_stats",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean"),
+        round(var_samp(col("value")), 6).as("var"),
+        round(stddev_samp(col("value")), 6).as("sd"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean,
+            round(var_samp(value), 6) AS var, round(stddev_samp(value), 6) AS sd
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** X7 quartiles (exact continuous percentiles). */
+  private val q34 = Q("q34_quartiles",
+    (s, d) => events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
+        round(expr("percentile(value, 0.5)"), 6).as("q2"),
+        round(expr("percentile(value, 0.75)"), 6).as("q3"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, round(quantile_cont(value, 0.25), 6) AS q1,
+            round(quantile_cont(value, 0.5), 6) AS q2,
+            round(quantile_cont(value, 0.75), 6) AS q3
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Tumbling-window aggregation over the events stream table (batch form of
+    * the Structured Streaming windowed agg in graft.streaming). */
+  private val q35 = Q("q35_tumbling_window",
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("hour_start"), col("event_type")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+            event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""))
+
+  /** Gap-based sessionization (batch analogue of session windows); gap
+    * compared in exact integer microseconds on both engines. */
+  private val q36 = Q("q36_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+      events(s, d)
+        .withColumn("__ns", when(gapUs > 1800000000L, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"),
+          sum(col("__ns")).over(frame).cast("long").as("session_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, ts,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS ns FROM events)
+            SELECT user_id, event_id,
+              CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+            FROM g ORDER BY user_id, event_id"""))
+
+  /** S2 analogue: JSON field extraction from the events props column. */
+  private val q37 = Q("q37_json_extract",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events ORDER BY event_id"""))
+
+  val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+
+  val all: Seq[Q] = relational ++ PipelineQueries.all
+}

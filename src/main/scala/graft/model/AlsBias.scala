@@ -1,0 +1,155 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.linalg.Linalg
+import graft.ops.{Aggregators, VectorOps}
+
+/** Custom alternating-least-squares trainer WITH per-entity bias terms —
+  * the reference's core model `r̂(m,n) = uₘ·vₙ + b_m + b_n`
+  * (/root/reference/explicit_ratings/prac_1.py:54-140), which MLlib ALS
+  * cannot express (no bias terms).
+  *
+  * Spark-first design (SURVEY.md §7.4 option (a)): each half-sweep is ONE
+  * distributed aggregation job —
+  *   ratings ⋈ otherFactors ⋈ selfFactors
+  *     → groupBy(entity).agg(n, Σresid, Σ(r−b_other)v, Σv, Σvvᵀ)
+  *     → per-entity d×d Cholesky solve in a map (d ≈ 12).
+  * The Gramian/vector sums use custom typed Aggregators with primitive-array
+  * buffers, so Spark partial-aggregates map-side and the shuffle carries one
+  * packed buffer per (entity, partition) — the same data movement as MLlib's
+  * InBlock/OutBlock layout, without hand-rolled block management.
+  *
+  * Bias update (reference semantics, user side):
+  *   b_m = λ·Σ(r − u·v − b_n) / (α + λ·n_m)     [prac_1.py:68-77]
+  * then the trait solve uses the NEW bias:
+  *   (λ·Σvvᵀ + τI) u = λ·Σ(r − b_n − b_m_new)·v  [prac_1.py:79-93]
+  * which we rewrite as λ(Σ(r−b_n)v − b_m_new·Σv) so one aggregation pass
+  * suffices. Quirk Q1 (movie-bias overwrite bug, prac_1.py:111) is corrected
+  * to the summed form by default, as recorded in SURVEY.md §2.12.
+  *
+  * Within a half-sweep all entities read the pre-sweep factors of the other
+  * side (block-Jacobi) — identical to MLlib ALS and the reference's own
+  * multiprocessing variant (SURVEY.md Q4).
+  */
+object AlsBias {
+
+  final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
+                          alpha: Double = 0.01, maxIter: Int = 20, tol: Double = 0.05,
+                          seed: Long = 42L)
+
+  final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
+    /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
+    def predict(ratings: DataFrame, userCol: String, itemCol: String): DataFrame =
+      ratings
+        .join(userFactors.select(col("id").as(userCol), col("features").as("__u"),
+          col("bias").as("__bu")), Seq(userCol))
+        .join(itemFactors.select(col("id").as(itemCol), col("features").as("__v"),
+          col("bias").as("__bv")), Seq(itemCol))
+        .withColumn("prediction",
+          VectorOps.dot(col("__u"), col("__v")) + col("__bu") + col("__bv"))
+        .drop("__u", "__v", "__bu", "__bv")
+  }
+
+  /** Deterministic N(0, scale²) init via Box-Muller over xxhash64 uniforms —
+    * reproducible on any cluster/partitioning, no RNG state (reference:
+    * np.random.normal(0, 5/√d), prac_1.py:41-48, unseeded there; SURVEY Q3
+    * records scale 5/√d as the default). */
+  def gaussianInitCol(idCol: Column, rank: Int, scale: Double, seed: Long): Column =
+    transform(sequence(lit(0), lit(rank - 1)), i => {
+      val u1 = (pmod(xxhash64(idCol, i * 2, lit(seed)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      val u2 = (pmod(xxhash64(idCol, i * 2 + 1, lit(seed)), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2) * scale
+    })
+
+  /** Initial factor frame for the distinct ids of `ratings(idCol)`. */
+  def initFactors(ratings: DataFrame, idCol: String, p: Params, sideSeed: Long): DataFrame =
+    ratings.select(col(idCol).as("id")).distinct()
+      .withColumn("features",
+        gaussianInitCol(col("id"), p.rank, 5.0 / math.sqrt(p.rank), p.seed + sideSeed))
+      .withColumn("bias", lit(0.0))
+
+  /** One half-sweep: update `selfFactors` (keyed by selfCol) given fixed
+    * `otherFactors` (keyed by otherCol). Returns the new factor frame with
+    * the same (id, features, bias) schema; entities with no ratings get
+    * (bias 0, features 0) — the reference's closed-form result for an empty
+    * rating set. */
+  def halfSweep(ratings: DataFrame, selfFactors: DataFrame, otherFactors: DataFrame,
+                selfCol: String, otherCol: String, ratingCol: String,
+                p: Params): DataFrame = {
+    val rank = p.rank
+    val vecSum = udaf(new Aggregators.VectorSum(rank))
+    val gramSum = udaf(new Aggregators.GramianSum(rank))
+
+    val joined = ratings
+      .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
+      .join(otherFactors.select(col("id").as("oid"), col("features").as("v"),
+        col("bias").as("bo")), Seq("oid"))
+      .join(selfFactors.select(col("id").as("sid"), col("features").as("u")), Seq("sid"))
+
+    val aggd = joined
+      .withColumn("resid", col("r") - VectorOps.dot(col("u"), col("v")) - col("bo"))
+      .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n"), sum(col("resid")).as("sresid"),
+        vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
+        gramSum(col("v")).as("gram"))
+
+    val lambda = p.lambda; val tau = p.tau; val alpha = p.alpha
+    val solve = udf((n: Long, sresid: Double, srv: Seq[Double], sv: Seq[Double],
+                     gram: Seq[Double]) => {
+      val newBias = lambda * sresid / (alpha + lambda * n)
+      val rhs = srv.indices.map(i => srv(i) - newBias * sv(i)).toArray
+      val feats = Linalg.ridgeSolve(gram, rhs, lambda, tau)
+      (newBias, feats.toSeq)
+    })
+
+    val updated = aggd.select(col("sid").as("id"),
+      solve(col("n"), col("sresid"), col("srv"), col("sv"), col("gram")).as("ub"))
+      .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
+
+    // entities with zero ratings this sweep: closed form -> zero bias/vector
+    selfFactors.select(col("id")).join(updated, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("features"),
+          transform(sequence(lit(0), lit(rank - 1)), _ => lit(0.0))).as("features"),
+        coalesce(col("bias"), lit(0.0)).as("bias"))
+  }
+
+  /** max |Δparam| between two factor frames (convergence test L6,
+    * /root/reference/explicit_ratings/prac_1.py:179-187). */
+  def maxDelta(oldF: DataFrame, newF: DataFrame): Double = {
+    val j = oldF.select(col("id"), col("features").as("f0"), col("bias").as("b0"))
+      .join(newF.select(col("id"), col("features").as("f1"), col("bias").as("b1")), Seq("id"))
+      .select(greatest(
+        abs(col("b1") - col("b0")),
+        array_max(zip_with(col("f0"), col("f1"), (a, b) => abs(b - a)))).as("d"))
+    val row = j.agg(max(col("d"))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Full alternating training loop. Factor frames are persisted per sweep
+    * and truncated with localCheckpoint so lineage stays O(1) across
+    * iterations (at cluster scale: reliable checkpoint dir instead). */
+  def train(ratings: DataFrame, userCol: String, itemCol: String, ratingCol: String,
+            p: Params = Params()): Model = {
+    var users = initFactors(ratings, userCol, p, 1L)
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+    var items = initFactors(ratings, itemCol, p, 2L)
+      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < p.maxIter && delta > p.tol) {
+      val newUsers = halfSweep(ratings, users, items, userCol, itemCol, ratingCol, p)
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      val newItems = halfSweep(ratings, items, newUsers, itemCol, userCol, ratingCol, p)
+        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
+      users.unpersist(); items.unpersist()
+      users = newUsers; items = newItems
+      iter += 1
+    }
+    Model(users, items)
+  }
+}

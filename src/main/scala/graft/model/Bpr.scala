@@ -1,0 +1,209 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Bayesian Personalised Ranking on implicit feedback
+  * (/root/reference/implicit_feedback/functions.py:6-260, prac_2.py).
+  *
+  * Spark-first layout (SURVEY.md §7.4): users are RANGE-DISJOINT across
+  * partitions, so the per-user SGD state is partition-local and exact; item
+  * factors are broadcast per epoch and updated on a partition-local clone,
+  * with per-partition deltas summed at the epoch barrier (block-Jacobi /
+  * Hogwild-style). With a single partition this degenerates to the
+  * reference's faithful sequential SGD (its own triplet order is already
+  * shuffle-nondeterministic, prac_2.py:91-92). Reference quirk Q5 (the
+  * regularizer is ADDED, growing θ) is corrected to the standard descent
+  * sign by default; `refCompatRegSign = true` reproduces the quirk.
+  *
+  * Negative sampling (L13/L14): popularity-weighted inverse-CDF draw,
+  * rejected while the candidate is in the user's positive set (and, in
+  * genre-aware mode, while it shares any genre with the positive item,
+  * functions.py:84-131), with a bounded retry count for determinism.
+  */
+object Bpr {
+
+  final case class Params(rank: Int = 12, lr: Double = 0.02, reg: Double = 0.01,
+                          epochs: Int = 30, seed: Long = 42L,
+                          maxSampleRetries: Int = 200,
+                          refCompatRegSign: Boolean = false)
+
+  final case class UserState(user: Int, pos: Array[Int], u: Array[Double])
+
+  /** Per-partition epoch output: updated user states stay distributed; item
+    * deltas are the only driver-bound data (numItems × rank doubles). */
+  final case class EpochOut(users: Array[UserState],
+                            deltas: Array[(Int, Array[Double])])
+
+  final case class ModelArrays(userFactors: Map[Int, Array[Double]],
+                               itemFactors: Array[Array[Double]]) {
+    def toDataFrames(spark: SparkSession): (DataFrame, DataFrame) = {
+      import spark.implicits._
+      val uf = userFactors.toSeq.map { case (id, f) => (id, f.toSeq) }
+        .toDF("id", "features")
+      val vf = itemFactors.zipWithIndex.map { case (f, id) => (id, f.toSeq) }
+        .toSeq.toDF("id", "features")
+      (uf, vf)
+    }
+  }
+
+  /** σ(−x) = 1/(1+eˣ), overflow-guarded (functions.py:181). */
+  def sigmoidNeg(x: Double): Double =
+    if (x > 35) 0.0 else if (x < -35) 1.0 else 1.0 / (1.0 + math.exp(x))
+
+  private def gaussianRow(rng: java.util.Random, d: Int, scale: Double): Array[Double] =
+    Array.fill(d)(rng.nextGaussian() * scale)
+
+  /** Popularity-weighted negative draw via inverse CDF + rejection.
+    * `genresOf` null ⇒ naive sampling (L13); else genre-aware (L14). */
+  private[model] def sampleNegative(rng: java.util.Random, cdf: Array[Double],
+                                    userPos: java.util.HashSet[Int], posItem: Int,
+                                    genresOf: Array[Array[Int]], maxRetries: Int): Int = {
+    var tries = 0
+    while (tries < maxRetries) {
+      val u = rng.nextDouble()
+      var j = java.util.Arrays.binarySearch(cdf, u)
+      if (j < 0) j = -j - 1
+      if (j >= cdf.length) j = cdf.length - 1
+      val ok = !userPos.contains(j) &&
+        (genresOf == null || !sharesGenre(genresOf(posItem), genresOf(j)))
+      if (ok) return j
+      tries += 1
+    }
+    // deterministic fallback: first item not in the positive set
+    var j = 0
+    while (userPos.contains(j)) j += 1
+    j
+  }
+
+  private def sharesGenre(a: Array[Int], b: Array[Int]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      var k = 0
+      while (k < b.length) {
+        if (a(i) == b(k)) return true
+        k += 1
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Train from a positives frame (userCol, itemCol) with dense 0-based ids.
+    * `numItems` = dense item-id cardinality; `itemGenres` optional
+    * (itemId -> genre ids) for genre-aware sampling. */
+  def train(positives: DataFrame, userCol: String, itemCol: String, numItems: Int,
+            p: Params = Params(), itemGenres: Option[Map[Int, Array[Int]]] = None,
+            numPartitions: Int = 0): ModelArrays = {
+    val spark = positives.sparkSession
+    import spark.implicits._
+
+    // popularity distribution (A2, prac_2.py:17-25) -> CDF over item id
+    val counts = positives.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val cdf = new Array[Double](numItems)
+    var acc = 0.0
+    for (i <- 0 until numItems) {
+      acc += counts.getOrElse(i, 0L) / total
+      cdf(i) = acc
+    }
+    cdf(numItems - 1) = 1.0
+
+    val genresArr: Array[Array[Int]] = itemGenres
+      .map(m => Array.tabulate(numItems)(i => m.getOrElse(i, Array.empty[Int])))
+      .orNull
+
+    val initRng = new java.util.Random(p.seed)
+    val scale = 5.0 / math.sqrt(p.rank)
+    var itemF = Array.fill(numItems)(gaussianRow(initRng, p.rank, scale))
+
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    var users: Dataset[UserState] = positives
+      .groupBy(col(userCol)).agg(collect_list(col(itemCol)).as("pos"))
+      .as[(Int, Seq[Int])]
+      .map { case (u, pos) =>
+        val rng = new java.util.Random(p.seed ^ (u.toLong * 2654435761L))
+        UserState(u, pos.toArray, gaussianRow(rng, p.rank, scale))
+      }
+      .repartition(nPart, col("user"))
+      .persist()
+    users.count()
+
+    val sc = spark.sparkContext
+    for (epoch <- 0 until p.epochs) {
+      val bcV = sc.broadcast(itemF)
+      val bcCdf = sc.broadcast(cdf)
+      val bcGenres = sc.broadcast(genresArr)
+      val pp = p
+      val epochOut = users.mapPartitions { it =>
+        val vLocal = bcV.value.map(_.clone())
+        val touched = new mutable.HashSet[Int]
+        val out = it.map { st =>
+          val rng = new java.util.Random(pp.seed ^ (st.user.toLong * 31L) ^ (epoch * 1000003L))
+          val posSet = new java.util.HashSet[Int]()
+          st.pos.foreach(posSet.add(_))
+          val u = st.u.clone()
+          val d = pp.rank
+          st.pos.foreach { i =>
+            val j = sampleNegative(rng, bcCdf.value, posSet, i, bcGenres.value,
+              pp.maxSampleRetries)
+            val vi = vLocal(i); val vj = vLocal(j)
+            touched.add(i); touched.add(j)
+            var x = 0.0
+            var k = 0
+            while (k < d) { x += u(k) * (vi(k) - vj(k)); k += 1 }
+            val c = sigmoidNeg(x)
+            val rs = if (pp.refCompatRegSign) 1.0 else -1.0
+            k = 0
+            while (k < d) {
+              val gu = c * (vi(k) - vj(k)) + rs * pp.reg * u(k)
+              val gi = c * u(k) + rs * pp.reg * vi(k)
+              val gj = -c * u(k) + rs * pp.reg * vj(k)
+              u(k) += pp.lr * gu
+              vi(k) += pp.lr * gi
+              vj(k) += pp.lr * gj
+              k += 1
+            }
+          }
+          st.copy(u = u)
+        }.toArray
+        val deltas = touched.iterator.map { i =>
+          val dv = new Array[Double](pp.rank)
+          var k = 0
+          while (k < pp.rank) { dv(k) = vLocal(i)(k) - bcV.value(i)(k); k += 1 }
+          i -> dv
+        }.toArray
+        Iterator.single(EpochOut(out, deltas))
+      }.persist()
+      epochOut.count()
+
+      // only the (numItems x rank) delta matrix crosses to the driver
+      val mergedDeltas = new mutable.HashMap[Int, Array[Double]]
+      epochOut.flatMap(_.deltas.toIndexedSeq).rdd
+        .reduceByKey { (a, b) =>
+          val s = a.clone(); var k = 0
+          while (k < s.length) { s(k) += b(k); k += 1 }; s
+        }.collect()
+        .foreach { case (i, dv) => mergedDeltas(i) = dv }
+      itemF = itemF.zipWithIndex.map { case (v, i) =>
+        mergedDeltas.get(i) match {
+          case Some(dv) => Array.tabulate(p.rank)(k => v(k) + dv(k))
+          case None => v
+        }
+      }
+      val old = users
+      users = epochOut.flatMap(_.users.toIndexedSeq)
+        .repartition(nPart, col("user")).persist()
+      users.count()
+      old.unpersist(); epochOut.unpersist()
+      bcV.destroy(); bcCdf.destroy(); bcGenres.destroy()
+    }
+
+    val uf = users.collect().map(st => st.user -> st.u).toMap
+    users.unpersist()
+    ModelArrays(uf, itemF)
+  }
+}

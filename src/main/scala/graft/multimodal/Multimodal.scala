@@ -1,0 +1,84 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The actual media DECODE is stubbed (no image/audio libraries in this
+  * container — see [[StubDecoder]]): the deterministic fake keeps every
+  * Spark-side concern real — schema, binary payload movement, batch shape,
+  * partition sizing — so swapping in a real codec is a one-function change.
+  *
+  * Scale notes: payloads never pass through a shuffle (feature extraction is
+  * a narrow mapPartitions); `targetRecordsPerBatch` bounds peak memory per
+  * task the way maxRecordsPerBatch does for arrow-based UDFs.
+  */
+object Multimodal {
+
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+                               width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 feature: Array[Float])
+
+  /** Deterministic fake decoder: derives a fixed-length feature vector from
+    * payload bytes. STUB — replace with a real codec (JPEG decode, PCM
+    * frame read) outside this container. */
+  object StubDecoder {
+    val FeatureDim = 16
+
+    def decodeFeatures(payload: Array[Byte]): Array[Float] = {
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        f(i % FeatureDim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      if (payload.length > 0) {
+        var k = 0
+        while (k < FeatureDim) { f(k) /= math.max(1, payload.length / FeatureDim); k += 1 }
+      }
+      f
+    }
+
+    /** Deterministic frame sampling: every `stride`-th byte window stands in
+      * for a decoded video frame. */
+    def sampleFrames(payload: Array[Byte], frameBytes: Int, maxFrames: Int): Seq[Array[Byte]] = {
+      if (payload.isEmpty || frameBytes <= 0) return Seq.empty
+      val nFrames = math.min(maxFrames, math.max(1, payload.length / frameBytes))
+      val stride = math.max(1, payload.length / nFrames)
+      (0 until nFrames).map { i =>
+        val start = i * stride
+        payload.slice(start, math.min(start + frameBytes, payload.length))
+      }
+    }
+  }
+
+  /** Batched feature extraction over a media frame: narrow mapPartitions,
+    * records processed in bounded batches. */
+  def extractFeatures(media: Dataset[MediaRecord],
+                      targetRecordsPerBatch: Int = 256): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(targetRecordsPerBatch).flatMap { batch =>
+        batch.map { r =>
+          MediaFeatures(r.media_id, r.kind, r.payload.length,
+            StubDecoder.decodeFeatures(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Build a media frame from any table with a binary-able column (used by
+    * tests over the documents table: text bytes stand in for payloads). */
+  def fromBinaryColumn(df: DataFrame, idCol: String, payloadCol: String,
+                       kind: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), lit(kind).as("kind"),
+        col(payloadCol).cast("binary").as("payload"),
+        lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed
+  * shuffle-conscious for the 100-TB design point:
+  *
+  *  - exact dedup: one hash-aggregate shuffle on a 16-byte digest (never on
+  *    the full text);
+  *  - MinHash + LSH: signatures are a narrow map; the only shuffle is the
+  *    band-bucket exchange whose keys are 8-byte hashes; candidate pairs are
+  *    verified locally per bucket;
+  *  - SimHash: explode → one partial-aggregated groupBy on doc_id;
+  *  - n-gram Jaccard: blocked self-join (equi-join on cheap block keys) so the
+  *    quadratic comparison only happens inside small blocks.
+  *
+  * All deterministic: hash family is xxhash64(value, seed) — stable across
+  * runs, partitionings, and cluster sizes.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: key = md5(text). Returns one row per distinct
+    * text with the representative (min id) and multiplicity. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Word shingles of length n over normalized text, as an ARRAY column.
+    *
+    * WARNING — interpreted-eval trap: the transform lambda re-evaluates the
+    * `toks` subtree (regex normalize + split) once PER SHINGLE, not per doc
+    * (higher-order functions are CodegenFallback with no common-subexpression
+    * elimination). Fine for small frames/tests; every hot pipeline here uses
+    * [[shingleRows]] instead, which computes tokens exactly once per doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.wsTokens(TextOps.normalizeText(text))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Distinct word shingles of length n as ROWS (id, passthrough..., shingle)
+    * — the scalable formulation: posexplode evaluates the tokenizer once per
+    * doc, shingle assembly is a codegen'd window of `lead`s over (id, pos),
+    * and the only shuffle is the fixed-N repartition on the doc id (which the
+    * window then reuses). Semantics match [[shingles]]: docs shorter than n
+    * tokens yield their single partial shingle. */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  passthrough: Seq[String] = Seq.empty): DataFrame = {
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.repartition(nPart, col(idCol))
+      .select(Seq(col(idCol).as("id")) ++ passthrough.map(col) ++ Seq(
+        TextOps.wsTokens(TextOps.normalizeText(col(textCol))).as("__toks")): _*)
+      .select(Seq(col("id")) ++ passthrough.map(col) ++ Seq(
+        size(col("__toks")).as("__ntok"),
+        posexplode(col("__toks"))): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    toks
+      .withColumn("shingle",
+        concat_ws(" ", (0 until n).map(k =>
+          if (k == 0) col("col") else lead(col("col"), k).over(w)): _*))
+      .filter(col("pos") <= col("__ntok") - n || (col("__ntok") < n && col("pos") === 0))
+      .drop("pos", "col", "__ntok")
+      .distinct()
+  }
+
+  /** MinHash signatures: for seed s in 0..numHashes-1, min over shingles of
+    * xxhash64(shingle, s). Computed as explode → ONE codegen'd hash
+    * aggregation with numHashes min() columns — signatures are materialized
+    * behind the aggregation exchange, so downstream joins never re-evaluate
+    * them (a nested higher-order-function formulation is CodegenFallback and
+    * gets re-run per join row — measured 100×+ slower). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, numHashes: Int): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleLen)
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** LSH band keys: signature split into `bands` rows-per-band slices, each
+    * hashed (band index mixed in so buckets don't collide across bands). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+
+  /** Full MinHash-LSH candidate-pair pipeline. Output: (id_a, id_b, est_sim)
+    * where est_sim = fraction of matching signature components.
+    *
+    * `maxBucketSize` drops LSH buckets larger than the cap (standard LSH
+    * skew guard: a degenerate bucket of B docs costs B² comparisons — at
+    * 100 TB one hot bucket would dominate the whole job; oversized buckets
+    * signal shingle-level degeneracy, not near-duplication). */
+  def minHashLshCandidates(df: DataFrame, idCol: String, textCol: String,
+                           shingleLen: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16, maxBucketSize: Int = 200): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // signatures feed three plan branches (banding + both pair-side joins);
+    // materialize once — without this each branch re-runs the whole
+    // shingle+hash pipeline (no ReuseExchange across differently-aliased
+    // projections)
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+      .localCheckpoint()
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    val okBuckets = banded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("band_key"))
+    val pruned = banded.join(okBuckets, Seq("band_key"), "left_semi")
+    // narrow (band_key, id) join + codegen'd distinct FIRST; the interpreted
+    // signature comparison then runs once per unique candidate pair, not once
+    // per (pair x shared band)
+    val a = pruned.select(col("band_key"), col("id").as("id_a"))
+    val b = pruned.select(col("band_key"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(broadcast(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est_sim"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens of the normalized text.
+    * bit b of the hash = sign of Σ_tokens (token_hash bit b ? +1 : -1). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tokens = df.repartition(n, col(idCol)).select(
+      col(idCol).as("id"),
+      explode(TextOps.wsTokens(TextOps.normalizeText(col(textCol)))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidates share (lang, length
+    * bucket); Jaccard over distinct word shingles.
+    *
+    * Shape: explode to (block, shingle-hash, id) and self-join on the
+    * (block, hash) LONG key, counting shared shingles per pair —
+    * |A∪B| = |A|+|B|−|A∩B| closes the Jaccard without any per-pair array
+    * intersection. Everything stays in whole-stage codegen (the naive
+    * array_intersect-per-pair formulation is interpreted and measured 20×
+    * slower at 314k candidate pairs). Quadratic work is confined to blocks,
+    * and only pairs sharing ≥1 shingle ever materialize (Jaccard ≥ t > 0
+    * implies a shared shingle, so the output is identical). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[Column], shingleLen: Int,
+                        minJaccard: Double): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val withBlock = df.withColumn("block", struct(blockCols: _*))
+    val sh = shingleRows(withBlock, idCol, textCol, shingleLen, Seq("block"))
+    val nSh = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // fixed-N repartition on the join key: the pair-join stage is
+    // compute-heavy on few bytes, so AQE's size-based coalescing would run
+    // it single-task; an explicit numbered repartition is respected by AQE
+    // and is reused (ReuseExchange) by both join branches
+    val exploded = sh
+      .withColumn("n_sh", count(lit(1)).over(nSh))
+      .select(col("block"), col("id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
+      .repartition(n, col("block"), col("h"))
+    val a = exploded.select(col("block"), col("h"),
+      col("id").as("id_a"), col("n_sh").as("na"))
+    val b = exploded.select(col("block"), col("h"),
+      col("id").as("id_b"), col("n_sh").as("nb"))
+    a.join(b, Seq("block", "h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational operators mirroring the reference's pandas surface
+  * (SURVEY.md §2.2-§2.7), re-expressed as declarative Spark plans so Catalyst
+  * keeps pushdown / pruning / partial aggregation.
+  *
+  * Scale notes are attached per operator: every helper here is
+  * shuffle-conscious — the target is a 1000-executor cluster over ~100 TB,
+  * even though tests run on local[32].
+  */
+object Relational {
+
+  /** Dense 0..N-1 re-index of a sparse id column, rank-by-sorted-distinct-id.
+    * Mirrors the reference's `unique → sort → reset_index` idiom
+    * (/root/reference/explicit_ratings/functions.py:37-45).
+    *
+    * Scale: the global `row_number` window funnels through one partition, but
+    * only AFTER `distinct()` has shuffled-down to the id cardinality (dims are
+    * ~10^4..10^6 ids, not the 10^11-row fact table), so the single-partition
+    * stage is tiny. For dimension cardinalities beyond ~10^8 switch to
+    * `zipWithIndex` on a sorted RDD.
+    */
+  def denseReindex(df: DataFrame, idCol: String, orderedIdxCol: String): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    df.select(col(idCol)).distinct()
+      .withColumn(orderedIdxCol, (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** Per-group top-k by an explicit total order (ties MUST be broken by the
+    * caller's orderCols to stay deterministic). Reference: per-user top-k
+    * recommendations (/root/reference/implicit_feedback/functions.py:233-238).
+    *
+    * Scale: `row_number` over partitionBy(group) is a single hash shuffle on
+    * the group key; skewed groups are bounded because only k rows per group
+    * survive the filter (Spark 3.4+ pushes rank-limit into the window exec).
+    */
+  def topKPerGroup(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+                   k: Int, rankName: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(rankName, row_number().over(w).cast("long"))
+      .filter(col(rankName) <= k)
+  }
+
+  /** value_counts(normalize=True): relative frequency of each key.
+    * Reference: popularity distribution for negative sampling
+    * (/root/reference/implicit_feedback/prac_2.py:17-25).
+    *
+    * Scale: the empty-frame window runs on the AGGREGATED frame (cardinality =
+    * #groups, small); the expensive part is the partial+final hash count which
+    * Spark map-side combines for free.
+    */
+  def relativeFreq(df: DataFrame, key: String, cntName: String = "cnt",
+                   freqName: String = "freq", scale: Int = 6): DataFrame = {
+    val counted = df.groupBy(col(key)).agg(count(lit(1)).as(cntName))
+    counted.withColumn(
+      freqName,
+      round(col(cntName).cast("double") / sum(col(cntName)).over(Window.partitionBy()), scale))
+  }
+
+  /** Frequency-of-frequencies (degree distribution), two-level count.
+    * Reference: power-law plot prep (/root/reference/explicit_ratings/prac_1_plotting.py:89-121). */
+  def freqOfFreq(df: DataFrame, key: String,
+                 lvl1Name: String, lvl2Name: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as(lvl1Name))
+      .groupBy(col(lvl1Name)).agg(count(lit(1)).as(lvl2Name))
+
+  /** Running total over an explicit ROWS frame (reference: CSR offset cumsum,
+    * /root/reference/explicit_ratings/functions.py:238-242). Partitioned: one
+    * shuffle on partCol; within-partition sort only. */
+  def runningSum(df: DataFrame, partCol: String, orderCol: String,
+                 valueCol: String, outName: String): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(outName, sum(col(valueCol)).over(w))
+  }
+
+  /** Deterministic group-size equalization: keep the first `minCount` rows of
+    * each group, ordered by orderCol. Deterministic re-expression of the
+    * reference's random surplus-drop (/root/reference/explicit_ratings/ab_test.py:240-265);
+    * the seeded-random variant is `equalizeGroupsRandom`. */
+  def equalizeGroups(df: DataFrame, groupCol: String, orderCol: String): DataFrame = {
+    val minCnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(min(col("__cnt")).as("__min_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("__rn") <= col("__min_cnt"))
+      .drop("__rn", "__min_cnt")
+  }
+
+  /** Faithful random variant of the reference's A/B group equalization:
+    * shuffle rows within each group with a seeded rand, keep minCount. */
+  def equalizeGroupsRandom(df: DataFrame, groupCol: String, seed: Long): DataFrame = {
+    val minCnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .agg(min(col("__cnt")).as("__min_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(rand(seed))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minCnt))
+      .filter(col("__rn") <= col("__min_cnt"))
+      .drop("__rn", "__min_cnt")
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since the
+    * previous event for the same user exceeds `gapSeconds`. Batch analogue of
+    * the streaming session-window operator (graft.streaming).
+    *
+    * Scale: one shuffle on userCol; lag + running sum share the same window
+    * sort, so Spark plans a single WindowExec.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                 gapSeconds: Double, outName: String = "session_id"): DataFrame = {
+    val order = Seq(col(tsCol), col(idCol))
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    val gap = col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double")
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__new_session", when(gap > gapSeconds, 1).otherwise(0))
+      .withColumn(outName, sum(col("__new_session")).over(frame).cast("long"))
+      .drop("__new_session")
+  }
+}

