@@ -24,10 +24,17 @@ import scala.collection.mutable
   */
 object Bpr {
 
+  /** `initScale` NaN ⇒ reference default 5/√rank
+    * (/root/reference/implicit_feedback/prac_2.py:52-57); smaller values
+    * avoid sigmoid saturation on dense synthetic data. */
   final case class Params(rank: Int = 12, lr: Double = 0.02, reg: Double = 0.01,
                           epochs: Int = 30, seed: Long = 42L,
                           maxSampleRetries: Int = 200,
-                          refCompatRegSign: Boolean = false)
+                          refCompatRegSign: Boolean = false,
+                          initScale: Double = Double.NaN) {
+    def resolvedInitScale: Double =
+      if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
+  }
 
   final case class UserState(user: Int, pos: Array[Int], u: Array[Double])
 
@@ -116,7 +123,7 @@ object Bpr {
       .orNull
 
     val initRng = new java.util.Random(p.seed)
-    val scale = 5.0 / math.sqrt(p.rank)
+    val scale = p.resolvedInitScale
     var itemF = Array.fill(numItems)(gaussianRow(initRng, p.rank, scale))
 
     val nPart = if (numPartitions > 0) numPartitions
@@ -195,8 +202,10 @@ object Bpr {
         }
       }
       val old = users
+      // localCheckpoint truncates lineage: without it the plan grows by one
+      // mapPartitions+repartition layer per epoch and plan handling OOMs
       users = epochOut.flatMap(_.users.toIndexedSeq)
-        .repartition(nPart, col("user")).persist()
+        .repartition(nPart, col("user")).persist().localCheckpoint()
       users.count()
       old.unpersist(); epochOut.unpersist()
       bcV.destroy(); bcCdf.destroy(); bcGenres.destroy()

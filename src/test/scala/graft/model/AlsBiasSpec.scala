@@ -1,0 +1,86 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.linalg.Linalg
+import org.apache.spark.sql.functions._
+
+class AlsBiasSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Linalg.choleskySolve solves SPD systems") {
+    val a = Array(Array(4.0, 2.0), Array(2.0, 3.0))
+    val x = Linalg.choleskySolve(a, Array(10.0, 8.0))
+    // 4x+2y=10, 2x+3y=8 -> x=1.75, y=1.5
+    assert(math.abs(x(0) - 1.75) < 1e-12 && math.abs(x(1) - 1.5) < 1e-12)
+  }
+
+  test("half-sweep bias matches closed form on zero factors (bias-only model)") {
+    // with u=0, v=0, bo=0: newBias = lambda*sum(r)/(alpha+lambda*n), features=0
+    val p = AlsBias.Params(rank = 2, lambda = 0.1, tau = 0.01, alpha = 0.01)
+    val ratings = Seq((0, 0, 4.0), (0, 1, 2.0), (1, 0, 5.0)).toDF("u", "i", "r")
+    val zeroU = Seq((0, Seq(0.0, 0.0), 0.0), (1, Seq(0.0, 0.0), 0.0))
+      .toDF("id", "features", "bias")
+    val zeroI = Seq((0, Seq(0.0, 0.0), 0.0), (1, Seq(0.0, 0.0), 0.0))
+      .toDF("id", "features", "bias")
+    val out = AlsBias.halfSweep(ratings, zeroU, zeroI, "u", "i", "r", p)
+      .as[(Int, Seq[Double], Double)].collect().map(t => t._1 -> t).toMap
+    val b0 = 0.1 * 6.0 / (0.01 + 0.1 * 2)
+    val b1 = 0.1 * 5.0 / (0.01 + 0.1 * 1)
+    assert(math.abs(out(0)._3 - b0) < 1e-12)
+    assert(math.abs(out(1)._3 - b1) < 1e-12)
+    assert(out(0)._2.forall(_ == 0.0)) // zero item vectors -> zero solution
+  }
+
+  test("half-sweep trait vector matches hand-computed d=1 normal equation") {
+    // one user, two items with v=[2],[3], biases bv=0.5,-0.5, user bias from formula
+    val p = AlsBias.Params(rank = 1, lambda = 0.1, tau = 0.01, alpha = 0.01)
+    val ratings = Seq((0, 0, 4.0), (0, 1, 3.0)).toDF("u", "i", "r")
+    val users = Seq((0, Seq(1.0), 0.0)).toDF("id", "features", "bias")
+    val items = Seq((0, Seq(2.0), 0.5), (1, Seq(3.0), -0.5)).toDF("id", "features", "bias")
+    val out = AlsBias.halfSweep(ratings, users, items, "u", "i", "r", p)
+      .as[(Int, Seq[Double], Double)].head()
+    // resid with current u=1: (4 - 1*2 - 0.5) + (3 - 1*3 + 0.5) = 1.5 + 0.5 = 2.0
+    val bNew = 0.1 * 2.0 / (0.01 + 0.1 * 2)
+    // rhs = sum((r - bv - bNew)*v) = (4-0.5-b)*2 + (3+0.5-b)*3
+    val rhs = (4.0 - 0.5 - bNew) * 2 + (3.0 + 0.5 - bNew) * 3
+    // (lambda*(4+9) + tau) * u = lambda * rhs
+    val uNew = 0.1 * rhs / (0.1 * 13 + 0.01)
+    assert(math.abs(out._3 - bNew) < 1e-12)
+    assert(math.abs(out._2.head - uNew) < 1e-12)
+  }
+
+  test("training on a rank-2 synthetic matrix converges to low RMSE") {
+    val rng = new scala.util.Random(7)
+    val d = 2
+    val uTrue = Array.fill(12)(Array.fill(d)(rng.nextGaussian()))
+    val vTrue = Array.fill(15)(Array.fill(d)(rng.nextGaussian()))
+    val ratings = (for {
+      u <- 0 until 12; i <- 0 until 15 if rng.nextDouble() < 0.8
+    } yield (u, i, uTrue(u).zip(vTrue(i)).map { case (a, b) => a * b }.sum))
+      .toDF("u", "i", "r")
+    val model = AlsBias.train(ratings, "u", "i", "r",
+      AlsBias.Params(rank = 4, lambda = 1.0, tau = 0.01, alpha = 0.01, maxIter = 12, tol = 1e-4))
+    val rmse = Metrics.rmse(model.predict(ratings, "u", "i"), "r", "prediction")
+    assert(rmse < 0.15, s"rmse $rmse")
+  }
+
+  test("maxDelta is zero for identical frames and positive otherwise") {
+    val f1 = Seq((0, Seq(1.0, 2.0), 0.5)).toDF("id", "features", "bias")
+    val f2 = Seq((0, Seq(1.0, 2.5), 0.5)).toDF("id", "features", "bias")
+    assert(AlsBias.maxDelta(f1, f1) == 0.0)
+    assert(math.abs(AlsBias.maxDelta(f1, f2) - 0.5) < 1e-12)
+  }
+
+  test("gaussian init is deterministic and roughly scaled") {
+    val ids = (0 until 500).toDF("id")
+    val feats = ids.select(AlsBias.gaussianInitCol(col("id"), 4, 1.0, 42L).as("f"))
+      .as[Seq[Double]].collect()
+    val feats2 = ids.select(AlsBias.gaussianInitCol(col("id"), 4, 1.0, 42L).as("f"))
+      .as[Seq[Double]].collect()
+    assert(feats.toSeq == feats2.toSeq)
+    val all = feats.flatten
+    val mean = all.sum / all.size
+    val sd = math.sqrt(all.map(x => (x - mean) * (x - mean)).sum / all.size)
+    assert(math.abs(mean) < 0.1 && sd > 0.8 && sd < 1.2)
+  }
+}

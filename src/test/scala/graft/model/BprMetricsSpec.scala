@@ -1,0 +1,101 @@
+package graft.model
+
+import graft.SparkTestBase
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+class BprMetricsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("sigmoidNeg matches 1/(1+exp(x)) and is overflow-safe") {
+    assert(math.abs(Bpr.sigmoidNeg(0.0) - 0.5) < 1e-12)
+    assert(math.abs(Bpr.sigmoidNeg(2.0) - 1.0 / (1 + math.exp(2.0))) < 1e-12)
+    assert(Bpr.sigmoidNeg(1000.0) == 0.0 && Bpr.sigmoidNeg(-1000.0) == 1.0)
+  }
+
+  test("BPR training separates positives from negatives on synthetic data") {
+    // parity preference: user u likes items with i % 2 == u % 2, so every
+    // item has non-zero popularity (popularity-weighted sampling can only
+    // propose observed items — same behavior as the reference)
+    val positives = (for (u <- 0 until 8; i <- 0 until 10 if i % 2 == u % 2)
+      yield (u, i)).toDF("user", "item")
+    val model = Bpr.train(positives, "user", "item", numItems = 10,
+      Bpr.Params(rank = 4, lr = 0.05, reg = 0.01, epochs = 25, seed = 1L,
+        initScale = 0.1),
+      numPartitions = 2)
+    def score(u: Int, i: Int): Double =
+      model.userFactors(u).zip(model.itemFactors(i)).map { case (a, b) => a * b }.sum
+    // mean score of liked items must exceed mean of unliked items per user
+    val margins = (0 until 8).map { u =>
+      val pos = (0 until 10).filter(i => i % 2 == u % 2).map(score(u, _)).sum / 5
+      val neg = (0 until 10).filter(i => i % 2 != u % 2).map(score(u, _)).sum / 5
+      pos - neg
+    }
+    assert(margins.count(_ > 0) >= 7, s"margins $margins")
+  }
+
+  test("genre-aware sampling never picks items sharing a genre with the positive") {
+    val rng = new java.util.Random(3)
+    val cdf = Array.tabulate(6)(i => (i + 1) / 6.0)
+    val genres = Array(Array(0), Array(0, 1), Array(1), Array(2), Array(2, 3), Array(9))
+    val pos = new java.util.HashSet[Int](); pos.add(0)
+    for (_ <- 0 until 200) {
+      val j = Bpr.sampleNegative(rng, cdf, pos, 1, genres, 200)
+      assert(!pos.contains(j))
+      assert(genres(j).intersect(genres(1)).isEmpty, s"item $j shares genre")
+    }
+  }
+
+  test("rmse is zero for exact predictions, positive otherwise") {
+    val preds = Seq((4.0, 4.0), (3.0, 3.0)).toDF("r", "prediction")
+    assert(Metrics.rmse(preds, "r", "prediction") == 0.0)
+    val preds2 = Seq((4.0, 5.0), (3.0, 3.0)).toDF("r", "prediction")
+    assert(math.abs(Metrics.rmse(preds2, "r", "prediction") - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("precision/recall@k on a hand-checkable case") {
+    // user 0: positives {1,2}; scored ranking: 1,3,2,4 -> top2 = {1,3}
+    val scored = Seq((0, 1, 4.0), (0, 3, 3.0), (0, 2, 2.0), (0, 4, 1.0))
+      .toDF("user", "item", "score")
+    val positives = Seq((0, 1), (0, 2)).toDF("user", "item")
+    val r = Metrics.precisionRecallAtK(scored, positives, "user", "item", "score", 2).head()
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12) // 1 of top-2
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12) // 1 of 2 positives
+  }
+
+  test("regLogLik decreases as predictions deviate") {
+    val ratings = Seq((0, 0, 4.0)).toDF("u", "i", "r")
+    def modelWith(v: Double) = AlsBias.Model(
+      Seq((0, Seq(v), 0.0)).toDF("id", "features", "bias"),
+      Seq((0, Seq(4.0), 0.0)).toDF("id", "features", "bias"))
+    val good = Metrics.regLogLik(modelWith(1.0), ratings, "u", "i", "r", 0.1, 0.01, 0.01)
+    val bad = Metrics.regLogLik(modelWith(2.0), ratings, "u", "i", "r", 0.1, 0.01, 0.01)
+    assert(good > bad)
+  }
+
+  test("Recommend.foldInUsers reproduces the closed-form cold-start bias") {
+    val p = AlsBias.Params(rank = 2, lambda = 0.1, tau = 0.01, alpha = 0.01)
+    val itemFactors = Seq((0, Seq(0.0, 0.0), 1.0), (1, Seq(0.0, 0.0), -1.0))
+      .toDF("id", "features", "bias")
+    val history = Seq((100, 0, 5.0), (100, 1, 3.0)).toDF("user", "item", "r")
+    val out = graft.serve.Recommend.foldInUsers(history, itemFactors, "user", "item", "r", p)
+      .as[(Int, Seq[Double], Double)].head()
+    // b = lambda*((5-1)+(3+1))/(alpha+lambda*2) with zero item vectors
+    val expected = 0.1 * 8.0 / (0.01 + 0.2)
+    assert(out._1 == 100 && math.abs(out._3 - expected) < 1e-12)
+  }
+
+  test("Recommend.recommend applies popularity floor, damping and top-k") {
+    val users = Seq((0, Seq(1.0, 0.0), 0.0)).toDF("id", "features", "bias")
+    val items = Seq(
+      (0, Seq(1.0, 0.0), 10.0),  // high dot, popular
+      (1, Seq(0.9, 0.0), 0.0),   // popular
+      (2, Seq(5.0, 0.0), 0.0))   // best dot but unpopular -> excluded
+      .toDF("id", "features", "bias")
+    val counts = Seq((0, 100L), (1, 95L), (2, 5L)).toDF("id", "n_ratings")
+    val recs = graft.serve.Recommend.recommend(users, items, counts, k = 2, popularityFloor = 90L)
+      .select("item_id", "score", "rank").as[(Int, Double, Long)].collect().sortBy(_._3)
+    assert(recs.map(_._1).toSeq == Seq(0, 1)) // item 2 filtered; damping orders 0 first
+    assert(math.abs(recs.head._2 - (1.0 + 0.05 * 10.0)) < 1e-12)
+  }
+}

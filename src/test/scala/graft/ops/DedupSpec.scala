@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog", "en", 43L),
+    (2L, "The quick brown fox jumps over the lazy dog", "en", 43L), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy cat", "en", 43L), // near dup of 1
+    (4L, "Completely different text about spark engines and shuffles here", "en", 63L),
+    (5L, "the QUICK brown fox, jumps over the lazy dog!!", "en", 46L), // fingerprint-dup of 1
+    (6L, "word", "en", 4L)) // shorter than one shingle
+    .toDF("doc_id", "text", "lang", "n_chars")
+
+  test("exactDupGroups groups identical texts and keeps min id") {
+    val out = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    val dupGroup = out.filter(_._3 == 2)
+    assert(dupGroup.length == 1 && dupGroup.head._2 == 1L)
+    assert(out.map(_._3).sum == 6)
+  }
+
+  test("shingleRows matches the array-based shingles() semantics") {
+    val viaRows = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    val viaArray = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .as[(Long, String)].collect().toSet
+    assert(viaRows == viaArray)
+    // short doc yields its single partial shingle
+    assert(viaRows.filter(_._1 == 6L) == Set((6L, "word")))
+  }
+
+  test("minHashLshCandidates surfaces exact and near duplicates") {
+    val cands = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cands.contains((1L, 2L)) && cands((1L, 2L)) == 1.0)
+    assert(cands.contains((1L, 3L)) && cands((1L, 3L)) > 0.3)
+    assert(!cands.contains((1L, 4L)) || cands((1L, 4L)) < 0.3)
+  }
+
+  test("minhash est_sim is deterministic across runs") {
+    val a = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("simHash: identical texts equal, near-dups close, distinct texts far") {
+    val hs = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L))
+  }
+
+  test("ngramJaccardPairs finds blocked near-dup pairs with exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1 vs doc3: 7 shingles each, 6 shared -> J = 6/8 = 0.75
+    assert(math.abs(pairs((1L, 3L)) - 0.75) < 1e-9)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("fingerprint is invariant to case/punctuation/whitespace") {
+    val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(5L))
+    assert(fps(1L) != fps(4L))
+  }
+}

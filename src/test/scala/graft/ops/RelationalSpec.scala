@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("denseReindex is an order-preserving bijection onto 0..N-1") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))
+    (0 until 5).foreach { i =>
+      val ids = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = ids.toDF("id")
+      val out = Relational.denseReindex(df, "id", "idx")
+        .orderBy("idx").collect().map(r => (r.getInt(0), r.getLong(1)))
+      val distinctSorted = ids.distinct.sorted
+      assert(out.map(_._1).toSeq == distinctSorted)
+      assert(out.map(_._2).toSeq == distinctSorted.indices.map(_.toLong))
+    }
+  }
+
+  test("topKPerGroup agrees with sort-then-take per group") {
+    val rows = Seq((1, 10.0, "a"), (1, 30.0, "b"), (1, 20.0, "c"), (1, 30.0, "d"),
+      (2, 5.0, "e"), (2, 7.0, "f"))
+    val df = rows.toDF("g", "score", "id")
+    val got = Relational.topKPerGroup(df, Seq(col("g")),
+      Seq(col("score").desc, col("id").asc), 2)
+      .select("g", "id").as[(Int, String)].collect().toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(2).map(r => (g, r._3))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("relativeFreq sums to 1 and matches manual counts") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+    val m = Relational.relativeFreq(df, "k").as[(String, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(m("a")._2 == 2 && m("b")._2 == 1 && m("c")._2 == 3)
+    assert(math.abs(m.values.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(m("c")._3 - 0.5) < 1e-9)
+  }
+
+  test("freqOfFreq counts degree distribution") {
+    val df = Seq(1, 1, 1, 2, 2, 3).toDF("user")
+    val m = Relational.freqOfFreq(df, "user", "deg", "n")
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(3L -> 1L, 2L -> 1L, 1L -> 1L))
+  }
+
+  test("runningSum reconstructs CSR-style offsets") {
+    val df = Seq((1, 1, 10.0), (1, 2, 5.0), (1, 3, 1.0), (2, 1, 2.0))
+      .toDF("g", "ord", "v")
+    val out = Relational.runningSum(df, "g", "ord", "v", "rt")
+      .orderBy("g", "ord").select("rt").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 15.0, 16.0, 2.0))
+  }
+
+  test("equalizeGroups keeps min-group-size rows per group, deterministically") {
+    val df = (1 to 10).map(i => (i, "big")).++(Seq((11, "small"), (12, "small"), (13, "small")))
+      .toDF("id", "g")
+    val out = Relational.equalizeGroups(df, "g", "id")
+    val sizes = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("big" -> 3L, "small" -> 3L))
+    // deterministic: first ids by order
+    assert(out.filter($"g" === "big").select("id").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq((1L, 1L, ts(0)), (1L, 2L, ts(100)), (1L, 3L, ts(2000)),
+      (2L, 4L, ts(0))).toDF("user_id", "ts0", "x")
+      .select(col("user_id"), col("ts0").as("event_id"), col("x").as("ts"))
+    val out = Relational.sessionize(df, "user_id", "ts", "event_id", 1800.0)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 1 && out(4L) == 0)
+  }
+}

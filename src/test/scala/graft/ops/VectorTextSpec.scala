@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class VectorTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dot / norm / cosine / l2Dist match hand values") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, -5.0f, 6.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorOps.dot(col("a"), col("b")).as("d"),
+      VectorOps.norm(col("a")).as("na"),
+      VectorOps.cosine(col("a"), col("b")).as("c"),
+      VectorOps.l2Dist(col("a"), col("b")).as("e")).head()
+    assert(math.abs(r.getDouble(0) - 12.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(14.0)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 12.0 / (math.sqrt(14) * math.sqrt(77))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - math.sqrt(9 + 49 + 9)) < 1e-12)
+  }
+
+  test("axpy and scale") {
+    val df = Seq((Seq(1.0, 2.0), Seq(10.0, 20.0))).toDF("a", "b")
+    val r = df.select(VectorOps.axpy(lit(2.0), col("a"), col("b")).as("x"),
+      VectorOps.scale(lit(3.0), col("a")).as("s")).head()
+    assert(r.getSeq[Double](0) == Seq(21.0, 42.0))
+    assert(r.getSeq[Double](1) == Seq(3.0, 6.0))
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! x2  spaces").toDF("text")
+    val r = df.select(TextOps.wsTokenCount(col("text")).as("ws"),
+      TextOps.bpeishTokenCount(col("text")).as("bpe")).head()
+    assert(r.getInt(0) == 4)
+    // Hello , world ! x 2 spaces -> 7
+    assert(r.getInt(1) == 7)
+  }
+
+  test("normalizeText collapses case, punctuation, whitespace") {
+    val df = Seq("  The QUICK,   brown-fox!! ").toDF("text")
+    val r = df.select(TextOps.normalizeText(col("text"))).as[String].head()
+    assert(r == "the quick brownfox")
+  }
+
+  test("langId picks max score with fixed priority ties") {
+    val scores = Seq("en" -> lit(3), "de" -> lit(3), "es" -> lit(5),
+      "fr" -> lit(1), "zh" -> lit(0)).map { case (l, c) => l -> c.cast("int") }
+    val df = Seq(1).toDF("x")
+    assert(df.select(TextOps.langId(scores)).as[String].head() == "es")
+    val tied = Seq("en" -> lit(2), "de" -> lit(2), "es" -> lit(1),
+      "fr" -> lit(0), "zh" -> lit(0)).map { case (l, c) => l -> c.cast("int") }
+    assert(df.select(TextOps.langId(tied)).as[String].head() == "en")
+  }
+
+  test("langScore counts stopword hits") {
+    val df = Seq("the cat and the dog of war").toDF("text")
+    val s = df.select(TextOps.langScore(col("text"), TextOps.LangMarkers.head._2))
+      .as[Int].head()
+    assert(s == 4) // the, and, the, of
+  }
+
+  test("cosineTopK matches brute force on a small corpus") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val corpus = df.filter(col("vec_id") >= 3)
+    val got = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 4)
+      .select("query_id", "cand_id", "rank").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._3).map(_._2).toSeq }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    for (q <- 0 until 3) {
+      val expected = vecs.filter(_._1 >= 3)
+        .map(v => (v._1, cos(vecs(q)._2, v._2)))
+        .sortBy(t => (-t._2, t._1)).take(4).map(_._1)
+      assert(got(q.toLong) == expected, s"query $q")
+    }
+  }
+
+  test("srpNearPairs returns only pairs above threshold, deterministic") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, Seq.tabulate(8)(j => (base * (1.0 + j) + math.sin(i + j) * 0.1).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearPairs(df, "vec_id", "embedding", 4, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 >= 0.9))
+    // same parity (same direction) only
+    assert(pairs.forall(p => (p._1 % 2) == (p._2 % 2)))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+
+  test("streaming tumbling counts match the batch query semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    input.addData((ts(0), "click", 1.0), (ts(60), "click", 2.0), (ts(3700), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling_test")
+      .select(col("window.start").cast("string"), col("event_type"), col("cnt"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00", "view", 1L, 5.0)))
+  }
+
+  test("streaming sessionize assigns session ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.sessionize(df, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").start()
+    input.addData((1L, 1L, ts(0)), (1L, 2L, ts(100)))
+    q.processAllAvailable()
+    input.addData((1L, 3L, ts(5000)), (2L, 4L, ts(0)))
+    q.processAllAvailable()
+    val rows = spark.table("session_test").as[EventStreams.SessionizedEvent]
+      .collect().map(e => e.event_id -> e.session_id).toMap
+    q.stop()
+    assert(rows == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("multimodal feature extraction is deterministic with stable schema") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "image")
+    val feats = Multimodal.extractFeatures(media, targetRecordsPerBatch = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).feature.toSeq == feats(2L).feature.toSeq)
+    assert(feats(1L).feature.toSeq != feats(3L).feature.toSeq)
+    assert(feats(1L).n_bytes == "hello world".getBytes.length)
+    assert(feats(1L).feature.length == Multimodal.StubDecoder.FeatureDim)
+  }
+
+  test("frame sampling bounds count and window size") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
+    val frames = Multimodal.StubDecoder.sampleFrames(payload, frameBytes = 100, maxFrames = 5)
+    assert(frames.length == 5)
+    assert(frames.forall(_.length <= 100))
+    assert(Multimodal.StubDecoder.sampleFrames(Array.empty[Byte], 100, 5).isEmpty)
+  }
+}
