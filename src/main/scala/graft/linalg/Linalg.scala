@@ -69,7 +69,13 @@ object Linalg {
   /** Ridge normal-equation solve: (λ·G + τI) x = λ·rhs, with G the packed
     * Gramian. */
   def ridgeSolve(packedGram: Seq[Double], rhs: Array[Double],
-                 lambda: Double, tau: Double): Array[Double] = {
+                 lambda: Double, tau: Double): Array[Double] =
+    ridgeSolveWithPrior(packedGram, rhs, new Array[Double](rhs.length), lambda, tau)
+
+  /** Genre-prior variant: (λ·G + τI) x = λ·rhs + prior
+    * (/root/reference/explicit_ratings/incl_genre.py:188-193). */
+  def ridgeSolveWithPrior(packedGram: Seq[Double], rhs: Array[Double],
+                          prior: Array[Double], lambda: Double, tau: Double): Array[Double] = {
     val d = rhs.length
     val a = unpackSymmetric(packedGram, d)
     var i = 0
@@ -79,6 +85,6 @@ object Linalg {
       a(i)(i) += tau
       i += 1
     }
-    choleskySolve(a, rhs.map(_ * lambda))
+    choleskySolve(a, Array.tabulate(d)(i => lambda * rhs(i) + prior(i)))
   }
 }
