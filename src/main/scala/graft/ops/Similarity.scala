@@ -10,11 +10,11 @@ import org.apache.spark.sql.functions._
   *    full corpus — one narrow pass over the big side, zero shuffle of the
   *    corpus, a TakeOrdered-style window on (query, -sim). Scales to 100 TB as
   *    long as the query side stays broadcastable; cost is O(|corpus|·|queries|·d).
-  *  - Random-hyperplane LSH (sign-random-projection): deterministic
-  *    pseudo-random hyperplanes derived from xxhash64(plane, dim) so the plan
-  *    needs no driver-side randomness and replays identically on any cluster.
-  *    Candidates only pay the quadratic cost inside buckets; exact cosine
-  *    re-ranks the survivors.
+  *  - Random-hyperplane LSH (sign-random-projection): hyperplanes are
+  *    seeded-deterministic, materialized driver-side and embedded as literal
+  *    arrays, so bucketing replays identically on any cluster and the
+  *    per-row cost is numPlanes codegen'd dot products. Candidates only pay
+  *    the quadratic cost inside buckets; exact cosine re-ranks survivors.
   */
 object Similarity {
 
@@ -34,22 +34,25 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("cosine_sim"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * uniform in [-0.5, 0.5) derived from xxhash64 — no RNG state. */
-  private def planeComponent(p: Int, i: org.apache.spark.sql.Column) =
-    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5
+  /** Deterministic hyperplanes: seeded per-plane PRNG, components uniform in
+    * [-0.5, 0.5). Materialized DRIVER-side (numPlanes × dim doubles) and
+    * embedded as literal arrays, so the per-row work is `numPlanes` codegen'd
+    * dot products — no per-(row, plane, dim) hash evaluation on executors. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      val rng = new java.util.Random(seed ^ (p.toLong * 0x9e3779b97f4a7c15L))
+      Seq.fill(dim)(rng.nextDouble() - 0.5)
+    }
 
   /** Sign-random-projection bucket key: `numPlanes` sign bits packed into a
-    * long. Vectors in the same bucket are ANN candidates. */
+    * long. Vectors in the same bucket are ANN candidates. `dim` must match
+    * the embedding length. */
   def srpBucket(df: DataFrame, idCol: String, vecCol: String,
-                numPlanes: Int): DataFrame = {
-    val proj = (0 until numPlanes).map { p =>
-      val dotp = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), size(col(vecCol)) - 1), i => planeComponent(p, i)),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotp > 0, lit(1L << p)).otherwise(lit(0L))
+                numPlanes: Int, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val proj = planes.zipWithIndex.map { case (plane, p) =>
+      when(VectorOps.dot(col(vecCol), typedLit(plane)) > 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), proj.as("bucket"))
   }
@@ -57,8 +60,8 @@ object Similarity {
   /** LSH-accelerated near-neighbor pairs: bucket by SRP signature, exact
     * cosine within buckets, keep pairs above `minCosine`. */
   def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int, minCosine: Double): DataFrame = {
-    val b = srpBucket(df, idCol, vecCol, numPlanes)
+                   numPlanes: Int, minCosine: Double, dim: Int = 64): DataFrame = {
+    val b = srpBucket(df, idCol, vecCol, numPlanes, dim)
     val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("bucket"))
@@ -73,8 +76,8 @@ object Similarity {
     * cells. Here exposed as cell stats (used by tests + as the partitioning
     * key for a bucketed write at scale). */
   def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int): DataFrame =
-    srpBucket(df, idCol, vecCol, numPlanes)
+                   numPlanes: Int, dim: Int = 64): DataFrame =
+    srpBucket(df, idCol, vecCol, numPlanes, dim)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 }

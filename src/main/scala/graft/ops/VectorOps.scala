@@ -18,8 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ — elementwise product then left-to-right sum (deterministic). */
+  /** Σ aᵢ·bᵢ — left-to-right sum (deterministic). Backed by the codegen'd
+    * [[graft.functions.DotProduct]] expression; `dotHof` keeps the pure
+    * built-in higher-order-function formulation (CodegenFallback, ~20×
+    * slower per call) as the cross-check reference. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dot_product(a, b)
+
+  /** Built-ins-only dot product (SURVEY §4: expressible without custom
+    * Catalyst work). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

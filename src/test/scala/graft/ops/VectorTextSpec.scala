@@ -19,6 +19,25 @@ class VectorTextSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - math.sqrt(9 + 49 + 9)) < 1e-12)
   }
 
+  test("codegen DotProduct matches the built-ins-only formulation bit-for-bit") {
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 200).map { _ =>
+      (Seq.fill(64)(rng.nextFloat() * 2 - 1), Seq.fill(64)(rng.nextFloat() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b")
+    val diffs = df.select((VectorOps.dot(col("a"), col("b")) -
+        VectorOps.dotHof(col("a"), col("b"))).as("d"))
+      .as[Double].collect()
+    assert(diffs.forall(_ == 0.0))
+    // double arrays too
+    val dd = Seq((Seq(1.5, -2.5, 3.0), Seq(2.0, 0.5, -1.0))).toDF("a", "b")
+    assert(dd.select(VectorOps.dot(col("a"), col("b"))).as[Double].head() == 3.0 - 1.25 - 3.0)
+    // SQL registration path
+    graft.functions.GraftFunctions.register(spark)
+    dd.createOrReplaceTempView("dd_vecs")
+    assert(spark.sql("SELECT graft_dot(a, b) FROM dd_vecs").as[Double].head() == -1.25)
+  }
+
   test("axpy and scale") {
     val df = Seq((Seq(1.0, 2.0), Seq(10.0, 20.0))).toDF("a", "b")
     val r = df.select(VectorOps.axpy(lit(2.0), col("a"), col("b")).as("x"),
@@ -89,7 +108,7 @@ class VectorTextSpec extends SparkTestBase {
       (i.toLong, Seq.tabulate(8)(j => (base * (1.0 + j) + math.sin(i + j) * 0.1).toFloat))
     }
     val df = vecs.toDF("vec_id", "embedding")
-    val pairs = Similarity.srpNearPairs(df, "vec_id", "embedding", 4, 0.9)
+    val pairs = Similarity.srpNearPairs(df, "vec_id", "embedding", 4, 0.9, dim = 8)
       .as[(Long, Long, Double)].collect()
     assert(pairs.nonEmpty)
     assert(pairs.forall(_._3 >= 0.9))
