@@ -41,12 +41,14 @@ object Dedup {
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** Distinct word shingles of length n as ROWS (id, passthrough..., shingle)
-    * — the scalable formulation: posexplode evaluates the tokenizer once per
-    * doc, shingle assembly is a codegen'd window of `lead`s over (id, pos),
-    * and the only shuffle is the fixed-N repartition on the doc id (which the
-    * window then reuses). Semantics match [[shingles]]: docs shorter than n
-    * tokens yield their single partial shingle. */
+  /** Word shingles of length n as ROWS (id, passthrough..., shingle) — the
+    * scalable formulation: posexplode evaluates the tokenizer once per doc,
+    * shingle assembly is a codegen'd window of `lead`s over (id, pos), and
+    * the only shuffle is the fixed-N repartition on the doc id (which the
+    * window then reuses). NOT de-duplicated per doc (callers that need set
+    * semantics aggregate with collect_set — cheaper than a distinct shuffle
+    * plus a second count window). Docs shorter than n tokens yield their
+    * single partial shingle, matching [[shingles]]. */
   def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int,
                   passthrough: Seq[String] = Seq.empty): DataFrame = {
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -64,7 +66,6 @@ object Dedup {
           if (k == 0) col("col") else lead(col("col"), k).over(w)): _*))
       .filter(col("pos") <= col("__ntok") - n || (col("__ntok") < n && col("pos") === 0))
       .drop("pos", "col", "__ntok")
-      .distinct()
   }
 
   /** MinHash signatures: for seed s in 0..numHashes-1, min over shingles of
@@ -75,8 +76,13 @@ object Dedup {
     * gets re-run per join row — measured 100×+ slower). */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, numHashes: Int): DataFrame = {
+    // hash the shingle STRING once; the numHashes-member family then hashes
+    // the resulting 8-byte long — numHashes passes over strings would
+    // dominate the whole job (shingle dups collapse under min, so no
+    // distinct pass is needed either)
     val sh = shingleRows(df, idCol, textCol, shingleLen)
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("shingle"), lit(s))).as(s"h$s"))
+      .select(col("id"), xxhash64(col("shingle")).as("h0"))
+    val aggs = (0 until numHashes).map(s => min(xxhash64(col("h0"), lit(s))).as(s"h$s"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
       .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
   }
@@ -167,15 +173,18 @@ object Dedup {
                         minJaccard: Double): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val withBlock = df.withColumn("block", struct(blockCols: _*))
-    val sh = shingleRows(withBlock, idCol, textCol, shingleLen, Seq("block"))
-    val nSh = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    // one aggregation gives per-doc DISTINCT shingle-hash sets + their size
+    // (replaces a distinct shuffle + a count window)
+    val sets = shingleRows(withBlock, idCol, textCol, shingleLen, Seq("block"))
+      .select(col("block"), col("id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("block"), col("id"))
+      .agg(collect_set(col("h")).as("hs"))
     // fixed-N repartition on the join key: the pair-join stage is
     // compute-heavy on few bytes, so AQE's size-based coalescing would run
     // it single-task; an explicit numbered repartition is respected by AQE
     // and is reused (ReuseExchange) by both join branches
-    val exploded = sh
-      .withColumn("n_sh", count(lit(1)).over(nSh))
-      .select(col("block"), col("id"), col("n_sh"), xxhash64(col("shingle")).as("h"))
+    val exploded = sets
+      .select(col("block"), col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
       .repartition(n, col("block"), col("h"))
     val a = exploded.select(col("block"), col("h"),
       col("id").as("id_a"), col("n_sh").as("na"))
