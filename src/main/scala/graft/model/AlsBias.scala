@@ -35,9 +35,14 @@ import graft.ops.{Aggregators, VectorOps}
   */
 object AlsBias {
 
+  /** `strictQ1Bias` reproduces reference quirk Q1 (SURVEY §2.12): the movie
+    * loop OVERWRITES the bias accumulator, so only the LAST rating — the
+    * max other-id row in the reference's (movieId, userId)-sorted CSR —
+    * contributes to the bias numerator. Default false = corrected summed
+    * form. Apply only to the item-side sweep, as the reference does. */
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, maxIter: Int = 20, tol: Double = 0.05,
-                          seed: Long = 42L)
+                          seed: Long = 42L, strictQ1Bias: Boolean = false)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
     /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
@@ -88,11 +93,15 @@ object AlsBias {
         col("bias").as("bo")), Seq("oid"))
       .join(selfFactors.select(col("id").as("sid"), col("features").as("u")), Seq("sid"))
 
+    // quirk Q1 compat: "last" rating = the max other-id row (the reference's
+    // CSR is sorted by (selfId, otherId), so its overwrite keeps that row)
+    val biasNumerator =
+      if (p.strictQ1Bias) max_by(col("resid"), col("oid")) else sum(col("resid"))
     val aggd = joined
       .withColumn("resid", col("r") - VectorOps.dot(col("u"), col("v")) - col("bo"))
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
       .groupBy(col("sid"))
-      .agg(count(lit(1)).as("n"), sum(col("resid")).as("sresid"),
+      .agg(count(lit(1)).as("n"), biasNumerator.as("sresid"),
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
         gramSum(col("v")).as("gram"))
 
@@ -141,7 +150,9 @@ object AlsBias {
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
-      val newUsers = halfSweep(ratings, users, items, userCol, itemCol, ratingCol, p)
+      // Q1 is a movie-loop-only quirk: user sweep always sums
+      val newUsers = halfSweep(ratings, users, items, userCol, itemCol, ratingCol,
+          p.copy(strictQ1Bias = false))
         .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
       val newItems = halfSweep(ratings, items, newUsers, itemCol, userCol, ratingCol, p)
         .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the 100-TB design point that local-mode correctness
+  * tests can't motivate but cluster economics demand (SURVEY §2.3 note, §4):
+  *
+  *  - bucketed co-located joins: pre-shuffle both fact tables once at write
+  *    time; every subsequent equi-join on the bucket key is exchange-free;
+  *  - salted joins: spread a skewed hot key over `saltFactor` sub-keys by
+  *    replicating the (small) build side, bounding the largest task. AQE's
+  *    skew-join splitting handles moderate skew at runtime; salting is the
+  *    explicit fallback for pathological keys known in advance.
+  */
+object ScaleJoins {
+
+  /** Write `df` bucketed+sorted by `key` into `numBuckets` buckets as a
+    * managed table — the write-time shuffle that later joins amortize. */
+  def writeBucketed(df: DataFrame, key: String, numBuckets: Int,
+                    table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans with zero
+    * Exchange (verified in ScaleJoinsSpec). */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Salted equi-join for a skewed LEFT side: the left key gains a random
+    * salt in [0, saltFactor); the right side is replicated across all salt
+    * values. Result is identical to `left.join(right, key)` — the shuffle
+    * just spreads each hot key across `saltFactor` reducers. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int, seed: Long = 42L): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), lit(seed)), lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Exchange count in a frame's executed plan (plan-shape assertions). */
+  def countExchanges(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+}

@@ -64,6 +64,21 @@ class AlsBiasSpec extends SparkTestBase {
     assert(rmse < 0.15, s"rmse $rmse")
   }
 
+  test("strictQ1Bias reproduces the reference's last-rating movie bias") {
+    // item 0 rated by users 0 and 1; zero factors so resid = r
+    val p = AlsBias.Params(rank = 1, lambda = 0.1, alpha = 0.01, strictQ1Bias = true)
+    val ratings = Seq((0, 0, 4.0), (1, 0, 2.0)).toDF("u", "i", "r")
+    val items = Seq((0, Seq(0.0), 0.0)).toDF("id", "features", "bias")
+    val users = Seq((0, Seq(0.0), 0.0), (1, Seq(0.0), 0.0)).toDF("id", "features", "bias")
+    val strict = AlsBias.halfSweep(ratings, items, users, "i", "u", "r", p)
+      .as[(Int, Seq[Double], Double)].head()
+    // last = max userId = user 1 -> resid 2.0; denominator still uses n=2
+    assert(math.abs(strict._3 - 0.1 * 2.0 / (0.01 + 0.1 * 2)) < 1e-12)
+    val corrected = AlsBias.halfSweep(ratings, items, users, "i", "u", "r",
+      p.copy(strictQ1Bias = false)).as[(Int, Seq[Double], Double)].head()
+    assert(math.abs(corrected._3 - 0.1 * 6.0 / (0.01 + 0.1 * 2)) < 1e-12)
+  }
+
   test("maxDelta is zero for identical frames and positive otherwise") {
     val f1 = Seq((0, Seq(1.0, 2.0), 0.5)).toDF("id", "features", "bias")
     val f2 = Seq((0, Seq(1.0, 2.5), 0.5)).toDF("id", "features", "bias")
