@@ -15,7 +15,9 @@ class CsvRoundTripSpec extends SparkTestBase {
       .toDF("userId", "movieId", "rating", "timestamp")
     ratings.write.option("header", "true").mode("overwrite").csv(s"$dir/ratings")
     val back = Ingest.readRatingsCsv(spark, s"$dir/ratings")
-    assert(back.schema == Schemas.ratings)
+    // CSV sources report every column nullable; compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Schemas.ratings.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(back.as[(Int, Int, Double, Long)].collect().toSet ==
       Set((1, 1, 4.5, 100L), (2, 7, 0.5, 200L)))
   }
