@@ -180,5 +180,32 @@ object PipelineQueries {
     Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
             md5(text) AS digest FROM documents ORDER BY doc_id"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+  /** Nearest-neighbor label transfer: each query vector (vec_id < 20) takes
+    * the label of its top-1 cosine neighbor — the classification consumer of
+    * the ANN machinery. */
+  private val q51 = Q("q51_nn_label",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.cosineTopK(emb.filter(col("vec_id") < 20),
+          emb.filter(col("vec_id") >= 20), "vec_id", "embedding", 1)
+        .filter(col("rank") === 1)
+        .join(broadcast(emb.select(col("vec_id").as("cand_id"), col("label"))), Seq("cand_id"))
+        .select(col("query_id"), col("cand_id"), col("label").as("nn_label"))
+        .orderBy(col("query_id"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT r.query_id, r.cand_id, e.label AS nn_label
+            FROM ranked r JOIN embeddings e ON e.vec_id = r.cand_id
+            WHERE r.rnk = 1 ORDER BY r.query_id"""))
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -55,6 +55,17 @@ class IngestSpec extends SparkTestBase {
     assert(noGenre.getAs[scala.collection.Seq[Int]]("genre_values").toSeq == Seq(7))
   }
 
+  test("movieIdTable joins dense index with titles") {
+    val prepared = Ingest.prepareRatings(ratings)
+    val movies = Seq((1, "A", "Horror"), (5, "B", "Drama"), (99, "C", "Crime"))
+      .toDF("movieId", "title", "genres")
+    val t = Ingest.movieIdTable(prepared, movies)
+      .as[(Int, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(t(0) == (0L, "A"))   // raw movieId 1 -> 0-based 0, densest order 0
+    assert(t(4) == (2L, "B"))   // raw 5 -> 0-based 4, third distinct id
+    assert(t(98) == (11L, "C")) // raw 99 -> 0-based 98, last of 12 distinct ids
+  }
+
   test("genreInvertedIndex builds genre -> sorted movie list") {
     val movies = Seq((1, "A", "Horror|Crime"), (2, "B", "Horror"))
       .toDF("movieId", "title", "genres")
