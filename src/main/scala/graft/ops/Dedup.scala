@@ -105,12 +105,15 @@ object Dedup {
                            shingleLen: Int = 3, numHashes: Int = 64,
                            bands: Int = 16, maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // signatures feed three plan branches (banding + both pair-side joins);
-    // materialize once — without this each branch re-runs the whole
-    // shingle+hash pipeline (no ReuseExchange across differently-aliased
-    // projections)
+    // signatures feed three plan branches (banding, bucket-size counting,
+    // and the pair-side joins); persist so they materialize once — without
+    // this each branch re-runs the whole shingle+hash pipeline (no
+    // ReuseExchange across differently-aliased projections). persist, not
+    // localCheckpoint: the cache manager dedupes by canonical plan, so
+    // repeated invocations share one entry, and checkpoint's eager
+    // block-materialization showed erratic multi-second stalls here.
     val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(
       col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
