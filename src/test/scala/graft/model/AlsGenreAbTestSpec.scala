@@ -96,3 +96,25 @@ class AlsGenreAbTestSpec extends SparkTestBase {
     assert(r.levene.pValue > 0.001)
   }
 }
+class EmbedExtensionsSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("PCA projection of factor frames yields k-dim embeddings") {
+    val rng = new scala.util.Random(21)
+    val factors = (0 until 30).map(i => (i, Seq.fill(6)(rng.nextGaussian())))
+      .toDF("id", "features")
+    val proj = Embed.pcaProject(factors, 2).as[(Int, Seq[Double])].collect()
+    assert(proj.length == 30)
+    assert(proj.forall(_._2.length == 2))
+    // deterministic for fixed input
+    val proj2 = Embed.pcaProject(factors, 2).as[(Int, Seq[Double])].collect()
+    assert(proj.toSeq == proj2.toSeq)
+  }
+
+  test("GraftExtensions injects the dot-product function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    // injection path executes without error; session-level registration is
+    // covered end-to-end in VectorTextSpec via GraftFunctions.register
+  }
+}
