@@ -89,8 +89,16 @@ object GraftFunctions {
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
+  /** Expression builder with a proper arity error (shared by the session
+    * registry and SparkSessionExtensions paths). */
+  private[functions] val buildDot: Seq[Expression] => Expression = {
+    case Seq(a, b) => DotProduct(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
+  }
+
   /** Register `graft_dot` for SQL use. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "graft_dot", buildDot, "scala_udf")
 }
