@@ -40,9 +40,14 @@ object AlsBias {
     * max other-id row in the reference's (movieId, userId)-sorted CSR —
     * contributes to the bias numerator. Default false = corrected summed
     * form. Apply only to the item-side sweep, as the reference does. */
+  /** `biasOnly` reproduces the reference's bias-only model
+    * (/root/reference/explicit_ratings/prac_1_bias_only.py): factors start
+    * at zero and STAY zero (the ridge solve of a zero Gramian with a zero
+    * RHS is zero), so training alternates pure bias updates. */
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, maxIter: Int = 20, tol: Double = 0.05,
-                          seed: Long = 42L, strictQ1Bias: Boolean = false)
+                          seed: Long = 42L, strictQ1Bias: Boolean = false,
+                          biasOnly: Boolean = false)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
     /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
@@ -69,11 +74,14 @@ object AlsBias {
     })
 
   /** Initial factor frame for the distinct ids of `ratings(idCol)`. */
-  def initFactors(ratings: DataFrame, idCol: String, p: Params, sideSeed: Long): DataFrame =
+  def initFactors(ratings: DataFrame, idCol: String, p: Params, sideSeed: Long): DataFrame = {
+    val features =
+      if (p.biasOnly) transform(sequence(lit(0), lit(p.rank - 1)), _ => lit(0.0))
+      else gaussianInitCol(col("id"), p.rank, 5.0 / math.sqrt(p.rank), p.seed + sideSeed)
     ratings.select(col(idCol).as("id")).distinct()
-      .withColumn("features",
-        gaussianInitCol(col("id"), p.rank, 5.0 / math.sqrt(p.rank), p.seed + sideSeed))
+      .withColumn("features", features)
       .withColumn("bias", lit(0.0))
+  }
 
   /** One half-sweep: update `selfFactors` (keyed by selfCol) given fixed
     * `otherFactors` (keyed by otherCol). Returns the new factor frame with

@@ -99,3 +99,21 @@ class AlsBiasSpec extends SparkTestBase {
     assert(math.abs(mean) < 0.1 && sd > 0.8 && sd < 1.2)
   }
 }
+class BiasOnlySpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("biasOnly training keeps factors at zero and fits additive biases") {
+    // additive ground truth: r = bu(u) + bi(i)
+    val ratings = (for (u <- 0 until 6; i <- 0 until 8)
+      yield (u, i, 3.0 + (u - 2.5) * 0.4 + (i - 3.5) * 0.2)).toSeq.toDF("u", "i", "r")
+    val model = graft.model.AlsBias.train(ratings, "u", "i", "r",
+      graft.model.AlsBias.Params(rank = 2, lambda = 1.0, alpha = 0.001,
+        maxIter = 8, tol = 1e-6, biasOnly = true))
+    val feats = model.userFactors.union(model.itemFactors)
+      .select("features").as[Seq[Double]].collect()
+    assert(feats.forall(_.forall(_ == 0.0)))
+    val rmse = graft.model.Metrics.rmse(
+      model.predict(ratings, "u", "i"), "r", "prediction")
+    assert(rmse < 0.1, s"rmse $rmse")
+  }
+}
