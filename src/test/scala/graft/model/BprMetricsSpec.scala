@@ -99,3 +99,21 @@ class BprMetricsSpec extends SparkTestBase {
     assert(math.abs(recs.head._2 - (1.0 + 0.05 * 10.0)) < 1e-12)
   }
 }
+class BprGenreAwareSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  test("genre-aware BPR trains end-to-end with genre-disjoint negatives") {
+    val positives = (for (u <- 0 until 6; i <- 0 until 10 if i % 2 == u % 2)
+      yield (u, i)).toDF("user", "item")
+    // even items share genre 0, odd items genre 1 -> negatives for an even
+    // positive must be odd items minus the user's own positives... which for
+    // odd users IS their positive set, exercising the retry/fallback path too
+    val genres = (0 until 10).map(i => i -> Array(i % 2)).toMap
+    val model = graft.model.Bpr.train(positives, "user", "item", numItems = 10,
+      graft.model.Bpr.Params(rank = 4, lr = 0.05, epochs = 5, seed = 2L, initScale = 0.1),
+      itemGenres = Some(genres), numPartitions = 2)
+    assert(model.userFactors.size == 6)
+    assert(model.itemFactors.length == 10)
+    assert(model.userFactors.values.forall(_.forall(v => !v.isNaN && !v.isInfinite)))
+  }
+}
