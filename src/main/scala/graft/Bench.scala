@@ -12,17 +12,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // steady-state measurement: first execution of each query is dominated
     // by JVM JIT + whole-stage-codegen compilation (measured 2-3x the warm
-    // time), so run once uncounted, then time the second execution
+    // time), so run once uncounted, then time the second execution. A query
+    // that throws is recorded as failed (time -1, listed in "failed") — NOT
+    // timed as if its fast-fail wall time were a result.
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count() // warm-up (JIT + codegen)
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          name -> -1.0
+      } finally {
+        // isolate queries: drop any cached plans/blocks a query pipeline
+        // persisted so later timings don't pay its memory pressure
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,9 +25,19 @@ object Tables {
     * lossless for this data (all sub-µs components are zero) and identical to
     * DuckDB's own ns→µs handling, keeping oracle parity. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    // The nanosAsLong conf only affects schema RESOLUTION (read-path parquet
+    // conversion is captured when the plan is analyzed), so set it just for
+    // the duration of the read and restore the prior value — other parquet
+    // reads in the session keep their default nanos handling.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -102,8 +102,15 @@ object AbTest {
     * (bounded: users×k rows) — the moment statistics feeding the t-test are
     * aggregation-friendly (see Queries q33) for the at-scale path. */
   def evaluate(log: DataFrame, seed: Long = 42L, alpha: Double = 0.05): ExperimentResult = {
+    // hash keys must identify a row within a group: (user_id, movie_id) in
+    // the full serving log; synthetic logs without movie_id fall back to
+    // (user_id, score)
+    val keys =
+      if (log.columns.contains("movie_id")) Seq("user_id", "movie_id")
+      else Seq("user_id", "score")
     val eq = Relational.equalizeGroupsRandom(
-      log.select(col("user_id"), col("score"), col("group")), "group", seed)
+      log.select((Seq("user_id", "score", "group") ++ keys).distinct.map(col): _*),
+      "group", seed, keys)
     val scoresA = eq.filter(col("group") === "A").select("score")
       .collect().map(_.getDouble(0))
     val scoresB = eq.filter(col("group") === "B").select("score")

@@ -63,25 +63,31 @@ object Bpr {
     Array.fill(d)(rng.nextGaussian() * scale)
 
   /** Popularity-weighted negative draw via inverse CDF + rejection.
-    * `genresOf` null ⇒ naive sampling (L13); else genre-aware (L14). */
+    * `genresOf` null ⇒ naive sampling (L13); else genre-aware (L14).
+    * Returns -1 when no eligible negative exists (positives cover the whole
+    * catalog, or every non-positive shares a genre with `posItem`) — callers
+    * skip the triplet update, preserving the sampling invariant instead of
+    * silently relaxing it. */
   private[model] def sampleNegative(rng: java.util.Random, cdf: Array[Double],
                                     userPos: java.util.HashSet[Int], posItem: Int,
                                     genresOf: Array[Array[Int]], maxRetries: Int): Int = {
+    @inline def eligible(j: Int): Boolean =
+      !userPos.contains(j) &&
+        (genresOf == null || !sharesGenre(genresOf(posItem), genresOf(j)))
     var tries = 0
     while (tries < maxRetries) {
       val u = rng.nextDouble()
       var j = java.util.Arrays.binarySearch(cdf, u)
       if (j < 0) j = -j - 1
       if (j >= cdf.length) j = cdf.length - 1
-      val ok = !userPos.contains(j) &&
-        (genresOf == null || !sharesGenre(genresOf(posItem), genresOf(j)))
-      if (ok) return j
+      if (eligible(j)) return j
       tries += 1
     }
-    // deterministic fallback: first item not in the positive set
+    // deterministic fallback: first ELIGIBLE item (same constraints as the
+    // sampled path), bounded by the catalog size; -1 if none exists
     var j = 0
-    while (userPos.contains(j)) j += 1
-    j
+    while (j < cdf.length && !eligible(j)) j += 1
+    if (j < cdf.length) j else -1
   }
 
   private def sharesGenre(a: Array[Int], b: Array[Int]): Boolean = {
@@ -157,22 +163,24 @@ object Bpr {
           st.pos.foreach { i =>
             val j = sampleNegative(rng, bcCdf.value, posSet, i, bcGenres.value,
               pp.maxSampleRetries)
-            val vi = vLocal(i); val vj = vLocal(j)
-            touched.add(i); touched.add(j)
-            var x = 0.0
-            var k = 0
-            while (k < d) { x += u(k) * (vi(k) - vj(k)); k += 1 }
-            val c = sigmoidNeg(x)
-            val rs = if (pp.refCompatRegSign) 1.0 else -1.0
-            k = 0
-            while (k < d) {
-              val gu = c * (vi(k) - vj(k)) + rs * pp.reg * u(k)
-              val gi = c * u(k) + rs * pp.reg * vi(k)
-              val gj = -c * u(k) + rs * pp.reg * vj(k)
-              u(k) += pp.lr * gu
-              vi(k) += pp.lr * gi
-              vj(k) += pp.lr * gj
-              k += 1
+            if (j >= 0) {
+              val vi = vLocal(i); val vj = vLocal(j)
+              touched.add(i); touched.add(j)
+              var x = 0.0
+              var k = 0
+              while (k < d) { x += u(k) * (vi(k) - vj(k)); k += 1 }
+              val c = sigmoidNeg(x)
+              val rs = if (pp.refCompatRegSign) 1.0 else -1.0
+              k = 0
+              while (k < d) {
+                val gu = c * (vi(k) - vj(k)) + rs * pp.reg * u(k)
+                val gi = c * u(k) + rs * pp.reg * vi(k)
+                val gj = -c * u(k) + rs * pp.reg * vj(k)
+                u(k) += pp.lr * gu
+                vi(k) += pp.lr * gi
+                vj(k) += pp.lr * gj
+                k += 1
+              }
             }
           }
           st.copy(u = u)

@@ -94,10 +94,18 @@ object Relational {
 
   /** Faithful random variant of the reference's A/B group equalization:
     * shuffle rows within each group with a seeded rand, keep minCount. */
-  def equalizeGroupsRandom(df: DataFrame, groupCol: String, seed: Long): DataFrame = {
+  /** Seeded-random equalization that is deterministic under ANY partitioning
+    * or cluster size: surplus rows are chosen by a hash-derived uniform over
+    * the row's key columns (`rand(seed)` is per-partition-sequence and would
+    * make the dropped set depend on the physical layout). `keyCols` must
+    * identify rows within a group for the order to be total. */
+  def equalizeGroupsRandom(df: DataFrame, groupCol: String, seed: Long,
+                           keyCols: Seq[String]): DataFrame = {
     val minCnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
       .agg(min(col("__cnt")).as("__min_cnt"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(rand(seed))
+    val hashed = xxhash64(keyCols.map(col) :+ lit(seed): _*)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashed +: keyCols.map(col): _*)
     df.withColumn("__rn", row_number().over(w))
       .crossJoin(broadcast(minCnt))
       .filter(col("__rn") <= col("__min_cnt"))

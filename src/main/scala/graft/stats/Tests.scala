@@ -112,10 +112,22 @@ object Tests {
   /** Shapiro-Wilk normality test, Royston's AS R94 approximation (the
     * algorithm behind SciPy's `shapiro`; ab_test.py:288-302). Valid for
     * 3 <= n <= 5000. */
+  /** The AS R94 approximation is validated for 3 <= n <= 5000 (Royston 1995);
+    * beyond that the p-value transform is outside its fitted range, so larger
+    * samples are reduced to 5000 evenly-spaced order statistics of the sorted
+    * data (deterministic in the multiset — independent of input order or
+    * partitioning) before applying the test, mirroring the common
+    * subsample-at-5000 practice rather than failing or silently
+    * extrapolating. */
   def shapiroWilk(x: Array[Double]): TestResult = {
-    val n = x.length
-    require(n >= 3, "shapiroWilk needs n >= 3")
-    val sorted = x.sorted
+    val n0 = x.length
+    require(n0 >= 3, "shapiroWilk needs n >= 3")
+    val maxN = 5000
+    val sorted0 = x.sorted
+    val sorted =
+      if (n0 <= maxN) sorted0
+      else Array.tabulate(maxN)(i => sorted0(((i.toLong * (n0 - 1)) / (maxN - 1)).toInt))
+    val n = sorted.length
     // Blom-like scores m_i
     val m = Array.tabulate(n)(i => stdNormal.inverseCumulativeProbability((i + 1 - 0.375) / (n + 0.25)))
     val mm = m.map(v => v * v).sum
