@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd per-document signature Expressions over a STRING column.
+  *
+  * Each stays inside whole-stage codegen (doGenCode emits a single call into
+  * the [[TextKernels]] static kernel — the same pattern Spark's built-in
+  * string functions use to call into UTF8String), so signature computation
+  * is a narrow, shuffle-free map: the scalable formulation for per-doc
+  * dedup sketches at the 100-TB design point. Contrast with the composed
+  * DataFrame forms (posexplode + window + aggregate), which pay two
+  * exchanges and an interpreted ObjectHashAggregate per sketch.
+  */
+abstract class TextKernelExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a STRING input, got $dt")
+  }
+
+  /** Generated-code call on the kernel singleton for input variable `c`. */
+  protected def kernelCall(c: String): String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("textKernels", TextKernels,
+      "graft.functions.TextKernels$")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $kernel.${kernelCall(c)};")
+  }
+}
+
+/** Distinct 62-bit n-token shingle hashes of the normalized text, sorted. */
+case class ShingleHashSet(child: Expression, n: Int) extends TextKernelExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def kernelCall(c: String): String = s"shingleHashSet($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/** k-component MinHash signature over n-token shingles. */
+case class MinHashSig(child: Expression, n: Int, k: Int) extends TextKernelExpression {
+  require(n >= 1 && k >= 1, "shingle length and signature size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minHashSig(input.asInstanceOf[UTF8String], n, k)
+  override protected def kernelCall(c: String): String = s"minHashSig($c, $n, $k)"
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 62-bit SimHash of the normalized text's whitespace tokens. */
+case class SimHash62(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simHash62(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"simHash62($c)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash62 =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashSet(GraftColumnBridge.expression(text), n))
+  def minhash_sig(text: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(text), n, k))
+  def simhash62(text: Column): Column =
+    GraftColumnBridge.column(SimHash62(GraftColumnBridge.expression(text)))
+}

@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: blocked self-join (equi-join on cheap block keys) so the
   *    quadratic comparison only happens inside small blocks.
   *
-  * All deterministic: hash family is xxhash64(value, seed) — stable across
-  * runs, partitionings, and cluster sizes.
+  * Per-doc sketches (shingle sets, MinHash signatures, SimHash) are computed
+  * by the single-pass codegen kernels in [[graft.functions.TextKernels]] —
+  * shuffle-free narrow maps. All deterministic: the hash family is the
+  * SQL-expressible polynomial one (TextKernels doc) — stable across runs,
+  * partitionings, and cluster sizes, and replayable by the DuckDB oracle.
   */
 object Dedup {
 
@@ -31,8 +34,10 @@ object Dedup {
     * WARNING — interpreted-eval trap: the transform lambda re-evaluates the
     * `toks` subtree (regex normalize + split) once PER SHINGLE, not per doc
     * (higher-order functions are CodegenFallback with no common-subexpression
-    * elimination). Fine for small frames/tests; every hot pipeline here uses
-    * [[shingleRows]] instead, which computes tokens exactly once per doc. */
+    * elimination). Fine for small frames/tests; hot pipelines use the
+    * [[graft.functions.ShingleHashSet]] kernel (this and [[shingleRows]]
+    * remain as the composable built-in formulations the specs cross-check
+    * the kernels against). */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.wsTokens(TextOps.normalizeText(text))
     array_distinct(
@@ -68,31 +73,32 @@ object Dedup {
       .drop("pos", "col", "__ntok")
   }
 
-  /** MinHash signatures: for seed s in 0..numHashes-1, min over shingles of
-    * xxhash64(shingle, s). Computed as explode → ONE codegen'd hash
-    * aggregation with numHashes min() columns — signatures are materialized
-    * behind the aggregation exchange, so downstream joins never re-evaluate
-    * them (a nested higher-order-function formulation is CodegenFallback and
-    * gets re-run per join row — measured 100×+ slower). */
+  /** MinHash signatures via the single-pass [[graft.functions.MinHashSig]]
+    * codegen kernel: a narrow, shuffle-free map over the corpus (the prior
+    * explode → numHashes-min() aggregation formulation was correct but paid
+    * a doc-id exchange + a wide hash aggregation per run; per-doc sketches
+    * should cost zero shuffles at the 100-TB design point). Hash family is
+    * the SQL-expressible polynomial one (TextKernels), so the DuckDB oracle
+    * replays signatures exactly. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, numHashes: Int): DataFrame = {
-    // hash the shingle STRING once; the numHashes-member family then hashes
-    // the resulting 8-byte long — numHashes passes over strings would
-    // dominate the whole job (shingle dups collapse under min, so no
-    // distinct pass is needed either)
-    val sh = shingleRows(df, idCol, textCol, shingleLen)
-      .select(col("id"), xxhash64(col("shingle")).as("h0"))
-    val aggs = (0 until numHashes).map(s => min(xxhash64(col("h0"), lit(s))).as(s"h$s"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(s => col(s"h$s")): _*).as("sig"))
-  }
+                        shingleLen: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.minhash_sig(col(textCol), shingleLen, numHashes).as("sig"))
 
   /** LSH band keys: signature split into `bands` rows-per-band slices, each
-    * hashed (band index mixed in so buckets don't collide across bands). */
+    * folded with a polynomial hash (band index mixed into the seed so
+    * buckets don't collide across bands). The fold is a higher-order
+    * `aggregate` over a MATERIALIZED small array attribute — interpreted,
+    * but O(numHashes) per row with no re-evaluation of the signature
+    * kernel. All intermediates < 2^52 (acc < 2^31, sig values < 2^31),
+    * making the same fold expressible in the DuckDB oracle. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), b))
+      b => aggregate(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        (b + lit(97)).cast("long"),
+        (acc, x) => (acc * 1000003L + x) % graft.functions.TextKernels.P))
 
   /** Full MinHash-LSH candidate-pair pipeline. Output: (id_a, id_b, est_sim)
     * where est_sim = fraction of matching signature components.
@@ -139,23 +145,14 @@ object Dedup {
           m => m)).cast("double") / numHashes).as("est_sim"))
   }
 
-  /** 64-bit SimHash over whitespace tokens of the normalized text.
-    * bit b of the hash = sign of Σ_tokens (token_hash bit b ? +1 : -1). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val tokens = df.repartition(n, col(idCol)).select(
-      col(idCol).as("id"),
-      explode(TextOps.wsTokens(TextOps.normalizeText(col(textCol)))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
-    }
-    val packed = (0 until 64).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    tokens.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+  /** 62-bit SimHash over whitespace tokens of the normalized text: bit b of
+    * the hash = sign of Σ_tokens (token_hash bit b ? +1 : -1). Single-pass
+    * [[graft.functions.SimHash62]] codegen kernel — a shuffle-free narrow
+    * map (the prior explode → 64 bit-sum aggregation formulation paid an
+    * exchange + a 64-column hash aggregation per run). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.simhash62(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -176,12 +173,11 @@ object Dedup {
                         minJaccard: Double): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val withBlock = df.withColumn("block", struct(blockCols: _*))
-    // one aggregation gives per-doc DISTINCT shingle-hash sets + their size
-    // (replaces a distinct shuffle + a count window)
-    val sets = shingleRows(withBlock, idCol, textCol, shingleLen, Seq("block"))
-      .select(col("block"), col("id"), xxhash64(col("shingle")).as("h"))
-      .groupBy(col("block"), col("id"))
-      .agg(collect_set(col("h")).as("hs"))
+    // per-doc DISTINCT shingle-hash sets in one shuffle-free codegen'd map
+    // (replaces the posexplode + window-lead + collect_set formulation:
+    // two exchanges and an interpreted ObjectHashAggregate)
+    val sets = withBlock.select(col("block"), col(idCol).as("id"),
+      graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleLen).as("hs"))
     // fixed-N repartition on the join key: the pair-join stage is
     // compute-heavy on few bytes, so AQE's size-based coalescing would run
     // it single-task; an explicit numbered repartition is respected by AQE
