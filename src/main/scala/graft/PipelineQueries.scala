@@ -5,10 +5,11 @@ import graft.ops._
 import Queries.Q
 
 /** Training-data-pipeline queries over the documents/embeddings tables:
-  * dedup, text analysis, similarity search. Queries whose hash family has no
-  * DuckDB equivalent (MinHash/SimHash/SRP use Spark's xxhash64) omit the
-  * oracle → driver records the weaker rows-only check; each of those is
-  * covered by a ScalaTest spec with planted duplicates instead.
+  * dedup, text analysis, similarity search. Every query — including the
+  * MinHash/SimHash/SRP sketches — carries a full DuckDB oracle: the hash
+  * family ([[graft.functions.TextKernels]]) and the SRP hyperplanes
+  * ([[graft.ops.Similarity.rademacherPlanes]]) are deliberately plain
+  * integer arithmetic, so the oracle SQL below replays them value-exactly.
   */
 object PipelineQueries {
 
@@ -17,6 +18,25 @@ object PipelineQueries {
   /** DuckDB expression mirroring TextOps.normalizeText. */
   private val SqlNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  // ---- DuckDB builders replaying the TextKernels polynomial hash family ----
+
+  private val P = graft.functions.TextKernels.P
+
+  /** (h1, h2) polynomial hash of a string-valued SQL expression: fold the
+    * Unicode code points with the seed prepended (DuckDB's list_reduce has
+    * no initial-value form). */
+  private def sqlPolyHash(col: String, base: Long, seed: Long): String =
+    s"""list_reduce(list_prepend($seed::BIGINT,
+       |  list_transform(regexp_extract_all($col, '.'), c -> unicode(c)::BIGINT)),
+       |  (a, c) -> (a * $base + c) % $P)""".stripMargin
+
+  /** Per-doc n-token shingle rows of the normalized text (q42's builder). */
+  private def sqlShingleRows(n: Int): String =
+    s"""SELECT doc_id, unnest(list_transform(
+       |  range(0, greatest(len(string_split($SqlNorm, ' ')) - $n, 0) + 1),
+       |  i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + $n], ' '))) AS s
+       |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- dedup
 
@@ -55,17 +75,62 @@ object PipelineQueries {
                      len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1
              ORDER BY id_a, id_b"""))
 
-  /** MinHash+LSH candidate pairs (xxhash64 family — no SQL oracle). */
+  /** MinHash+LSH candidate pairs; the oracle replays the full pipeline
+    * (signatures → band keys → bucket prune → pair join → est_sim) in SQL
+    * over the same polynomial hash family. */
   private val q43 = Q("q43_minhash_lsh",
     (s, d) => Dedup.minHashLshCandidates(documents(s, d), "doc_id", "text")
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some {
+      val K = 64; val bands = 16; val rpb = 4; val maxBucket = 200
+      import graft.functions.TextKernels.{coefA, coefB}
+      val mins = (0 until K).map(j =>
+        s"min((${coefA(j)}::BIGINT * h1 + ${coefB(j)}::BIGINT * h2 + $j) % $P) AS s$j")
+        .mkString(", ")
+      def bandKey(b: Int): String =
+        (0 until rpb).foldLeft(s"${97 + b}::BIGINT") { (acc, r) =>
+          s"(($acc) * 1000003 + s${b * rpb + r}) % $P"
+        }
+      val bandList = (0 until bands).map(bandKey).mkString(", ")
+      val eqTerms = (0 until K)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (${sqlShingleRows(3)}),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("s", 131, 7)} AS h1,
+         |              ${sqlPolyHash("s", 137, 11)} AS h2 FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |banded AS (SELECT doc_id, unnest([$bandList]) AS band_key FROM sig),
+         |ok AS (SELECT band_key FROM banded GROUP BY band_key
+         |       HAVING count(*) > 1 AND count(*) <= $maxBucket),
+         |pruned AS (SELECT b.* FROM banded b JOIN ok USING (band_key)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM pruned a JOIN pruned b USING (band_key)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT p.id_a, p.id_b, ($eqTerms) / $K.0 AS est_sim
+         |FROM pairs p JOIN sig a ON a.doc_id = p.id_a
+         |             JOIN sig b ON b.doc_id = p.id_b
+         |ORDER BY id_a, id_b""".stripMargin
+    })
 
-  /** 64-bit SimHash per document (xxhash64 family — no SQL oracle). */
+  /** 62-bit SimHash per document; oracle replays the per-token (h1, h2)
+    * hashes and all 62 bit-majority votes in SQL. */
   private val q44 = Q("q44_simhash",
     (s, d) => Dedup.simHash(documents(s, d), "doc_id", "text")
       .orderBy(col("id")),
-    None)
+    Some {
+      val bitSums = (0 until 62).map { b =>
+        val (src, sh) = if (b < 31) ("h1", b) else ("h2", b - 31)
+        s"sum(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+      }.mkString(", ")
+      val pack = (0 until 62)
+        .map(b => s"(CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS tok FROM documents),
+         |th AS (SELECT doc_id, ${sqlPolyHash("tok", 131, 7)} AS h1,
+         |              ${sqlPolyHash("tok", 137, 11)} AS h2 FROM toks),
+         |bitsums AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
+         |SELECT doc_id AS id, ($pack) AS simhash FROM bitsums ORDER BY id""".stripMargin
+    })
 
   // ---------------------------------------------------------------- text analysis
 
@@ -162,12 +227,27 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
-  /** Sign-random-projection LSH buckets: cell statistics (xxhash64-derived
-    * hyperplanes — no SQL oracle; always ≥1 row). */
+  /** Sign-random-projection LSH buckets: cell statistics. Hyperplanes are
+    * the Rademacher (±1) integer-LCG family, so the oracle reproduces every
+    * dot product bit-for-bit (explicit left-associated term chains match the
+    * kernel's sequential f64 summation order). */
   private val q49 = Q("q49_srp_buckets",
-    (s, d) => Similarity.ivfCellStats(embeddings(s, d), "vec_id", "embedding", 8)
+    (s, d) => Similarity.ivfCellStats(embeddings(s, d), "vec_id", "embedding", 8,
+        planesOverride = Some(Similarity.rademacherPlanes(8, 64)))
       .orderBy(col("bucket")),
-    None)
+    Some {
+      val planes = Similarity.rademacherPlanes(8, 64)
+      def dotChain(p: Int): String =
+        (0 until 64).map(i => s"(embedding[${i + 1}]::DOUBLE * ${planes(p)(i)})")
+          .reduce((acc, t) => s"($acc + $t)")
+      val bucket = (0 until 8)
+        .map(p => s"(CASE WHEN ${dotChain(p)} > 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT vec_id, ($bucket) AS bucket FROM embeddings)
+         |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_id,
+         |       max(vec_id) AS max_id
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
 
   /** Multimodal plumbing: opaque binary payload + typed metadata (byte
     * length + digest); decode itself is stubbed (see graft.multimodal). */

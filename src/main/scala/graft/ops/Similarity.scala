@@ -44,12 +44,26 @@ object Similarity {
       Seq.fill(dim)(rng.nextDouble() - 0.5)
     }
 
+  /** Rademacher (±1) hyperplanes from an integer LCG — same SRP guarantees
+    * (sign-random-projection needs only a symmetric component distribution),
+    * but expressible in plain SQL integer arithmetic, so the DuckDB oracle
+    * replays bucketing exactly. Component (p, i):
+    * sign = parity of bit 16 of the LCG value at index p*dim+i. */
+  def rademacherPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val v = (1103515245L * (p.toLong * dim + i) + 12345L) / 65536L
+        if (v % 2 == 0) 1.0 else -1.0
+      }
+    }
+
   /** Sign-random-projection bucket key: `numPlanes` sign bits packed into a
     * long. Vectors in the same bucket are ANN candidates. `dim` must match
     * the embedding length. */
   def srpBucket(df: DataFrame, idCol: String, vecCol: String,
-                numPlanes: Int, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+                numPlanes: Int, dim: Int = 64, seed: Long = 42L,
+                planesOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val planes = planesOverride.getOrElse(hyperplanes(numPlanes, dim, seed))
     val proj = planes.zipWithIndex.map { case (plane, p) =>
       when(VectorOps.dot(col(vecCol), typedLit(plane)) > 0, lit(1L << p))
         .otherwise(lit(0L))
@@ -76,8 +90,9 @@ object Similarity {
     * cells. Here exposed as cell stats (used by tests + as the partitioning
     * key for a bucketed write at scale). */
   def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int, dim: Int = 64): DataFrame =
-    srpBucket(df, idCol, vecCol, numPlanes, dim)
+                   numPlanes: Int, dim: Int = 64,
+                   planesOverride: Option[Seq[Seq[Double]]] = None): DataFrame =
+    srpBucket(df, idCol, vecCol, numPlanes, dim, planesOverride = planesOverride)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 }
