@@ -287,5 +287,95 @@ object PipelineQueries {
             FROM ranked r JOIN embeddings e ON e.vec_id = r.cand_id
             WHERE r.rnk = 1 ORDER BY r.query_id"""))
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+  /** Shared SQL builders for float-embedding math: explicit left-associated
+    * term chains reproduce the codegen kernels' sequential f64 summation
+    * bit-for-bit (an aggregated unnest-sum has no guaranteed order). */
+  private def sqlDotChain(a: String, b: String): String =
+    (0 until 64).map(i => s"($a.embedding[${i + 1}]::DOUBLE * $b.embedding[${i + 1}]::DOUBLE)")
+      .reduce((acc, t) => s"($acc + $t)")
+  private def sqlL2Chain(a: String, b: String): String =
+    (0 until 64).map { i =>
+      val d = s"($a.embedding[${i + 1}]::DOUBLE - $b.embedding[${i + 1}]::DOUBLE)"
+      s"($d * $d)"
+    }.reduce((acc, t) => s"($acc + $t)")
+  private def sqlNormChain(a: String): String =
+    s"sqrt(${sqlDotChain(a, a)})"
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucketed LSH candidates,
+    * exact cosine verification within buckets (the vector analogue of q43's
+    * text LSH — the near-dup gate a training-data pipeline runs over
+    * embedding space). Rademacher planes → oracle replays the bucketing and
+    * every cosine exactly. */
+  private val q52 = Q("q52_embed_neardup",
+    (s, d) => Similarity.srpNearPairs(embeddings(s, d), "vec_id", "embedding",
+        numPlanes = 8, minCosine = 0.3, dim = 64,
+        planesOverride = Some(Similarity.rademacherPlanes(8, 64)))
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val planes = Similarity.rademacherPlanes(8, 64)
+      def dotChain(p: Int): String =
+        (0 until 64).map(i => s"(embedding[${i + 1}]::DOUBLE * ${planes(p)(i)})")
+          .reduce((acc, t) => s"($acc + $t)")
+      val bucket = (0 until 8)
+        .map(p => s"(CASE WHEN ${dotChain(p)} > 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)")
+        .mkString(" | ")
+      s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |            round(${sqlDotChain("a", "b")} /
+         |              (${sqlNormChain("a")} * ${sqlNormChain("b")}), 6) AS cosine_sim
+         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine_sim FROM pairs
+         |WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
+    })
+
+  /** IVF ANN search: corpus assigned to nearest-centroid cells (squared L2
+    * via the codegen kernel), queries probe the 2 nearest cells and rank
+    * candidates by exact cosine. Centroids are the 8 lowest corpus ids —
+    * deterministic stand-in for a k-means codebook (drop-in replacement at
+    * production time), which keeps the full pipeline oracle-checkable. */
+  private val q53 = Q("q53_ivf_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val centroids = emb.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+        .select(col("vec_id"), col("embedding"))
+        .collect() // 8-vector codebook: driver-resident by design
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq))
+        .sortBy(_._1).toSeq
+      Similarity.ivfSearch(
+          emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
+          "vec_id", "embedding", centroids, nProbe = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some {
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding
+         |              FROM embeddings WHERE vec_id >= 20 AND vec_id < 28),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         |queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |ad AS (SELECT v.vec_id, c.cell, ${sqlL2Chain("v", "c")} AS dist
+         |       FROM corpus v CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rn FROM ad) WHERE rn = 1),
+         |qd AS (SELECT q.vec_id, c.cell, ${sqlL2Chain("q", "c")} AS dist
+         |       FROM queries q CROSS JOIN cent c),
+         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rn FROM qd) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |         FROM probe p JOIN assign a USING (cell)),
+         |sims AS (SELECT cd.query_id, cd.cand_id,
+         |           ${sqlDotChain("q", "v")} /
+         |             (${sqlNormChain("q")} * ${sqlNormChain("v")}) AS sim
+         |         FROM cand cd JOIN queries q ON q.vec_id = cd.query_id
+         |                      JOIN corpus v ON v.vec_id = cd.cand_id),
+         |ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    })
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
+    q51, q52, q53)
 }

@@ -459,6 +459,47 @@ object Queries {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
             FROM g ORDER BY user_id, event_id"""))
 
+  /** Hopping (sliding) window aggregation — batch form of
+    * EventStreams.hoppingCounts: every event lands in duration/slide = 2
+    * overlapping 30-minute windows; the oracle materializes both hop starts
+    * per event (floor-to-15min and its predecessor) explicitly. */
+  private val q38 = Q("q38_hopping_window",
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "30 minutes", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hop_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy(col("hop_start"), col("event_type")),
+    Some("""WITH h AS (SELECT event_type, value,
+              unnest([ts - to_microseconds(epoch_us(ts) % 900000000),
+                      ts - to_microseconds(epoch_us(ts) % 900000000)
+                         - INTERVAL 15 MINUTE]) AS ws
+            FROM events)
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS hop_start, event_type,
+              count(*) AS cnt, round(sum(value), 4) AS sum_value
+            FROM h GROUP BY 1, 2 ORDER BY hop_start, event_type"""))
+
+  /** First-seen dedup per business key — batch form of
+    * EventStreams.dedupFirstSeen (streaming dropDuplicatesWithinWatermark):
+    * keep each (user, event_type)'s earliest event by (ts, event_id). */
+  private val q39 = Q("q39_stream_dedup",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""WITH r AS (SELECT user_id, event_type, event_id, ts, row_number()
+              OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+            FROM events)
+            SELECT user_id, event_type, event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+            FROM r WHERE rn = 1 ORDER BY user_id, event_type"""))
+
   /** S2 analogue: JSON field extraction from the events props column. */
   private val q37 = Q("q37_json_extract",
     (s, d) => events(s, d)
@@ -470,7 +511,7 @@ object Queries {
 
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

@@ -82,11 +82,84 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance over two ARRAY<FLOAT|DOUBLE> columns —
+  * same design as [[DotProduct]] (the `aggregate(zip_with(...))` HOF form is
+  * CodegenFallback); sequential Σ(aᵢ−bᵢ)², deterministic on any layout. */
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2sq needs ARRAY<FLOAT|DOUBLE> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val (lf, rf) = (elementType(left) == FloatType, elementType(right) == FloatType)
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        val d = xv - yv
+        sum += d * d
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      def get(arr: String, e: Expression) =
+        if (elementType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    double $d = ${get(a, left)} - ${get(b, right)};
+         |    $sum += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
 
   /** Column-level entry point. */
   def dot_product(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Column-level squared-L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2Sq(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
   /** Expression builder with a proper arity error (shared by the session
@@ -97,8 +170,18 @@ object GraftFunctions {
       s"graft_dot requires exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Register `graft_dot` for SQL use. */
-  def register(spark: SparkSession): Unit =
+  /** Expression builder with a proper arity error. */
+  private[functions] val buildL2Sq: Seq[Expression] => Expression = {
+    case Seq(a, b) => L2Sq(a, b)
+    case exprs => throw new IllegalArgumentException(
+      s"graft_l2sq requires exactly 2 arguments, got ${exprs.length}")
+  }
+
+  /** Register `graft_dot` / `graft_l2sq` for SQL use. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", buildDot, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", buildL2Sq, "scala_udf")
+  }
 }

@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       GraftFunctions.buildDot))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
+      GraftFunctions.buildL2Sq))
   }
 }

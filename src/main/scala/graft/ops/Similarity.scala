@@ -74,8 +74,9 @@ object Similarity {
   /** LSH-accelerated near-neighbor pairs: bucket by SRP signature, exact
     * cosine within buckets, keep pairs above `minCosine`. */
   def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
-                   numPlanes: Int, minCosine: Double, dim: Int = 64): DataFrame = {
-    val b = srpBucket(df, idCol, vecCol, numPlanes, dim)
+                   numPlanes: Int, minCosine: Double, dim: Int = 64,
+                   planesOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val b = srpBucket(df, idCol, vecCol, numPlanes, dim, planesOverride = planesOverride)
     val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
     l.join(r, Seq("bucket"))
@@ -95,4 +96,42 @@ object Similarity {
     srpBucket(df, idCol, vecCol, numPlanes, dim, planesOverride = planesOverride)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  /** IVF (inverted-file) ANN search: corpus vectors are assigned to their
+    * nearest centroid by squared L2 (coarse quantization); a query probes
+    * only the `nProbe` cells whose centroids are nearest to it, then ranks
+    * the candidates in those cells by exact cosine. At 100 TB the cell
+    * assignment is the bucketed-write partition key, so a probe reads
+    * nProbe/nCells of the corpus instead of scanning it.
+    *
+    * `centroids` are passed in explicitly (id, vector) — deterministic for
+    * tests/oracle; production would fit them with k-means (`ml.clustering
+    * .KMeans`) which is a drop-in replacement for this argument. Both
+    * assignment and probe use the codegen [[graft.functions.L2Sq]] kernel. */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, centroids: Seq[(Long, Seq[Double])],
+                nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.l2sq
+    def nearestCells(df: DataFrame, n: Int): DataFrame = {
+      // argmin over the (small) centroid set: rank distances per vector
+      val dists = centroids.map { case (cid, cv) =>
+        struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
+      }
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+          slice(array_sort(array(dists: _*)), 1, n).as("cells"))
+        .select(col("id"), col("v"), explode(col("cells.cell")).as("cell"))
+    }
+    val assigned = nearestCells(corpus, 1)
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
+    val probes = nearestCells(broadcast(queries), nProbe)
+      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+  }
 }

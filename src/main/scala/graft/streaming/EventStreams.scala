@@ -25,6 +25,26 @@ object EventStreams {
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
+  /** Hopping (sliding) window counts with a watermark — streaming twin of
+    * batch query q38: each event contributes to duration/slide overlapping
+    * windows; state is bounded by the watermark horizon. */
+  def hoppingCounts(events: DataFrame, duration: String = "30 minutes",
+                    slide: String = "15 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+
+  /** Streaming first-seen dedup — streaming twin of batch query q39:
+    * dropDuplicates on the business key with a watermark bounds the dedup
+    * state to the watermark horizon (the standard at-scale pattern for
+    * exactly-once event feeds). */
+  def dedupFirstSeen(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   final case class SessionState(sessionId: Long, lastTsMicros: Long)
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 

@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  // 2-d toy corpus in two clear clusters around (1,0) and (0,1)
+  private val corpus = Seq(
+    (100L, vec(1.0, 0.05)), (101L, vec(0.95, 0.1)), (102L, vec(1.05, -0.05)),
+    (200L, vec(0.05, 1.0)), (201L, vec(0.1, 0.9)), (202L, vec(-0.02, 1.1)))
+    .toDF("vec_id", "embedding")
+  private val queries = Seq((1L, vec(0.9, 0.0)), (2L, vec(0.0, 0.8)))
+    .toDF("vec_id", "embedding")
+  private val centroids = Seq((100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0)))
+
+  test("l2sq kernel matches the HOF l2Dist squared") {
+    val both = corpus.select(
+      GraftFunctions.l2sq(col("embedding"), typedLit(Seq(0.5, 0.5))),
+      pow(VectorOps.l2Dist(col("embedding"), typedLit(Seq(0.5, 0.5))), 2))
+      .as[(Double, Double)].collect()
+    both.foreach { case (k, h) => assert(math.abs(k - h) < 1e-12) }
+  }
+
+  test("ivfSearch with nProbe=1 probes only the query's own cluster") {
+    val out = Similarity.ivfSearch(queries, corpus, "vec_id", "embedding",
+        centroids, nProbe = 1, k = 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+    val byQuery = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byQuery(1L) == Set(100L, 101L, 102L))
+    assert(byQuery(2L) == Set(200L, 201L, 202L))
+  }
+
+  test("ivfSearch with nProbe = nCells equals brute-force cosine top-k") {
+    val ivf = Similarity.ivfSearch(queries, corpus, "vec_id", "embedding",
+        centroids, nProbe = 2, k = 3)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val brute = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 3)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("srpNearPairs with Rademacher planes finds planted near-duplicates") {
+    // asymmetric components: a (0.5, 0.5, 0.5, 0.5)-style vector lands
+    // exactly ON a +-1 hyperplane (dot = 0), where a 0.01 perturbation
+    // flips the bucket bit — correct LSH behavior, wrong test fixture
+    val planted = Seq(
+      (1L, vec(0.6, 0.5, 0.4, 0.3)), (2L, vec(0.6, 0.5, 0.4, 0.29)), // near-dup pair
+      (3L, vec(1.0, -1.0, 1.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearPairs(planted, "vec_id", "embedding",
+        numPlanes = 4, minCosine = 0.99, dim = 4,
+        planesOverride = Some(Similarity.rademacherPlanes(4, 4)))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

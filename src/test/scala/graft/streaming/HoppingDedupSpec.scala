@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class HoppingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(sec: Long) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+
+  test("streaming hopping counts place each event in duration/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hoppingCounts(df, "30 minutes", "15 minutes", "2 hours")
+      .writeStream.format("memory").queryName("hopping_test")
+      .outputMode("complete").start()
+    // one event at t=16min: hops [00:00, 00:30) and [00:15, 00:45)
+    input.addData((ts(16 * 60), "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("hopping_test")
+      .select(col("window.start").cast("string"), col("cnt"))
+      .as[(String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", 1L),
+      ("2024-01-01 00:15:00", 1L)))
+  }
+
+  test("streaming first-seen dedup keeps one row per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts", "event_id")
+    val q = EventStreams.dedupFirstSeen(df, "2 hours")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    input.addData((1L, "click", ts(0), 1L), (1L, "click", ts(60), 2L),
+      (1L, "view", ts(30), 3L), (2L, "click", ts(10), 4L))
+    q.processAllAvailable()
+    val keys = spark.table("dedup_test")
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect().toSeq
+    q.stop()
+    assert(keys.length == 3) // (1,click) deduped; (1,view) and (2,click) kept
+    assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+}
