@@ -145,6 +145,53 @@ object Dedup {
           m => m)).cast("double") / numHashes).as("est_sim"))
   }
 
+  /** Corpus-scale LSH path, part 1: materialize the banded signature store
+    * ONCE, bucketed+sorted by band key. At 100 TB the signature computation
+    * (a narrow kernel map over the corpus) and the band-key shuffle are paid
+    * at write time; every subsequent candidate query then joins CO-LOCATED
+    * buckets with zero exchanges (same amortization as ScaleJoins
+    * bucketing). Each row carries its signature so the bucket self-join
+    * needs no second lookup join. */
+  def writeLshSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                             table: String, shingleLen: Int = 3,
+                             numHashes: Int = 64, bands: Int = 16,
+                             numBuckets: Int = 32): Unit = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    sigs.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band_key")
+      .sortBy("band_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Corpus-scale LSH path, part 2: candidate pairs from the bucketed
+    * store. The bucket-size guard (a count window over band_key) and the
+    * band self-join both run exchange-free — bucketing already satisfies
+    * the hashpartitioning(band_key) requirement (asserted in
+    * ScaleJoinsSpec). The only shuffle is the final pair dedup, whose input
+    * is candidate pairs (tiny relative to the corpus). Output matches
+    * [[minHashLshCandidates]] on the same corpus/parameters. */
+  def minHashLshCandidatesFromStore(spark: org.apache.spark.sql.SparkSession,
+                                    table: String, numHashes: Int = 64,
+                                    maxBucketSize: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val pruned = spark.table(table)
+      .withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+    val a = pruned.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / numHashes).as("est_sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("est_sim")).as("est_sim"))
+  }
+
   /** 62-bit SimHash over whitespace tokens of the normalized text: bit b of
     * the hash = sign of Σ_tokens (token_hash bit b ? +1 : -1). Single-pass
     * [[graft.functions.SimHash62]] codegen kernel — a shuffle-free narrow

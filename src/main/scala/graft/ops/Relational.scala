@@ -92,9 +92,9 @@ object Relational {
       .drop("__rn", "__min_cnt")
   }
 
-  /** Faithful random variant of the reference's A/B group equalization:
-    * shuffle rows within each group with a seeded rand, keep minCount. */
-  /** Seeded-random equalization that is deterministic under ANY partitioning
+  /** Seeded-random variant of the reference's A/B group equalization
+    * (shuffle rows within each group, keep minCount of each), deterministic
+    * under ANY partitioning
     * or cluster size: surplus rows are chosen by a hash-derived uniform over
     * the row's key columns (`rand(seed)` is per-partition-sequence and would
     * make the dropped set depend on the physical layout). `keyCols` must

@@ -25,6 +25,38 @@ class ScaleJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH signature store: exchange-free bucket join, same candidates") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more text"),
+      (2L, "the quick brown fox jumps over the lazy dog and then some more text"),
+      (3L, "the quick brown fox jumps over the lazy cat and then some more text"),
+      (4L, "completely different content about distributed query engines at scale"),
+      (5L, "yet another unrelated document talking about streaming watermarks"))
+      .toDF("doc_id", "text")
+    Dedup.writeLshSignatureStore(docs, "doc_id", "text", "lsh_store", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the plan shows the AT-SCALE shape (at corpus
+      // scale the store is far beyond any broadcast threshold): the bucket
+      // prune window and the band self-join are co-located — the ONLY
+      // shuffle left is the final pair-dedup aggregation
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fromStore = Dedup.minHashLshCandidatesFromStore(spark, "lsh_store")
+      val exchanges = fromStore.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      assert(exchanges == 1, fromStore.queryExecution.executedPlan.toString)
+      val direct = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+        .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
+      val stored = fromStore
+        .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
+      assert(stored == direct)
+      assert(stored.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 })
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS lsh_store")
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     // heavy skew: 90% of left rows share one key
     val left = ((0 until 900).map(i => (1L, s"hot$i")) ++

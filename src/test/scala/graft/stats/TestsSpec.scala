@@ -86,6 +86,25 @@ class TestsSpec extends AnyFunSuite {
     assert(rOut.statistic < 0.5 && rOut.pValue < 1e-6)
   }
 
+  test("shapiro-wilk golden: Shapiro & Wilk (1965) weights data") {
+    // the classic n=11 example from the original paper; R's shapiro.test
+    // reports W = 0.78881, p-value = 0.006704 (AS R94 / Royston 1995 —
+    // the same approximation this implementation follows)
+    val x = Array(148.0, 154, 158, 160, 161, 162, 166, 170, 182, 195, 236)
+    val r = shapiroWilk(x)
+    assert(math.abs(r.statistic - 0.78881) < 1e-4, s"W=${r.statistic}")
+    assert(math.abs(r.pValue - 0.006704) < 1e-5, s"p=${r.pValue}")
+  }
+
+  test("shapiro-wilk above the n=5000 bound reduces to order statistics") {
+    // > 5000 samples: deterministic in the multiset (input order irrelevant)
+    // and close to the direct statistic of the underlying distribution
+    val big = Array.tabulate(12000)(i => math.sin(i * 12.9898) * 43758.5453 % 1.0)
+    val r1 = shapiroWilk(big)
+    val r2 = shapiroWilk(big.reverse)
+    assert(r1.statistic == r2.statistic && r1.pValue == r2.pValue)
+  }
+
   test("shapiro-wilk W is scale/shift invariant") {
     val rng = new scala.util.Random(11)
     val x = Array.fill(30)(rng.nextGaussian())
