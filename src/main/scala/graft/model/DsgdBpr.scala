@@ -1,0 +1,203 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stratified distributed SGD for BPR (DSGD schedule, Gemulla et al.,
+  * KDD'11 "Large-scale matrix factorization with distributed stochastic
+  * gradient descent") — the at-scale successor to [[Bpr]]'s
+  * broadcast-and-merge epochs.
+  *
+  * Why: [[Bpr.train]] broadcasts the FULL item-factor matrix to every
+  * executor each epoch and merges summed deltas on the driver — exact and
+  * fine at the reference's own scale (N = 9,724 movies), but O(N·d) per
+  * executor per epoch, and the delta merge makes item updates
+  * last-writer-averaged (Hogwild-style). At 100 M items neither survives.
+  *
+  * How: users are hashed into P blocks, items into P blocks. A sub-epoch s
+  * processes the P DISJOINT strata {(p, (p+s) mod P)} in parallel — each
+  * stratum touches a disjoint user-row and item-column set, so the P
+  * concurrent SGD runs are conflict-free and EXACT (no gradient averaging,
+  * no stale reads within a stratum). After P sub-epochs every (user, item)
+  * pair has been available exactly once per epoch. Item factors live in
+  * item-block rows that flow through a cogroup join — never broadcast,
+  * never driver-merged; per-sub-epoch data movement is one shuffle of the
+  * item blocks (N·d doubles total, spread over P tasks).
+  *
+  * Semantics vs [[Bpr]]: negative sampling is popularity-weighted WITHIN
+  * the stratum's item block (the stratum owns no other item's factors) —
+  * the standard DSGD adaptation; positives train in item-block order
+  * rather than user-list order. Both trainers keep the reference's
+  * rejection rules (not-a-positive, genre-disjoint when genre-aware,
+  * implicit_feedback/functions.py:60-131).
+  *
+  * Determinism: blocks are id-hash derived, per-(user, epoch, sub-epoch)
+  * RNGs, positives sorted — results are bit-identical for a given block
+  * count P on ANY Spark partitioning or cluster size (spec-checked with
+  * different shuffle layouts).
+  */
+object DsgdBpr {
+
+  final case class Params(rank: Int = 12, lr: Double = 0.02, reg: Double = 0.01,
+                          epochs: Int = 30, blocks: Int = 4, seed: Long = 42L,
+                          maxSampleRetries: Int = 200,
+                          initScale: Double = Double.NaN) {
+    def resolvedInitScale: Double =
+      if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
+  }
+
+  /** One item row: block id, global item id, factors. */
+  final case class ItemRow(block: Int, item: Int, f: Array[Double])
+  /** One user row: block id, global user id, positives (sorted), factors. */
+  final case class UserRow(block: Int, user: Int, pos: Array[Int], u: Array[Double])
+  final case class StratumOut(users: Array[UserRow], items: Array[ItemRow])
+
+  @inline private def userBlock(user: Int, p: Int): Int = math.floorMod(user, p)
+  @inline private def itemBlock(item: Int, p: Int): Int = math.floorMod(item, p)
+
+  def train(positives: DataFrame, userCol: String, itemCol: String,
+            numItems: Int, p: Params = Params(),
+            itemGenres: Option[Map[Int, Array[Int]]] = None): Bpr.ModelArrays = {
+    val spark = positives.sparkSession
+    import spark.implicits._
+    val P = p.blocks
+    val scale = p.resolvedInitScale
+
+    // per-item popularity (for the within-block weighted negative draws)
+    val popularity = positives.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val genresArr: Array[Array[Int]] = itemGenres
+      .map(m => Array.tabulate(numItems)(i => m.getOrElse(i, Array.empty[Int])))
+      .orNull
+    val sc = spark.sparkContext
+    val bcPop = sc.broadcast(popularity)      // counts only — O(N) longs, not factors
+    val bcGenres = sc.broadcast(genresArr)
+
+    val initRng = new java.util.Random(p.seed)
+    val itemInit = Array.fill(numItems)(Array.fill(p.rank)(initRng.nextGaussian() * scale))
+    var items: Dataset[ItemRow] = spark.createDataset(
+      (0 until numItems).map(i => ItemRow(itemBlock(i, P), i, itemInit(i))))
+      .repartition(P, col("block")).persist()
+    items.count()
+
+    var users: Dataset[UserRow] = positives
+      .groupBy(col(userCol)).agg(collect_list(col(itemCol)).as("pos"))
+      .as[(Int, Seq[Int])]
+      .map { case (u, pos) =>
+        val rng = new java.util.Random(p.seed ^ (u.toLong * 2654435761L))
+        UserRow(userBlock(u, P), u, pos.toArray.sorted,
+          Array.fill(p.rank)(rng.nextGaussian() * scale))
+      }
+      .repartition(P, col("block")).persist()
+    users.count()
+
+    val pp = p
+    for (epoch <- 0 until p.epochs; sub <- 0 until P) {
+      // stratum for item block q pairs with user block (q - sub) mod P;
+      // key both sides by the ITEM block id
+      val keyedUsers = users.groupByKey(ur => math.floorMod(ur.block + sub, P))
+      val keyedItems = items.groupByKey(_.block)
+      val out = keyedUsers.cogroup(keyedItems) { (q, uIt, iIt) =>
+        val itemRows = iIt.toArray.sortBy(_.item)
+        val blockUsers = uIt.toArray.sortBy(_.user) // deterministic order
+        if (itemRows.isEmpty) Iterator.single(StratumOut(blockUsers, itemRows))
+        else {
+          val localIdx = itemRows.iterator.map(_.item).zipWithIndex.toMap
+          // within-block popularity CDF over the block's items
+          val pop = bcPop.value
+          val weights = itemRows.map(r => math.max(pop.getOrElse(r.item, 0L), 0L).toDouble + 1e-9)
+          val total = weights.sum
+          val cdf = new Array[Double](itemRows.length)
+          var acc = 0.0
+          var i = 0
+          while (i < itemRows.length) { acc += weights(i) / total; cdf(i) = acc; i += 1 }
+          cdf(itemRows.length - 1) = 1.0
+          val genres = bcGenres.value
+          val d = pp.rank
+          val updatedUsers = blockUsers.map { ur =>
+            val rng = new java.util.Random(
+              pp.seed ^ (ur.user.toLong * 31L) ^ (epoch * 1000003L) ^ (sub * 7919L))
+            val posSet = new java.util.HashSet[Int]()
+            ur.pos.foreach(posSet.add(_))
+            val u = ur.u.clone()
+            ur.pos.foreach { gi =>
+              localIdx.get(gi).foreach { li => // only this stratum's positives
+                val lj = sampleNegativeLocal(rng, cdf, itemRows, posSet, gi,
+                  genres, pp.maxSampleRetries)
+                if (lj >= 0) {
+                  val vi = itemRows(li).f
+                  val vj = itemRows(lj).f
+                  var x = 0.0
+                  var k = 0
+                  while (k < d) { x += u(k) * (vi(k) - vj(k)); k += 1 }
+                  val c = Bpr.sigmoidNeg(x)
+                  k = 0
+                  while (k < d) {
+                    val gu = c * (vi(k) - vj(k)) - pp.reg * u(k)
+                    val gvi = c * u(k) - pp.reg * vi(k)
+                    val gvj = -c * u(k) - pp.reg * vj(k)
+                    u(k) += pp.lr * gu
+                    vi(k) += pp.lr * gvi
+                    vj(k) += pp.lr * gvj
+                    k += 1
+                  }
+                }
+              }
+            }
+            ur.copy(u = u)
+          }
+          Iterator.single(StratumOut(updatedUsers, itemRows))
+        }
+      }.persist()
+      out.count()
+      val prevUsers = users
+      val prevItems = items
+      // localCheckpoint: truncate lineage each sub-epoch (epochs x P plan
+      // growth OOMs the driver otherwise — measured on the round-1 trainers)
+      users = out.flatMap(_.users.toIndexedSeq).repartition(P, col("block"))
+        .localCheckpoint(eager = true)
+      items = out.flatMap(_.items.toIndexedSeq).repartition(P, col("block"))
+        .localCheckpoint(eager = true)
+      prevUsers.unpersist(blocking = false)
+      prevItems.unpersist(blocking = false)
+      out.unpersist(blocking = false)
+    }
+
+    val userF = users.collect().map(ur => ur.user -> ur.u).toMap
+    val itemArr = new Array[Array[Double]](numItems)
+    items.collect().foreach(ir => itemArr(ir.item) = ir.f)
+    var i = 0
+    while (i < numItems) { // blocks never saw an unrated item? keep init
+      if (itemArr(i) == null) itemArr(i) = itemInit(i)
+      i += 1
+    }
+    Bpr.ModelArrays(userF, itemArr)
+  }
+
+  /** Within-block negative draw: inverse-CDF over the block's popularity,
+    * rejecting positives and (genre-aware) genre-sharers; deterministic
+    * bounded fallback; -1 when the block holds no eligible negative. */
+  private def sampleNegativeLocal(rng: java.util.Random, cdf: Array[Double],
+                                  itemRows: Array[ItemRow],
+                                  userPos: java.util.HashSet[Int], posItem: Int,
+                                  genresOf: Array[Array[Int]],
+                                  maxRetries: Int): Int = {
+    @inline def eligible(lj: Int): Boolean = {
+      val gid = itemRows(lj).item
+      !userPos.contains(gid) &&
+        (genresOf == null || !genresOf(posItem).exists(genresOf(gid).contains))
+    }
+    var tries = 0
+    while (tries < maxRetries) {
+      val u = rng.nextDouble()
+      var j = java.util.Arrays.binarySearch(cdf, u)
+      if (j < 0) j = -j - 1
+      if (j >= cdf.length) j = cdf.length - 1
+      if (eligible(j)) return j
+      tries += 1
+    }
+    var j = 0
+    while (j < cdf.length && !eligible(j)) j += 1
+    if (j < cdf.length) j else -1
+  }
+}

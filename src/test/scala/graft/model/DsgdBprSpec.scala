@@ -1,0 +1,69 @@
+package graft.model
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DsgdBprSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two taste clusters: users 0-3 like items 0-4, users 4-7 like items 5-9
+  private def clusteredPositives = {
+    val rows = for {
+      u <- 0 until 8
+      i <- 0 until 10
+      if (u < 4 && i < 5) || (u >= 4 && i >= 5)
+    } yield (u, i)
+    rows.toDF("user", "item")
+  }
+
+  private def meanMargin(m: Bpr.ModelArrays): Double = {
+    val pos = clusteredPositives.as[(Int, Int)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val margins = for {
+      (u, ps) <- pos.toSeq
+      i <- ps
+      j <- 0 until 10 if !ps.contains(j)
+    } yield {
+      val uf = m.userFactors(u)
+      val d = uf.indices.map(k => uf(k) * (m.itemFactors(i)(k) - m.itemFactors(j)(k))).sum
+      d
+    }
+    margins.sum / margins.size
+  }
+
+  test("DSGD training separates the planted taste clusters") {
+    val p = DsgdBpr.Params(rank = 4, lr = 0.05, epochs = 12, blocks = 3,
+      seed = 7L, initScale = 0.1)
+    val trained = DsgdBpr.train(clusteredPositives, "user", "item", 10, p)
+    val before = Bpr.ModelArrays(
+      trained.userFactors.map { case (u, f) => u -> Array.fill(f.length)(0.0) },
+      trained.itemFactors.map(f => Array.fill(f.length)(0.0)))
+    assert(meanMargin(trained) > meanMargin(before) + 0.05,
+      s"margin=${meanMargin(trained)}")
+    assert(trained.userFactors.size == 8 && trained.itemFactors.length == 10)
+  }
+
+  test("DSGD is bit-identical under different input partitionings") {
+    val p = DsgdBpr.Params(rank = 3, lr = 0.05, epochs = 3, blocks = 3, seed = 11L,
+      initScale = 0.1)
+    val a = DsgdBpr.train(clusteredPositives, "user", "item", 10, p)
+    val b = DsgdBpr.train(clusteredPositives.repartition(7, col("item")), "user", "item", 10, p)
+    assert(a.userFactors.keySet == b.userFactors.keySet)
+    a.userFactors.foreach { case (u, f) => assert(f.sameElements(b.userFactors(u)), s"user $u") }
+    a.itemFactors.zip(b.itemFactors).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x.sameElements(y), s"item $i")
+    }
+  }
+
+  test("DSGD genre-aware mode trains without violating the skip rule") {
+    // items 0-4 share genre 1, items 5-9 share genre 2: for cluster-1 users
+    // every negative candidate for a positive in genre 1 must come from
+    // genre 2's items (or the update is skipped) — training must not throw
+    // and must still learn
+    val genres = (0 until 10).map(i => i -> Array(if (i < 5) 1 else 2)).toMap
+    val p = DsgdBpr.Params(rank = 4, lr = 0.05, epochs = 8, blocks = 2, seed = 5L,
+      initScale = 0.1)
+    val trained = DsgdBpr.train(clusteredPositives, "user", "item", 10, p, Some(genres))
+    assert(meanMargin(trained) > 0.0)
+  }
+}
