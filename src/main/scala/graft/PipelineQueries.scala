@@ -136,7 +136,7 @@ object PipelineQueries {
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   private val q45 = Q("q45_token_count",
-    (s, d) => documents(s, d)
+    (s, d) => Layout.spread(documents(s, d), "doc_id")
       .select(col("doc_id"),
         TextOps.wsTokenCount(col("text")).as("ws_tokens"),
         TextOps.bpeishTokenCount(col("text")).as("bpeish_tokens"))
@@ -153,7 +153,7 @@ object PipelineQueries {
       val chars = length(col("text"))
       val words = TextOps.wsTokenCount(col("text"))
       val punct = TextOps.nonAlnumCount(col("text"))
-      documents(s, d)
+      Layout.spread(documents(s, d), "doc_id")
         .select(col("doc_id"), chars.as("n_chars2"), words.as("n_words"),
           round(punct.cast("double") / chars, 6).as("punct_ratio"),
           round(chars.cast("double") / words, 4).as("avg_word_len"),
@@ -178,7 +178,7 @@ object PipelineQueries {
     val scores = TextOps.LangMarkers.map { case (lang, pat) =>
       lang -> TextOps.langScore(col("text"), pat)
     }
-    documents(s, d)
+    Layout.spread(documents(s, d), "doc_id")
       .select(Seq(col("doc_id")) ++
         scores.map { case (l, c) => c.as(s"score_$l") } :+
         TextOps.langId(scores).as("lang_guess") :+ col("lang"): _*)

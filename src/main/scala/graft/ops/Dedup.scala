@@ -82,7 +82,7 @@ object Dedup {
     * replays signatures exactly. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, numHashes: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Layout.spread(df, idCol).select(col(idCol).as("id"),
       graft.functions.TextFunctions.minhash_sig(col(textCol), shingleLen, numHashes).as("sig"))
 
   /** LSH band keys: signature split into `bands` rows-per-band slices, each
@@ -198,7 +198,7 @@ object Dedup {
     * map (the prior explode → 64 bit-sum aggregation formulation paid an
     * exchange + a 64-column hash aggregation per run). */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"),
+    Layout.spread(df, idCol).select(col(idCol).as("id"),
       graft.functions.TextFunctions.simhash62(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -223,7 +223,7 @@ object Dedup {
     // per-doc DISTINCT shingle-hash sets in one shuffle-free codegen'd map
     // (replaces the posexplode + window-lead + collect_set formulation:
     // two exchanges and an interpreted ObjectHashAggregate)
-    val sets = withBlock.select(col("block"), col(idCol).as("id"),
+    val sets = Layout.spread(withBlock, idCol).select(col("block"), col(idCol).as("id"),
       graft.functions.TextFunctions.shingle_hashes(col(textCol), shingleLen).as("hs"))
     // fixed-N repartition on the join key: the pair-join stage is
     // compute-heavy on few bytes, so AQE's size-based coalescing would run
