@@ -56,6 +56,45 @@ object Multimodal {
     }
   }
 
+  final case class FrameRecord(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB image resize: deterministic byte-space downsample standing in for
+    * a pixel resample — keeps the payload-size contract (output length
+    * scales with target area) and the metadata update real. Replace the
+    * byte math with a real raster scaler outside this container. */
+  def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
+    val targetLen = math.max(1, targetW * targetH)
+    val out =
+      if (r.payload.length <= targetLen) r.payload
+      else {
+        val stride = r.payload.length.toDouble / targetLen
+        Array.tabulate[Byte](targetLen)(i => r.payload((i * stride).toInt))
+      }
+    r.copy(payload = out, width = targetW, height = targetH)
+  }
+
+  /** Batched resize over a media frame — same narrow, bounded-batch shape
+    * as [[extractFeatures]]; payloads never shuffle. */
+  def resizeAll(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+                targetRecordsPerBatch: Int = 256): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(targetRecordsPerBatch).flatMap(_.map(resizeStub(_, targetW, targetH)))
+    }
+  }
+
+  /** Frame sampling as a Dataset operator: each video payload explodes into
+    * at most `maxFrames` frame rows, partition-locally (the row count is
+    * bounded by maxFrames x input rows; frames never re-shuffle). */
+  def sampleVideoFrames(media: Dataset[MediaRecord], frameBytes: Int,
+                        maxFrames: Int): Dataset[FrameRecord] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      StubDecoder.sampleFrames(r.payload, frameBytes, maxFrames).zipWithIndex
+        .map { case (f, i) => FrameRecord(r.media_id, i, f) }
+    }
+  }
+
   /** Batched feature extraction over a media frame: narrow mapPartitions,
     * records processed in bounded batches. */
   def extractFeatures(media: Dataset[MediaRecord],

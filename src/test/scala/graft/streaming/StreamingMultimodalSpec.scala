@@ -58,6 +58,30 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(feats(1L).feature.length == Multimodal.StubDecoder.FeatureDim)
   }
 
+  test("resize stub bounds payload to target area and updates metadata") {
+    val docs = Seq((1L, "x" * 1000), (2L, "short")).toDF("doc_id", "text")
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "image")
+    val resized = Multimodal.resizeAll(media, targetW = 8, targetH = 8)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).payload.length == 64)
+    assert(resized(1L).width == 8 && resized(1L).height == 8)
+    assert(resized(2L).payload.length == "short".length) // never upsamples
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeAll(media, 8, 8).collect()
+      .find(_.media_id == 1L).get
+    assert(again.payload.sameElements(resized(1L).payload))
+  }
+
+  test("video frame sampling as a dataset operator bounds rows per payload") {
+    val docs = Seq((1L, "y" * 1000), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
+    val frames = Multimodal.sampleVideoFrames(media, frameBytes = 100, maxFrames = 5)
+      .collect()
+    assert(frames.count(_.media_id == 1L) == 5)
+    assert(frames.forall(_.frame.length <= 100))
+    assert(!frames.exists(_.media_id == 2L)) // empty payload -> no frames
+  }
+
   test("frame sampling bounds count and window size") {
     val payload = Array.tabulate[Byte](1000)(i => (i % 127).toByte)
     val frames = Multimodal.StubDecoder.sampleFrames(payload, frameBytes = 100, maxFrames = 5)
