@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Regression guards for the scale-critical physical-plan shapes documented
+  * in PLANS.md — a future change that silently degrades one of these (a
+  * filter that stops pushing, a top-k that becomes a global sort, a kernel
+  * that falls out of the scan stage) fails here, not at 100 TB. */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = sf0001
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q24_global_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("per-group top-k gets rank-limit pushdown (WindowGroupLimit)") {
+    val p = plan("q18_topk_per_group")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("comparison filter reaches the parquet scan and prunes columns") {
+    val p = plan("q02_filter_compare")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan"), p)
+    assert(!p.contains("l_comment"), "scan should not read unprojected columns")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = plan("q20_join_revenue_per_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sketch kernels stay scan-side: no exchange before the simhash map") {
+    val p = plan("q44_simhash")
+    assert(p.contains("graft_simhash"), p)
+    // single-split local input triggers the Layout.spread repartition; the
+    // kernel projection must sit directly on that (or the scan) — not
+    // behind any aggregation exchange
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("exact dedup shuffles the md5 digest, not document text") {
+    val p = plan("q40_dedup_exact")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.exists(_.contains("text_hash")), exchangeLines.mkString("\n"))
+    assert(!exchangeLines.exists(_.contains("text#")), exchangeLines.mkString("\n"))
+  }
+}

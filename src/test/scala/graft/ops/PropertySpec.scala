@@ -1,0 +1,96 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants from the SURVEY test plan (§5 item 3): each
+  * holds for GENERATED inputs, not hand-picked fixtures (raw ScalaCheck
+  * generators with fixed seeds — the scalatest bridge artifact is not in
+  * the offline cache). Inputs are kept small (a Spark job per case). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 5 deterministic samples per generator. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (0 until 5).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default.withSize(40), Seed(42L + i)))
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (0 until 5).foreach { i =>
+      f(g1.pureApply(Gen.Parameters.default.withSize(40), Seed(42L + i)),
+        g2.pureApply(Gen.Parameters.default.withSize(40), Seed(4242L + i)))
+    }
+
+  private val idLists: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0L, 500L))
+
+  test("denseReindex is an order-preserving bijection onto 0..N-1") {
+    forAll(idLists) { ids =>
+      val df = ids.toDF("id")
+      val out = Relational.denseReindex(df, "id", "idx")
+        .orderBy("idx").as[(Long, Long)].collect()
+      val distinctSorted = ids.distinct.sorted
+      assert(out.map(_._1).toSeq == distinctSorted)          // preserves id order
+      assert(out.map(_._2).toSeq == distinctSorted.indices.map(_.toLong)) // dense 0..N-1
+    }
+  }
+
+  test("semi-join and anti-join partition the left input") {
+    forAll(idLists, idLists) { (left, right) =>
+      val l = left.toDF("k")
+      val r = right.toDF("k")
+      val semi = l.join(r, Seq("k"), "left_semi").count()
+      val anti = l.join(r, Seq("k"), "left_anti").count()
+      assert(semi + anti == left.size)
+    }
+  }
+
+  test("running sum's last value per group equals the group total") {
+    val rows: Gen[List[(Long, Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L), Gen.chooseNum(-50L, 50L)))
+    forAll(rows) { data =>
+      // unique order key per group so "last" is well-defined
+      val distinct = data.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = distinct.toDF("g", "ord", "v")
+      val rs = Relational.runningSum(df, "g", "ord", "v", "cum")
+      val lastPerGroup = rs.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"ord".desc)))
+        .filter($"rn" === 1).select($"g", $"cum").as[(Long, Long)].collect().toMap
+      val totals = distinct.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      assert(lastPerGroup == totals)
+    }
+  }
+
+  test("per-group top-k equals sort-then-take within each group") {
+    val rows: Gen[List[(Long, Long, Double)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L), Gen.chooseNum(-100.0, 100.0)))
+    forAll(rows) { data =>
+      val distinct = data.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = distinct.toDF("g", "item", "score")
+      val k = 3
+      val got = Relational.topKPerGroup(df, Seq($"g"), Seq($"score".desc, $"item".asc), k)
+        .select($"g", $"item").as[(Long, Long)].collect().toSet
+      val want = distinct.groupBy(_._1).toList.flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(k).map(r => (g, r._2))
+      }.toSet
+      assert(got == want)
+    }
+  }
+
+  test("equalized groups all end at the minimum group size") {
+    val rows: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("A", "B"), Gen.chooseNum(0L, 10000L)))
+    forAll(rows) { data =>
+      val distinct = data.distinct
+      if (distinct.map(_._1).distinct.size == 2) {
+        val df = distinct.toDF("grp", "key")
+        val out = Relational.equalizeGroupsRandom(df, "grp", 7L, Seq("key"))
+          .groupBy("grp").count().as[(String, Long)].collect().toMap
+        val minSize = distinct.groupBy(_._1).map(_._2.size).min
+        assert(out.values.toSet == Set(minSize.toLong))
+      }
+    }
+  }
+}
