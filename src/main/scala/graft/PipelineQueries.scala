@@ -48,13 +48,18 @@ object PipelineQueries {
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY text_hash"""))
 
-  /** Document fingerprint (rolling-hash style canonical digest): md5 over
-    * case/punctuation/whitespace-normalized text. */
+  /** Document fingerprints over the normalized text: an md5 canonical
+    * digest AND the 62-bit rolling-polynomial hash (single-pass kernel,
+    * SQL-replayable — the literal "rolling hash" fingerprint). */
   private val q41 = Q("q41_fingerprint",
     (s, d) => documents(s, d)
-      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+        graft.functions.TextFunctions.text_hash62(col("text")).as("fp_roll"))
       .orderBy(col("doc_id")),
-    Some(s"SELECT doc_id, md5($SqlNorm) AS fp FROM documents ORDER BY doc_id"))
+    Some(s"""SELECT doc_id, md5($SqlNorm) AS fp,
+             (${sqlPolyHash(SqlNorm, 131, 7)} * 2147483648
+              + ${sqlPolyHash(SqlNorm, 137, 11)}) AS fp_roll
+             FROM documents ORDER BY doc_id"""))
 
   /** Blocked n-gram Jaccard near-dup pairs: candidates share
     * (lang, length-bucket); quadratic comparison confined to blocks. */

@@ -70,7 +70,20 @@ case class SimHash62(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** 62-bit rolling-polynomial fingerprint of the normalized text. */
+case class TextHash62(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_text_hash62"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.textHash62(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"textHash62($c)"
+  override protected def withNewChildInternal(newChild: Expression): TextHash62 =
+    copy(child = newChild)
+}
+
 object TextFunctions {
+  def text_hash62(text: Column): Column =
+    GraftColumnBridge.column(TextHash62(GraftColumnBridge.expression(text)))
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashSet(GraftColumnBridge.expression(text), n))
   def minhash_sig(text: Column, n: Int, k: Int): Column =

@@ -166,6 +166,15 @@ object TextKernels extends Serializable {
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
+  /** 62-bit rolling-polynomial fingerprint of the FULL normalized text
+    * (h1 * 2^31 + h2 over every code point) — the rolling-hash document
+    * fingerprint; equal values ⇒ near-identical documents modulo
+    * case/punctuation/whitespace, with a SQL-replayable hash. */
+  def textHash62(text: UTF8String): Long = {
+    val s = normalize(text.toString)
+    hashRange(s, 0, s.length)
+  }
+
   /** 62-bit SimHash over whitespace tokens of the normalized text: bit b of
     * the result = sign of Σ_tokens (bit b of (h1,h2) ? +1 : -1), bits 0..30
     * from h1, 31..61 from h2 (all token occurrences vote, not distinct). */

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *  - MinHash + LSH: signatures are a narrow map; the only shuffle is the
   *    band-bucket exchange whose keys are 8-byte hashes; candidate pairs are
   *    verified locally per bucket;
-  *  - SimHash: explode → one partial-aggregated groupBy on doc_id;
+  *  - SimHash: a shuffle-free narrow map (single-pass kernel);
   *  - n-gram Jaccard: blocked self-join (equi-join on cheap block keys) so the
   *    quadratic comparison only happens inside small blocks.
   *
