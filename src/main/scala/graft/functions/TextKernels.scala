@@ -49,7 +49,11 @@ object TextKernels extends Serializable {
   def coefA(i: Int): Long = ((1103515245L * i + 12345L) % 1073741824L) | 1L
   def coefB(i: Int): Long = (69069L * i + 1013904223L) % 1073741824L
 
-  /** Normalized form of `text` (TextOps.normalizeText semantics). */
+  /** Normalized form of `text` (TextOps.normalizeText semantics). Non-ASCII
+    * characters go through Character.toLowerCase so the few Unicode chars
+    * whose lowercase IS ASCII (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i')
+    * survive exactly as they do under Spark's and DuckDB's full-string
+    * lower(); everything else non-[a-z0-9 ] is dropped by all three. */
   def normalize(text: String): String = {
     val n = text.length
     val sb = new java.lang.StringBuilder(n)
@@ -61,6 +65,10 @@ object TextKernels extends Serializable {
         if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') c
         else if (c >= 'A' && c <= 'Z') (c + 32).toChar
         else if (c == ' ') ' '
+        else if (c > 127) { // non-ASCII: keep only if its lowercase is ascii
+          val lc = Character.toLowerCase(c)
+          if (lc >= 'a' && lc <= 'z') lc else 0
+        }
         else 0
       if (keep == ' ') {
         if (sb.length > 0) pendingSpace = true // leading spaces -> trim

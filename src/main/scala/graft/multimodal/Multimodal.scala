@@ -64,13 +64,13 @@ object Multimodal {
     * byte math with a real raster scaler outside this container. */
   def resizeStub(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord = {
     val targetLen = math.max(1, targetW * targetH)
-    val out =
-      if (r.payload.length <= targetLen) r.payload
-      else {
-        val stride = r.payload.length.toDouble / targetLen
-        Array.tabulate[Byte](targetLen)(i => r.payload((i * stride).toInt))
-      }
-    r.copy(payload = out, width = targetW, height = targetH)
+    if (r.payload.length <= targetLen) r // already smaller: payload AND dims unchanged
+    else {
+      val stride = r.payload.length.toDouble / targetLen
+      r.copy(
+        payload = Array.tabulate[Byte](targetLen)(i => r.payload((i * stride).toInt)),
+        width = targetW, height = targetH)
+    }
   }
 
   /** Batched resize over a media frame — same narrow, bounded-batch shape

@@ -175,7 +175,7 @@ object Dedup {
     * is candidate pairs (tiny relative to the corpus). Output matches
     * [[minHashLshCandidates]] on the same corpus/parameters. */
   def minHashLshCandidatesFromStore(spark: org.apache.spark.sql.SparkSession,
-                                    table: String, numHashes: Int = 64,
+                                    table: String,
                                     maxBucketSize: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
     val pruned = spark.table(table)
@@ -185,9 +185,11 @@ object Dedup {
     val b = pruned.select(col("band_key"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
+      // denominator from the STORED signature length, so a store written
+      // with any numHashes stays self-consistent
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / numHashes).as("est_sim"))
+          m => m)).cast("double") / size(col("sig_a"))).as("est_sim"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("est_sim")).as("est_sim"))
   }

@@ -110,9 +110,8 @@ object Tests {
   }
 
   /** Shapiro-Wilk normality test, Royston's AS R94 approximation (the
-    * algorithm behind SciPy's `shapiro`; ab_test.py:288-302). Valid for
-    * 3 <= n <= 5000. */
-  /** The AS R94 approximation is validated for 3 <= n <= 5000 (Royston 1995);
+    * algorithm behind SciPy's `shapiro`; ab_test.py:288-302).
+    * The approximation is validated for 3 <= n <= 5000 (Royston 1995);
     * beyond that the p-value transform is outside its fitted range, so larger
     * samples are reduced to 5000 evenly-spaced order statistics of the sorted
     * data (deterministic in the multiset — independent of input order or

@@ -36,10 +36,16 @@ object EventStreams {
       .groupBy(window(col("ts"), duration, slide), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
 
-  /** Streaming first-seen dedup — streaming twin of batch query q39:
-    * dropDuplicates on the business key with a watermark bounds the dedup
-    * state to the watermark horizon (the standard at-scale pattern for
-    * exactly-once event feeds). */
+  /** Streaming dedup on the business key — streaming counterpart of batch
+    * query q39, with the PROCESSING-ORDER semantics streaming natively
+    * gives: the first-ARRIVING row per (user_id, event_type) within the
+    * watermark horizon is kept (dropDuplicatesWithinWatermark), and
+    * duplicates separated by more than the horizon re-emit — that bounded
+    * state is exactly the at-scale trade. Batch q39 keeps the earliest row
+    * by EVENT time (ts, event_id); the two coincide for in-order feeds and
+    * differ on late data — an event-time-minimal streaming variant would
+    * need flatMapGroupsWithState with an event-time timeout, buffering
+    * each key until its watermark passes. */
   def dedupFirstSeen(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)

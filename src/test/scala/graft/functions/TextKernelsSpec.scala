@@ -15,6 +15,7 @@ class TextKernelsSpec extends SparkTestBase {
     (1L, "The quick brown fox jumps over the lazy dog"),
     (2L, "the QUICK   brown fox, jumps over the lazy dog!!"),   // spaces + case + punct
     (8L, "tabs\tand\nnewlines glue tokens"),                    // \t \n REMOVED, not spacified
+    (9L, "100K temp in İstanbul"),                    // Unicode lowercase -> ASCII (K->k, İ->i)
     (3L, "Wörter mit Umlauten über straße"),                    // non-ascii stripped
     (4L, "word"),                                               // shorter than a shingle
     (5L, ""),                                                   // empty

@@ -51,9 +51,18 @@ class ScaleJoinsSpec extends SparkTestBase {
         .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect().toSet
       assert(stored == direct)
       assert(stored.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 })
+      // est_sim denominator comes from the STORED signature length: a store
+      // written with numHashes=32 still reports exact dups at 1.0
+      Dedup.writeLshSignatureStore(docs, "doc_id", "text", "lsh_store32",
+        numHashes = 32, bands = 8, numBuckets = 4)
+      val stored32 = Dedup.minHashLshCandidatesFromStore(spark, "lsh_store32")
+        .select("id_a", "id_b", "est_sim").as[(Long, Long, Double)].collect()
+      assert(stored32.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 },
+        stored32.mkString(", "))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS lsh_store")
+      spark.sql("DROP TABLE IF EXISTS lsh_store32")
     }
   }
 
