@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -128,6 +128,60 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"),
+        round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+  }
+
+  /** IVF store, part 1: assign every corpus vector to its nearest-centroid
+    * cell and write bucketed+sorted by cell id. The assignment pass (argmin
+    * of squared L2 over the codebook) is paid once at write time. */
+  def writeIvfStore(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Seq[Double])], table: String,
+                    numBuckets: Int): Unit = {
+    import graft.functions.GraftFunctions.l2sq
+    val dists = centroids.map { case (cid, cv) =>
+      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(array_sort(array(dists: _*)), 1).getField("cell").as("cell"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** IVF store, part 2: ANN probe over the bucketed store. The probed cell
+    * ids become an IN-list literal, which Spark's bucket pruning turns into
+    * reading ONLY the matching buckets (`SelectedBucketsCount: m out of n`
+    * in the scan — asserted in IvfSpec): a probe touches ~nProbe/nCells of
+    * the corpus bytes, the whole point of IVF at 100 TB. Results are
+    * identical to [[ivfSearch]] on the same corpus/codebook. */
+  def ivfSearchFromStore(spark: SparkSession, table: String, queries: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: Seq[(Long, Seq[Double])],
+                         nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.GraftFunctions.l2sq
+    val dists = centroids.map { case (cid, cv) =>
+      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
+    }
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        slice(array_sort(array(dists: _*)), 1, nProbe).as("cells"))
+      .select(col("query_id"), col("qv"), explode(col("cells.cell")).as("cell"))
+    // queries are small by ivfSearch's contract: collecting the probed cell
+    // set gives the literal IN-list bucket pruning needs
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = spark.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    cand.join(broadcast(probes), Seq("cell"))
       .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -46,6 +46,30 @@ class IvfSpec extends SparkTestBase {
     assert(ivf == brute)
   }
 
+  test("IVF store: bucket pruning reads only probed cells, same results") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "ivf_store", numBuckets = 4)
+    try {
+      val fromStore = Similarity.ivfSearchFromStore(spark, "ivf_store", queries,
+        "vec_id", "embedding", centroids, nProbe = 1, k = 10)
+      // probes touch 2 distinct cells; the scan must prune to < all buckets
+      val scanLine = fromStore.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("SelectedBucketsCount"))
+      assert(scanLine.isDefined, fromStore.queryExecution.executedPlan.toString)
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanLine.get).get
+      assert(m.group(1).toInt < m.group(2).toInt, scanLine.get)
+      val direct = Similarity.ivfSearch(queries, corpus, "vec_id", "embedding",
+          centroids, nProbe = 1, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val stored = fromStore.as[(Long, Long, Double, Long)].collect().toSet
+      assert(stored == direct)
+      assert(stored.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_store")
+    }
+  }
+
   test("srpNearPairs with Rademacher planes finds planted near-duplicates") {
     // asymmetric components: a (0.5, 0.5, 0.5, 0.5)-style vector lands
     // exactly ON a +-1 hyperplane (dot = 0), where a 0.01 perturbation
