@@ -65,13 +65,22 @@ object MoviePipeline {
     * k ∈ {40,50,60} (reference's eval grid, prac_2.py:125). */
   def implicitTraining(ratings: DataFrame, p: Bpr.Params,
                        ks: Seq[Int] = Seq(40, 50, 60),
-                       minUserRatings: Int = 10): Map[Int, (Double, Double)] = {
+                       minUserRatings: Int = 10,
+                       distributed: Boolean = false): Map[Int, (Double, Double)] = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val curated = Ingest.prepareImplicit(ratings, minUserRatings)
     val numItems = curated.agg(max(col("movieId_order"))).head().getInt(0) + 1
     val positives = curated.select(col("userId_order").as("user"), col("movieId_order").as("item"))
-    val model = Bpr.train(positives, "user", "item", numItems, p)
+    // `distributed` swaps in the stratified DSGD trainer (same model shape,
+    // no item-factor broadcast) — the at-scale path; default stays the
+    // reference-faithful broadcast trainer
+    val model =
+      if (distributed)
+        graft.model.DsgdBpr.train(positives, "user", "item", numItems,
+          graft.model.DsgdBpr.Params(rank = p.rank, lr = p.lr, reg = p.reg,
+            epochs = p.epochs, seed = p.seed, initScale = p.initScale))
+      else Bpr.train(positives, "user", "item", numItems, p)
     val (uf, vf) = model.toDataFrames(spark)
     val scored = broadcast(uf.select(col("id").as("user"), col("features").as("u")))
       .crossJoin(vf.select(col("id").as("item"), col("features").as("v")))

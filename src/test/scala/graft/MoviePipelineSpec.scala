@@ -14,6 +14,15 @@ class MoviePipelineSpec extends SparkTestBase {
     assert(m("ab_n_per_group") > 0)
   }
 
+  test("implicit training runs on the distributed DSGD path too") {
+    val ratings = MoviePipeline.generateMovieLens(spark, 30, 40, seed = 9L)._1
+    val pr = MoviePipeline.implicitTraining(ratings,
+      graft.model.Bpr.Params(rank = 4, epochs = 4, initScale = 0.1),
+      ks = Seq(10), distributed = true)
+    val (p, r) = pr(10)
+    assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+  }
+
   test("pipeline is deterministic for a fixed seed") {
     val a = MoviePipeline.runAll(spark, numUsers = 25, numMovies = 30, seed = 5L)
     val b = MoviePipeline.runAll(spark, numUsers = 25, numMovies = 30, seed = 5L)
