@@ -36,6 +36,10 @@ class VectorTextSpec extends SparkTestBase {
     graft.functions.GraftFunctions.register(spark)
     dd.createOrReplaceTempView("dd_vecs")
     assert(spark.sql("SELECT graft_dot(a, b) FROM dd_vecs").as[Double].head() == -1.25)
+    // l2sq: (1.5-2)^2 + (-2.5-0.5)^2 + (3+1)^2 = 0.25 + 9 + 16
+    assert(spark.sql("SELECT graft_l2sq(a, b) FROM dd_vecs").as[Double].head() == 25.25)
+    assert(dd.select(graft.functions.GraftFunctions.l2sq(col("a"), col("b")))
+      .as[Double].head() == 25.25)
   }
 
   test("axpy and scale") {
