@@ -23,6 +23,13 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // same hygiene as Bench: drop per-query caches and nudge the GC so
+        // ContextCleaner reclaims shuffle files/broadcasts — 53 dump queries
+        // otherwise accumulate driver state and slow the tail of the run
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        System.gc()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
