@@ -19,19 +19,20 @@ import graft.stats.Tests
   */
 object AbTest {
 
-  /** The reference's 10 curated genre pairs (ab_test.py:55-66), as ids of
-    * Schemas.genreIds. */
+  /** The reference's 10 curated genre pairs, VERBATIM from
+    * /root/reference/explicit_ratings/ab_test.py:55-66 (ids match
+    * Schemas.genreIds, which mirrors ab_test.py:31-52). */
   val GenrePairs: Seq[(Int, Int)] = Seq(
-    (16, 6),  // Action, Adventure
-    (12, 5),  // Animation, Children
-    (13, 9),  // Comedy, Romance
-    (8, 10),  // Drama, Thriller
-    (0, 18),  // Horror, Mystery
     (14, 15), // Sci-Fi, Fantasy
-    (2, 11),  // Crime, Film-Noir
-    (1, 4),   // War, Western
-    (17, 13), // Musical, Comedy
-    (19, 8))  // Documentary, Drama
+    (12, 5),  // Animation, Children
+    (15, 6),  // Fantasy, Adventure
+    (13, 9),  // Comedy, Romance
+    (1, 16),  // War, Action
+    (10, 0),  // Thriller, Horror
+    (8, 9),   // Drama, Romance
+    (5, 6),   // Children, Adventure
+    (18, 2),  // Mystery, Crime
+    (4, 16))  // Western, Action
 
   private def hashUnif(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     (pmod(xxhash64(cols: _*), lit(1000000L)).cast("double") + 0.5) / 1000000.0
@@ -59,9 +60,13 @@ object AbTest {
         (pmod(xxhash64(col("user_id"), col("genreId"), lit(seed), lit("n")), lit(6)) + 5).cast("int"))
       .select(col("user_id"), col("group"), col("genre_1"), col("genre_2"),
         col("genreId"), col("n_sample"), explode(col("movieIds")).as("movieId"))
+    // movieId tiebreak: the 1e6-bucket hash collides (~birthday at 25k-movie
+    // genres), and an untied window order would make the cutoff row
+    // partition-dependent
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"), col("genreId"))
-      .orderBy(hashUnif(col("user_id"), col("movieId"), lit(seed), lit("pick")))
+      .orderBy(hashUnif(col("user_id"), col("movieId"), lit(seed), lit("pick")),
+        col("movieId"))
     perGenre
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("n_sample"))
@@ -96,21 +101,36 @@ object AbTest {
       twoSided: Tests.TestResult, less: Tests.TestResult, greater: Tests.TestResult,
       nA: Long, nB: Long)
 
-  /** X2-X6: equalize group sizes, then the reference's stat decision tree
-    * (ab_test.py:236-391): Levene p<0.05 → Welch, else Student; either
-    * Shapiro p<0.05 → Wilcoxon rank-sum instead of t. Scores are collected
-    * (bounded: users×k rows) — the moment statistics feeding the t-test are
-    * aggregation-friendly (see Queries q33) for the at-scale path. */
+  /** X2: the reference equalizes at the USER level — surplus whole users
+    * are dropped from the larger group (ab_test.py:247-265), keeping every
+    * surviving user's complete top-k list (row-level truncation would slice
+    * partial lists and, because scores within a user are correlated, shift
+    * the group variance the X3-X6 tests read). User choice is hash-derived
+    * (xxhash64 on user_id + seed) so the dropped set is deterministic under
+    * any partitioning; the reference's np.random.choice quirk (sampling
+    * WITH replacement, so it may drop fewer than `difference` users) is
+    * corrected to exactly-min-count. */
+  def equalizeUsers(log: DataFrame, seed: Long): DataFrame = {
+    val userGroups = log.select(col("user_id"), col("group")).distinct()
+    val minUsers = userGroups.groupBy(col("group")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+      .orderBy(xxhash64(col("user_id"), lit(seed), lit("eq")), col("user_id"))
+    val keep = userGroups.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= minUsers)
+      .select(col("user_id"))
+    log.join(keep, Seq("user_id"), "left_semi")
+  }
+
+  /** X2-X6: equalize group sizes (user-level, [[equalizeUsers]]), then the
+    * reference's stat decision tree (ab_test.py:236-391): Levene p<0.05 →
+    * Welch, else Student; either Shapiro p<0.05 → Wilcoxon rank-sum instead
+    * of t. Scores are collected (bounded: users×k rows) — the moment
+    * statistics feeding the t-test are aggregation-friendly (see Queries
+    * q33) for the at-scale path. */
   def evaluate(log: DataFrame, seed: Long = 42L, alpha: Double = 0.05): ExperimentResult = {
-    // hash keys must identify a row within a group: (user_id, movie_id) in
-    // the full serving log; synthetic logs without movie_id fall back to
-    // (user_id, score)
-    val keys =
-      if (log.columns.contains("movie_id")) Seq("user_id", "movie_id")
-      else Seq("user_id", "score")
-    val eq = Relational.equalizeGroupsRandom(
-      log.select((Seq("user_id", "score", "group") ++ keys).distinct.map(col): _*),
-      "group", seed, keys)
+    val eq = equalizeUsers(
+      log.select(col("user_id"), col("score"), col("group")), seed)
     val scoresA = eq.filter(col("group") === "A").select("score")
       .collect().map(_.getDouble(0))
     val scoresB = eq.filter(col("group") === "B").select("score")

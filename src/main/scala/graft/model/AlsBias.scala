@@ -2,7 +2,6 @@ package graft.model
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.linalg.Linalg
 import graft.ops.{Aggregators, VectorOps}
 
@@ -146,26 +145,29 @@ object AlsBias {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
-  /** Full alternating training loop. Factor frames are persisted per sweep
-    * and truncated with localCheckpoint so lineage stays O(1) across
-    * iterations (at cluster scale: reliable checkpoint dir instead). */
+  /** Full alternating training loop. Factor frames are truncated with an
+    * eager localCheckpoint per sweep, so lineage stays O(1) across
+    * iterations and the checkpoint blocks ARE the materialization (an
+    * additional persist() would cache the pre-checkpoint plan, which no
+    * unpersist on the checkpointed frame can ever free — a leak). Blocks of
+    * superseded sweeps are reclaimed by the ContextCleaner once the frames
+    * go out of scope. At cluster scale: a reliable checkpoint dir. */
   def train(ratings: DataFrame, userCol: String, itemCol: String, ratingCol: String,
             p: Params = Params()): Model = {
     var users = initFactors(ratings, userCol, p, 1L)
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      .localCheckpoint()
     var items = initFactors(ratings, itemCol, p, 2L)
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      .localCheckpoint()
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
       // Q1 is a movie-loop-only quirk: user sweep always sums
       val newUsers = halfSweep(ratings, users, items, userCol, itemCol, ratingCol,
           p.copy(strictQ1Bias = false))
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+        .localCheckpoint()
       val newItems = halfSweep(ratings, items, newUsers, itemCol, userCol, ratingCol, p)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+        .localCheckpoint()
       delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
-      users.unpersist(); items.unpersist()
       users = newUsers; items = newItems
       iter += 1
     }

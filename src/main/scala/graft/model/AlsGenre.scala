@@ -2,7 +2,6 @@ package graft.model
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.linalg.Linalg
 import graft.ops.{Aggregators, VectorOps}
 
@@ -138,9 +137,9 @@ object AlsGenre {
             p: Params = Params()): Model = {
     val bp = toBiasParams(p)
     var users = AlsBias.initFactors(ratings, userCol, bp, 1L)
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      .localCheckpoint()
     var items = AlsBias.initFactors(ratings, itemCol, bp, 2L)
-      .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+      .localCheckpoint()
     val rng = new java.util.Random(p.seed)
     var genreF: Map[Int, Array[Double]] =
       (0 until 20).map(g => g -> Array.fill(p.rank)(rng.nextGaussian())).toMap
@@ -148,10 +147,10 @@ object AlsGenre {
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
       val newUsers = AlsBias.halfSweep(ratings, users, items, userCol, itemCol, ratingCol, bp)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+        .localCheckpoint()
       val newItems = movieSweepWithPrior(ratings, items, newUsers, movieGenres,
         itemCol, userCol, ratingCol, genreF, p)
-        .persist(StorageLevel.MEMORY_AND_DISK).localCheckpoint()
+        .localCheckpoint()
       val newGenreF = updateGenreFactors(newItems, movieGenres, genreF, p)
       val fDelta = newGenreF.map { case (g, f) =>
         val old = genreF.getOrElse(g, new Array[Double](p.rank))
@@ -159,7 +158,6 @@ object AlsGenre {
       }.foldLeft(0.0)(math.max)
       delta = math.max(math.max(AlsBias.maxDelta(users, newUsers),
         AlsBias.maxDelta(items, newItems)), fDelta)
-      users.unpersist(); items.unpersist()
       users = newUsers; items = newItems; genreF = newGenreF
       iter += 1
     }

@@ -52,4 +52,45 @@ object Aggregators {
     def bufferEncoder: Encoder[Array[Double]] = enc
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
+
+  /** Bounded top-k buffer: parallel arrays sorted by (score desc, item asc),
+    * n = filled prefix length. */
+  final case class TopKBuf(scores: Array[Double], items: Array[Long], n: Int)
+
+  /** Per-group top-k as an Aggregator — the scale shape for serving-style
+    * top-k over a users × catalog product: unlike a row_number window
+    * (which shuffles EVERY scored row), this partial-aggregates map-side,
+    * so the exchange carries at most k (score, item) pairs per (group,
+    * partition). Order matches the window formulation's total order:
+    * score desc, item asc tiebreak. */
+  class TopK(k: Int) extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+
+    @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      s1 > s2 || (s1 == s2 && i1 < i2)
+
+    private def insert(b: TopKBuf, s: Double, i: Long): TopKBuf = {
+      if (b.n == k && !beats(s, i, b.scores(k - 1), b.items(k - 1))) return b
+      // position of the first kept entry this one beats
+      var pos = if (b.n == k) k - 1 else b.n
+      while (pos > 0 && beats(s, i, b.scores(pos - 1), b.items(pos - 1))) pos -= 1
+      val newN = math.min(b.n + 1, k)
+      var j = newN - 1
+      while (j > pos) { b.scores(j) = b.scores(j - 1); b.items(j) = b.items(j - 1); j -= 1 }
+      b.scores(pos) = s; b.items(pos) = i
+      TopKBuf(b.scores, b.items, newN)
+    }
+
+    def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf = insert(b, a._1, a._2)
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      var b = x
+      var j = 0
+      while (j < y.n) { b = insert(b, y.scores(j), y.items(j)); j += 1 }
+      b
+    }
+    def finish(b: TopKBuf): Seq[(Double, Long)] =
+      (0 until b.n).map(j => (b.scores(j), b.items(j)))
+    def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

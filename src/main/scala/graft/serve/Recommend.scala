@@ -24,8 +24,11 @@ object Recommend {
       .withColumn("features",
         transform(sequence(lit(0), lit(p.rank - 1)), _ => lit(0.0)))
       .withColumn("bias", lit(0.0))
+    // Q1 is a movie-loop-only quirk: the reference's fold-in always SUMS
+    // the bias numerator (functions.py:522-548), so never let a
+    // strict-trained model's params leak the overwrite semantics in here
     AlsBias.halfSweep(history, zeroUsers, itemFactors,
-      userCol, itemCol, ratingCol, p)
+      userCol, itemCol, ratingCol, p.copy(strictQ1Bias = false))
   }
 
   /** Full-catalog scoring + top-N (L9): score(u,n) = u·vₙ + damping·b_n
@@ -34,9 +37,11 @@ object Recommend {
     * (functions.py:643-645; floor 90 in ab_test.py), top-k per user with
     * deterministic tie-break.
     *
-    * Scale shape: the user side is broadcast (queries), the catalog is the
-    * big side and is never shuffled — scoring is a narrow map; top-k is a
-    * rank-limited window on the user key. */
+    * Scale shape: the user side is broadcast (queries), so scoring is a
+    * narrow map over the catalog; per-user top-k runs as a bounded TopK
+    * Aggregator with map-side partial aggregation — the ONLY shuffled data
+    * is at most k (score, item) pairs per (user, partition), never the full
+    * users × catalog product a row_number window would exchange. */
   def recommend(userFactors: DataFrame, itemFactors: DataFrame,
                 itemRatingCounts: DataFrame, k: Int = 20,
                 popularityFloor: Long = 90L, biasDamping: Double = 0.05): DataFrame = {
@@ -49,7 +54,12 @@ object Recommend {
         col("bias").as("bv")))
       .withColumn("score", VectorOps.dot(col("u"), col("v")) + lit(biasDamping) * col("bv"))
       .select(col("user_id"), col("item_id"), col("score"))
-    Relational.topKPerGroup(scored, Seq(col("user_id")),
-      Seq(col("score").desc, col("item_id").asc), k, "rank")
+    val itemType = scored.schema("item_id").dataType
+    val topk = udaf(new graft.ops.Aggregators.TopK(k))
+    scored.groupBy(col("user_id"))
+      .agg(topk(col("score"), col("item_id").cast("long")).as("recs"))
+      .select(col("user_id"), posexplode(col("recs")))
+      .select(col("user_id"), col("col._2").cast(itemType).as("item_id"),
+        col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 }

@@ -79,6 +79,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("TopK aggregator equals the row_number window per-group top-k") {
+    val rows: Gen[List[(Long, Long, Double)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L), Gen.chooseNum(-10.0, 10.0)))
+    forAll(rows) { data =>
+      val distinct = data.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val df = distinct.toDF("g", "item", "score")
+      val k = 3
+      val topk = udaf(new Aggregators.TopK(k))
+      val viaAgg = df.groupBy($"g").agg(topk($"score", $"item").as("recs"))
+        .select($"g", posexplode($"recs"))
+        .select($"g", $"col._2".as("item"), ($"pos" + 1).cast("long").as("rn"))
+        .as[(Long, Long, Long)].collect().toSet
+      val viaWindow = Relational.topKPerGroup(df, Seq($"g"),
+          Seq($"score".desc, $"item".asc), k)
+        .select($"g", $"item", $"rn".cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaAgg == viaWindow)
+    }
+  }
+
   test("equalized groups all end at the minimum group size") {
     val rows: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(
       Gen.zip(Gen.oneOf("A", "B"), Gen.chooseNum(0L, 10000L)))
