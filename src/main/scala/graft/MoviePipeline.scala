@@ -101,9 +101,7 @@ object MoviePipeline {
     val prepared = Ingest.prepareRatings(ratings)
     val preparedMovies = Ingest.prepareMovies(movies)
       .join(Relational.denseReindex(prepared, "movieId", "movieId_order"), Seq("movieId"))
-    val genreIndex = preparedMovies
-      .select(explode(col("genre_values")).as("genreId"), col("movieId_order"))
-      .groupBy("genreId").agg(sort_array(collect_list(col("movieId_order"))).as("movieIds"))
+    val genreIndex = Ingest.genreInvertedIndex(preparedMovies)
     val itemCounts = prepared.groupBy(col("movieId_order").as("id"))
       .agg(count(lit(1)).as("n_ratings"))
     val sim = AbTest.simulateUsers(ratings.sparkSession, genreIndex, numUsers, seed)

@@ -199,7 +199,8 @@ object PipelineQueries {
     s"""SELECT doc_id, CAST($en AS INTEGER) AS score_en, CAST($de AS INTEGER) AS score_de,
        CAST($es AS INTEGER) AS score_es, CAST($fr AS INTEGER) AS score_fr,
        CAST($zh AS INTEGER) AS score_zh,
-       CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+       CASE WHEN text IS NULL THEN NULL
+            WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
             WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
             WHEN $es >= $fr AND $es >= $zh THEN 'es'
             WHEN $fr >= $zh THEN 'fr'

@@ -53,13 +53,17 @@ object Ingest {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minUserRatings)
       .select(col("userId"))
-    val kept = positives.join(broadcast(keepUsers), Seq("userId"), "left_semi")
+    // user-cardinality frames are NOT broadcast: at the design point users
+    // number 10^7+, and a forced broadcast bypasses the size threshold; the
+    // semi/equi joins below shuffle on userId (or AQE picks broadcast when
+    // genuinely small)
+    val kept = positives.join(keepUsers, Seq("userId"), "left_semi")
     val movieIndex = Relational.denseReindex(kept, "movieId", "movieId_order")
       .withColumn("movieId_order", col("movieId_order").cast("int"))
     val userIndex = Relational.denseReindex(kept, "userId", "userId_order")
       .withColumn("userId_order", col("userId_order").cast("int"))
     kept.join(broadcast(movieIndex), Seq("movieId"))
-      .join(broadcast(userIndex), Seq("userId"))
+      .join(userIndex, Seq("userId"))
   }
 
   /** movies + genre arrays: split the pipe-separated genres, map names to the
@@ -83,11 +87,14 @@ object Ingest {
     Relational.denseReindex(prepared, "movieId", "movieId_order")
       .join(movies.select(col("movieId") - 1 as "movieId", col("title")), Seq("movieId"), "left")
 
-  /** Genre inverted index: genreId -> [movieId_order...]
-    * (/root/reference/explicit_ratings/functions.py:455-488). */
-  def genreInvertedIndex(preparedMovies: DataFrame): DataFrame =
+  /** Genre inverted index: genreId -> sorted [idCol...] — the reference
+    * builds it over the DENSE movieId_order (explicit_ratings/
+    * functions.py:455-488), so the default id column is movieId_order; the
+    * input frame must carry it (join prepareMovies with denseReindex). */
+  def genreInvertedIndex(preparedMovies: DataFrame,
+                         idCol: String = "movieId_order"): DataFrame =
     preparedMovies
-      .select(col("movieId"), explode(col("genre_values")).as("genreId"))
+      .select(col(idCol).as("__mid"), explode(col("genre_values")).as("genreId"))
       .groupBy(col("genreId"))
-      .agg(sort_array(collect_list(col("movieId"))).as("movieIds"))
+      .agg(sort_array(collect_list(col("__mid"))).as("movieIds"))
 }

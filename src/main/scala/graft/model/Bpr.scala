@@ -113,8 +113,9 @@ object Bpr {
     import spark.implicits._
 
     // popularity distribution (A2, prac_2.py:17-25) -> CDF over item id
+    // (numeric widening: denseReindex emits LONG ids, fixtures INT)
     val counts = positives.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     val cdf = new Array[Double](numItems)
     var acc = 0.0
@@ -146,10 +147,12 @@ object Bpr {
     users.count()
 
     val sc = spark.sparkContext
+    // CDF and genre metadata are epoch-invariant: broadcast ONCE (only the
+    // item factors change per epoch)
+    val bcCdf = sc.broadcast(cdf)
+    val bcGenres = sc.broadcast(genresArr)
     for (epoch <- 0 until p.epochs) {
       val bcV = sc.broadcast(itemF)
-      val bcCdf = sc.broadcast(cdf)
-      val bcGenres = sc.broadcast(genresArr)
       val pp = p
       val epochOut = users.mapPartitions { it =>
         val vLocal = bcV.value.map(_.clone())
@@ -209,15 +212,16 @@ object Bpr {
           case None => v
         }
       }
-      val old = users
-      // localCheckpoint truncates lineage: without it the plan grows by one
-      // mapPartitions+repartition layer per epoch and plan handling OOMs
+      // localCheckpoint truncates lineage (plan grows by one layer per
+      // epoch otherwise) and IS the materialization — persist() before it
+      // would cache the pre-checkpoint plan, which no later unpersist on the
+      // checkpointed frame can release
       users = epochOut.flatMap(_.users.toIndexedSeq)
-        .repartition(nPart, col("user")).persist().localCheckpoint()
-      users.count()
-      old.unpersist(); epochOut.unpersist()
-      bcV.destroy(); bcCdf.destroy(); bcGenres.destroy()
+        .repartition(nPart, col("user")).localCheckpoint()
+      epochOut.unpersist()
+      bcV.destroy() // per-epoch; cdf/genres stay for the whole run
     }
+    bcCdf.destroy(); bcGenres.destroy()
 
     val uf = users.collect().map(st => st.user -> st.u).toMap
     users.unpersist()

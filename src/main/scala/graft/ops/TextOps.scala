@@ -61,6 +61,9 @@ object TextOps {
           .otherwise(pick(tail))
       case Nil => lit("und")
     }
-    pick(scores.toList)
+    // NULL text -> NULL scores: every `when` condition is null and the
+    // cascade would fall through to the LAST language; guard explicitly
+    when(scores.head._2.isNull, lit(null: String))
+      .otherwise(pick(scores.toList))
   }
 }

@@ -54,21 +54,9 @@ object Tests {
   /** Two-sample t-test; `equalVar = true` = Student (pooled), false = Welch
     * (ab_test.py:305-347). */
   def tTest(a: Array[Double], b: Array[Double], equalVar: Boolean,
-            alternative: Alternative = TwoSided): TestResult = {
-    val (n1, n2) = (a.length.toDouble, b.length.toDouble)
-    val (m1, m2) = (mean(a), mean(b))
-    val (v1, v2) = (varSamp(a), varSamp(b))
-    val (t, df) =
-      if (equalVar) {
-        val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
-        ((m1 - m2) / math.sqrt(sp2 * (1 / n1 + 1 / n2)), n1 + n2 - 2)
-      } else {
-        val se2 = v1 / n1 + v2 / n2
-        val df = se2 * se2 / (math.pow(v1 / n1, 2) / (n1 - 1) + math.pow(v2 / n2, 2) / (n2 - 1))
-        ((m1 - m2) / math.sqrt(se2), df)
-      }
-    TestResult(t, pFromDist(x => new TDistribution(df).cumulativeProbability(x), t, alternative))
-  }
+            alternative: Alternative = TwoSided): TestResult =
+    tTestFromMoments(a.length, mean(a), varSamp(a),
+      b.length, mean(b), varSamp(b), equalVar, alternative)
 
   /** From group sufficient statistics (n, mean, sample variance) — the
     * distributed-aggregation form (moment stats are query q33). */
@@ -104,7 +92,7 @@ object Tests {
       i = j + 1
     }
     val s = combined.indices.filter(combined(_)._2 == 0).map(ranks).sum
-    val expected = n1 * (n + 1) / 2.0
+    val expected = n1.toDouble * (n + 1) / 2.0 // Int product overflows at ~33k/group
     val z = (s - expected) / math.sqrt(n1.toDouble * n2 * (n + 1) / 12.0)
     TestResult(z, pFromDist(stdNormal.cumulativeProbability, z, alternative))
   }

@@ -69,8 +69,11 @@ class IngestSpec extends SparkTestBase {
   test("genreInvertedIndex builds genre -> sorted movie list") {
     val movies = Seq((1, "A", "Horror|Crime"), (2, "B", "Horror"))
       .toDF("movieId", "title", "genres")
-    val idx = Ingest.genreInvertedIndex(Ingest.prepareMovies(movies))
-      .as[(Int, Seq[Int])].collect().toMap
+    val pm = Ingest.prepareMovies(movies)
+      .join(graft.ops.Relational.denseReindex(
+        Ingest.prepareMovies(movies), "movieId", "movieId_order"), Seq("movieId"))
+    val idx = Ingest.genreInvertedIndex(pm)
+      .as[(Int, Seq[Long])].collect().toMap
     assert(idx(0) == Seq(0, 1)) // Horror=0
     assert(idx(2) == Seq(0))    // Crime=2
   }
