@@ -207,7 +207,11 @@ object Queries {
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           rank().over(w).cast("long").as("rnk"),
           round(col("l_quantity") - lag(col("l_quantity"), 1).over(w), 2).as("qty_delta"))
-        .orderBy(col("l_suppkey"), col("rnk"))
+        // TOTAL output order: rank() ties (full window-key duplicates — the
+        // data has duplicate (l_orderkey, l_linenumber) pairs) leave rows
+        // with different qty_delta that (l_suppkey, rnk) alone can't order
+        .orderBy(col("l_suppkey"), col("rnk"), col("l_orderkey"),
+          col("l_linenumber"), col("qty_delta"))
     },
     Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
             CAST(rank() OVER w AS BIGINT) AS rnk,
@@ -215,7 +219,7 @@ object Queries {
             FROM lineitem
             WINDOW w AS (PARTITION BY l_suppkey
               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
-            ORDER BY l_suppkey, rnk"""))
+            ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber, qty_delta"""))
 
   // ---------------------------------------------------------------- joins
 
@@ -440,16 +444,9 @@ object Queries {
   /** Gap-based sessionization (batch analogue of session windows); gap
     * compared in exact integer microseconds on both engines. */
   private val q36 = Q("q36_sessionize",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
-      events(s, d)
-        .withColumn("__ns", when(gapUs > 1800000000L, 1).otherwise(0))
-        .select(col("user_id"), col("event_id"),
-          sum(col("__ns")).over(frame).cast("long").as("session_id"))
-        .orderBy(col("user_id"), col("event_id"))
-    },
+    (s, d) => Relational.sessionize(events(s, d), "user_id", "ts", "event_id", 1800.0)
+      .select(col("user_id"), col("event_id"), col("session_id"))
+      .orderBy(col("user_id"), col("event_id")),
     Some("""WITH g AS (SELECT user_id, event_id, ts,
               CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
                 OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
@@ -483,16 +480,11 @@ object Queries {
     * EventStreams.dedupFirstSeen (streaming dropDuplicatesWithinWatermark):
     * keep each (user, event_type)'s earliest event by (ts, event_id). */
   private val q39 = Q("q39_stream_dedup",
-    (s, d) => {
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      events(s, d)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
-        .orderBy(col("user_id"), col("event_type"))
-    },
+    (s, d) => Relational.topKPerGroup(events(s, d),
+        Seq(col("user_id"), col("event_type")), Seq(col("ts"), col("event_id")), 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type")),
     Some("""WITH r AS (SELECT user_id, event_type, event_id, ts, row_number()
               OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
             FROM events)

@@ -30,13 +30,18 @@ object Tables {
     // the duration of the read and restore the prior value — other parquet
     // reads in the session keep their default nanos handling.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
+    // synchronized: the conf is session-shared, so a concurrent events()
+    // (or any parquet read racing the restore window) must not observe the
+    // temporary setting
+    Tables.synchronized {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try table(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

@@ -123,9 +123,13 @@ object Relational {
                  gapSeconds: Double, outName: String = "session_id"): DataFrame = {
     val order = Seq(col(tsCol), col(idCol))
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
-    val gap = col(tsCol).cast("double") - lag(col(tsCol), 1).over(w).cast("double")
+    // exact integer-microsecond gap compare (a double-seconds cast is
+    // fp-fragile for sub-second thresholds at large epochs, and the oracle
+    // compares epoch_us integers)
+    val gapUs = unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__new_session", when(gap > gapSeconds, 1).otherwise(0))
+    df.withColumn("__new_session",
+        when(gapUs > math.round(gapSeconds * 1e6), 1).otherwise(0))
       .withColumn(outName, sum(col("__new_session")).over(frame).cast("long"))
       .drop("__new_session")
   }

@@ -37,6 +37,7 @@ object ScaleJoins {
     * just spreads each hot key across `saltFactor` reducers. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFactor: Int, seed: Long = 42L): DataFrame = {
+    require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id(), lit(seed)), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
@@ -44,8 +45,13 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Exchange count in a frame's executed plan (plan-shape assertions). */
+  /** Shuffle-exchange count in a frame's executed plan (plan-shape
+    * assertions). Counts only real shuffles: broadcast exchanges and
+    * ReusedExchange references (which also print the word "Exchange") are
+    * excluded. String-based because AQE hides pre-execution exchanges
+    * inside AdaptiveSparkPlanExec, which a tree collect can't see. */
   def countExchanges(df: DataFrame): Int =
     df.queryExecution.executedPlan.toString.linesIterator
-      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("ReusedExchange"))
 }
