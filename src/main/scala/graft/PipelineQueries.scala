@@ -307,30 +307,44 @@ object PipelineQueries {
   private def sqlNormChain(a: String): String =
     s"sqrt(${sqlDotChain(a, a)})"
 
-  /** Embedding-cosine near-duplicate pairs: SRP-bucketed LSH candidates,
-    * exact cosine verification within buckets (the vector analogue of q43's
-    * text LSH — the near-dup gate a training-data pipeline runs over
-    * embedding space). Rademacher planes → oracle replays the bucketing and
-    * every cosine exactly. */
+  /** Embedding-cosine near-duplicate pairs: banded SRP LSH candidates
+    * (16 planes in 2 bands of 8 — bucket count scales as 2^8 PER BAND while
+    * banding restores recall), bucket-size cap dropping degenerate buckets,
+    * exact cosine verification of distinct candidate pairs (the vector
+    * analogue of q43's text LSH — the near-dup gate a training-data
+    * pipeline runs over embedding space). Rademacher planes → oracle
+    * replays the packed signature, the band-key bit-slices, the cap, and
+    * every verified cosine exactly. */
   private val q52 = Q("q52_embed_neardup",
     (s, d) => Similarity.srpNearPairs(embeddings(s, d), "vec_id", "embedding",
-        numPlanes = 8, minCosine = 0.3, dim = 64,
-        planesOverride = Some(Similarity.rademacherPlanes(8, 64)))
+        numPlanes = 16, minCosine = 0.3, dim = 64, bands = 2, maxBucketSize = 200,
+        planesOverride = Some(Similarity.rademacherPlanes(16, 64)))
       .orderBy(col("id_a"), col("id_b")),
     Some {
-      val planes = Similarity.rademacherPlanes(8, 64)
+      val planes = Similarity.rademacherPlanes(16, 64)
       def dotChain(p: Int): String =
         (0 until 64).map(i => s"(embedding[${i + 1}]::DOUBLE * ${planes(p)(i)})")
           .reduce((acc, t) => s"($acc + $t)")
-      val bucket = (0 until 8)
+      val bucket = (0 until 16)
         .map(p => s"(CASE WHEN ${dotChain(p)} > 0 THEN (1::BIGINT << $p) ELSE 0::BIGINT END)")
         .mkString(" | ")
-      s"""WITH b AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM embeddings),
-         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |            round(${sqlDotChain("a", "b")} /
-         |              (${sqlNormChain("a")} * ${sqlNormChain("b")}), 6) AS cosine_sim
-         |          FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cosine_sim FROM pairs
+      s"""WITH b AS (SELECT vec_id, ($bucket) AS bucket FROM embeddings),
+         |banded AS (
+         |  SELECT vec_id, (bucket & 255) AS band_key FROM b
+         |  UNION ALL
+         |  SELECT vec_id, (((bucket >> 8) & 255) | 256) AS band_key FROM b),
+         |ok AS (SELECT band_key FROM banded GROUP BY band_key
+         |       HAVING count(*) > 1 AND count(*) <= 200),
+         |pruned AS (SELECT p.* FROM banded p JOIN ok USING (band_key)),
+         |pairs AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |          FROM pruned a JOIN pruned c USING (band_key)
+         |          WHERE a.vec_id < c.vec_id),
+         |sims AS (SELECT p.id_a, p.id_b,
+         |           round(${sqlDotChain("x", "y")} /
+         |             (${sqlNormChain("x")} * ${sqlNormChain("y")}), 6) AS cosine_sim
+         |         FROM pairs p JOIN embeddings x ON x.vec_id = p.id_a
+         |                      JOIN embeddings y ON y.vec_id = p.id_b)
+         |SELECT id_a, id_b, cosine_sim FROM sims
          |WHERE cosine_sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
     })
 

@@ -216,10 +216,24 @@ object Dedup {
     * array_intersect-per-pair formulation is interpreted and measured 20×
     * slower at 314k candidate pairs). Quadratic work is confined to blocks,
     * and only pairs sharing ≥1 shingle ever materialize (Jaccard ≥ t > 0
-    * implies a shared shingle, so the output is identical). */
+    * implies a shared shingle, so the output is identical).
+    *
+    * `maxShingleDf` is the hot-shingle skew guard (the document-frequency
+    * analogue of the prefix-filter trick): a shingle occurring in `f` docs
+    * of a block contributes f² join rows, so one stopword-ish shingle
+    * shared by most of a block re-quadratizes the job at corpus scale.
+    * Shingle hashes whose within-block document frequency exceeds the cap
+    * are dropped BEFORE the pair join — both from candidate generation and
+    * from the intersection count, so Jaccard for a pair sharing a pruned
+    * shingle is underestimated by at most (pruned shared)/(union): pairs
+    * whose overlap is mostly ultra-common shingles are overwhelmingly below
+    * `minJaccard` anyway. With no block-DF above the cap (true of the test
+    * corpora up to DF 7 at sf0.1 vs the default cap 500) the output is
+    * EXACTLY the unpruned result. The DF aggregation and semi-join run on
+    * the same (block, h) partitioning as the pair join — no extra exchange. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], shingleLen: Int,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double, maxShingleDf: Int = 500): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val withBlock = df.withColumn("block", struct(blockCols: _*))
     // per-doc DISTINCT shingle-hash sets in one shuffle-free codegen'd map
@@ -234,9 +248,16 @@ object Dedup {
     val exploded = sets
       .select(col("block"), col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
       .repartition(n, col("block"), col("h"))
-    val a = exploded.select(col("block"), col("h"),
+    // shingles are distinct per doc, so count(*) per (block, h) IS the
+    // within-block document frequency
+    val rareKeys = exploded.groupBy(col("block"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select(col("block"), col("h"))
+    val pruned = exploded.join(rareKeys, Seq("block", "h"), "left_semi")
+    val a = pruned.select(col("block"), col("h"),
       col("id").as("id_a"), col("n_sh").as("na"))
-    val b = exploded.select(col("block"), col("h"),
+    val b = pruned.select(col("block"), col("h"),
       col("id").as("id_b"), col("n_sh").as("nb"))
     a.join(b, Seq("block", "h"))
       .filter(col("id_a") < col("id_b"))

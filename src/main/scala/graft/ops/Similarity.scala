@@ -1,15 +1,18 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
   *
   *  - Brute-force cosine top-k: broadcast the (small) query set against the
   *    full corpus — one narrow pass over the big side, zero shuffle of the
-  *    corpus, a TakeOrdered-style window on (query, -sim). Scales to 100 TB as
-  *    long as the query side stays broadcastable; cost is O(|corpus|·|queries|·d).
+  *    corpus, then a bounded per-query [[Aggregators.TopK]] (map-side partial
+  *    top-k: the exchange carries at most k rows per (query, partition),
+  *    never the full |queries|×|corpus| scored product a row_number window
+  *    would shuffle, and parallelism is not capped at |queries|). Scales to
+  *    100 TB as long as the query side stays broadcastable; cost is
+  *    O(|corpus|·|queries|·d).
   *  - Random-hyperplane LSH (sign-random-projection): hyperplanes are
   *    seeded-deterministic, materialized driver-side and embedded as literal
   *    arrays, so bucketing replays identically on any cluster and the
@@ -17,6 +20,23 @@ import org.apache.spark.sql.functions._
   *    the quadratic cost inside buckets; exact cosine re-ranks survivors.
   */
 object Similarity {
+
+  /** Per-query bounded top-k over a scored (query_id, cand_id, sim) frame:
+    * the [[Aggregators.TopK]] shape shared by all ANN rank paths here. Same
+    * total order as a (sim desc, cand_id asc) row_number window — proven
+    * equal in RelationalSpec — but partial-aggregates map-side, so only
+    * ≤ k rows per (query, partition) are exchanged. Candidate ids must be
+    * losslessly castable to LONG (they are reference ids throughout). */
+  private def rankTopK(scored: DataFrame, k: Int, rankName: String): DataFrame = {
+    val idType = scored.schema("cand_id").dataType
+    val topk = udaf(new Aggregators.TopK(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("sim"), col("cand_id").cast("long")).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")))
+      .select(col("query_id"), col("col._2").cast(idType).as("cand_id"),
+        round(col("col._1"), 6).as("cosine_sim"),
+        (col("pos") + 1).cast("long").as(rankName))
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine (query set must be small enough to broadcast). */
@@ -26,12 +46,8 @@ object Similarity {
     val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c)
       .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("cand_id"), round(col("sim"), 6).as("cosine_sim"), col("rank"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    rankTopK(scored, k, "rank")
   }
 
   /** Deterministic hyperplanes: seeded per-plane PRNG, components uniform in
@@ -71,16 +87,51 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).as("vec"), proj.as("bucket"))
   }
 
-  /** LSH-accelerated near-neighbor pairs: bucket by SRP signature, exact
-    * cosine within buckets, keep pairs above `minCosine`. */
+  /** LSH-accelerated near-neighbor pairs: banded SRP bucketing, exact cosine
+    * verification of candidates, keep pairs above `minCosine`.
+    *
+    * Banding (`bands` slices of `numPlanes / bands` sign bits each, OR-of-ANDs
+    * like MinHash-LSH's band structure): a pair is a candidate if it agrees on
+    * ALL bits of ANY band, so raising `numPlanes` shrinks buckets (the
+    * quadratic term) while `bands` restores recall — at corpus scale bucket
+    * count grows with `2^(numPlanes/bands)` instead of being fixed. Band keys
+    * are bit-slices of the packed [[srpBucket]] signature (band index mixed
+    * in), so the bucketing stays plain integer arithmetic the DuckDB oracle
+    * replays exactly.
+    *
+    * `maxBucketSize` drops band-buckets larger than the cap — the same LSH
+    * skew guard as [[Dedup.minHashLshCandidates]]: one degenerate bucket of B
+    * vectors (e.g. a mass-duplicated embedding) would otherwise dominate the
+    * whole job with B² comparisons. Verified cosines are computed once per
+    * distinct candidate pair, joining vectors back by id — candidate pairs,
+    * not the corpus, pay the exchange. */
   def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
                    numPlanes: Int, minCosine: Double, dim: Int = 64,
+                   bands: Int = 1, maxBucketSize: Int = 1000,
                    planesOverride: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    require(bands >= 1 && numPlanes % bands == 0,
+      s"bands ($bands) must divide numPlanes ($numPlanes)")
+    val rpb = numPlanes / bands
     val b = srpBucket(df, idCol, vecCol, numPlanes, dim, planesOverride = planesOverride)
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
-    l.join(r, Seq("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandKeys = (0 until bands).map { bd =>
+      shiftright(col("bucket"), bd * rpb).bitwiseAND(lit((1L << rpb) - 1))
+        .bitwiseOR(lit(bd.toLong << rpb))
+    }
+    val banded = b.select(col("id"), explode(array(bandKeys: _*)).as("band_key"))
+    val okBuckets = banded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("band_key"))
+    val pruned = banded.join(okBuckets, Seq("band_key"), "left_semi")
+    val pairs = pruned.select(col("band_key"), col("id").as("id_a"))
+      .join(pruned.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(b.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
       .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
       .filter(col("cosine_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
@@ -125,14 +176,12 @@ object Similarity {
       .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
     val probes = nearestCells(broadcast(queries), nProbe)
       .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    assigned.join(broadcast(probes), Seq("cell"))
+    // (query, cand) pairs are unique — each corpus vector sits in exactly one
+    // cell — so the bounded TopK needs no candidate dedup
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    rankTopK(scored, k, "rnk")
   }
 
   /** IVF store, part 1: assign every corpus vector to its nearest-centroid
@@ -179,13 +228,9 @@ object Similarity {
     val cand = spark.table(table)
       .filter(col("cell").isin(probedCells: _*))
       .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    cand.join(broadcast(probes), Seq("cell"))
+    val scored = cand.join(broadcast(probes), Seq("cell"))
       .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"),
-        round(col("sim"), 6).as("cosine_sim"), col("rnk"))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    rankTopK(scored, k, "rnk")
   }
 }

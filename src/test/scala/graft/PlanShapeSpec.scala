@@ -44,6 +44,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("HashAggregate"), p)
   }
 
+  test("ANN rank paths use the bounded TopK aggregate, not a window") {
+    // a row_number window on the scored product would exchange every
+    // (query, candidate) row and cap parallelism at |queries|; the bounded
+    // TopK aggregator partial-aggregates map-side instead
+    for (q <- Seq("q48_cosine_topk", "q53_ivf_ann")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q plans a window:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q missing the TopK aggregate:\n$p")
+    }
+  }
+
   test("exact dedup shuffles the md5 digest, not document text") {
     val p = plan("q40_dedup_exact")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq

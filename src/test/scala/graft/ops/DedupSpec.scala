@@ -67,6 +67,32 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("ngramJaccardPairs: block-DF cap prunes a planted hot shingle") {
+    // one block; 10 docs share a hot 5-token filler phrase (its 3 hot
+    // shingles have block-DF 10) plus per-doc unique tails; docs 100/101 are
+    // a true duplicate pair sharing only rare (DF 2) shingles
+    val skewed = ((0 until 10).map { i =>
+      (i.toLong, s"common filler phrase right here unique$i tail$i end$i", "en", 10L)
+    } ++ Seq(
+      (100L, "alpha beta gamma delta epsilon", "en", 10L),
+      (101L, "alpha beta gamma delta epsilon", "en", 10L)))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    def run(cap: Int) = Dedup.ngramJaccardPairs(skewed, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1, cap)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val unpruned = run(Int.MaxValue)
+    // hot docs pair via the 3 shared hot shingles: J = 3/(6+6-3) = 1/3
+    // (operator output is rounded to 6 decimals)
+    assert(math.abs(unpruned((0L, 1L)) - 1.0 / 3) < 1e-6)
+    assert(unpruned.size == 45 + 1)
+    // default cap (500) far above every DF here: output EXACTLY unchanged
+    assert(run(500) == unpruned)
+    // cap 5 prunes the DF-10 hot shingles: the filler-only pairs vanish,
+    // the rare-shingle duplicate pair survives with exact Jaccard
+    val pruned = run(5)
+    assert(pruned == Map((100L, 101L) -> 1.0))
+  }
+
   test("fingerprint is invariant to case/punctuation/whitespace") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap

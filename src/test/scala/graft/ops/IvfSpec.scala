@@ -84,4 +84,30 @@ class IvfSpec extends SparkTestBase {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("srpNearPairs banding keeps recall; maxBucketSize drops degenerate buckets") {
+    val planted = Seq(
+      (1L, vec(0.6, 0.5, 0.4, 0.3)), (2L, vec(0.6, 0.5, 0.4, 0.29)),
+      (3L, vec(1.0, -1.0, 1.0, -1.0)))
+      .toDF("vec_id", "embedding")
+    // banded (2 bands of 4 bits): the planted pair still surfaces — a pair
+    // agreeing on ALL planes agrees on every band
+    val banded = Similarity.srpNearPairs(planted, "vec_id", "embedding",
+        numPlanes = 8, minCosine = 0.99, dim = 4, bands = 2,
+        planesOverride = Some(Similarity.rademacherPlanes(8, 4)))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(banded == Set((1L, 2L)))
+    // degenerate corpus: 20 identical vectors land in ONE bucket per band.
+    // Cap below the bucket size -> no candidates (the B^2 blowup is refused);
+    // cap above it -> all 190 pairs at cosine 1.0
+    val dup = (0 until 20).map(i => (i.toLong, vec(0.6, 0.5, 0.4, 0.3)))
+      .toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.srpNearPairs(dup, "vec_id", "embedding",
+        numPlanes = 8, minCosine = 0.9, dim = 4, bands = 2, maxBucketSize = cap,
+        planesOverride = Some(Similarity.rademacherPlanes(8, 4)))
+      .as[(Long, Long, Double)].collect()
+    assert(run(10).isEmpty)
+    val all = run(20)
+    assert(all.length == 190 && all.forall(_._3 == 1.0))
+  }
 }
