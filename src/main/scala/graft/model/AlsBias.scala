@@ -153,11 +153,23 @@ object AlsBias {
     * superseded sweeps are reclaimed by the ContextCleaner once the frames
     * go out of scope. At cluster scale: a reliable checkpoint dir. */
   def train(ratings: DataFrame, userCol: String, itemCol: String, ratingCol: String,
-            p: Params = Params()): Model = {
+            p: Params = Params()): Model =
+    trainTraced(ratings, userCol, itemCol, ratingCol, p,
+      Trace.Config(computeMetrics = false))._1
+
+  /** Training loop with the reference's per-iteration observability
+    * (LL + RMSE each sweep, prac_1.py:141-161; parameter snapshots every
+    * `snapshotEvery` sweeps plus a final set, prac_1.py:163-204): returns
+    * the model AND the (iter, LL, RMSE, maxDelta) history, invoking
+    * `trace.onIter` live. */
+  def trainTraced(ratings: DataFrame, userCol: String, itemCol: String,
+                  ratingCol: String, p: Params,
+                  trace: Trace.Config): (Model, Seq[Trace.IterStats]) = {
     var users = initFactors(ratings, userCol, p, 1L)
       .localCheckpoint()
     var items = initFactors(ratings, itemCol, p, 2L)
       .localCheckpoint()
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
@@ -170,7 +182,25 @@ object AlsBias {
       delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
       users = newUsers; items = newItems
       iter += 1
+      val (ll, rm) =
+        if (trace.computeMetrics) {
+          val m = Model(users, items)
+          (Metrics.regLogLik(m, ratings, userCol, itemCol, ratingCol,
+            p.lambda, p.tau, p.alpha),
+           Metrics.rmse(m.predict(ratings, userCol, itemCol), ratingCol, "prediction"))
+        } else (Double.NaN, Double.NaN)
+      val st = Trace.IterStats(iter, ll, rm, delta)
+      hist += st
+      trace.onIter(st)
+      trace.snapshotDir.foreach { dir =>
+        if (iter % trace.snapshotEvery == 0)
+          Trace.snapshotFactors(dir, s"iter_$iter", users, items)
+      }
     }
-    Model(users, items)
+    trace.snapshotDir.foreach { dir =>
+      Trace.snapshotFactors(dir, "final", users, items)
+      Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
+    }
+    (Model(users, items), hist.toSeq)
   }
 }

@@ -134,7 +134,18 @@ object AlsGenre {
     * with genre prior → genre feature refit. */
   def train(ratings: DataFrame, movieGenres: DataFrame,
             userCol: String, itemCol: String, ratingCol: String,
-            p: Params = Params()): Model = {
+            p: Params = Params()): Model =
+    trainTraced(ratings, movieGenres, userCol, itemCol, ratingCol, p,
+      Trace.Config(computeMetrics = false))._1
+
+  /** [[train]] with the reference's per-iteration observability (LL + RMSE
+    * each sweep, parameter snapshots every `snapshotEvery` sweeps + final —
+    * prac_1.py:141-204 behavior; genre factors snapshot alongside the
+    * user/item frames). The LL is the base bias-model likelihood
+    * (Metrics.regLogLik) — the convergence signal the reference plots. */
+  def trainTraced(ratings: DataFrame, movieGenres: DataFrame,
+                  userCol: String, itemCol: String, ratingCol: String,
+                  p: Params, trace: Trace.Config): (Model, Seq[Trace.IterStats]) = {
     val bp = toBiasParams(p)
     var users = AlsBias.initFactors(ratings, userCol, bp, 1L)
       .localCheckpoint()
@@ -143,6 +154,7 @@ object AlsGenre {
     val rng = new java.util.Random(p.seed)
     var genreF: Map[Int, Array[Double]] =
       (0 until 20).map(g => g -> Array.fill(p.rank)(rng.nextGaussian())).toMap
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
@@ -160,7 +172,28 @@ object AlsGenre {
         AlsBias.maxDelta(items, newItems)), fDelta)
       users = newUsers; items = newItems; genreF = newGenreF
       iter += 1
+      val (ll, rm) =
+        if (trace.computeMetrics) {
+          val m = AlsBias.Model(users, items)
+          (Metrics.regLogLik(m, ratings, userCol, itemCol, ratingCol,
+            p.lambda, p.tau, p.alpha),
+           Metrics.rmse(m.predict(ratings, userCol, itemCol), ratingCol, "prediction"))
+        } else (Double.NaN, Double.NaN)
+      val st = Trace.IterStats(iter, ll, rm, delta)
+      hist += st
+      trace.onIter(st)
+      trace.snapshotDir.foreach { dir =>
+        if (iter % trace.snapshotEvery == 0) {
+          Trace.snapshotFactors(dir, s"iter_$iter", users, items)
+          Trace.snapshotGenreFactors(ratings.sparkSession, dir, s"iter_$iter", genreF)
+        }
+      }
     }
-    Model(users, items, genreF)
+    trace.snapshotDir.foreach { dir =>
+      Trace.snapshotFactors(dir, "final", users, items)
+      Trace.snapshotGenreFactors(ratings.sparkSession, dir, "final", genreF)
+      Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
+    }
+    (Model(users, items, genreF), hist.toSeq)
   }
 }

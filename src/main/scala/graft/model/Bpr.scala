@@ -105,10 +105,18 @@ object Bpr {
 
   /** Train from a positives frame (userCol, itemCol) with dense 0-based ids.
     * `numItems` = dense item-id cardinality; `itemGenres` optional
-    * (itemId -> genre ids) for genre-aware sampling. */
+    * (itemId -> genre ids) for genre-aware sampling.
+    *
+    * `trace` adds the reference's per-epoch observability
+    * (/root/reference/implicit_feedback/prac_2.py:117-139): P/R@k via
+    * `onEpoch` (opt-in — it prices a users × items scoring pass per epoch,
+    * as the reference does every iteration), the epoch's max item-factor
+    * delta (free — it falls out of the delta merge), and factor parquet
+    * snapshots every `snapshotEvery` epochs plus a final set. */
   def train(positives: DataFrame, userCol: String, itemCol: String, numItems: Int,
             p: Params = Params(), itemGenres: Option[Map[Int, Array[Int]]] = None,
-            numPartitions: Int = 0): ModelArrays = {
+            numPartitions: Int = 0,
+            trace: Trace.BprConfig = Trace.BprConfig()): ModelArrays = {
     val spark = positives.sparkSession
     import spark.implicits._
 
@@ -151,6 +159,7 @@ object Bpr {
     // item factors change per epoch)
     val bcCdf = sc.broadcast(cdf)
     val bcGenres = sc.broadcast(genresArr)
+    val epochHist = mutable.ArrayBuffer.empty[Trace.EpochStats]
     for (epoch <- 0 until p.epochs) {
       val bcV = sc.broadcast(itemF)
       val pp = p
@@ -220,8 +229,42 @@ object Bpr {
         .repartition(nPart, col("user")).localCheckpoint()
       epochOut.unpersist()
       bcV.destroy() // per-epoch; cdf/genres stay for the whole run
+
+      // epoch observability (reference prac_2.py:117-139): the max
+      // item-factor move is free from the merged deltas; P/R@k and
+      // snapshots build frames from the still-distributed user states
+      val it = epoch + 1
+      def userDf = users.map(st => (st.user, st.u.toSeq)).toDF("id", "features")
+      def itemDf = itemF.zipWithIndex.map { case (f, i) => (i, f.toSeq) }
+        .toSeq.toDF("id", "features")
+      val maxItemDelta = mergedDeltas.valuesIterator
+        .flatMap(_.iterator.map(math.abs)).foldLeft(0.0)(math.max)
+      val (pk, rk) =
+        if (trace.computeMetrics) {
+          val scored = userDf.select(col("id").as("user"), col("features").as("u"))
+            .crossJoin(broadcast(itemDf.select(col("id").as("item"), col("features").as("v"))))
+            .select(col("user"), col("item"),
+              graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
+          val r = Metrics.precisionRecallAtK(scored,
+            positives.select(col(userCol).as("user"), col(itemCol).as("item")),
+            "user", "item", "score", trace.metricK).head()
+          (r.getDouble(0), r.getDouble(1))
+        } else (Double.NaN, Double.NaN)
+      val st = Trace.EpochStats(it, pk, rk, maxItemDelta)
+      epochHist += st
+      trace.onEpoch(st)
+      trace.snapshotDir.foreach { dir =>
+        if (it % trace.snapshotEvery == 0)
+          Trace.snapshotFactors(dir, s"epoch_$it", userDf, itemDf)
+      }
     }
     bcCdf.destroy(); bcGenres.destroy()
+    trace.snapshotDir.foreach { dir =>
+      Trace.snapshotFactors(dir, "final",
+        users.map(st => (st.user, st.u.toSeq)).toDF("id", "features"),
+        itemF.zipWithIndex.map { case (f, i) => (i, f.toSeq) }.toSeq.toDF("id", "features"))
+      Trace.writeBprHistory(spark, dir, epochHist.toSeq)
+    }
 
     val uf = users.collect().map(st => st.user -> st.u).toMap
     users.unpersist()

@@ -148,6 +148,25 @@ object Similarity {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 
+  /** Fit a k-means codebook on the embedding column — the production
+    * drop-in for the deterministic `centroids` argument of [[ivfSearch]] /
+    * [[writeIvfStore]] / [[ivfSearchFromStore]]. Lloyd's iterations run
+    * distributed (`ml.clustering.KMeans`: per-partition partial sums, only
+    * k×d centroid state crosses the wire per iteration); the returned
+    * codebook is k×d doubles, driver-resident by the same contract as the
+    * fixed codebook. Seeded → deterministic. */
+  def kmeansCodebook(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+                     maxIter: Int = 20): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+  }
+
   /** IVF (inverted-file) ANN search: corpus vectors are assigned to their
     * nearest centroid by squared L2 (coarse quantization); a query probes
     * only the `nProbe` cells whose centroids are nearest to it, then ranks

@@ -85,6 +85,33 @@ class IvfSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("k-means codebook plugs into ivfSearch with recall >= the fixed codebook") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val qs = emb.filter($"vec_id" < 20)
+    val corp = emb.filter($"vec_id" >= 20)
+    val brute = Similarity.cosineTopK(qs, corp, "vec_id", "embedding", 3)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt3(centroids: Seq[(Long, Seq[Double])]): Double = {
+      val ivf = Similarity.ivfSearch(qs, corp, "vec_id", "embedding",
+          centroids, nProbe = 2, k = 3)
+        .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, t) => ivf.getOrElse(q, Set.empty).count(t).toDouble / 3 }
+        .sum / brute.size
+    }
+    // q53's deterministic stand-in codebook: the 8 lowest corpus vectors
+    val fixed = corp.filter($"vec_id" < 28)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    val km = Similarity.kmeansCodebook(corp, "embedding", k = 8)
+    assert(km.length == 8 && km.forall(_._2.length == 64))
+    val (rKm, rFixed) = (recallAt3(km), recallAt3(fixed))
+    assert(rKm >= rFixed, s"kmeans recall $rKm < fixed-codebook recall $rFixed")
+    assert(rKm > 0.0)
+  }
+
   test("srpNearPairs banding keeps recall; maxBucketSize drops degenerate buckets") {
     val planted = Seq(
       (1L, vec(0.6, 0.5, 0.4, 0.3)), (2L, vec(0.6, 0.5, 0.4, 0.29)),
