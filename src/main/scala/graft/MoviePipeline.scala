@@ -62,21 +62,28 @@ object MoviePipeline {
   }
 
   /** Entry point C (SURVEY §3.3): implicit curation → BPR → P/R@k for
-    * k ∈ {40,50,60} (reference's eval grid, prac_2.py:125). */
+    * k ∈ {40,50,60} (reference's eval grid, prac_2.py:125).
+    *
+    * Trainer selection: `distributed = Some(b)` forces a path; the default
+    * `None` auto-selects — the stratified DSGD trainer (no per-epoch
+    * item-factor broadcast, no driver-side delta merge) once the curated
+    * positives count reaches `distributedThreshold`, else the
+    * reference-faithful broadcast trainer. The broadcast path ships an
+    * O(numItems × rank) matrix per epoch and merges deltas on the driver —
+    * that is what stops scaling first, so the at-scale default is DSGD. */
   def implicitTraining(ratings: DataFrame, p: Bpr.Params,
                        ks: Seq[Int] = Seq(40, 50, 60),
                        minUserRatings: Int = 10,
-                       distributed: Boolean = false): Map[Int, (Double, Double)] = {
+                       distributed: Option[Boolean] = None,
+                       distributedThreshold: Long = 2000000L): Map[Int, (Double, Double)] = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val curated = Ingest.prepareImplicit(ratings, minUserRatings)
     val numItems = curated.agg(max(col("movieId_order"))).head().getInt(0) + 1
     val positives = curated.select(col("userId_order").as("user"), col("movieId_order").as("item"))
-    // `distributed` swaps in the stratified DSGD trainer (same model shape,
-    // no item-factor broadcast) — the at-scale path; default stays the
-    // reference-faithful broadcast trainer
+    val useDsgd = distributed.getOrElse(positives.count() >= distributedThreshold)
     val model =
-      if (distributed)
+      if (useDsgd)
         graft.model.DsgdBpr.train(positives, "user", "item", numItems,
           graft.model.DsgdBpr.Params(rank = p.rank, lr = p.lr, reg = p.reg,
             epochs = p.epochs, seed = p.seed, initScale = p.initScale))

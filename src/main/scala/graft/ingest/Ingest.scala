@@ -81,6 +81,37 @@ object Ingest {
       .drop("genres")
   }
 
+  /** Parse the reference's stringified-Python-list genre column
+    * (`genres_v2`, e.g. "['Adventure', 'Children']", read there with
+    * pandas `converters={"genres_v2": pd.eval}` —
+    * /root/reference/explicit_ratings/functions.py:466,
+    * incl_genre.py:17-19): normalize the single quotes to double quotes,
+    * then `from_json` as ARRAY<STRING>. The fixed 20-name genre vocabulary
+    * contains no quotes or escapes, so the quote swap is lossless; a
+    * malformed or NULL cell parses to NULL (from_json semantics), which
+    * [[prepareMoviesFromList]] folds to the "(no genres listed)" sentinel —
+    * the same treatment [[prepareMovies]] gives a NULL genres cell.
+    * Codegen'd — no UDF, no driver-side eval. */
+  def parseGenreList(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(regexp_replace(c, "'", "\""),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+
+  /** [[prepareMovies]] for inputs carrying the stringified-list `genres_v2`
+    * form instead of pipe-separated `genres` — same output schema
+    * (genre_names, genre_values, genre_count), so the two ingest forms are
+    * interchangeable downstream. */
+  def prepareMoviesFromList(movies: DataFrame, listCol: String = "genres_v2"): DataFrame = {
+    val genreMap = typedLit(Schemas.genreIds)
+    movies
+      .withColumn("movieId", col("movieId") - 1)
+      .withColumn("genre_names",
+        coalesce(parseGenreList(col(listCol)), array(lit("(no genres listed)"))))
+      .withColumn("genre_values",
+        transform(col("genre_names"), g => element_at(genreMap, g)))
+      .withColumn("genre_count", size(col("genre_values")))
+      .drop(listCol)
+  }
+
   /** Dense movie index joined with titles (= derived movie_ids*.csv,
     * /root/reference/implicit_feedback/prac_2_results.py:11-19). */
   def movieIdTable(prepared: DataFrame, movies: DataFrame): DataFrame =

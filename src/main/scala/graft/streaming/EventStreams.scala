@@ -43,13 +43,68 @@ object EventStreams {
     * duplicates separated by more than the horizon re-emit — that bounded
     * state is exactly the at-scale trade. Batch q39 keeps the earliest row
     * by EVENT time (ts, event_id); the two coincide for in-order feeds and
-    * differ on late data — an event-time-minimal streaming variant would
-    * need flatMapGroupsWithState with an event-time timeout, buffering
-    * each key until its watermark passes. */
+    * differ on late data — [[dedupEventTimeMinimal]] is the variant with
+    * exact batch semantics. */
   def dedupFirstSeen(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  final case class MinState(eventId: Long, tsMicros: Long)
+  final case class FirstEvent(user_id: Long, event_type: String,
+                              event_id: Long, first_ts: java.sql.Timestamp)
+
+  /** Event-time-minimal streaming dedup — the streaming twin of batch q39
+    * with EXACT batch semantics: for each (user_id, event_type) the row
+    * minimal by (ts, event_id) is emitted, once the watermark strictly
+    * passes its event time. This closes the processing-order gap
+    * documented on [[dedupFirstSeen]]: a late row with a smaller event
+    * time DISPLACES the earlier-arriving candidate instead of being
+    * discarded as a duplicate.
+    *
+    * State is one (event_id, ts) pair per live key, freed when the key's
+    * event-time timeout fires — bounded like dropDuplicatesWithinWatermark,
+    * at the price of emission latency = the watermark delay.
+    *
+    * Soundness of the timeout: results fire when watermark(ms) > the
+    * candidate's event time (ms, +1), and stateful ops drop rows older
+    * than the watermark, so no row accepted after emission can be
+    * (ts, event_id)-smaller than what was emitted. */
+  def dedupEventTimeMinimal(events: DataFrame,
+                            watermark: String = "2 hours"): Dataset[FirstEvent] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, Long, java.sql.Timestamp, Long)],
+         state: GroupState[MinState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            val t = new java.sql.Timestamp(st.tsMicros / 1000000L * 1000L)
+            t.setNanos(((st.tsMicros % 1000000L) * 1000L).toInt)
+            Iterator.single(FirstEvent(key._1, key._2, st.eventId, t))
+          } else {
+            var st = state.getOption.orNull
+            rows.foreach { case (_, _, eid, _, tsUs) =>
+              if (st == null || tsUs < st.tsMicros ||
+                  (tsUs == st.tsMicros && eid < st.eventId))
+                st = MinState(eid, tsUs)
+            }
+            state.update(st)
+            // fire once the watermark strictly passes the candidate's
+            // event time; the timeout must sit above the current watermark
+            state.setTimeoutTimestamp(math.max(st.tsMicros / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator.empty
+          }
+        })
+  }
 
   final case class SessionState(sessionId: Long, lastTsMicros: Long)
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)

@@ -18,9 +18,26 @@ class MoviePipelineSpec extends SparkTestBase {
     val ratings = MoviePipeline.generateMovieLens(spark, 30, 40, seed = 9L)._1
     val pr = MoviePipeline.implicitTraining(ratings,
       graft.model.Bpr.Params(rank = 4, epochs = 4, initScale = 0.1),
-      ks = Seq(10), distributed = true)
+      ks = Seq(10), distributed = Some(true))
     val (p, r) = pr(10)
     assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+  }
+
+  test("implicit training auto-selects DSGD above the size threshold") {
+    val ratings = MoviePipeline.generateMovieLens(spark, 30, 40, seed = 9L)._1
+    val p = graft.model.Bpr.Params(rank = 4, epochs = 4, initScale = 0.1)
+    def run(distributed: Option[Boolean], threshold: Long) =
+      MoviePipeline.implicitTraining(ratings, p, ks = Seq(10),
+        distributed = distributed, distributedThreshold = threshold)(10)
+    val dsgd = run(Some(true), 0L)
+    val bcast = run(Some(false), 0L)
+    // auto mode picks DSGD when the positives count clears the threshold,
+    // the broadcast trainer when it doesn't (exact match proves the switch)
+    assert(run(None, 1L) == dsgd)
+    assert(run(None, Long.MaxValue) == bcast)
+    // both trainers land in the same metric neighborhood
+    assert(math.abs(dsgd._1 - bcast._1) <= 0.25, s"precision $dsgd vs $bcast")
+    assert(math.abs(dsgd._2 - bcast._2) <= 0.25, s"recall $dsgd vs $bcast")
   }
 
   test("pipeline is deterministic for a fixed seed") {

@@ -55,6 +55,28 @@ class IngestSpec extends SparkTestBase {
     assert(noGenre.getAs[scala.collection.Seq[Int]]("genre_values").toSeq == Seq(7))
   }
 
+  test("prepareMoviesFromList parses stringified genre lists to the same values") {
+    // the reference's genres_v2 form: a stringified Python list per cell
+    val listForm = Seq(
+      (1, "Toy Story (1995)", "['Adventure', 'Animation', 'Children']"),
+      (2, "Some Doc", "['Documentary']"),
+      (3, "Nothing", "['(no genres listed)']"))
+      .toDF("movieId", "title", "genres_v2")
+    val pipeForm = Seq((1, "Toy Story (1995)", "Adventure|Animation|Children"),
+      (2, "Some Doc", "Documentary"), (3, "Nothing", null.asInstanceOf[String]))
+      .toDF("movieId", "title", "genres")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("movieId", "genre_names", "genre_values", "genre_count")
+      .as[(Int, Seq[String], Seq[Int], Int)].collect().sortBy(_._1).toSeq
+    assert(rows(Ingest.prepareMoviesFromList(listForm)) ==
+      rows(Ingest.prepareMovies(pipeForm)))
+    // malformed cell -> the "(no genres listed)" sentinel, like a NULL
+    // genres cell in the pipe form
+    val bad = Seq((4, "Broken", "not a list")).toDF("movieId", "title", "genres_v2")
+    assert(Ingest.prepareMoviesFromList(bad).select("genre_values")
+      .as[Seq[Int]].head() == Seq(7))
+  }
+
   test("movieIdTable joins dense index with titles") {
     val prepared = Ingest.prepareRatings(ratings)
     val movies = Seq((1, "A", "Horror"), (5, "B", "Drama"), (99, "C", "Crime"))

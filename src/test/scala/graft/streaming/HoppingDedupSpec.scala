@@ -46,4 +46,32 @@ class HoppingDedupSpec extends SparkTestBase {
     assert(keys.length == 3) // (1,click) deduped; (1,view) and (2,click) kept
     assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
+
+  test("event-time-minimal dedup: a late smaller-ts row displaces the candidate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts", "event_id")
+    val q = EventStreams.dedupEventTimeMinimal(df, "1 hour")
+      .writeStream.format("memory").queryName("etmin_test")
+      .outputMode("append").start()
+    // batch 1: the LATER event of the key arrives first (the row
+    // dropDuplicatesWithinWatermark would wrongly keep)
+    input.addData((1L, "click", ts(600), 2L))
+    q.processAllAvailable()
+    // batch 2: the event-time-minimal row arrives LATE but inside the
+    // 1-hour watermark horizon — it must displace event 2
+    input.addData((1L, "click", ts(60), 1L))
+    q.processAllAvailable()
+    // advance the watermark far past the key (two batches: the sentinel
+    // raises the watermark at its batch's END; timeouts fire on the NEXT)
+    input.addData((9L, "other", ts(2 * 86400), 90L))
+    q.processAllAvailable()
+    input.addData((9L, "other", ts(2 * 86400 + 1), 91L))
+    q.processAllAvailable()
+    val rows = spark.table("etmin_test")
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .as[(Long, String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "click", 1L)))
+  }
 }

@@ -54,4 +54,46 @@ class StreamFromParquetSpec extends SparkTestBase {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("event-time-minimal streaming dedup equals batch q39 under adversarial disorder") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf0001
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long)].collect()
+    // worst-case arrival: REVERSE event-time order across two micro-batches,
+    // so every key's minimal row arrives last — first-seen dedup would get
+    // every key wrong that has >1 event
+    val reversed = rows.sortBy(r => (-r._3.getTime, -r._4))
+    val (late, early) = reversed.splitAt(reversed.length / 2)
+    val maxTs = rows.map(_._3.getTime).max
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts", "event_id")
+    // watermark delay > the data's time span, so nothing is dropped as late
+    val q = EventStreams.dedupEventTimeMinimal(df, "365 days")
+      .writeStream.format("memory").queryName("etmin_vs_batch")
+      .outputMode("append").start()
+    input.addData(late.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(early.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far in the future flushes every real key (two batches: the
+    // watermark advances at batch end, timeouts fire on the next)
+    val sentinel = new java.sql.Timestamp(maxTs + 366L * 86400 * 1000)
+    input.addData((Long.MaxValue, "sentinel", sentinel, Long.MaxValue))
+    q.processAllAvailable()
+    input.addData((Long.MaxValue, "sentinel2", sentinel, Long.MaxValue))
+    q.processAllAvailable()
+    val streamed = spark.table("etmin_vs_batch")
+      .filter(col("user_id") =!= Long.MaxValue)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("first_ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"))
+      .as[(Long, String, Long, String)].collect().toSet
+    q.stop()
+    val batch = graft.SparkEntry.queries("q39_stream_dedup")(spark, dir)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
