@@ -396,6 +396,55 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Duplicate-cluster extraction (the keep-list step of corpus dedup):
+    * connected components over the q42 near-dup pair graph via distributed
+    * min-label propagation; every doc gets the min reachable doc id as its
+    * cluster, keep = 1 on the representative. Oracle replays the component
+    * labeling with a recursive CTE over the same pair graph. */
+  private val q54 = Q("q54_dup_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("cluster_id") === col("id")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+             s AS (SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS blk,
+               list_distinct(list_transform(
+                 range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' '))) AS sh
+             FROM documents),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM s a JOIN s b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1),
+             e AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+             reach AS (
+               SELECT doc_id AS id, doc_id AS lbl FROM documents
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
+             SELECT id AS doc_id, min(lbl) AS cluster_id,
+               CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INTEGER) AS keep
+             FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  /** Within-document repetition ratio over word 3-grams — the
+    * boilerplate/duplicate-content quality signal corpus filters cut on.
+    * Unrounded: both engines evaluate the identical IEEE double expression. */
+  private val q55 = Q("q55_repetition",
+    (s, d) => Layout.spread(documents(s, d), "doc_id")
+      .select(col("doc_id"), TextOps.repetitionRatio(col("text"), 3).as("rep_ratio"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+             1.0 - CAST(len(list_distinct(list_transform(
+                 range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' ')))) AS DOUBLE)
+               / CAST(greatest(len(string_split($SqlNorm, ' ')) - 2, 1) AS DOUBLE) AS rep_ratio
+             FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53)
+    q51, q52, q53, q54, q55)
 }

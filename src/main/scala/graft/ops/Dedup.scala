@@ -268,4 +268,64 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Duplicate-cluster extraction — the KEEP-LIST step of corpus dedup:
+    * connected components over the undirected near-duplicate pair graph
+    * (from [[ngramJaccardPairs]], [[minHashLshCandidates]] or
+    * [[graft.ops.Similarity.srpNearPairs]]), labeling every document with
+    * the minimum doc id reachable through the graph. `cluster_id == id`
+    * marks the cluster representative a pipeline keeps; everything else is
+    * dropped as a duplicate. Documents absent from `pairs` are singleton
+    * clusters (their own representative).
+    *
+    * Distributed iterative min-label propagation: labels start as each
+    * node's own id; each round every node takes the min of its own and its
+    * neighbors' labels; converge when a round changes nothing. Rounds
+    * needed = graph diameter — near-dup components are tiny (pairs above a
+    * similarity threshold), so 2-4 rounds in practice; the O(log n)
+    * large-star/small-star variant only pays off on giant components,
+    * which a dedup threshold graph does not produce.
+    *
+    * Scale shape: the pair pipeline is consumed ONCE (both edge
+    * directions come from a single explode pass, materialized by one
+    * localCheckpoint), and propagation runs only over nodes that appear
+    * in `pairs` — at corpus scale that is the near-dup subgraph, orders
+    * of magnitude smaller than the corpus; the full id universe joins in
+    * exactly once at the end to label singletons. Per round: one shuffle
+    * join on the node id + one aggregation over the subgraph; labels are
+    * localCheckpointed so lineage stays O(1). Deterministic for any
+    * partitioning (min is order-insensitive). */
+  def duplicateClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        maxRounds: Int = 50): DataFrame = {
+    // both directions in ONE pass over the (expensive) pairs input
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
+        .filter(col("cluster_id") < col("prev")).count()
+      labels = next
+      round += 1
+    }
+    // singletons (docs with no near-dup pair) label themselves
+    nodes.select(col(idCol).cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
 }

@@ -39,6 +39,24 @@ object TextOps {
   def upperCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Z]"), lit(0)))
 
+  /** Within-document repetition ratio over word n-grams — the
+    * duplicate-content quality signal large-scale corpus filters cut on
+    * (boilerplate/template pages repeat their own n-grams):
+    * 1 − distinct-shingles / total-shingles of the normalized text, in
+    * [0, 1), 0 = no repeated n-gram. Distinct count via the single-pass
+    * [[graft.functions.ShingleHashSet]] codegen kernel; total = the shingle
+    * count of an ntok-token doc (max(ntok − n + 1, 1) — short docs yield
+    * their single partial shingle, matching the kernel). Narrow codegen
+    * map, zero shuffle. Returned UNROUNDED: both engines compute the same
+    * 1.0 − (double)d/(double)t IEEE expression, so the oracle matches
+    * bit-for-bit without a rounding knife-edge. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val ntok = size(wsTokens(normalizeText(text)))
+    val total = greatest(ntok - (n - 1), lit(1))
+    val distinctN = size(graft.functions.TextFunctions.shingle_hashes(text, n))
+    lit(1.0) - distinctN.cast("double") / total.cast("double")
+  }
+
   /** Language-ID stopword families. Deterministic n-gram/stopword heuristic:
     * score = number of language-marker word hits; argmax with a fixed
     * priority order (en, de, es, fr, zh) for ties. */

@@ -93,6 +93,36 @@ class DedupSpec extends SparkTestBase {
     assert(pruned == Map((100L, 101L) -> 1.0))
   }
 
+  test("duplicateClusters labels components with the min reachable id") {
+    // components: {1,2,3} via chain 1-2, 2-3 (1-3 NOT a direct pair),
+    // {10,11}, and singletons 20, 21 (no pairs at all)
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(nodes, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L))
+    // chain needing multiple propagation rounds: 5-4, 4-3, 3-2, 2-1
+    val chainNodes = (1L to 5L).toDF("doc_id")
+    val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val chained = Dedup.duplicateClusters(chainNodes, "doc_id", chain)
+      .as[(Long, Long)].collect().toMap
+    assert(chained.values.toSet == Set(1L))
+  }
+
+  test("repetitionRatio measures within-doc duplicate shingles") {
+    val docs2 = Seq(
+      (1L, "a b c d e"),             // 3 shingles, all distinct -> 0
+      (2L, "x y z x y z x y z"),     // 7 shingles, 3 distinct -> 4/7
+      (3L, "w"))                     // short doc: 1 partial shingle -> 0
+      .toDF("doc_id", "text")
+    val r = docs2.select(col("doc_id"), TextOps.repetitionRatio(col("text"), 3))
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0)
+    assert(r(2L) == 1.0 - 3.0 / 7.0)
+    assert(r(3L) == 0.0)
+  }
+
   test("fingerprint is invariant to case/punctuation/whitespace") {
     val fps = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)].collect().toMap
