@@ -248,13 +248,18 @@ object Dedup {
     val exploded = sets
       .select(col("block"), col("id"), size(col("hs")).as("n_sh"), explode(col("hs")).as("h"))
       .repartition(n, col("block"), col("h"))
-    // shingles are distinct per doc, so count(*) per (block, h) IS the
-    // within-block document frequency
-    val rareKeys = exploded.groupBy(col("block"), col("h"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select(col("block"), col("h"))
-    val pruned = exploded.join(rareKeys, Seq("block", "h"), "left_semi")
+    // shingles are distinct per doc, so the count over (block, h) IS the
+    // within-block document frequency. A count WINDOW (not an aggregate +
+    // semi-join): it runs on the very exchange the pair join needs, so the
+    // prune adds one local sort — no second pass over the text/kernel, no
+    // extra exchange, and the pruned subtree stays identical for both join
+    // sides (one ReuseExchange)
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("h"))
+    val pruned = exploded
+      .withColumn("__df", count(lit(1)).over(wDf))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
     val a = pruned.select(col("block"), col("h"),
       col("id").as("id_a"), col("n_sh").as("na"))
     val b = pruned.select(col("block"), col("h"),
