@@ -55,9 +55,15 @@ object DsgdBpr {
   @inline private def userBlock(user: Int, p: Int): Int = math.floorMod(user, p)
   @inline private def itemBlock(item: Int, p: Int): Int = math.floorMod(item, p)
 
+  /** `trace` gives the at-scale trainer the same per-epoch observability as
+    * [[Bpr.train]]: max item-factor delta (reported by each stratum through
+    * a max-accumulator — zero extra jobs), opt-in P/R@k (prices a
+    * users × items scoring pass per epoch), factor parquet snapshots every
+    * `snapshotEvery` epochs + final. */
   def train(positives: DataFrame, userCol: String, itemCol: String,
             numItems: Int, p: Params = Params(),
-            itemGenres: Option[Map[Int, Array[Int]]] = None): Bpr.ModelArrays = {
+            itemGenres: Option[Map[Int, Array[Int]]] = None,
+            trace: Trace.BprConfig = Trace.BprConfig()): Bpr.ModelArrays = {
     val spark = positives.sparkSession
     import spark.implicits._
     val P = p.blocks
@@ -92,7 +98,11 @@ object DsgdBpr {
     users.count()
 
     val pp = p
+    val deltaAcc = new Trace.MaxAccumulator
+    sc.register(deltaAcc, "dsgd_max_item_delta")
+    val epochHist = scala.collection.mutable.ArrayBuffer.empty[Trace.EpochStats]
     for (epoch <- 0 until p.epochs; sub <- 0 until P) {
+      if (sub == 0) deltaAcc.reset()
       // stratum for item block q pairs with user block (q - sub) mod P;
       // key both sides by the ITEM block id
       val keyedUsers = users.groupByKey(ur => math.floorMod(ur.block + sub, P))
@@ -102,6 +112,11 @@ object DsgdBpr {
         val blockUsers = uIt.toArray.sortBy(_.user) // deterministic order
         if (itemRows.isEmpty) Iterator.single(StratumOut(blockUsers, itemRows))
         else {
+          // epoch-delta bookkeeping: factors are mutated in place, so clone
+          // the stratum's starting values (O(block items x d), small next to
+          // the SGD work itself) and report |final - start| to the max
+          // accumulator — no extra jobs, safe under task re-execution
+          val startF = itemRows.map(_.f.clone())
           val localIdx = itemRows.iterator.map(_.item).zipWithIndex.toMap
           // within-block popularity CDF over the block's items
           val pop = bcPop.value
@@ -146,6 +161,18 @@ object DsgdBpr {
             }
             ur.copy(u = u)
           }
+          var md = 0.0
+          var r = 0
+          while (r < itemRows.length) {
+            var k = 0
+            while (k < d) {
+              val dd = math.abs(itemRows(r).f(k) - startF(r)(k))
+              if (dd > md) md = dd
+              k += 1
+            }
+            r += 1
+          }
+          deltaAcc.add(md)
           Iterator.single(StratumOut(updatedUsers, itemRows))
         }
       }.persist()
@@ -161,6 +188,37 @@ object DsgdBpr {
       prevUsers.unpersist(blocking = false)
       prevItems.unpersist(blocking = false)
       out.unpersist(blocking = false)
+
+      if (sub == P - 1) {
+        // epoch boundary: report the trace, snapshot on cadence
+        val it = epoch + 1
+        def userDf = users.map(ur => (ur.user, ur.u.toSeq)).toDF("id", "features")
+        def itemDf = items.map(ir => (ir.item, ir.f.toSeq)).toDF("id", "features")
+        val (pk, rk) =
+          if (trace.computeMetrics) {
+            val scored = userDf.select(col("id").as("user"), col("features").as("u"))
+              .crossJoin(broadcast(itemDf.select(col("id").as("item"), col("features").as("v"))))
+              .select(col("user"), col("item"),
+                graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
+            val r = Metrics.precisionRecallAtK(scored,
+              positives.select(col(userCol).as("user"), col(itemCol).as("item")),
+              "user", "item", "score", trace.metricK).head()
+            (r.getDouble(0), r.getDouble(1))
+          } else (Double.NaN, Double.NaN)
+        val st = Trace.EpochStats(it, pk, rk, deltaAcc.value)
+        epochHist += st
+        trace.onEpoch(st)
+        trace.snapshotDir.foreach { dir =>
+          if (it % trace.snapshotEvery == 0)
+            Trace.snapshotFactors(dir, s"epoch_$it", userDf, itemDf)
+        }
+      }
+    }
+    trace.snapshotDir.foreach { dir =>
+      Trace.snapshotFactors(dir, "final",
+        users.map(ur => (ur.user, ur.u.toSeq)).toDF("id", "features"),
+        items.map(ir => (ir.item, ir.f.toSeq)).toDF("id", "features"))
+      Trace.writeBprHistory(spark, dir, epochHist.toSeq)
     }
 
     val userF = users.collect().map(ur => ur.user -> ur.u).toMap

@@ -76,4 +76,19 @@ object Trace {
   def loadModel(spark: SparkSession, dir: String, tag: String): AlsBias.Model =
     AlsBias.Model(spark.read.parquet(s"$dir/$tag/user_factors"),
       spark.read.parquet(s"$dir/$tag/item_factors"))
+
+  /** Max-aggregating accumulator: lets distributed training strata report
+    * their local max factor delta with ZERO extra jobs (piggybacks on the
+    * materializing action). Safe under task re-execution — max is
+    * idempotent for repeated values, unlike a sum. */
+  final class MaxAccumulator extends org.apache.spark.util.AccumulatorV2[Double, Double] {
+    private var _max: Double = Double.NegativeInfinity
+    def isZero: Boolean = _max == Double.NegativeInfinity
+    def copy(): MaxAccumulator = { val a = new MaxAccumulator; a._max = _max; a }
+    def reset(): Unit = _max = Double.NegativeInfinity
+    def add(v: Double): Unit = if (v > _max) _max = v
+    def merge(other: org.apache.spark.util.AccumulatorV2[Double, Double]): Unit =
+      add(other.value)
+    def value: Double = if (isZero) 0.0 else _max
+  }
 }

@@ -97,4 +97,32 @@ class TraceSpec extends SparkTestBase {
       .as[(Int, Seq[Double])].collect().toMap
     model.userFactors.foreach { case (u, f) => assert(storedUsers(u) == f.toSeq) }
   }
+
+  test("DsgdBpr epoch trace: accumulator delta, metrics, snapshot round-trip") {
+    val positives = Seq(
+      (0, 0), (0, 1), (0, 2), (1, 1), (1, 3), (2, 0), (2, 3), (3, 2), (3, 4))
+      .toDF("user", "item")
+    val dir = tmpDir("dsgd_trace")
+    val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.EpochStats]
+    val model = DsgdBpr.train(positives, "user", "item", numItems = 5,
+      DsgdBpr.Params(rank = 2, epochs = 3, blocks = 2, seed = 11, initScale = 0.1),
+      trace = Trace.BprConfig(computeMetrics = true, metricK = 2,
+        onEpoch = hist += _, snapshotDir = Some(dir), snapshotEvery = 2))
+    assert(hist.map(_.epoch) == Seq(1, 2, 3))
+    assert(hist.forall(s => s.maxItemDelta > 0))
+    assert(hist.forall(s => s.precisionAtK >= 0 && s.precisionAtK <= 1))
+    for (tag <- Seq("epoch_2", "final"))
+      assert(new java.io.File(s"$dir/$tag/item_factors").exists, tag)
+    val storedItems = spark.read.parquet(s"$dir/final/item_factors")
+      .as[(Int, Seq[Double])].collect().toMap
+    model.itemFactors.zipWithIndex.foreach { case (f, i) =>
+      assert(storedItems(i) == f.toSeq)
+    }
+    // tracing must not perturb training: same model as the untraced run
+    val untraced = DsgdBpr.train(positives, "user", "item", numItems = 5,
+      DsgdBpr.Params(rank = 2, epochs = 3, blocks = 2, seed = 11, initScale = 0.1))
+    model.itemFactors.zipWithIndex.foreach { case (f, i) =>
+      assert(untraced.itemFactors(i).toSeq == f.toSeq)
+    }
+  }
 }
