@@ -116,26 +116,31 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Shared CTE chain computing the 62-bit simhash per doc as h(id, sh):
+    * per-token (h1, h2) polynomial hashes, 62 bit-majority votes, packed. */
+  private def sqlSimHashCtes: String = {
+    val bitSums = (0 until 62).map { b =>
+      val (src, sh) = if (b < 31) ("h1", b) else ("h2", b - 31)
+      s"sum(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val pack = (0 until 62)
+      .map(b => s"(CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS tok FROM documents),
+       |th AS (SELECT doc_id, ${sqlPolyHash("tok", 131, 7)} AS h1,
+       |              ${sqlPolyHash("tok", 137, 11)} AS h2 FROM toks),
+       |bitsums AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |h AS (SELECT doc_id AS id, ($pack) AS sh FROM bitsums)""".stripMargin
+  }
+
   /** 62-bit SimHash per document; oracle replays the per-token (h1, h2)
     * hashes and all 62 bit-majority votes in SQL. */
   private val q44 = Q("q44_simhash",
     (s, d) => Dedup.simHash(documents(s, d), "doc_id", "text")
       .orderBy(col("id")),
-    Some {
-      val bitSums = (0 until 62).map { b =>
-        val (src, sh) = if (b < 31) ("h1", b) else ("h2", b - 31)
-        s"sum(CASE WHEN (($src >> $sh) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
-      }.mkString(", ")
-      val pack = (0 until 62)
-        .map(b => s"(CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
-        .mkString(" | ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS tok FROM documents),
-         |th AS (SELECT doc_id, ${sqlPolyHash("tok", 131, 7)} AS h1,
-         |              ${sqlPolyHash("tok", 137, 11)} AS h2 FROM toks),
-         |bitsums AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id)
-         |SELECT doc_id AS id, ($pack) AS simhash FROM bitsums ORDER BY id""".stripMargin
-    })
+    Some(s"""WITH $sqlSimHashCtes
+             SELECT id, sh AS simhash FROM h ORDER BY id"""))
 
   // ---------------------------------------------------------------- text analysis
 
@@ -445,6 +450,36 @@ object PipelineQueries {
                / CAST(greatest(len(string_split($SqlNorm, ' ')) - 2, 1) AS DOUBLE) AS rep_ratio
              FROM documents ORDER BY doc_id"""))
 
+  /** SimHash near-dup pairs: pigeonhole chunk blocking (4 chunks for
+    * hamming <= 3 — a pair within the bound must agree on a whole chunk,
+    * so blocking is exact), bucket cap, exact popcount verify. All integer
+    * arithmetic — the oracle replays chunking and distance bit-for-bit. */
+  private val q56 = Q("q56_simhash_neardup",
+    (s, d) => Dedup.simHashNearPairs(documents(s, d), "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 1000)
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val chunks = 4; val width = 16
+      val banded = (0 until chunks).map { c =>
+        val lo = c * width
+        val bits = math.min(width, 62 - lo)
+        s"SELECT id, $c AS c, (sh >> $lo) & ${(1L << bits) - 1} AS v FROM h"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $sqlSimHashCtes,
+         |banded AS (
+         |  $banded),
+         |ok AS (SELECT c, v FROM banded GROUP BY c, v
+         |       HAVING count(*) > 1 AND count(*) <= 1000),
+         |pruned AS (SELECT b.* FROM banded b JOIN ok USING (c, v)),
+         |pairs AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+         |          FROM pruned a JOIN pruned b2 USING (c, v)
+         |          WHERE a.id < b2.id)
+         |SELECT p.id_a, p.id_b,
+         |       CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+         |FROM pairs p JOIN h x ON x.id = p.id_a JOIN h y ON y.id = p.id_b
+         |WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY id_a, id_b""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55)
+    q51, q52, q53, q54, q55, q56)
 }

@@ -206,6 +206,52 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs — the pairing step the sketch exists for:
+    * pairs of documents whose 62-bit simhashes differ in at most
+    * `maxHamming` bits.
+    *
+    * Blocking by pigeonhole: the hash is split into `maxHamming + 1` bit
+    * chunks, so two hashes within the distance bound MUST agree on at least
+    * one whole chunk — candidates are pairs sharing any (chunk index, chunk
+    * value) key; the exact popcount distance then verifies them. Exact
+    * (no recall loss), and the quadratic term is confined to same-chunk
+    * buckets. `maxBucketSize` is the standard degenerate-bucket guard:
+    * a chunk value shared by B docs (e.g. a boilerplate corpus where one
+    * 16-bit slice saturates) costs B² comparisons — capped buckets are
+    * refused, mirroring [[minHashLshCandidates]]. All integer arithmetic —
+    * the DuckDB oracle replays chunking and distance exactly. */
+  def simHashNearPairs(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of range")
+    val chunks = maxHamming + 1
+    val width = (62 + chunks - 1) / chunks // ceil; last chunk may be narrower
+    val hashes = simHash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkKeys = (0 until chunks).map { c =>
+      val lo = c * width
+      val bits = math.min(width, 62 - lo)
+      struct(lit(c).as("c"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << bits) - 1)).as("v"))
+    }
+    val banded = hashes.select(col("id"), explode(array(chunkKeys: _*)).as("bk"))
+    val okBuckets = banded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("bk"))
+    val pruned = banded.join(okBuckets, Seq("bk"), "left_semi")
+    val pairs = pruned.select(col("bk"), col("id").as("id_a"))
+      .join(pruned.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(hashes.select(col("id").as("id_a"), col("simhash").as("ha")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("simhash").as("hb")), Seq("id_b"))
+      .withColumn("hamming", hammingDist(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: candidates share (lang, length
     * bucket); Jaccard over distinct word shingles.
     *

@@ -93,6 +93,26 @@ class DedupSpec extends SparkTestBase {
     assert(pruned == Map((100L, 101L) -> 1.0))
   }
 
+  test("simHashNearPairs: exact duplicates pair at distance 0, cap refuses blowup") {
+    val pairs = Dedup.simHashNearPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 0) // identical texts
+    assert(pairs.values.forall(_ <= 3))
+    // every reported pair must satisfy the exact distance on the raw hashes
+    val hs = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    pairs.foreach { case ((a, b), d) =>
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) == d)
+    }
+    // degenerate corpus (all identical): every chunk bucket holds all docs;
+    // a cap below the corpus size refuses the B^2 blowup
+    val dup = (0 until 12).map(i => (i.toLong, "same text every time", "en", 20L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(Dedup.simHashNearPairs(dup, "doc_id", "text", 3, maxBucketSize = 5)
+      .count() == 0)
+    assert(Dedup.simHashNearPairs(dup, "doc_id", "text", 3, maxBucketSize = 20)
+      .count() == 12L * 11 / 2)
+  }
+
   test("duplicateClusters labels components with the min reachable id") {
     // components: {1,2,3} via chain 1-2, 2-3 (1-3 NOT a direct pair),
     // {10,11}, and singletons 20, 21 (no pairs at all)
