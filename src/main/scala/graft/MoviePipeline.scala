@@ -70,7 +70,12 @@ object MoviePipeline {
     * positives count reaches `distributedThreshold`, else the
     * reference-faithful broadcast trainer. The broadcast path ships an
     * O(numItems × rank) matrix per epoch and merges deltas on the driver —
-    * that is what stops scaling first, so the at-scale default is DSGD. */
+    * that is what stops scaling first, so the at-scale default is DSGD.
+    * Auto mode NEVER switches a quirk-compat run: `refCompatRegSign`
+    * reproduces the reference's +reg sign, which DsgdBpr deliberately does
+    * not implement — flipping the loss because the data grew would be a
+    * silent semantic change, so those runs stay on the broadcast trainer
+    * (force with `Some(true)` to insist). */
   def implicitTraining(ratings: DataFrame, p: Bpr.Params,
                        ks: Seq[Int] = Seq(40, 50, 60),
                        minUserRatings: Int = 10,
@@ -81,12 +86,14 @@ object MoviePipeline {
     val curated = Ingest.prepareImplicit(ratings, minUserRatings)
     val numItems = curated.agg(max(col("movieId_order"))).head().getInt(0) + 1
     val positives = curated.select(col("userId_order").as("user"), col("movieId_order").as("item"))
-    val useDsgd = distributed.getOrElse(positives.count() >= distributedThreshold)
+    val useDsgd = distributed.getOrElse(
+      !p.refCompatRegSign && positives.count() >= distributedThreshold)
     val model =
       if (useDsgd)
         graft.model.DsgdBpr.train(positives, "user", "item", numItems,
           graft.model.DsgdBpr.Params(rank = p.rank, lr = p.lr, reg = p.reg,
-            epochs = p.epochs, seed = p.seed, initScale = p.initScale))
+            epochs = p.epochs, seed = p.seed,
+            maxSampleRetries = p.maxSampleRetries, initScale = p.initScale))
       else Bpr.train(positives, "user", "item", numItems, p)
     val (uf, vf) = model.toDataFrames(spark)
     val scored = broadcast(uf.select(col("id").as("user"), col("features").as("u")))

@@ -62,7 +62,13 @@ object PipelineQueries {
              FROM documents ORDER BY doc_id"""))
 
   /** Blocked n-gram Jaccard near-dup pairs: candidates share
-    * (lang, length-bucket); quadratic comparison confined to blocks. */
+    * (lang, length-bucket); quadratic comparison confined to blocks.
+    * The oracle replays the UNPRUNED computation: the operator's
+    * `maxShingleDf` skew guard (default 500) is deliberately above any
+    * block-DF this corpus family produces (max 7 at sf0.1, DF grows with
+    * ln(docs) for the synthetic generator) — on a corpus where the cap
+    * binds, the operator's documented DF-capped-Jaccard semantics apply
+    * and this oracle no longer describes it. */
   private val q42 = Q("q42_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
         Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)

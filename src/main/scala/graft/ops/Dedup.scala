@@ -220,16 +220,27 @@ object Dedup {
     * 16-bit slice saturates) costs B² comparisons — capped buckets are
     * refused, mirroring [[minHashLshCandidates]]. All integer arithmetic —
     * the DuckDB oracle replays chunking and distance exactly. */
+  /** Bit ranges distributing 62 bits over `chunks` NON-EMPTY chunks:
+    * the first 62 % chunks get ceil width, the rest floor width. Every
+    * chunk spans >= 1 bit for chunks <= 62, which the pigeonhole argument
+    * requires (a naive uniform-ceil split leaves trailing chunks EMPTY
+    * once chunks >= 9 — an empty chunk is one universal bucket, and after
+    * the bucket-size cap drops it the remaining chunks no longer cover
+    * the distance bound: silent recall loss). */
+  private[ops] def chunkRanges(chunks: Int): Seq[(Int, Int)] = {
+    val base = 62 / chunks
+    val extra = 62 % chunks
+    val widths = (0 until chunks).map(c => base + (if (c < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths).take(chunks)
+  }
+
   def simHashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of range")
     val chunks = maxHamming + 1
-    val width = (62 + chunks - 1) / chunks // ceil; last chunk may be narrower
     val hashes = simHash(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkKeys = (0 until chunks).map { c =>
-      val lo = c * width
-      val bits = math.min(width, 62 - lo)
+    val chunkKeys = chunkRanges(chunks).zipWithIndex.map { case ((lo, bits), c) =>
       struct(lit(c).as("c"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << bits) - 1)).as("v"))
     }
@@ -374,6 +385,14 @@ object Dedup {
       labels = next
       round += 1
     }
+    // non-convergence must be LOUD: returning partially-propagated labels
+    // would split one true component into several keep=1 representatives —
+    // duplicates silently surviving dedup
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxRounds rounds " +
+          s"($changed labels still improving) — a component's diameter exceeds " +
+          "maxRounds; raise it (rounds needed = longest chain in the pair graph)")
     // singletons (docs with no near-dup pair) label themselves
     nodes.select(col(idCol).cast("long").as("id"))
       .join(labels, Seq("id"), "left")

@@ -26,11 +26,18 @@ object Similarity {
     * total order as a (sim desc, cand_id asc) row_number window — proven
     * equal in RelationalSpec — but partial-aggregates map-side, so only
     * ≤ k rows per (query, partition) are exchanged. Candidate ids must be
-    * losslessly castable to LONG (they are reference ids throughout). */
+    * losslessly castable to LONG (they are reference ids throughout).
+    * Undefined scores (a zero-norm vector's cosine is NULL under the
+    * guarded [[VectorOps.cosine]]; NaN can reach here from other scorers)
+    * are DROPPED before ranking: NaN compares false under the TopK
+    * buffer's ordering, which would make results depend on partition
+    * arrival order — excluding degenerate candidates is the deterministic,
+    * defensible semantic. */
   private def rankTopK(scored: DataFrame, k: Int, rankName: String): DataFrame = {
     val idType = scored.schema("cand_id").dataType
     val topk = udaf(new Aggregators.TopK(k))
-    scored.groupBy(col("query_id"))
+    scored.filter(col("sim").isNotNull && !isnan(col("sim")))
+      .groupBy(col("query_id"))
       .agg(topk(col("sim"), col("cand_id").cast("long")).as("recs"))
       .select(col("query_id"), posexplode(col("recs")))
       .select(col("query_id"), col("col._2").cast(idType).as("cand_id"),
@@ -104,7 +111,15 @@ object Similarity {
     * vectors (e.g. a mass-duplicated embedding) would otherwise dominate the
     * whole job with B² comparisons. Verified cosines are computed once per
     * distinct candidate pair, joining vectors back by id — candidate pairs,
-    * not the corpus, pay the exchange. */
+    * not the corpus, pay the exchange.
+    *
+    * Cache lifecycle: the bucketed corpus persists MEMORY_AND_DISK for the
+    * duration of the returned frame's consumption; the cache manager
+    * dedupes by canonical plan, so repeated invocations over the same
+    * input share ONE entry. Long sessions mixing many DIFFERENT corpora
+    * should `spark.catalog.clearCache()` between them (as Verify/Bench
+    * do) — an operator returning an unconsumed frame cannot safely
+    * unpersist its own input. */
   def srpNearPairs(df: DataFrame, idCol: String, vecCol: String,
                    numPlanes: Int, minCosine: Double, dim: Int = 64,
                    bands: Int = 1, maxBucketSize: Int = 1000,

@@ -39,8 +39,13 @@ object VectorOps {
   /** ‖a‖₂ */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cos(a,b) = a·b / (‖a‖‖b‖) */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** cos(a,b) = a·b / (‖a‖‖b‖). A zero-norm vector has no defined cosine:
+    * the denominator is NULLIF-guarded, so degenerate vectors yield NULL —
+    * which threshold filters and the TopK rank paths then exclude — instead
+    * of an ANSI DIVIDE_BY_ZERO killing the whole job (one corrupt
+    * embedding must not fail a corpus-scale query). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** a + s·b (axpy), used by fold-in updates. */
   def axpy(s: Column, a: Column, b: Column): Column =

@@ -38,6 +38,14 @@ class MoviePipelineSpec extends SparkTestBase {
     // both trainers land in the same metric neighborhood
     assert(math.abs(dsgd._1 - bcast._1) <= 0.25, s"precision $dsgd vs $bcast")
     assert(math.abs(dsgd._2 - bcast._2) <= 0.25, s"recall $dsgd vs $bcast")
+    // a quirk-compat run (refCompatRegSign reproduces the reference's +reg
+    // sign, which DSGD deliberately lacks) must NOT auto-switch trainers
+    val quirk = p.copy(refCompatRegSign = true)
+    val quirkAuto = MoviePipeline.implicitTraining(ratings, quirk, ks = Seq(10),
+      distributed = None, distributedThreshold = 1L)(10)
+    val quirkBcast = MoviePipeline.implicitTraining(ratings, quirk, ks = Seq(10),
+      distributed = Some(false), distributedThreshold = 1L)(10)
+    assert(quirkAuto == quirkBcast)
   }
 
   test("pipeline is deterministic for a fixed seed") {

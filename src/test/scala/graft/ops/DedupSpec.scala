@@ -113,6 +113,31 @@ class DedupSpec extends SparkTestBase {
       .count() == 12L * 11 / 2)
   }
 
+  test("simHash chunk split covers all 62 bits with non-empty chunks") {
+    for (chunks <- 1 to 62) {
+      val ranges = Dedup.chunkRanges(chunks)
+      assert(ranges.length == chunks)
+      assert(ranges.forall(_._2 >= 1), s"empty chunk at chunks=$chunks")
+      // disjoint cover of [0, 62)
+      val covered = ranges.flatMap { case (lo, w) => lo until (lo + w) }
+      assert(covered == (0 until 62), s"bad cover at chunks=$chunks")
+    }
+    // the high-chunk regime that broke a uniform-ceil split: identical docs
+    // must still pair at distance 0 with maxHamming = 9 (10 chunks)
+    val pairs = Dedup.simHashNearPairs(docs, "doc_id", "text", maxHamming = 9)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("duplicateClusters refuses to return non-converged labels") {
+    val nodes = (1L to 5L).toDF("doc_id")
+    val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(nodes, "doc_id", chain, maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("duplicateClusters labels components with the min reachable id") {
     // components: {1,2,3} via chain 1-2, 2-3 (1-3 NOT a direct pair),
     // {10,11}, and singletons 20, 21 (no pairs at all)

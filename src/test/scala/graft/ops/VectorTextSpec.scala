@@ -106,6 +106,18 @@ class VectorTextSpec extends SparkTestBase {
     }
   }
 
+  test("cosineTopK drops NaN-scoring (zero-norm) candidates deterministically") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 0.0f)), // zero vector: NaN cosine
+      (12L, Seq(0.5f, 0.5f)), (13L, Seq(-1.0f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 3)
+      .select("cand_id").as[Long].collect().toSeq
+    // the zero vector never appears; the 3 finite candidates all do
+    assert(got.toSet == Set(10L, 12L, 13L))
+  }
+
   test("srpNearPairs returns only pairs above threshold, deterministic") {
     val vecs = (0 until 40).map { i =>
       val base = if (i % 2 == 0) 1.0 else -1.0
