@@ -486,6 +486,37 @@ object PipelineQueries {
          |WHERE bit_count(xor(x.sh, y.sh)) <= 3 ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Context-window chunking: 64-token windows with spans + chunk text —
+    * the sequence-splitting step before tokenization/packing. */
+  private val q57 = Q("q57_chunking",
+    (s, d) => TextOps.chunkSpans(
+        Layout.spread(documents(s, d), "doc_id"), "doc_id", "text", 64)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+            FROM documents),
+            c AS (SELECT doc_id, toks, n,
+              unnest(range(0, (n - 1) // 64 + 1)) AS chunk_idx FROM t)
+            SELECT doc_id, chunk_idx, chunk_idx * 64 AS tok_start,
+              least((chunk_idx + 1) * 64, n) AS tok_end,
+              array_to_string(toks[chunk_idx * 64 + 1 : chunk_idx * 64 + 64], ' ')
+                AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Deterministic stratified sampling: per-language keep rates via an
+    * integer-LCG draw over the doc id — the corpus-mixing downsampling
+    * step, exactly replayed by the oracle. */
+  private val q58 = Q("q58_stratified_sample",
+    (s, d) => TextOps.stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map("en" -> 50, "de" -> 30), defaultPct = 10)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100 <
+              CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56)
+    q51, q52, q53, q54, q55, q56, q57, q58)
 }

@@ -57,6 +57,46 @@ object TextOps {
     lit(1.0) - distinctN.cast("double") / total.cast("double")
   }
 
+  /** Context-window chunking: split each document into fixed-size token
+    * windows — the sequence-splitting step a training pipeline runs before
+    * tokenization/packing. One row per (doc, chunk) with the token span and
+    * the chunk text; a doc shorter than `chunkTokens` yields one chunk.
+    * Narrow map + explode: no shuffle, chunk count scales with corpus
+    * tokens, and the token array is built once per doc (all built-ins —
+    * stays in whole-stage codegen). */
+  def chunkSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, chunkTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("__n"))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        explode(sequence(lit(0L),
+          floor((col("__n") - 1L) / chunkTokens).cast("long"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunkTokens).as("tok_start"),
+        least((col("chunk_idx") + 1L) * chunkTokens, col("__n")).as("tok_end"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * chunkTokens + 1L).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Deterministic hash-based stratified sampling — per-stratum downsampling
+    * (by language, quality bucket, source...) as corpus mixing needs it.
+    * The keep decision is an integer LCG over the row id (the same
+    * SQL-replayable family as the SRP planes): reproducible on any cluster
+    * or partitioning, no RNG state, and the oracle replays every draw.
+    * `ratesPct`: percent to KEEP per stratum value; others keep
+    * `defaultPct`. */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       strataCol: String, ratesPct: Map[String, Int],
+                       defaultPct: Int): org.apache.spark.sql.DataFrame = {
+    val draw = pmod((col(idCol).cast("long") * 1103515245L + 12345L) / 65536L, lit(100L))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(draw < rate)
+  }
+
   /** Language-ID stopword families. Deterministic n-gram/stopword heuristic:
     * score = number of language-marker word hits; argmax with a fixed
     * priority order (en, de, es, fr, zh) for ties. */

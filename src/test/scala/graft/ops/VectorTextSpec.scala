@@ -106,6 +106,37 @@ class VectorTextSpec extends SparkTestBase {
     }
   }
 
+  test("chunkSpans splits docs into token windows with exact spans") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, cap 4 -> 3 chunks
+      (2L, "only three tokens"))                      // shorter than cap -> 1 chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkSpans(docs, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, 8L, "t5 t6 t7 t8"),
+      (1L, 2L, 8L, 10L, "t9 t10"),
+      (2L, 0L, 0L, 3L, "only three tokens")))
+  }
+
+  test("stratifiedSample keeps per-stratum rates deterministically") {
+    val docs = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "zz"))
+      .toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 50), defaultPct = 10)
+      .as[(Long, String)].collect()
+    val en = kept.count(_._2 == "en")
+    val zz = kept.count(_._2 == "zz")
+    // LCG draw is uniform-ish: en ~ 250 of 500, zz ~ 50 of 500
+    assert(en > 200 && en < 300, s"en kept $en")
+    assert(zz > 25 && zz < 75, s"zz kept $zz")
+    // bit-identical on re-run (no RNG state)
+    val again = TextOps.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 50), defaultPct = 10).as[(Long, String)].collect()
+    assert(again.toSeq == kept.toSeq)
+  }
+
   test("cosineTopK drops NaN-scoring (zero-norm) candidates deterministically") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 0.0f)), // zero vector: NaN cosine
