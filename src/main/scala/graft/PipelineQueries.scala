@@ -513,10 +513,111 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id")),
     Some("""SELECT doc_id, lang FROM documents
-            WHERE ((doc_id * 1103515245 + 12345) // 65536) % 100 <
+            WHERE (((((doc_id % 2147483648) * 1103515245 + 12345)
+                     % 2147483648) // 65536) % 100) <
               CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 30 ELSE 10 END
             ORDER BY doc_id"""))
 
+  /** Benchmark decontamination: docs sharing a 4-token shingle with the
+    * held-out set (doc_id % 97 — an eval-suite stand-in). The corpus side
+    * never shuffles; the benchmark shingle-hash set broadcasts. Overlap is
+    * counted over 62-bit hashes; the oracle counts the shingle strings —
+    * identical absent kernel-hash collisions (q42's argument). Real
+    * pipelines use n ≈ 8–13; n = 4 here because the synthetic 30-word
+    * vocabulary makes longer exact shingles vanishingly rare. */
+  private val q59 = Q("q59_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 4, minOverlap = 1)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH s AS (SELECT doc_id, list_distinct(list_transform(
+               range(0, greatest(len(string_split($SqlNorm, ' ')) - 4, 0) + 1),
+               i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 4], ' '))) AS sh
+             FROM documents),
+             bh AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+             ch AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0)
+             SELECT ch.doc_id, count(*) AS n_overlap FROM ch JOIN bh USING (g)
+             GROUP BY ch.doc_id ORDER BY doc_id"""))
+
+  /** Corpus-wide duplicated-segment removal (CCNet/RefinedWeb line dedup,
+    * with 8-token windows standing in for lines — this corpus has no
+    * newlines): segments occurring >= 2 times anywhere in the corpus are
+    * dropped, documents reassembled from what's left. */
+  private val q60 = Q("q60_segment_dedup",
+    (s, d) => Dedup.dedupSegments(
+        TextOps.chunkSpans(Layout.spread(documents(s, d), "doc_id"),
+            "doc_id", "text", 8)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_text")),
+        "doc_id", "chunk_idx", "chunk_text", minDupCount = 2)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+            FROM documents),
+            c AS (SELECT doc_id, unnest(range(0, (n - 1) // 8 + 1)) AS ci, toks, n FROM t),
+            seg AS (SELECT doc_id, ci,
+              array_to_string(toks[ci * 8 + 1 : ci * 8 + 8], ' ') AS s FROM c),
+            k AS (SELECT doc_id, ci, s, count(*) OVER (PARTITION BY s) AS dup FROM seg)
+            SELECT doc_id,
+              string_agg(CASE WHEN dup < 2 THEN s END, ' ' ORDER BY ci) AS clean_text,
+              CAST(sum(CASE WHEN dup < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN dup < 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+            FROM k GROUP BY doc_id
+            HAVING sum(CASE WHEN dup < 2 THEN 1 ELSE 0 END) > 0
+            ORDER BY doc_id"""))
+
+  /** Concatenation packing of 16-token chunks into 256-token training
+    * sequences across 32 deterministic pack groups — the batch-shaping step
+    * between chunking and tokenization. The oracle replays the running-fill
+    * window exactly (all integer arithmetic). */
+  private val q61 = Q("q61_pack_sequences",
+    (s, d) => TextOps.packSequences(
+        TextOps.chunkSpans(Layout.spread(documents(s, d), "doc_id"),
+          "doc_id", "text", 16),
+        capacity = 256, numGroups = 32)
+      .orderBy(col("pack_group"), col("doc_id"), col("chunk_idx")),
+    Some("""WITH t AS (SELECT doc_id,
+              regexp_split_to_array(trim(text), '\s+') AS toks,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+            FROM documents),
+            c AS (SELECT doc_id, unnest(range(0, (n - 1) // 16 + 1)) AS chunk_idx, n FROM t),
+            seg AS (SELECT doc_id, chunk_idx,
+              least((chunk_idx + 1) * 16, n) - chunk_idx * 16 AS ntok,
+              doc_id % 32 AS pack_group FROM c),
+            p AS (SELECT pack_group, doc_id, chunk_idx, ntok,
+              CAST(sum(ntok) OVER (PARTITION BY pack_group
+                ORDER BY doc_id, chunk_idx) AS BIGINT) AS cum FROM seg)
+            SELECT pack_group, (cum - ntok) // 256 AS seq_id, doc_id, chunk_idx, ntok
+            FROM p ORDER BY pack_group, doc_id, chunk_idx"""))
+
+  /** PII scrubbing: emails, IPv4s, phone numbers → typed placeholders, with
+    * the substitution count. A narrow codegen map — the regex family is
+    * valid in both Java regex and RE2, so the oracle replays the exact
+    * redaction chain. (This corpus plants no PII — the operator's match
+    * semantics are exercised in VectorTextSpec; here both engines must
+    * agree the text is clean.) */
+  private val q62 = Q("q62_pii_redact",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean_text"),
+        TextOps.piiCount(col("text")).as("n_pii"))
+      .orderBy(col("doc_id")),
+    Some {
+      val Seq(em, ip, ph) = TextOps.PiiPatterns.map(_._2)
+      s"""WITH r1 AS (SELECT doc_id, text,
+           regexp_replace(text, '$em', '<email>', 'g') AS t1 FROM documents),
+         r2 AS (SELECT doc_id, text, t1,
+           regexp_replace(t1, '$ip', '<ipv4>', 'g') AS t2 FROM r1)
+         SELECT doc_id, regexp_replace(t2, '$ph', '<phone>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '$em'))
+              + len(regexp_extract_all(t1, '$ip'))
+              + len(regexp_extract_all(t2, '$ph')) AS BIGINT) AS n_pii
+         FROM r2 ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
 }

@@ -398,4 +398,72 @@ object Dedup {
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
+
+  /** Benchmark decontamination: corpus documents sharing >= `minOverlap`
+    * distinct n-token shingles (of the normalized text) with ANY benchmark
+    * document — the train/eval-overlap filter a training pipeline runs
+    * before the corpus ships. Returns (doc_id, n_overlap) for contaminated
+    * docs only; anti-join the result against the corpus to drop them.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus (eval
+    * suites are MBs against TBs), so its DISTINCT shingle-hash set is
+    * broadcast; the corpus side is a narrow single-pass kernel map +
+    * explode filtered against that broadcast set — the corpus itself never
+    * shuffles. Only the matching (doc, hash) rows — a vanishing fraction —
+    * pay the final per-doc count aggregation. Overlap is counted over
+    * 62-bit shingle hashes, collision-free in practice (same argument as
+    * the q42 oracle). Real pipelines use n ≈ 8–13; anything sharing a
+    * 13-gram with a benchmark is a leak, not a coincidence. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val benchHashes = bench
+      .select(explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("h"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("h"))
+      .join(broadcast(benchHashes), Seq("h"))
+      // kernel sets are per-doc distinct, so plain count = distinct overlap
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Corpus-wide duplicated-segment removal (the line/paragraph dedup step
+    * of CCNet/RefinedWeb-style pipelines): drop every segment whose exact
+    * text occurs >= `minDupCount` times across the WHOLE corpus (boilerplate
+    * headers, navigation, license blocks), then reassemble each document
+    * from its kept segments in order. Input is any (id, idx, segment) frame
+    * — newline splits ([[TextOps.lineSpans]]), paragraphs, or token windows
+    * ([[TextOps.chunkSpans]]). Documents whose every segment is dropped
+    * disappear from the output.
+    *
+    * Scale shape: segments shuffle once on a 16-byte md5 digest for the
+    * corpus-wide count (never on segment text), the keep-filter is a
+    * window over that same exchange (no second join, no second scan —
+    * the q42 lesson), and reassembly shuffles only kept segments on the
+    * doc id. Returns (doc_id, clean_text, n_kept, n_dropped). */
+  def dedupSegments(segments: DataFrame, idCol: String, idxCol: String,
+                    segCol: String, minDupCount: Int = 2,
+                    sep: String = " "): DataFrame = {
+    require(minDupCount >= 2, "minDupCount must be >= 2")
+    val nPart = segments.sparkSession.sessionState.conf.numShufflePartitions
+    val hashed = segments
+      .select(col(idCol).as("doc_id"), col(idxCol).cast("long").as("seg_idx"),
+        col(segCol).as("seg"), md5(col(segCol).cast("binary")).as("seg_hash"))
+      .repartition(nPart, col("seg_hash"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("seg_hash"))
+    hashed
+      .withColumn("__dup", count(lit(1)).over(w))
+      .withColumn("__keep", col("__dup") < minDupCount)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")), sep).as("clean_text"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
 }

@@ -80,22 +80,93 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Newline segments as (doc_id, seg_idx, seg) rows — the natural input to
+    * [[graft.ops.Dedup.dedupSegments]] for line-structured corpora (use
+    * [[chunkSpans]] for unstructured text). Narrow map + posexplode, no
+    * shuffle. */
+  def lineSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("doc_id"), posexplode(split(col(textCol), "\n")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        col("col").as("seg"))
+
   /** Deterministic hash-based stratified sampling — per-stratum downsampling
     * (by language, quality bucket, source...) as corpus mixing needs it.
-    * The keep decision is an integer LCG over the row id (the same
-    * SQL-replayable family as the SRP planes): reproducible on any cluster
-    * or partitioning, no RNG state, and the oracle replays every draw.
-    * `ratesPct`: percent to KEEP per stratum value; others keep
+    * The keep decision is a glibc-style integer LCG over the row id (the
+    * same SQL-replayable family as the SRP planes): reproducible on any
+    * cluster or partitioning, no RNG state, and the oracle replays every
+    * draw. The id is reduced mod 2^31 BEFORE the multiply so the product
+    * stays below 2^62 — exact all-integer arithmetic for any 64-bit id
+    * (an unreduced `id * a` overflows Long past id ≈ 8.4e9, and a double
+    * division loses exactness past the 2^53 mantissa — both real at corpus
+    * scale). `ratesPct`: percent to KEEP per stratum value; others keep
     * `defaultPct`. */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
                        strataCol: String, ratesPct: Map[String, Int],
                        defaultPct: Int): org.apache.spark.sql.DataFrame = {
-    val draw = pmod((col(idCol).cast("long") * 1103515245L + 12345L) / 65536L, lit(100L))
+    val m = 2147483648L // 2^31, glibc LCG modulus
+    val x = pmod(pmod(col(idCol).cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
+    val draw = pmod(shiftright(x, 16), lit(100L))
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     df.filter(draw < rate)
   }
+
+  /** Concatenation packing: assign [[chunkSpans]] chunks to fixed-capacity
+    * training sequences — the step that turns variable-length chunks into
+    * dense `capacity`-token batches. Greedy running-fill per pack group:
+    * chunks are ordered (doc_id, chunk_idx) within `numGroups` deterministic
+    * groups (doc_id mod numGroups), and a chunk lands in the sequence where
+    * its running token total starts (chunks may straddle sequence
+    * boundaries — concat-then-split semantics, the standard packing form).
+    *
+    * Scale shape: the only exchange is the group partition; each group sorts
+    * locally. Parallelism = numGroups — size it ~4× cluster cores so a
+    * group's token total stays far below the 2^53 double mantissa (the
+    * running sum is exact below that; 100 TB ≈ 2×10^13 tokens over 10^3+
+    * groups ≈ 10^10/group). Deterministic on any partitioning: group and
+    * order are pure functions of (doc_id, chunk_idx). */
+  def packSequences(chunks: org.apache.spark.sql.DataFrame, capacity: Int,
+                    numGroups: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity > 0 && numGroups > 0, "capacity and numGroups must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("tok_end") - col("tok_start")).as("ntok"),
+        pmod(col("doc_id"), lit(numGroups.toLong)).as("pack_group"))
+      .withColumn("__cum", sum(col("ntok")).over(w))
+      .select(col("pack_group"),
+        floor((col("__cum") - col("ntok")) / capacity).cast("long").as("seq_id"),
+        col("doc_id"), col("chunk_idx"), col("ntok"))
+  }
+
+  /** PII patterns redacted by [[redactPii]] — emails, IPv4 addresses, and
+    * international-ish phone numbers. Deliberately simple regexes valid in
+    * both Java regex and RE2 so the DuckDB oracle replays them. Order
+    * matters: emails first (their local part can contain digits a later
+    * pattern would chew up). */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\+?\\d[\\d() -]{7,}\\d")
+
+  /** Replace each PII match with a `<kind>` placeholder — the scrubbing
+    * step a corpus runs before training. Narrow codegen map, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (kind, re)) =>
+      regexp_replace(t, re, s"<$kind>")
+    }
+
+  /** Total substitutions [[redactPii]] performs: pattern k is counted on
+    * the text with patterns 1..k−1 already redacted, so a digit run inside
+    * an email is never double-counted as a phone number. */
+  def piiCount(text: Column): Column =
+    PiiPatterns.foldLeft((text, lit(0L))) { case ((t, acc), (kind, re)) =>
+      (regexp_replace(t, re, s"<$kind>"),
+        acc + size(regexp_extract_all(t, lit(re), lit(0))).cast("long"))
+    }._2
 
   /** Language-ID stopword families. Deterministic n-gram/stopword heuristic:
     * score = number of language-marker word hits; argmax with a fixed

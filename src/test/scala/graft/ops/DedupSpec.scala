@@ -138,6 +138,48 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("decontaminate flags docs sharing shingles with the benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta more tail"), // shares 4-gram
+      (2L, "alpha beta gamma delta epsilon something else"), // shares two 4-grams
+      (3L, "totally clean text with no benchmark overlap here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L))
+    // minOverlap raises the bar
+    val strict = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4,
+      minOverlap = 2).as[(Long, Long)].collect().toMap
+    assert(strict == Map(2L -> 2L))
+  }
+
+  test("dedupSegments drops corpus-wide duplicate lines and reassembles") {
+    val lined = Seq(
+      (1L, "unique one\nSHARED BOILERPLATE\nunique two"),
+      (2L, "other text\nSHARED BOILERPLATE\nmore text"),
+      (3L, "SHARED BOILERPLATE"), // nothing left: doc disappears
+      (4L, "fully original document"))
+      .toDF("doc_id", "text")
+    val segs = TextOps.lineSpans(lined, "doc_id", "text")
+    val out = Dedup.dedupSegments(segs, "doc_id", "seg_idx", "seg",
+        minDupCount = 2, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "unique one\nunique two", 2L, 1L),
+      (2L, "other text\nmore text", 2L, 1L),
+      (4L, "fully original document", 1L, 0L)))
+  }
+
+  test("dedupSegments counts duplicates within one document too") {
+    val rep = Seq((1L, "a b\nc d\na b\nx y"), (2L, "z z")).toDF("doc_id", "text")
+    val out = Dedup.dedupSegments(TextOps.lineSpans(rep, "doc_id", "text"),
+        "doc_id", "seg_idx", "seg", minDupCount = 2, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // "a b" occurs twice in doc 1: both dropped
+    assert(out == Seq((1L, "c d\nx y", 2L, 2L), (2L, "z z", 1L, 0L)))
+  }
+
   test("duplicateClusters labels components with the min reachable id") {
     // components: {1,2,3} via chain 1-2, 2-3 (1-3 NOT a direct pair),
     // {10,11}, and singletons 20, 21 (no pairs at all)

@@ -137,6 +137,55 @@ class VectorTextSpec extends SparkTestBase {
     assert(again.toSeq == kept.toSeq)
   }
 
+  test("stratifiedSample is exact for ids past the 2^53 double mantissa") {
+    // Corpus-scale ids: the LCG must stay all-integer (no ANSI overflow,
+    // no double rounding). Keep decision must equal the mod-2^31 reduction
+    // of the id computed on the driver.
+    val big = Seq(Long.MaxValue, Long.MaxValue - 1, (1L << 53) + 1, 8400000001L)
+    val docs = big.map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(docs, "doc_id", "lang",
+        Map.empty[String, Int], defaultPct = 50)
+      .as[(Long, String)].collect().map(_._1).toSet
+    val expected = big.filter { id =>
+      val m = 2147483648L
+      val x = (((id % m) * 1103515245L + 12345L) % m + m) % m
+      (x >> 16) % 100 < 50
+    }.toSet
+    assert(kept == expected)
+  }
+
+  test("packSequences fills fixed-capacity sequences in (doc, chunk) order") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"a$i").mkString(" ")),  // grp 0: ntoks 4,4,2
+      (32L, (1 to 5).map(i => s"b$i").mkString(" ")),  // grp 0: ntoks 4,1
+      (1L, "x y z"))                                   // grp 1: ntok 3
+      .toDF("doc_id", "text")
+    val out = TextOps.packSequences(
+        TextOps.chunkSpans(docs, "doc_id", "text", 4), capacity = 8, numGroups = 32)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._3, t._4)).toSeq
+    // (pack_group, seq_id, doc_id, chunk_idx, ntok); cum starts 0,4,8,10,14
+    assert(out == Seq(
+      (0L, 0L, 0L, 0L, 4L), (0L, 0L, 0L, 1L, 4L), (0L, 1L, 0L, 2L, 2L),
+      (0L, 1L, 32L, 0L, 4L), (0L, 1L, 32L, 1L, 1L),
+      (1L, 0L, 1L, 0L, 3L)))
+  }
+
+  test("redactPii scrubs emails, IPs, phones and counts each substitution") {
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or 10.0.0.1 or +1 555 123 4567"),
+      (2L, "digit-heavy email 12345678@x.com must count once, not as a phone"),
+      (3L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.redactPii(col("text")),
+        TextOps.piiCount(col("text")))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "contact <email> or <ipv4> or <phone>", 3L),
+      (2L, "digit-heavy email <email> must count once, not as a phone", 1L),
+      (3L, "nothing sensitive here", 0L)))
+  }
+
   test("cosineTopK drops NaN-scoring (zero-norm) candidates deterministically") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 0.0f)), // zero vector: NaN cosine
