@@ -56,6 +56,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination broadcasts the benchmark set; corpus side never shuffles pre-join") {
+    val p = plan("q59_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$p")
+  }
+
+  test("segment dedup's count window reuses its own repartition exchange") {
+    val p = plan("q60_segment_dedup")
+    val segHashExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("seg_hash"))
+      .size
+    assert(segHashExchanges == 1,
+      s"expected exactly 1 seg_hash exchange (window must reuse it), got $segHashExchanges:\n$p")
+  }
+
+  test("sequence packing exchanges only the pack group") {
+    val p = plan("q61_pack_sequences")
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // Layout.spread's doc_id repartition is the single-split parallelizer
+    // (a no-op on real multi-split inputs); beyond it, only the pack_group
+    // window exchange may appear
+    assert(hashExchanges.nonEmpty &&
+      hashExchanges.forall(l => l.contains("pack_group") || l.contains("doc_id")),
+      s"only the pack_group window exchange (+ spread) expected:\n${hashExchanges.mkString("\n")}")
+    assert(hashExchanges.exists(_.contains("pack_group")), p)
+  }
+
+  test("PII redaction is a pure narrow map (no hash exchange)") {
+    val p = plan("q62_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("exact dedup shuffles the md5 digest, not document text") {
     val p = plan("q40_dedup_exact")
     val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).toSeq
