@@ -465,10 +465,11 @@ object PipelineQueries {
         maxHamming = 3, maxBucketSize = 1000)
       .orderBy(col("id_a"), col("id_b")),
     Some {
-      val chunks = 4; val width = 16
-      val banded = (0 until chunks).map { c =>
-        val lo = c * width
-        val bits = math.min(width, 62 - lo)
+      // replay the engine's chunking bit-for-bit: (lo, bits) come from the
+      // same Dedup.chunkRanges the operator uses (floor/ceil widths 16/16/15/15
+      // for 4 chunks), NOT a hardcoded uniform split — a saturated bucket
+      // would otherwise diverge on the chunks where the widths differ
+      val banded = Dedup.chunkRanges(4).zipWithIndex.map { case ((lo, bits), c) =>
         s"SELECT id, $c AS c, (sh >> $lo) & ${(1L << bits) - 1} AS v FROM h"
       }.mkString("\n  UNION ALL ")
       s"""WITH $sqlSimHashCtes,

@@ -219,7 +219,16 @@ object Dedup {
     * a chunk value shared by B docs (e.g. a boilerplate corpus where one
     * 16-bit slice saturates) costs B² comparisons — capped buckets are
     * refused, mirroring [[minHashLshCandidates]]. All integer arithmetic —
-    * the DuckDB oracle replays chunking and distance exactly. */
+    * the DuckDB oracle replays chunking and distance exactly.
+    *
+    * Cache lifecycle (same contract as [[graft.ops.Similarity.srpNearPairs]]):
+    * the per-doc hash frame persists MEMORY_AND_DISK for the duration of the
+    * returned frame's consumption; the cache manager dedupes by canonical
+    * plan, so repeated invocations over the same corpus share ONE entry.
+    * Long sessions mixing many DIFFERENT corpora should
+    * `spark.catalog.clearCache()` between them (as Verify/Bench do) — an
+    * operator returning an unconsumed frame cannot safely unpersist its own
+    * input. */
   /** Bit ranges distributing 62 bits over `chunks` NON-EMPTY chunks:
     * the first 62 % chunks get ceil width, the rest floor width. Every
     * chunk spans >= 1 bit for chunks <= 62, which the pigeonhole argument
@@ -227,7 +236,7 @@ object Dedup {
     * once chunks >= 9 — an empty chunk is one universal bucket, and after
     * the bucket-size cap drops it the remaining chunks no longer cover
     * the distance bound: silent recall loss). */
-  private[ops] def chunkRanges(chunks: Int): Seq[(Int, Int)] = {
+  private[graft] def chunkRanges(chunks: Int): Seq[(Int, Int)] = {
     val base = 62 / chunks
     val extra = 62 % chunks
     val widths = (0 until chunks).map(c => base + (if (c < extra) 1 else 0))
@@ -340,13 +349,18 @@ object Dedup {
     * dropped as a duplicate. Documents absent from `pairs` are singleton
     * clusters (their own representative).
     *
-    * Distributed iterative min-label propagation: labels start as each
-    * node's own id; each round every node takes the min of its own and its
-    * neighbors' labels; converge when a round changes nothing. Rounds
+    * Distributed iterative min-label propagation with a FRONTIER (delta)
+    * optimization: labels start as each node's own id; the seeding
+    * aggregation `min(own id, neighbor ids)` already performs the first
+    * propagation round in ONE shuffle, and every later round re-propagates
+    * ONLY labels that improved since they were last sent (monotone min
+    * propagation makes the delta form exact: a label a neighbor has
+    * already seen can never need resending unless it shrank). Rounds
     * needed = graph diameter — near-dup components are tiny (pairs above a
-    * similarity threshold), so 2-4 rounds in practice; the O(log n)
-    * large-star/small-star variant only pays off on giant components,
-    * which a dedup threshold graph does not produce.
+    * similarity threshold), so 2-4 rounds in practice, and rounds after
+    * the first run over the shrinking frontier, not the whole subgraph;
+    * the O(log n) large-star/small-star variant only pays off on giant
+    * components, which a dedup threshold graph does not produce.
     *
     * Scale shape: the pair pipeline is consumed ONCE (both edge
     * directions come from a single explode pass, materialized by one
@@ -354,9 +368,10 @@ object Dedup {
     * in `pairs` — at corpus scale that is the near-dup subgraph, orders
     * of magnitude smaller than the corpus; the full id universe joins in
     * exactly once at the end to label singletons. Per round: one shuffle
-    * join on the node id + one aggregation over the subgraph; labels are
-    * localCheckpointed so lineage stays O(1). Deterministic for any
-    * partitioning (min is order-insensitive). */
+    * join of edges against the frontier + one aggregation + the label
+    * merge; the convergence check is a scan of the just-checkpointed
+    * frame (no extra join). Labels are localCheckpointed so lineage stays
+    * O(1). Deterministic for any partitioning (min is order-insensitive). */
   def duplicateClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                         aCol: String = "id_a", bCol: String = "id_b",
                         maxRounds: Int = 50): DataFrame = {
@@ -367,24 +382,35 @@ object Dedup {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
+    // seed = round 1: every node's original id reaches all its neighbors
+    // inside this one aggregation (the graph is symmetric, so every node
+    // appears as dst), replacing a distinct + join + union + groupBy
+    var labels = edges.groupBy(col("dst"))
+      .agg(least(min(col("src")), col("dst")).as("cluster_id"))
+      .select(col("dst").as("id"), col("cluster_id"))
       .localCheckpoint()
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      val viaNeighbors = edges
-        .join(labels.select(col("id").as("src"), col("cluster_id")), Seq("src"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.union(viaNeighbors)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    // a node's neighbors have seen its ORIGINAL id; only improved labels
+    // (cluster_id < id) are news that still must travel
+    var frontier = labels.filter(col("cluster_id") < col("id"))
+    var frontierSize = frontier.count()
+    var round = 1
+    while (frontierSize > 0 && round < maxRounds) {
+      val candidates = edges
+        .join(frontier.select(col("id").as("src"), col("cluster_id").as("cand")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("cand")).as("cand"))
+        .select(col("dst").as("id"), col("cand"))
+      val merged = labels
+        .join(candidates, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("cand"), col("cluster_id"))).as("cluster_id"),
+          (col("cand") < col("cluster_id")).as("__improved"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("cluster_id").as("prev")), Seq("id"))
-        .filter(col("cluster_id") < col("prev")).count()
-      labels = next
+      frontier = merged.filter(col("__improved")).select(col("id"), col("cluster_id"))
+      frontierSize = frontier.count()
+      labels = merged.select(col("id"), col("cluster_id"))
       round += 1
     }
+    val changed = frontierSize
     // non-convergence must be LOUD: returning partially-propagated labels
     // would split one true component into several keep=1 representatives —
     // duplicates silently surviving dedup

@@ -35,6 +35,13 @@ object Similarity {
     * defensible semantic. */
   private def rankTopK(scored: DataFrame, k: Int, rankName: String): DataFrame = {
     val idType = scored.schema("cand_id").dataType
+    // fail fast: a non-integral id (e.g. a string id column) would cast to
+    // NULL silently and corrupt the ranked output
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(idType),
+      s"cand_id must be an integral type losslessly castable to LONG, got $idType")
     val topk = udaf(new Aggregators.TopK(k))
     scored.filter(col("sim").isNotNull && !isnan(col("sim")))
       .groupBy(col("query_id"))

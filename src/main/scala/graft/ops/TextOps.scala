@@ -60,7 +60,11 @@ object TextOps {
   /** Context-window chunking: split each document into fixed-size token
     * windows — the sequence-splitting step a training pipeline runs before
     * tokenization/packing. One row per (doc, chunk) with the token span and
-    * the chunk text; a doc shorter than `chunkTokens` yields one chunk.
+    * the chunk text; a doc shorter than `chunkTokens` yields one chunk, and
+    * a NULL text yields one chunk with NULL chunk_text and an empty span
+    * (token count clamped to 0 — under legacy sizeOfNull, size(NULL) = -1
+    * would otherwise make `sequence(0, -1)` fabricate two chunks with
+    * negative indices and spans).
     * Narrow map + explode: no shuffle, chunk count scales with corpus
     * tokens, and the token array is built once per doc (all built-ins —
     * stays in whole-stage codegen). */
@@ -68,10 +72,12 @@ object TextOps {
                  textCol: String, chunkTokens: Int): org.apache.spark.sql.DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
     df.select(col(idCol).as("doc_id"), wsTokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("__toks"), size(col("__toks")).cast("long").as("__n"))
+      .select(col("doc_id"), col("__toks"),
+        greatest(size(col("__toks")), lit(0)).cast("long").as("__n"))
       .select(col("doc_id"), col("__toks"), col("__n"),
         explode(sequence(lit(0L),
-          floor((col("__n") - 1L) / chunkTokens).cast("long"))).as("chunk_idx"))
+          greatest(floor((col("__n") - 1L) / chunkTokens), lit(0L)).cast("long")))
+          .as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * chunkTokens).as("tok_start"),
         least((col("chunk_idx") + 1L) * chunkTokens, col("__n")).as("tok_end"),

@@ -55,12 +55,16 @@ object EventStreams {
                               event_id: Long, first_ts: java.sql.Timestamp)
 
   /** Event-time-minimal streaming dedup — the streaming twin of batch q39
-    * with EXACT batch semantics: for each (user_id, event_type) the row
-    * minimal by (ts, event_id) is emitted, once the watermark strictly
-    * passes its event time. This closes the processing-order gap
-    * documented on [[dedupFirstSeen]]: a late row with a smaller event
-    * time DISPLACES the earlier-arriving candidate instead of being
-    * discarded as a duplicate.
+    * with exact batch semantics WITHIN the watermark horizon: for each
+    * (user_id, event_type) the row minimal by (ts, event_id) is emitted,
+    * once the watermark strictly passes its event time. This closes the
+    * processing-order gap documented on [[dedupFirstSeen]]: a late row with
+    * a smaller event time DISPLACES the earlier-arriving candidate instead
+    * of being discarded as a duplicate. Beyond the horizon the same
+    * bounded-state trade as [[dedupFirstSeen]] applies: after a key's state
+    * times out and emits, a later event for that key creates fresh state
+    * and emits a SECOND FirstEvent — batch q39 emits one row per key, so
+    * exactness holds only for events within the watermark of each other.
     *
     * State is one (event_id, ts) pair per live key, freed when the key's
     * event-time timeout fires — bounded like dropDuplicatesWithinWatermark,
