@@ -619,6 +619,163 @@ object PipelineQueries {
          FROM r2 ORDER BY doc_id"""
     })
 
+  /** As-of join: every purchase event picks up the user's most recent
+    * click at-or-before it (latest attribution — the classic event-ledger
+    * lookup). Union + running-window form: ONE shuffle on the user key, no
+    * join operator at all; the oracle replays the identical merge-order
+    * window. Left-outer: purchases with no prior click keep NULL click
+    * columns. click_value passes through unrounded — both engines read the
+    * same parquet double and never transform it. */
+  private val q63 = Q("q63_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      TimeJoins.asofJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"),
+          Seq("user_id"), "ts", "event_id", Seq("value"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          col("r_id").as("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("gap_us"),
+          col("value").as("click_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""WITH u AS (
+              SELECT user_id, ts, event_id, 0 AS side,
+                ts AS r_ts, event_id AS r_id, value AS r_value
+              FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT user_id, ts, event_id, 1, NULL, NULL, NULL
+              FROM events WHERE event_type = 'purchase'),
+            m AS (SELECT user_id, ts, event_id, side,
+              last_value(r_ts IGNORE NULLS) OVER w AS r_ts,
+              last_value(r_id IGNORE NULLS) OVER w AS r_id,
+              last_value(r_value IGNORE NULLS) OVER w AS r_value
+              FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT user_id, event_id,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+              r_id AS click_id, epoch_us(ts) - epoch_us(r_ts) AS gap_us,
+              r_value AS click_value
+            FROM m WHERE side = 1 ORDER BY user_id, event_id"""))
+
+  /** Bounded-gap interval self-pairs: same-user event pairs within 30
+    * minutes. Time-bucket blocking (bin + next-bin explode) confines the
+    * quadratic term to same-(user, bin) groups; the oracle is the plain
+    * inequality self-join the blocking provably equals. Gap compared in
+    * exact integer microseconds. */
+  private val q64 = Q("q64_interval_pairs",
+    (s, d) => TimeJoins.intervalPairs(events(s, d), Seq("user_id"), "ts",
+        "event_id", maxGapSec = 1800L)
+      .orderBy(col("user_id"), col("id_a"), col("id_b")),
+    Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+              epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+              AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+              AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800000000
+            ORDER BY a.user_id, id_a, id_b"""))
+
+  /** TF-IDF keyword extraction: top-3 terms per document. Linear inverse
+    * frequency (n_docs/df, not log-damped) so every score is
+    * correctly-rounded IEEE arithmetic both engines replay bit-for-bit
+    * (Terms.tfIdfTopTerms doc) — scores ship unrounded. */
+  private val q65 = Q("q65_tfidf_topterms",
+    (s, d) => Terms.tfIdfTopTerms(documents(s, d), "doc_id", "text", 3)
+      .orderBy(col("doc_id"), col("rnk")),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok WHERE term <> '' GROUP BY doc_id, term),
+             dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+             scored AS (SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf AS BIGINT) AS tf, CAST(dfq.df AS BIGINT) AS df,
+                 tf.tf::DOUBLE * n.n_docs::DOUBLE / dfq.df AS tf_idf
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+             r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tf_idf DESC, term) AS BIGINT) AS rnk FROM scored)
+             SELECT doc_id, term, tf, df, tf_idf, rnk FROM r
+             WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  /** Corpus vocabulary: top-100 terms by total occurrences (the
+    * frequency-vocab step before tokenizer training). Aggregation + global
+    * TakeOrderedAndProject — no full sort. */
+  private val q66 = Q("q66_vocab_topk",
+    (s, d) => Terms.vocabulary(documents(s, d), "doc_id", "text", 100),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+               FROM documents),
+             tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tok WHERE term <> '' GROUP BY doc_id, term)
+             SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+               CAST(count(*) AS BIGINT) AS n_docs
+             FROM tf GROUP BY term
+             ORDER BY n_occurrences DESC, term LIMIT 100"""))
+
+  /** Symmetric int8 scalar quantization of the embedding column — the 4×
+    * compression an ANN store applies before writing vectors. Codes are
+    * floor(x/scale + 0.5) clamped to ±127: floor (not round) keeps every
+    * engine bit-identical (VectorOps.quantizeInt8 doc). All outputs are
+    * exact integer sums / order-insensitive maxima of IEEE-exact terms —
+    * nothing is rounded. */
+  private val q67 = Q("q67_quantize_int8",
+    (s, d) => embeddings(s, d)
+      .withColumn("scale", VectorOps.int8Scale(col("embedding")))
+      .withColumn("codes", VectorOps.quantizeInt8(col("embedding"), col("scale")))
+      .select(col("vec_id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_code"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_saturated"),
+        VectorOps.dequantMaxErr(col("embedding"), col("codes"), col("scale"))
+          .as("max_err"))
+      .orderBy(col("vec_id")),
+    Some("""WITH m AS (SELECT vec_id, embedding,
+              list_reduce(list_prepend(0.0,
+                list_transform(embedding, x -> abs(x::DOUBLE))),
+                (a, x) -> greatest(a, x)) / 127.0 AS scale
+              FROM embeddings),
+            q AS (SELECT vec_id, scale, embedding,
+              list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0
+                ELSE CAST(greatest(-127.0, least(127.0,
+                  floor(x::DOUBLE / scale + 0.5))) AS INTEGER) END) AS codes
+              FROM m),
+            u AS (SELECT vec_id, scale, unnest(embedding) AS x, unnest(codes) AS qc
+              FROM q)
+            SELECT vec_id, scale, CAST(sum(qc) AS BIGINT) AS sum_code,
+              CAST(sum(CASE WHEN abs(qc) = 127 THEN 1 ELSE 0 END) AS INTEGER)
+                AS n_saturated,
+              max(abs(x::DOUBLE - qc::DOUBLE * scale)) AS max_err
+            FROM u GROUP BY vec_id, scale ORDER BY vec_id"""))
+
+  /** Corpus mixture planning: per-source token counts, target mixture
+    * weights, and the keep-rate a downsampler must apply to hit a 1M-token
+    * budget. Literal weights are ::DOUBLE on the oracle side (DuckDB parses
+    * bare decimals as DECIMAL, whose arithmetic would diverge from Spark's
+    * doubles); every derived value is IEEE-exact and ships unrounded. */
+  private val q68 = Q("q68_mixture_plan",
+    (s, d) => Terms.mixturePlan(documents(s, d), "source",
+        TextOps.wsTokenCount(col("text")).cast("long"),
+        Map("src0" -> 0.2, "src1" -> 0.1), defaultWeight = 0.035,
+        budgetTokens = 1000000L)
+      .orderBy(col("stratum")),
+    Some("""WITH t AS (SELECT source AS stratum,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                AS tokens
+              FROM documents GROUP BY source),
+            w AS (SELECT stratum, tokens,
+              CASE WHEN stratum = 'src0' THEN 0.2::DOUBLE
+                   WHEN stratum = 'src1' THEN 0.1::DOUBLE
+                   ELSE 0.035::DOUBLE END AS weight
+              FROM t),
+            p AS (SELECT stratum, tokens, weight,
+              weight * 1000000 AS target_tokens,
+              least(1.0::DOUBLE, coalesce((weight * 1000000) /
+                nullif(tokens::DOUBLE, 0.0), 1.0::DOUBLE)) AS keep_rate
+              FROM w)
+            SELECT stratum, tokens, weight, target_tokens, keep_rate,
+              keep_rate * tokens::DOUBLE AS expected_tokens
+            FROM p ORDER BY stratum"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
-    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62)
+    q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
+    q66, q67, q68)
 }

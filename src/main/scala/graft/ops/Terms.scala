@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-statistics operators for corpus analysis: per-document term
+  * frequencies, corpus document frequencies, TF-IDF keyword extraction,
+  * corpus vocabulary, and mixture planning.
+  *
+  * Scale shapes:
+  *  - [[termFrequencies]] is explode + one hash aggregation on
+  *    (doc, term) — partial aggregation combines map-side, so the exchange
+  *    carries per-(doc, term) partial counts, not raw tokens.
+  *  - [[tfIdfTopTerms]] adds one aggregation + join on the term (document
+  *    frequencies are corpus-wide state — that shuffle is irreducible) and
+  *    ranks per doc with a window whose partitions are single documents:
+  *    bounded by document length, never by corpus size, so this is NOT the
+  *    per-query product-shuffle trap [[Similarity]] avoids with TopK —
+  *    parallelism here is the number of documents.
+  *  - [[vocabulary]] is one term aggregation + a global
+  *    `TakeOrderedAndProject` top-k (no full sort).
+  *  - [[mixturePlan]] aggregates the corpus per stratum (tiny output) and
+  *    computes keep-rates driver-free; the result is broadcastable state
+  *    for [[TextOps.stratifiedSample]]-style downsampling.
+  */
+object Terms {
+
+  /** (doc_id, term, tf) over whitespace tokens of the normalized text.
+    * Empty docs contribute no rows. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.wsTokens(TextOps.normalizeText(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Top-k terms per document by TF-IDF.
+    *
+    * `idf` weighting is the LINEAR inverse frequency n_docs/df (not
+    * log-damped): division and multiplication are correctly-rounded IEEE
+    * operations, so an external SQL engine replays every score bit-for-bit
+    * — `ln` is only 1-ulp-accurate and differs across libm
+    * implementations, which would make cross-engine rank comparisons
+    * knife-edged. Both weightings order terms identically for a fixed tf;
+    * production pipelines wanting log damping can rank on
+    * `tf * ln(n_docs / df)` with the same plan shape.
+    *
+    * Output: (doc_id, term, tf, df, tf_idf, rnk), rnk 1..k per doc by
+    * (tf_idf desc, term asc) — total order, deterministic. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    // tf feeds two plan branches (document frequencies and the scoring
+    // join): persist so the tokenize + aggregate pipeline runs once
+    val tf = termFrequencies(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf_idf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        col("tf").cast("double") * col("n_docs").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tf_idf"), col("rnk"))
+  }
+
+  /** Corpus vocabulary: top-k terms by total occurrence count, with the
+    * number of documents containing each. Ties broken by term — total
+    * order, deterministic. Global top-k plans as TakeOrderedAndProject. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+                 k: Int): DataFrame =
+    termFrequencies(df, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term").asc)
+      .limit(k)
+
+  /** Corpus mixture planning — the sizing step of data curation: given a
+    * target token budget and per-stratum mixture weights, compute for each
+    * stratum (source, language, quality bucket...) its token count, target
+    * share, and the keep-rate a downsampler must apply. keep_rate is capped
+    * at 1.0 — a stratum smaller than its target cannot be upsampled here,
+    * and `expected_tokens` reports what the plan actually yields so the
+    * caller can re-normalize or flag the shortfall.
+    *
+    * `weights`: target fraction per stratum value; strata not in the map
+    * get `defaultWeight`. One tiny aggregation over the corpus; the output
+    * is one row per stratum (broadcastable to drive
+    * [[TextOps.stratifiedSample]]). */
+  def mixturePlan(df: DataFrame, strataCol: String, tokens: Column,
+                  weights: Map[String, Double], defaultWeight: Double,
+                  budgetTokens: Long): DataFrame = {
+    df.groupBy(col(strataCol).as("stratum"))
+      .agg(sum(tokens).as("tokens"))
+      .withColumn("weight", weights.foldLeft(lit(defaultWeight)) {
+        case (acc, (k, v)) => when(col("stratum") === k, lit(v)).otherwise(acc)
+      })
+      .withColumn("target_tokens", col("weight") * budgetTokens)
+      // nullif guards ANSI divide-by-zero on an empty stratum (tokens = 0)
+      .withColumn("keep_rate",
+        least(lit(1.0), coalesce(col("target_tokens") /
+          nullif(col("tokens").cast("double"), lit(0.0)), lit(1.0))))
+      .withColumn("expected_tokens", col("keep_rate") * col("tokens"))
+      .select(col("stratum"), col("tokens"), col("weight"),
+        col("target_tokens"), col("keep_rate"), col("expected_tokens"))
+  }
+}

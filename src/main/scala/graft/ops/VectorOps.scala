@@ -63,4 +63,41 @@ object VectorOps {
       }),
       lit(0.0),
       (acc, x) => acc + x))
+
+  /** max |aᵢ| — the symmetric-quantization range statistic. Order-insensitive
+    * fold (max), exact f32→f64 promotion. */
+  def maxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Per-vector symmetric int8 scale: max|a| / 127 (0.0 for an all-zero
+    * vector — [[quantizeInt8]] maps it to all-zero codes). */
+  def int8Scale(a: Column): Column = maxAbs(a) / 127.0
+
+  /** Symmetric int8 scalar quantization — the 4× embedding-compression step
+    * an ANN store runs before writing vectors at corpus scale. Codes are
+    * round-half-up of aᵢ/scale, clamped to [-127, 127]; an all-zero vector
+    * (scale 0) maps to all-zero codes (the division is NULLIF-guarded, not
+    * an ANSI DIVIDE_BY_ZERO).
+    *
+    * Rounding is `floor(x + 0.5)` ON PURPOSE, not `round()`: floor is an
+    * exact IEEE operation every engine agrees on, while round() semantics
+    * differ across engines (shortest-decimal HALF_UP vs binary) — this
+    * keeps quantized codes bit-identical everywhere, including any SQL
+    * oracle. Narrow codegen map, no shuffle. */
+  def quantizeInt8(a: Column, scale: Column): Column =
+    transform(a, x =>
+      greatest(lit(-127L), least(lit(127L),
+        // coalesce INSIDE the clamp: Spark's least/greatest SKIP nulls, so
+        // a NULL from the guarded division would otherwise clamp to ±127
+        // instead of 0
+        coalesce(floor(x.cast("double") / nullif(scale, lit(0.0)) + 0.5d),
+          lit(0L)))).cast("int"))
+
+  /** max |aᵢ − codeᵢ·scale| — worst-case reconstruction error of
+    * [[quantizeInt8]] codes. Order-insensitive max fold. */
+  def dequantMaxErr(a: Column, codes: Column, scale: Column): Column =
+    aggregate(
+      zip_with(a, codes, (x, q) => abs(x.cast("double") - q.cast("double") * scale)),
+      lit(0.0),
+      (acc, x) => greatest(acc, x))
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TermsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat"),
+    (3L, "cat cat cat"),
+    (4L, ""))            // empty doc: no term rows, still counts in n_docs
+    .toDF("doc_id", "text")
+
+  test("termFrequencies counts normalized whitespace tokens per doc") {
+    val tf = Terms.termFrequencies(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(tf((1L, "the")) == 2L)
+    assert(tf((1L, "cat")) == 1L)
+    assert(tf((3L, "cat")) == 3L)
+    assert(!tf.keySet.exists(_._1 == 4L)) // empty doc contributes nothing
+  }
+
+  test("tfIdfTopTerms ranks rarer terms above common ones") {
+    // n_docs = 4. "the" df=2, "cat" df=2, "sat" df=2, "mat"/"on"/"dog" df=1.
+    val top = Terms.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), col("term"), col("tf_idf"), col("rnk"))
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // doc1: "the" tf=2 df=2 -> 4.0; mat/on tf=1 df=1 -> 4.0; cat/sat 2.0.
+    // ties at 4.0 break by term asc: mat < on < the
+    assert(top(1L) == Seq("mat", "on"))
+    // doc2: dog tf=1 df=1 -> 4.0 beats sat/the (2.0; tie -> sat)
+    assert(top(2L) == Seq("dog", "sat"))
+    // doc3: cat tf=3 df=2 -> 6.0, only term
+    assert(top(3L) == Seq("cat"))
+    // scores: linear idf = tf * n_docs / df
+    val s = Terms.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 3L).select(col("tf_idf"))
+      .as[Double].collect().toSeq
+    assert(s == Seq(3.0 * 4.0 / 2.0))
+  }
+
+  test("vocabulary returns top-k by total count with doc counts") {
+    val v = Terms.vocabulary(docs, "doc_id", "text", 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // cat: 4 occurrences in 2 docs; the: 3 in 2; sat: 2 in 2
+    assert(v == Seq(("cat", 4L, 2L), ("the", 3L, 2L), ("sat", 2L, 2L)))
+  }
+
+  test("mixturePlan computes capped keep rates against the budget") {
+    val corpus = Seq(
+      ("a", 100L), ("a", 100L),   // stratum a: 200 tokens
+      ("b", 50L),                 // stratum b: 50 tokens
+      ("c", 10L))                 // stratum c: 10 tokens
+      .toDF("source", "ntok")
+    val plan = Terms.mixturePlan(corpus, "source", col("ntok"),
+        Map("a" -> 0.5, "b" -> 0.25), defaultWeight = 0.25, budgetTokens = 200L)
+      .select(col("stratum"), col("tokens"), col("keep_rate"), col("expected_tokens"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: target 100 of 200 -> rate 0.5, yields 100
+    assert(plan("a") == (("a", 200L, 0.5, 100.0)))
+    // b: target 50 of 50 -> rate 1.0
+    assert(plan("b") == (("b", 50L, 1.0, 50.0)))
+    // c: target 50 of 10 -> capped at 1.0, yields only 10 (shortfall visible)
+    assert(plan("c") == (("c", 10L, 1.0, 10.0)))
+  }
+
+  test("quantizeInt8 round-trips within half a scale step and saturates at 127") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // all-zero: scale 0, codes 0
+      .toDF("vec_id", "embedding")
+    val out = vecs
+      .withColumn("scale", VectorOps.int8Scale(col("embedding")))
+      .withColumn("codes", VectorOps.quantizeInt8(col("embedding"), col("scale")))
+      .withColumn("max_err",
+        VectorOps.dequantMaxErr(col("embedding"), col("codes"), col("scale")))
+      .select(col("vec_id"), col("scale"), col("codes"), col("max_err"))
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, scale1, codes1, err1) = out(1L)
+    assert(scale1 == 1.0 / 127.0)
+    assert(codes1 == Seq(127, -63, 32, 0)) // -0.5/scale = -63.5 -> floor(-63.0) = -63
+    assert(err1 <= scale1 / 2 + 1e-12)
+    // all-zero vector: no divide-by-zero, all-zero codes, zero error
+    assert(out(2L) == ((2L, 0.0, Seq(0, 0, 0, 0), 0.0)))
+  }
+}
