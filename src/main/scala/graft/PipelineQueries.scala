@@ -364,18 +364,22 @@ object PipelineQueries {
     * candidates by exact cosine. Centroids are the 8 lowest corpus ids —
     * deterministic stand-in for a k-means codebook (drop-in replacement at
     * production time), which keeps the full pipeline oracle-checkable. */
+  /** The 8-vector deterministic codebook (vec_id 20..27) shared by q53 and
+    * q69 — driver-resident by design, k-means ([[Similarity.kmeansCodebook]])
+    * is the production drop-in. */
+  private def fixedCodebook(emb: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Double])] =
+    emb.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+
   private val q53 = Q("q53_ivf_ann",
     (s, d) => {
       val emb = embeddings(s, d)
-      val centroids = emb.filter(col("vec_id") >= 20 && col("vec_id") < 28)
-        .select(col("vec_id"), col("embedding"))
-        .collect() // 8-vector codebook: driver-resident by design
-        .map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toSeq))
-        .sortBy(_._1).toSeq
       Similarity.ivfSearch(
           emb.filter(col("vec_id") < 20), emb.filter(col("vec_id") >= 20),
-          "vec_id", "embedding", centroids, nProbe = 2, k = 3)
+          "vec_id", "embedding", fixedCodebook(emb), nProbe = 2, k = 3)
         .orderBy(col("query_id"), col("rnk"))
     },
     Some {
@@ -775,7 +779,50 @@ object PipelineQueries {
               keep_rate * tokens::DOUBLE AS expected_tokens
             FROM p ORDER BY stratum"""))
 
+  /** SemDeDup-style semantic dedup keep-list: vectors assigned to nearest
+    * deterministic centroid cells, within-cell pairs kept at cosine >= 0.4,
+    * connected components labeled, keep = 1 on each cluster representative.
+    * (Production threshold is ~0.95; this synthetic corpus has no true
+    * semantic duplicates, so 0.4 exercises the full machinery.) The oracle
+    * replays assignment, pair generation, and the component labeling
+    * (recursive CTE, as q54). */
+  private val q69 = Q("q69_semantic_dedup",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val pairs = Similarity.semanticNearPairs(emb, "vec_id", "embedding",
+        fixedCodebook(emb), minCosine = 0.4)
+      Dedup.duplicateClusters(emb.select(col("vec_id")), "vec_id", pairs)
+        .select(col("id").as("vec_id"), col("cluster_id"),
+          (col("cluster_id") === col("id")).cast("int").as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      s"""WITH RECURSIVE
+         |cent AS (SELECT vec_id AS cell, embedding
+         |         FROM embeddings WHERE vec_id >= 20 AND vec_id < 28),
+         |ad AS (SELECT v.vec_id, c.cell, ${sqlL2Chain("v", "c")} AS dist
+         |       FROM embeddings v CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rn FROM ad) WHERE rn = 1),
+         |j AS (SELECT s.vec_id, s.cell, e.embedding
+         |      FROM assign s JOIN embeddings e USING (vec_id)),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE round(${sqlDotChain("a", "b")} /
+         |              (${sqlNormChain("a")} * ${sqlNormChain("b")}), 6) >= 0.4),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id)
+         |SELECT id AS vec_id, min(lbl) AS cluster_id,
+         |  CAST(CASE WHEN min(lbl) = id THEN 1 ELSE 0 END AS INTEGER) AS keep
+         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68)
+    q66, q67, q68, q69)
 }

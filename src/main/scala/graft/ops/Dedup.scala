@@ -253,6 +253,11 @@ object Dedup {
       struct(lit(c).as("c"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << bits) - 1)).as("v"))
     }
+    // bucket-size guard as aggregate + left-semi prune, NOT the q42 count
+    // window: here the banded frame derives from the PERSISTED hashes cache
+    // (shift/mask per row), so the prune's second pass is a cheap cache
+    // read — measured: the window variant's extra sort on the band exchange
+    // costs more than it saves (q56 1.36 s → 1.59 s at sf0.1)
     val banded = hashes.select(col("id"), explode(array(chunkKeys: _*)).as("bk"))
     val okBuckets = banded.groupBy(col("bk"))
       .agg(count(lit(1)).as("bsz"))

@@ -140,6 +140,12 @@ object Similarity {
       shiftright(col("bucket"), bd * rpb).bitwiseAND(lit((1L << rpb) - 1))
         .bitwiseOR(lit(bd.toLong << rpb))
     }
+    // bucket-size guard as aggregate + left-semi prune, NOT a count window
+    // over the band exchange: the banded frame derives from the PERSISTED
+    // bucketed corpus, so re-deriving it for the prune is a cheap cache
+    // read — measured: the window variant cost +15% here (same result as
+    // Dedup.simHashNearPairs; contrast ngramJaccardPairs, whose un-persisted
+    // shingle kernel makes the shared-exchange window the winner)
     val banded = b.select(col("id"), explode(array(bandKeys: _*)).as("band_key"))
     val okBuckets = banded.groupBy(col("band_key"))
       .agg(count(lit(1)).as("bsz"))
@@ -154,6 +160,49 @@ object Similarity {
     pairs
       .join(b.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
       .join(b.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine_sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: every vector is
+    * assigned to its nearest centroid cell (squared L2 over the codebook —
+    * the same coarse quantization as [[ivfSearch]]); pairs are generated
+    * ONLY within a cell and kept when exact cosine >= `minCosine`. This is
+    * the embedding-space dedup a training pipeline runs corpus-wide
+    * (cluster-then-compare: the quadratic term is confined to cells, and
+    * the codebook size is chosen ∝ corpus size so cell population — and
+    * with it the per-cell cost — stays constant as the corpus grows).
+    *
+    * `centroids` follow the [[ivfSearch]] contract: deterministic for
+    * tests/oracles, [[kmeansCodebook]] as the production drop-in.
+    * `maxCellSize` is the same degenerate-bucket guard as
+    * [[srpNearPairs]]: a mass-duplicated embedding collapsing a cell would
+    * otherwise cost B² comparisons. Assignment ties (equidistant
+    * centroids) break toward the lowest cell id — deterministic on any
+    * partitioning. Feed the output to [[graft.ops.Dedup.duplicateClusters]]
+    * for the keep-list.
+    *
+    * Cache lifecycle: same contract as [[srpNearPairs]] (the assigned
+    * corpus persists; clearCache between different corpora). */
+  def semanticNearPairs(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[(Long, Seq[Double])], minCosine: Double,
+                        maxCellSize: Int = 10000): DataFrame = {
+    import graft.functions.GraftFunctions.l2sq
+    val dists = centroids.map { case (cid, cv) =>
+      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
+    }
+    val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(array_sort(array(dists: _*)), 1).getField("cell").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okCells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > 1 && col("csz") <= maxCellSize)
+      .select(col("cell"))
+    val pruned = assigned.join(okCells, Seq("cell"), "left_semi")
+    pruned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
+      .join(pruned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
       .filter(col("cosine_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))

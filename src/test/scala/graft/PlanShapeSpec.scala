@@ -95,4 +95,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(exchangeLines.exists(_.contains("text_hash")), exchangeLines.mkString("\n"))
     assert(!exchangeLines.exists(_.contains("text#")), exchangeLines.mkString("\n"))
   }
+
+  test("as-of join plans no join operator and pushes the event-type filters") {
+    val p = plan("q63_asof_join")
+    assert(!p.contains("Join"), s"asof must be the union+window form, not a join:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)") ||
+      p.contains("event_type), EqualTo"), s"event_type filter must push to the scan:\n$p")
+  }
+
+  test("interval pairs plan an equi-join on the bin key, never a nested loop") {
+    val p = plan("q64_interval_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate must ride the bin equi-join, not a cross product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("vocabulary top-k is TakeOrderedAndProject over the term aggregate") {
+    val p = plan("q66_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial aggregation combines map-side before the term exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("int8 quantization is a pure narrow map (no exchange at all)") {
+    val p = plan("q67_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
 }

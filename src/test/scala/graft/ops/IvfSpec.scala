@@ -137,4 +137,36 @@ class IvfSpec extends SparkTestBase {
     val all = run(20)
     assert(all.length == 190 && all.forall(_._3 == 1.0))
   }
+
+  test("semanticNearPairs pairs only within centroid cells, above the threshold") {
+    // corpus clusters around (1,0) and (0,1); cross-cluster cosines ~0,
+    // within-cluster cosines ~1 — pairs must stay within cells
+    val pairs = Similarity.semanticNearPairs(corpus, "vec_id", "embedding",
+        centroids, minCosine = 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L), (100L, 102L), (101L, 102L),
+      (200L, 201L), (200L, 202L), (201L, 202L)))
+    // threshold excludes: cosine((1,0.05),(0.95,0.1)) ~ 0.997 but 0.9999
+    // excludes everything except near-identical pairs
+    val strict = Similarity.semanticNearPairs(corpus, "vec_id", "embedding",
+        centroids, minCosine = 0.9999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(strict.isEmpty)
+    // degenerate cell guard: 20 identical vectors in one cell, cap below
+    // the cell size -> refused, no pairs
+    val dup = (0 until 20).map(i => (i.toLong, vec(0.6, 0.5, 0.4, 0.3)))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.semanticNearPairs(dup, "vec_id", "embedding",
+      Seq((0L, Seq(0.6, 0.5, 0.4, 0.3)), (1L, Seq(-1.0, 0.0, 0.0, 0.0))),
+      minCosine = 0.9, maxCellSize = 10)
+    assert(capped.collect().isEmpty)
+    // composed keep-list: clusters label components with the min id
+    val keep = Dedup.duplicateClusters(
+        corpus.select($"vec_id"), "vec_id",
+        Similarity.semanticNearPairs(corpus, "vec_id", "embedding",
+          centroids, minCosine = 0.9))
+      .as[(Long, Long)].collect().toMap
+    assert(keep == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
+      200L -> 200L, 201L -> 200L, 202L -> 200L))
+  }
 }
