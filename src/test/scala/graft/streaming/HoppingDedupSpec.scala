@@ -47,6 +47,63 @@ class HoppingDedupSpec extends SparkTestBase {
     assert(keys.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("enrichLatest equals the batch as-of join for in-order feeds") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.TimeJoins
+    val rows = Seq(
+      (1L, "click", ts(10), 1L, 5.0),
+      (1L, "purchase", ts(20), 2L, 9.0),
+      (1L, "click", ts(25), 3L, 7.0),
+      (1L, "click", ts(50), 4L, 8.0),   // equal-ts click+purchase: inclusive
+      (1L, "purchase", ts(50), 5L, 1.0),
+      (2L, "purchase", ts(30), 6L, 2.0)) // user with no clicks at all
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts", "event_id", "value")
+    val q = EventStreams.enrichLatest(df, "purchase", "click")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("enrich_test")
+      .select(col("event_id"), col("r_id"), col("r_value"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    q.stop()
+    val batchDf = rows.toDF("user_id", "event_type", "ts", "event_id", "value")
+    val want = TimeJoins.asofJoin(
+        batchDf.filter(col("event_type") === "purchase"),
+        batchDf.filter(col("event_type") === "click"),
+        Seq("user_id"), "ts", "event_id", Seq("value"))
+      .select(col("event_id"), col("r_id"), col("value"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == want)
+    assert(got(5L) == ((Some(4L), Some(8.0)))) // at-or-before is inclusive
+    assert(got(6L) == ((None, None)))
+  }
+
+  test("enrichLatest carries state across micro-batches; stale rights are ignored") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts", "event_id", "value")
+    val q = EventStreams.enrichLatest(df, "purchase", "click")
+      .writeStream.format("memory").queryName("enrich_state_test")
+      .outputMode("append").start()
+    input.addData((1L, "click", ts(10), 1L, 5.0))
+    q.processAllAvailable()
+    input.addData((1L, "purchase", ts(20), 2L, 0.0))
+    q.processAllAvailable()
+    // a LATE click older than the current state must not displace it
+    input.addData((1L, "click", ts(5), 3L, 9.0),
+      (1L, "purchase", ts(30), 4L, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_state_test")
+      .select(col("event_id"), col("r_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    q.stop()
+    assert(got == Map(2L -> Some(1L), 4L -> Some(1L)))
+  }
+
   test("event-time-minimal dedup: a late smaller-ts row displaces the candidate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp, Long)]
