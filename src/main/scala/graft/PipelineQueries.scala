@@ -822,7 +822,66 @@ object PipelineQueries {
          |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
     })
 
+  /** Corpus-wide adjacent-token-pair counts — the inner step of BPE-style
+    * tokenizer training (each merge round picks the most frequent adjacent
+    * pair). Narrow zip pass per doc + hash agg + TakeOrderedAndProject. */
+  private val q70 = Q("q70_bpe_pairs",
+    (s, d) => Terms.bpePairCounts(documents(s, d), "doc_id", "text", 50),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($SqlNorm, ' ') AS t
+               FROM documents),
+             p AS (SELECT unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                 i -> t[i + 1] || ' ' || t[i + 2])) AS pair FROM tok)
+             SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p
+             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50"""))
+
+  /** Fixed-width value histogram per event type — the distribution profile
+    * collected before choosing filter thresholds. Bin = floor(value/width):
+    * exact IEEE floor, no rounding knife edges. */
+  private val q71 = Q("q71_histogram",
+    (s, d) => Relational.histogram(events(s, d), Seq(col("event_type")),
+        col("value"), 5.0)
+      .orderBy(col("event_type"), col("bin")),
+    Some("""SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+              count(*) AS cnt
+            FROM events GROUP BY event_type, bin ORDER BY event_type, bin"""))
+
+  /** Trailing 3-event moving average per user. Explicit lag chain (NOT a
+    * sliding window frame): the association order is fixed in the
+    * expression, so both engines compute bit-identical IEEE sums —
+    * a frame-based avg would be engine-dependent (Spark re-aggregates
+    * frames in row order, DuckDB uses a segment tree). */
+  private val q72 = Q("q72_moving_avg",
+    (s, d) => Relational.movingAvg(events(s, d), Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")), col("value"), 3)
+      .select(col("user_id"), col("event_id"), col("moving_avg"))
+      .orderBy(col("user_id"), col("event_id")),
+    Some("""WITH m AS (SELECT user_id, event_id,
+              ((value + coalesce(lag(value, 1) OVER w, 0.0))
+                 + coalesce(lag(value, 2) OVER w, 0.0))
+                / CAST(least(row_number() OVER w, 3) AS DOUBLE) AS moving_avg
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT user_id, event_id, moving_avg FROM m
+            ORDER BY user_id, event_id"""))
+
+  /** Salted fact-fact join: the skew-spreading strategy declared as an
+    * oracle-checked query — the salt spreads every (potentially hot) order
+    * key over 8 sub-keys and MUST leave the join result identical to the
+    * plain equi-join the oracle runs. Aggregated to priority-level revenue
+    * (q20's rounding style). */
+  private val q73 = Q("q73_salted_join",
+    (s, d) => ScaleJoins.saltedJoin(lineitem(s, d),
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69)
+    q66, q67, q68, q69, q70, q71, q72, q73)
 }

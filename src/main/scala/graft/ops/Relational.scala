@@ -133,4 +133,35 @@ object Relational {
       .withColumn(outName, sum(col("__new_session")).over(frame).cast("long"))
       .drop("__new_session")
   }
+
+  /** Fixed-width histogram: rows bucketed by floor(value / binWidth) per
+    * group — the distribution profile a pipeline collects before choosing
+    * quality/filter thresholds. floor of an IEEE division is exact and
+    * engine-agnostic (no round() knife edges); one map-side-partial hash
+    * aggregation, output is one row per non-empty bin. */
+  def histogram(df: DataFrame, keyCols: Seq[Column], valueCol: Column,
+                binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    df.groupBy(keyCols :+ floor(valueCol / binWidth).cast("long").as("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Trailing moving average over the last `n` rows per key (current row
+    * included), as an EXPLICIT lag chain rather than a sliding window
+    * frame: Spark re-aggregates sliding frames in row order while other
+    * engines (DuckDB) use a segment tree, so a frame-based avg(DOUBLE) is
+    * not bit-reproducible across engines — the lag chain fixes the
+    * association order `((v + lag1) + lag2) / k` in the expression itself.
+    * Intended for small fixed n (the common smoothing case); for wide
+    * windows use a frame-based avg and accept engine-local rounding.
+    * One shuffle on the keys; all lags share one window sort. */
+  def movingAvg(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
+                valueCol: Column, n: Int, outName: String = "moving_avg"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
+    val lags = (1 until n).map(i => lag(valueCol, i).over(w))
+    val sum = lags.foldLeft(valueCol)((acc, l) => acc + coalesce(l, lit(0.0)))
+    val cnt = least(row_number().over(w), lit(n)).cast("double")
+    df.withColumn(outName, sum / cnt)
+  }
 }

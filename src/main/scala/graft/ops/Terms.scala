@@ -79,6 +79,27 @@ object Terms {
       .orderBy(col("n_occurrences").desc, col("term").asc)
       .limit(k)
 
+  /** Corpus-wide adjacent-token-pair counts, top-k — the inner step of
+    * BPE-style tokenizer training (each merge round picks the most frequent
+    * adjacent pair). Pairs are built per doc with a zip of the token array
+    * against its own tail (one narrow pass, no shuffle; a doc with fewer
+    * than 2 tokens contributes nothing), counted with a map-side-partial
+    * hash aggregation, and the global top-k plans as TakeOrderedAndProject.
+    * Ties break by pair text — total order, deterministic. */
+  def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    Layout.spread(df, idCol)
+      .select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .filter(col("pair") =!= " ") // empty-text docs tokenize to [""]
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Corpus mixture planning — the sizing step of data curation: given a
     * target token budget and per-stratum mixture weights, compute for each
     * stratum (source, language, quality bucket...) its token count, target

@@ -69,6 +69,38 @@ class TermsSpec extends SparkTestBase {
     assert(plan("c") == (("c", 10L, 1.0, 10.0)))
   }
 
+  test("bpePairCounts counts adjacent pairs; short docs contribute nothing") {
+    val corpus = Seq(
+      (1L, "a b a b c"),   // pairs: (a b), (b a), (a b), (b c)
+      (2L, "a b"),         // pair: (a b)
+      (3L, "solo"),        // no pairs
+      (4L, ""))            // no pairs
+      .toDF("doc_id", "text")
+    val got = Terms.bpePairCounts(corpus, "doc_id", "text", 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("histogram bins by floor(value/width) per key") {
+    val df = Seq(("x", 0.0), ("x", 4.99), ("x", 5.0), ("x", -0.1), ("y", 12.0))
+      .toDF("k", "v")
+    val got = Relational.histogram(df, Seq(col("k")), col("v"), 5.0)
+      .as[(String, Long, Long)].collect().toSet
+    // -0.1 -> bin -1 (floor, not truncation toward zero)
+    assert(got == Set(("x", 0L, 2L), ("x", 1L, 1L), ("x", -1L, 1L), ("y", 2L, 1L)))
+  }
+
+  test("movingAvg equals the hand-computed trailing mean with a short head") {
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, 4.0), (1L, 3L, 6.0), (1L, 4L, 8.0),
+      (2L, 5L, 10.0))
+      .toDF("user_id", "event_id", "v")
+    val got = Relational.movingAvg(df, Seq(col("user_id")), Seq(col("event_id")),
+        col("v"), 3)
+      .select(col("event_id"), col("moving_avg"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 6.0, 5L -> 10.0))
+  }
+
   test("quantizeInt8 round-trips within half a scale step and saturates at 127") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
