@@ -160,8 +160,8 @@ object Relational {
     require(n >= 1, "n must be >= 1")
     val w = Window.partitionBy(keyCols: _*).orderBy(orderCols: _*)
     val lags = (1 until n).map(i => lag(valueCol, i).over(w))
-    val sum = lags.foldLeft(valueCol)((acc, l) => acc + coalesce(l, lit(0.0)))
+    val total = lags.foldLeft(valueCol)((acc, l) => acc + coalesce(l, lit(0.0)))
     val cnt = least(row_number().over(w), lit(n)).cast("double")
-    df.withColumn(outName, sum / cnt)
+    df.withColumn(outName, total / cnt)
   }
 }

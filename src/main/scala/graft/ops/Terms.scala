@@ -47,7 +47,12 @@ object Terms {
     * `tf * ln(n_docs / df)` with the same plan shape.
     *
     * Output: (doc_id, term, tf, df, tf_idf, rnk), rnk 1..k per doc by
-    * (tf_idf desc, term asc) — total order, deterministic. */
+    * (tf_idf desc, term asc) — total order, deterministic.
+    *
+    * Cache lifecycle: the (doc, term) frequency frame persists
+    * MEMORY_AND_DISK (it feeds both the document-frequency aggregation and
+    * the scoring join); same contract as the pair generators —
+    * `spark.catalog.clearCache()` between different corpora. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     // tf feeds two plan branches (document frequencies and the scoring
