@@ -646,21 +646,24 @@ object PipelineQueries {
     },
     Some("""WITH u AS (
               SELECT user_id, ts, event_id, 0 AS side,
-                ts AS r_ts, event_id AS r_id, value AS r_value
+                struct_pack(r_ts := ts, r_id := event_id, r_value := value) AS r
               FROM events WHERE event_type = 'click'
               UNION ALL
-              SELECT user_id, ts, event_id, 1, NULL, NULL, NULL
+              SELECT user_id, ts, event_id, 1, NULL
               FROM events WHERE event_type = 'purchase'),
             m AS (SELECT user_id, ts, event_id, side,
-              last_value(r_ts IGNORE NULLS) OVER w AS r_ts,
-              last_value(r_id IGNORE NULLS) OVER w AS r_id,
-              last_value(r_value IGNORE NULLS) OVER w AS r_value
+              -- ONE last_value over the whole struct: the matched click row
+              -- is picked atomically, exactly as the engine's last(__r).
+              -- Per-column last_value(... IGNORE NULLS) would TEAR the row
+              -- when a click carries a NULL value (skipping back to an older
+              -- click's value under the current click's id)
+              last_value(r IGNORE NULLS) OVER w AS r
               FROM u WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
             SELECT user_id, event_id,
               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
-              r_id AS click_id, epoch_us(ts) - epoch_us(r_ts) AS gap_us,
-              r_value AS click_value
+              r.r_id AS click_id, epoch_us(ts) - epoch_us(r.r_ts) AS gap_us,
+              r.r_value AS click_value
             FROM m WHERE side = 1 ORDER BY user_id, event_id"""))
 
   /** Bounded-gap interval self-pairs: same-user event pairs within 30

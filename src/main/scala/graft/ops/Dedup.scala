@@ -206,29 +206,6 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs — the pairing step the sketch exists for:
-    * pairs of documents whose 62-bit simhashes differ in at most
-    * `maxHamming` bits.
-    *
-    * Blocking by pigeonhole: the hash is split into `maxHamming + 1` bit
-    * chunks, so two hashes within the distance bound MUST agree on at least
-    * one whole chunk — candidates are pairs sharing any (chunk index, chunk
-    * value) key; the exact popcount distance then verifies them. Exact
-    * (no recall loss), and the quadratic term is confined to same-chunk
-    * buckets. `maxBucketSize` is the standard degenerate-bucket guard:
-    * a chunk value shared by B docs (e.g. a boilerplate corpus where one
-    * 16-bit slice saturates) costs B² comparisons — capped buckets are
-    * refused, mirroring [[minHashLshCandidates]]. All integer arithmetic —
-    * the DuckDB oracle replays chunking and distance exactly.
-    *
-    * Cache lifecycle (same contract as [[graft.ops.Similarity.srpNearPairs]]):
-    * the per-doc hash frame persists MEMORY_AND_DISK for the duration of the
-    * returned frame's consumption; the cache manager dedupes by canonical
-    * plan, so repeated invocations over the same corpus share ONE entry.
-    * Long sessions mixing many DIFFERENT corpora should
-    * `spark.catalog.clearCache()` between them (as Verify/Bench do) — an
-    * operator returning an unconsumed frame cannot safely unpersist its own
-    * input. */
   /** Bit ranges distributing 62 bits over `chunks` NON-EMPTY chunks:
     * the first 62 % chunks get ceil width, the rest floor width. Every
     * chunk spans >= 1 bit for chunks <= 62, which the pigeonhole argument
@@ -243,6 +220,30 @@ object Dedup {
     widths.scanLeft(0)(_ + _).zip(widths).take(chunks)
   }
 
+  /** SimHash near-duplicate pairs — the pairing step the sketch exists for:
+    * pairs of documents whose 62-bit simhashes differ in at most
+    * `maxHamming` bits.
+    *
+    * Blocking by pigeonhole: the hash is split into `maxHamming + 1` bit
+    * chunks ([[chunkRanges]]), so two hashes within the distance bound MUST
+    * agree on at least one whole chunk — candidates are pairs sharing any
+    * (chunk index, chunk value) key; the exact popcount distance then
+    * verifies them. Exact (no recall loss), and the quadratic term is
+    * confined to same-chunk buckets. `maxBucketSize` is the standard
+    * degenerate-bucket guard: a chunk value shared by B docs (e.g. a
+    * boilerplate corpus where one 16-bit slice saturates) costs B²
+    * comparisons — capped buckets are refused, mirroring
+    * [[minHashLshCandidates]]. All integer arithmetic — the DuckDB oracle
+    * replays chunking and distance exactly.
+    *
+    * Cache lifecycle (same contract as [[graft.ops.Similarity.srpNearPairs]]):
+    * the per-doc hash frame persists MEMORY_AND_DISK for the duration of the
+    * returned frame's consumption; the cache manager dedupes by canonical
+    * plan, so repeated invocations over the same corpus share ONE entry.
+    * Long sessions mixing many DIFFERENT corpora should
+    * `spark.catalog.clearCache()` between them (as Verify/Bench do) — an
+    * operator returning an unconsumed frame cannot safely unpersist its own
+    * input. */
   def simHashNearPairs(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of range")

@@ -188,12 +188,8 @@ object Similarity {
   def semanticNearPairs(df: DataFrame, idCol: String, vecCol: String,
                         centroids: Seq[(Long, Seq[Double])], minCosine: Double,
                         maxCellSize: Int = 10000): DataFrame = {
-    import graft.functions.GraftFunctions.l2sq
-    val dists = centroids.map { case (cid, cv) =>
-      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
-    }
     val assigned = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        element_at(array_sort(array(dists: _*)), 1).getField("cell").as("cell"))
+        nearestCell(col(vecCol), centroids).as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val okCells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
       .filter(col("csz") > 1 && col("csz") <= maxCellSize)
@@ -218,6 +214,26 @@ object Similarity {
     srpBucket(df, idCol, vecCol, numPlanes, dim, planesOverride = planesOverride)
       .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  /** The cell-assignment expression EVERY IVF-family operator shares
+    * ([[ivfSearch]], [[writeIvfStore]], [[ivfSearchFromStore]],
+    * [[semanticNearPairs]]): (squared-L2 distance, cell id) structs against
+    * the codebook, sorted ascending — ties between equidistant centroids
+    * break toward the lowest cell id. One definition, so a distance or
+    * tie-break change can never desynchronize the store's partitioning
+    * from the probes' assignment. */
+  private[ops] def cellsByDistance(vecCol: org.apache.spark.sql.Column,
+                                   centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+    import graft.functions.GraftFunctions.l2sq
+    array_sort(array(centroids.map { case (cid, cv) =>
+      struct(l2sq(vecCol, typedLit(cv)).as("d"), lit(cid).as("cell"))
+    }: _*))
+  }
+
+  /** Argmin cell of [[cellsByDistance]]. */
+  private[ops] def nearestCell(vecCol: org.apache.spark.sql.Column,
+                               centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    element_at(cellsByDistance(vecCol, centroids), 1).getField("cell")
 
   /** Fit a k-means codebook on the embedding column — the production
     * drop-in for the deterministic `centroids` argument of [[ivfSearch]] /
@@ -252,16 +268,10 @@ object Similarity {
   def ivfSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, centroids: Seq[(Long, Seq[Double])],
                 nProbe: Int, k: Int): DataFrame = {
-    import graft.functions.GraftFunctions.l2sq
-    def nearestCells(df: DataFrame, n: Int): DataFrame = {
-      // argmin over the (small) centroid set: rank distances per vector
-      val dists = centroids.map { case (cid, cv) =>
-        struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
-      }
+    def nearestCells(df: DataFrame, n: Int): DataFrame =
       df.select(col(idCol).as("id"), col(vecCol).as("v"),
-          slice(array_sort(array(dists: _*)), 1, n).as("cells"))
+          slice(cellsByDistance(col(vecCol), centroids), 1, n).as("cells"))
         .select(col("id"), col("v"), explode(col("cells.cell")).as("cell"))
-    }
     val assigned = nearestCells(corpus, 1)
       .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
     val probes = nearestCells(broadcast(queries), nProbe)
@@ -280,12 +290,8 @@ object Similarity {
   def writeIvfStore(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Long, Seq[Double])], table: String,
                     numBuckets: Int): Unit = {
-    import graft.functions.GraftFunctions.l2sq
-    val dists = centroids.map { case (cid, cv) =>
-      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
-    }
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        element_at(array_sort(array(dists: _*)), 1).getField("cell").as("cell"))
+        nearestCell(col(vecCol), centroids).as("cell"))
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -303,13 +309,9 @@ object Similarity {
                          idCol: String, vecCol: String,
                          centroids: Seq[(Long, Seq[Double])],
                          nProbe: Int, k: Int): DataFrame = {
-    import graft.functions.GraftFunctions.l2sq
-    val dists = centroids.map { case (cid, cv) =>
-      struct(l2sq(col(vecCol), typedLit(cv)).as("d"), lit(cid).as("cell"))
-    }
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        slice(array_sort(array(dists: _*)), 1, nProbe).as("cells"))
+        slice(cellsByDistance(col(vecCol), centroids), 1, nProbe).as("cells"))
       .select(col("query_id"), col("qv"), explode(col("cells.cell")).as("cell"))
     // queries are small by ivfSearch's contract: collecting the probed cell
     // set gives the literal IN-list bucket pruning needs

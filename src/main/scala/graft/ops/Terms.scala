@@ -99,7 +99,8 @@ object Terms {
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("pair"))
-      .filter(col("pair") =!= " ") // empty-text docs tokenize to [""]
+      // no empty-pair filter needed: an empty/whitespace doc tokenizes to
+      // the singleton [""], which yields zero pairs (size - 1 = 0)
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(k)

@@ -44,8 +44,10 @@ object TimeJoins {
     * right-side columns. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, idCol: String, payload: Seq[String]): DataFrame = {
-    require(!payload.exists(Set("r_ts", "r_id")),
-      "payload columns r_ts/r_id collide with the as-of output columns")
+    val reserved = Set("r_ts", "r_id") ++ keys + tsCol + idCol
+    require(!payload.exists(reserved),
+      s"payload columns ${payload.filter(reserved).mkString(", ")} collide " +
+        "with the as-of output columns (r_ts, r_id, keys, time, id)")
     val rp = right.select(
       keys.map(col) ++ Seq(col(tsCol), col(idCol), lit(0).as("__side"),
         struct(col(tsCol).as("r_ts") +: col(idCol).as("r_id") +:

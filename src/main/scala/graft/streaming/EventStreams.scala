@@ -110,7 +110,8 @@ object EventStreams {
         })
   }
 
-  final case class LatestState(eventId: Long, tsMicros: Long, value: Double)
+  final case class LatestState(eventId: Long, tsMicros: Long,
+                               value: java.lang.Double)
   final case class EnrichedEvent(user_id: Long, event_id: Long,
                                  ts: java.sql.Timestamp, r_id: java.lang.Long,
                                  r_value: java.lang.Double)
@@ -119,47 +120,69 @@ object EventStreams {
     * ([[graft.ops.TimeJoins.asofJoin]]): per user, every `leftType` event
     * is emitted enriched with the (ts, id)-largest `rightType` event seen
     * SO FAR (NULL columns when none yet). State is one small record per
-    * live user — bounded, no retention of the right-side history.
+    * key, freed by an event-time timeout once the watermark passes the
+    * key's latest right event by `stateHorizon` — the store is bounded by
+    * the keys active inside the horizon, not by every key ever seen
+    * (ProcessingTimeTimeout is deliberately NOT used: with the default
+    * trigger it schedules continuous empty micro-batches). A left event
+    * arriving after its key's state was evicted enriches as if no right
+    * event existed — the same bounded-state trade [[dedupFirstSeen]]
+    * documents.
     *
     * Semantics contract (same honesty as [[dedupFirstSeen]]): within a
     * micro-batch rows are processed in event-time order, so in-order feeds
     * reproduce the batch as-of exactly; a right row arriving in a LATER
     * micro-batch than a left row it precedes in event time cannot
     * retroactively enrich it — that processing-order trade is what keeps
-    * state O(keys) instead of O(history). */
-  def enrichLatest(events: DataFrame, leftType: String, rightType: String):
-      Dataset[EnrichedEvent] = {
+    * state O(active keys) instead of O(history). A NULL right-side value
+    * passes through as NULL, as in the batch twin. */
+  def enrichLatest(events: DataFrame, leftType: String, rightType: String,
+                   watermark: String = "2 hours",
+                   stateHorizon: String = "30 days"): Dataset[EnrichedEvent] = {
     import events.sparkSession.implicits._
     val typed = events
+      .withWatermark("ts", watermark)
       .filter(col("event_type").isin(leftType, rightType))
       .select(col("user_id").cast("long"), col("event_type"),
         col("event_id").cast("long"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("value").cast("double"))
-      .as[(Long, String, Long, java.sql.Timestamp, Long, Double)]
+      .as[(Long, String, Long, java.sql.Timestamp, Long, java.lang.Double)]
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long,
-         rows: Iterator[(Long, String, Long, java.sql.Timestamp, Long, Double)],
+         rows: Iterator[(Long, String, Long, java.sql.Timestamp, Long, java.lang.Double)],
          state: GroupState[LatestState]) => {
-          // event-time order within the batch; right rows before left rows
-          // at equal time (the batch as-of's inclusive at-or-before rule)
-          val sorted = rows.toSeq.sortBy(r => (r._5, r._2 != rightType, r._3))
-          var st = state.getOption.orNull
-          val out = Seq.newBuilder[EnrichedEvent]
-          sorted.foreach { case (_, typ, eid, t, tsUs, v) =>
-            if (typ == rightType) {
-              if (st == null || tsUs > st.tsMicros ||
-                  (tsUs == st.tsMicros && eid > st.eventId))
-                st = LatestState(eid, tsUs, v)
-            } else {
-              out += EnrichedEvent(user, eid, t,
-                if (st == null) null else Long.box(st.eventId),
-                if (st == null) null else Double.box(st.value))
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: free the slot, emit nothing
+            Iterator.empty
+          } else {
+            // event-time order within the batch; right rows before left rows
+            // at equal time (the batch as-of's inclusive at-or-before rule)
+            val sorted = rows.toSeq.sortBy(r => (r._5, r._2 != rightType, r._3))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[EnrichedEvent]
+            sorted.foreach { case (_, typ, eid, t, tsUs, v) =>
+              if (typ == rightType) {
+                if (st == null || tsUs > st.tsMicros ||
+                    (tsUs == st.tsMicros && eid > st.eventId))
+                  st = LatestState(eid, tsUs, v)
+              } else {
+                out += EnrichedEvent(user, eid, t,
+                  if (st == null) null else Long.box(st.eventId),
+                  if (st == null) null else st.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // evict once the watermark passes the latest right event by
+              // the horizon; the base must sit above the current watermark
+              state.setTimeoutTimestamp(
+                math.max(st.tsMicros / 1000L, state.getCurrentWatermarkMs() + 1L),
+                stateHorizon)
+            }
+            out.result().iterator
           }
-          if (st != null) state.update(st)
-          out.result().iterator
         })
   }
 

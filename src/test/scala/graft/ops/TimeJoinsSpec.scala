@@ -33,6 +33,30 @@ class TimeJoinsSpec extends SparkTestBase {
     assert(out(200L) == ((None, None)))
   }
 
+  test("asofJoin picks the matched row atomically: a NULL payload is not torn") {
+    // latest click carries a NULL value: the match must return THAT row's
+    // id with its NULL value — not skip back to an older click's value
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 100L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L, Some(1.5)),
+      (1L, ts("2024-01-01 11:00:00"), 11L, None))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = TimeJoins.asofJoin(left, right, Seq("user_id"), "ts", "event_id",
+        Seq("value"))
+      .select(col("r_id"), col("value"))
+      .as[(Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq((Some(11L), None)))
+  }
+
+  test("asofJoin rejects payload names colliding with its outputs") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "event_id")
+    val e = intercept[IllegalArgumentException] {
+      TimeJoins.asofJoin(df, df, Seq("user_id"), "ts", "event_id", Seq("ts"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("asofJoin breaks right-side time ties by largest id") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 100L))
       .toDF("user_id", "ts", "event_id")
