@@ -16,7 +16,12 @@ object Bench {
     // that throws is recorded as failed (time -1, listed in "failed") — NOT
     // timed as if its fast-fail wall time were a result.
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q54_dup_clusters,q42_ngram_jaccard — local profiling
+    // aid; unset (the driver's mode) runs the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up (JIT + codegen)
         // min of 2 timed runs: the host is shared, and a transient load

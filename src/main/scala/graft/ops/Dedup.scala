@@ -370,31 +370,42 @@ object Dedup {
     *
     * Scale shape: the pair pipeline is consumed ONCE (both edge
     * directions come from a single explode pass, materialized by one
-    * localCheckpoint), and propagation runs only over nodes that appear
-    * in `pairs` — at corpus scale that is the near-dup subgraph, orders
-    * of magnitude smaller than the corpus; the full id universe joins in
-    * exactly once at the end to label singletons. Per round: one shuffle
-    * join of edges against the frontier + one aggregation + the label
-    * merge; the convergence check is a scan of the just-checkpointed
-    * frame (no extra join). Labels are localCheckpointed so lineage stays
-    * O(1). Deterministic for any partitioning (min is order-insensitive). */
+    * localCheckpoint) and the edge set is hash-partitioned by `src` at
+    * that materialization — the checkpoint preserves the partitioning, so
+    * NO round re-shuffles the edges: each round's propagation join only
+    * exchanges the (shrinking) frontier. Propagation runs only over nodes
+    * that appear in `pairs` — at corpus scale that is the near-dup
+    * subgraph, orders of magnitude smaller than the corpus; the full id
+    * universe joins in exactly once at the end to label singletons. Per
+    * round: one shuffle of the frontier + one aggregation + the label
+    * merge, and the round's checkpoint is LAZY so its materialization and
+    * the convergence count are ONE job (an eager checkpoint + count would
+    * pay two full job launches per round — on small graphs per-job
+    * overhead dominates propagation wall time). Labels are
+    * localCheckpointed so lineage stays O(1). Deterministic for any
+    * partitioning (min is order-insensitive). */
   def duplicateClusters(nodes: DataFrame, idCol: String, pairs: DataFrame,
                         aCol: String = "id_a", bCol: String = "id_b",
                         maxRounds: Int = 50): DataFrame = {
-    // both directions in ONE pass over the (expensive) pairs input
+    // both directions in ONE pass over the (expensive) pairs input.
+    // repartition by the join key WITHOUT a fixed N (AQE may coalesce: the
+    // edge set is threshold-graph-sized, not corpus-sized) so every round's
+    // edges-side exchange is pre-paid here, once
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
       .localCheckpoint()
     // seed = round 1: every node's original id reaches all its neighbors
     // inside this one aggregation (the graph is symmetric, so every node
-    // appears as dst), replacing a distinct + join + union + groupBy
+    // appears as dst), replacing a distinct + join + union + groupBy.
+    // lazy checkpoint: the frontier count below materializes it
     var labels = edges.groupBy(col("dst"))
       .agg(least(min(col("src")), col("dst")).as("cluster_id"))
       .select(col("dst").as("id"), col("cluster_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // a node's neighbors have seen its ORIGINAL id; only improved labels
     // (cluster_id < id) are news that still must travel
     var frontier = labels.filter(col("cluster_id") < col("id"))
@@ -410,7 +421,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("cand"), col("cluster_id"))).as("cluster_id"),
           (col("cand") < col("cluster_id")).as("__improved"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       frontier = merged.filter(col("__improved")).select(col("id"), col("cluster_id"))
       frontierSize = frontier.count()
       labels = merged.select(col("id"), col("cluster_id"))
