@@ -884,7 +884,53 @@ object PipelineQueries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Bigram-LM fluency score per document: mean corpus conditional
+    * probability P(w2|w1) over the doc's bigram instances — linear
+    * probability, not log-space, for cross-engine exactness (the ln/libm
+    * trade Terms.bigramCondProb and tfIdfTopTerms document). Docs with
+    * < 2 tokens have no bigrams and are absent (inner semantics on both
+    * sides). */
+  private val q78 = Q("q78_bigram_score",
+    (s, d) => Terms.bigramCondProb(documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split($SqlNorm, ' ') AS t
+               FROM documents),
+             bg AS (SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                 i -> t[i + 1])) AS w1,
+               unnest(list_transform(range(0, greatest(len(t) - 1, 0)),
+                 i -> t[i + 2])) AS w2
+               FROM tok),
+             c AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+             p AS (SELECT w1, w2, c2::DOUBLE /
+                 (sum(c2) OVER (PARTITION BY w1))::DOUBLE AS cond_p FROM c)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(cond_p), 6) AS avg_cond_p
+             FROM bg JOIN p USING (w1, w2)
+             GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Per-label embedding centroids (class prototypes): elementwise mean
+    * via the map-side-partial VectorSum aggregator — the exchange carries
+    * one 64-double buffer per (label, partition), never corpus vectors.
+    * The query flattens the centroid to (label, dim_idx, c_val) rows for
+    * the dump; the operator itself returns the ARRAY<DOUBLE>. */
+  private val q79 = Q("q79_label_centroids",
+    (s, d) => Similarity.groupCentroids(embeddings(s, d), "label", "embedding", 64)
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        posexplode(col("centroid")))
+      .select(col("label"), col("n_vecs"), col("pos").cast("long").as("dim_idx"),
+        round(col("col"), 6).as("c_val"))
+      .orderBy(col("label"), col("dim_idx")),
+    Some("""WITH u AS (SELECT label, vec_id, unnest(embedding) AS x,
+              generate_subscripts(embedding, 1) - 1 AS dim_idx
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+              CAST(count(*) AS BIGINT) AS n_vecs,
+              CAST(dim_idx AS BIGINT) AS dim_idx,
+              round(avg(x::DOUBLE), 6) AS c_val
+            FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79)
 }

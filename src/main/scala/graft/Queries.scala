@@ -501,9 +501,81 @@ object Queries {
     Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS k
             FROM events ORDER BY event_id"""))
 
+  /** Long-to-wide pivot: daily activity matrix, one count column per event
+    * type. Categories are declared (Relational.pivotCounts) so the plan is
+    * ONE hash aggregation — no distinct-collect pre-pass. */
+  private val q74 = Q("q74_pivot",
+    (s, d) => Relational.pivotCounts(events(s, d),
+        date_format(col("ts"), "yyyy-MM-dd"), "day", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy(col("day")),
+    Some("""SELECT strftime(ts, '%Y-%m-%d') AS day,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS "view"
+            FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** CUBE over (returnflag, linestatus) with all four grouping sets in one
+    * pass (partial aggregation expands the sets map-side — one shuffle,
+    * not one per set). gid disambiguates a NULL key value from a rolled-up
+    * key; output order pins NULLS FIRST explicitly because the engines'
+    * defaults differ (Spark: NULLS FIRST asc, DuckDB: NULLS LAST). */
+  private val q75 = Q("q75_cube",
+    (s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              l_returnflag, l_linestatus, count(*) AS cnt,
+              round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Quartile bucketing + percentile rank per group — ntile/percent_rank
+    * window analytics. Window partitions are event types ORDERED BY a
+    * unique (value, event_id) key, so bucket boundaries are total-order
+    * deterministic on both engines. */
+  private val q76 = Q("q76_ntile",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("event_type"), col("value"), col("event_id"))
+    },
+    Some("""SELECT event_id, event_type, value,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+            ORDER BY event_type, value, event_id"""))
+
+  /** Per-group z-score standardization, two-pass broadcast shape (see
+    * Relational.groupZScore: a whole-partition window would cap
+    * parallelism at 5 event types). */
+  private val q77 = Q("q77_zscore",
+    (s, d) => Relational.groupZScore(events(s, d), Seq("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy(col("event_id")),
+    Some("""WITH s AS (SELECT event_type, avg(value) AS m,
+              stddev_samp(value) AS sd FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+              round((value - m) / nullif(sd, 0.0), 6) AS z
+            FROM events JOIN s USING (event_type) ORDER BY event_id"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
-    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
+    q74, q75, q76, q77)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

@@ -164,4 +164,41 @@ object Relational {
     val cnt = least(row_number().over(w), lit(n)).cast("double")
     df.withColumn(outName, total / cnt)
   }
+
+  /** Long-to-wide pivot with count aggregation: one output row per key,
+    * one BIGINT count column per `values` entry (absent combinations are
+    * 0, not null). Formulated as conditional aggregation — one
+    * `count(when(pivot = v, 1))` per declared category — NOT the built-in
+    * `.pivot()`: values-less pivot runs a distinct-collect pre-job over
+    * the pivot column, and even values-declared pivot plans TWO exchanges
+    * (pre-aggregate on (key, pivot), re-aggregate on key). Conditional
+    * aggregation is ONE map-side-partial hash aggregation with a single
+    * exchange on the key. An undeclared category is dropped rather than
+    * silently growing the schema. */
+  def pivotCounts(df: DataFrame, keyCol: Column, keyName: String,
+                  pivotCol: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "values must be non-empty")
+    val aggs = values.map(v => count(when(col(pivotCol) === v, 1)).as(v))
+    df.groupBy(keyCol.as(keyName))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group z-score standardization — the feature/quality-score
+    * normalization step run before thresholding or model input. TWO-PASS:
+    * a tiny per-group (mean, stddev) aggregate is broadcast-joined back
+    * onto the rows. A whole-partition window would compute the same thing
+    * but caps parallelism at the number of groups (5 event types = 5
+    * tasks, the product-shuffle trap [[Similarity]]'s TopK also avoids);
+    * the two-pass shape aggregates map-side and never re-partitions the
+    * fact rows. A degenerate group (n = 1 or zero variance) yields null z
+    * (nullif guard), not a division error. */
+  def groupZScore(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+                  outName: String = "z"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(avg(valueCol).as("__mean"), stddev_samp(valueCol).as("__sd"))
+    df.join(broadcast(stats), keyCols)
+      .withColumn(outName, (valueCol - col("__mean")) / nullif(col("__sd"), lit(0.0)))
+      .drop("__mean", "__sd")
+  }
 }

@@ -325,4 +325,26 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rnk")
   }
+
+  /** Per-group embedding centroids — class prototypes for few-shot label
+    * transfer, cluster summaries, drift monitoring. One hash aggregation
+    * with the elementwise [[Aggregators.VectorSum]]: partial sums combine
+    * MAP-SIDE, so the exchange carries one d-length buffer per (group,
+    * partition) — never the corpus vectors. (The posexplode alternative
+    * shuffles |corpus|×d (group, dim, value) rows: d× more exchange bytes
+    * for the same answer.) Elements are promoted f32→f64 exactly before
+    * summing. Output: (groupCol, centroid ARRAY<DOUBLE>, n_vecs). Vectors
+    * shorter than `dim` fail the aggregation loudly; vectors longer are a
+    * contract violation the caller must prevent. */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val vecSum = udaf(new Aggregators.VectorSum(dim))
+    df.groupBy(col(groupCol))
+      .agg(vecSum(col(vecCol).cast("array<double>")).as("__sum"),
+        count(lit(1)).as("n_vecs"))
+      .select(col(groupCol),
+        transform(col("__sum"), x => x / col("n_vecs").cast("double")).as("centroid"),
+        col("n_vecs"))
+  }
 }

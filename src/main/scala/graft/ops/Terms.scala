@@ -106,6 +106,52 @@ object Terms {
       .limit(k)
   }
 
+  /** Per-document bigram-model quality score — the statistical-LM fluency
+    * signal corpus filters cut on (gibberish and boilerplate score low
+    * against the corpus's own bigram statistics). For each document:
+    * `avg_cond_p` = the mean over its bigram instances of the corpus
+    * conditional probability P(w2|w1) = c(w1,w2) / c(w1,·).
+    *
+    * Linear probability ON PURPOSE, not log-space: division is a
+    * correctly-rounded IEEE operation an external SQL engine replays
+    * bit-for-bit, while `ln` is 1-ulp-accurate and libm-dependent (the
+    * same trade [[tfIdfTopTerms]] documents). Production pipelines wanting
+    * KenLM-style log-perplexity rank on `avg(ln(p))` with the identical
+    * plan shape.
+    *
+    * Scale shape: per-doc bigrams are a narrow zip pass (no shuffle); the
+    * corpus bigram table is vocabulary²-bounded — far smaller than the
+    * corpus but NOT broadcastable, so scoring is a shuffle join on
+    * (w1, w2); prefix counts c(w1,·) come from a window over the already
+    * aggregated bigram frame (vocabulary-sized partitions, no extra pass
+    * over the corpus). Documents with < 2 tokens have no bigrams and are
+    * absent from the output.
+    *
+    * Cache lifecycle: the (doc, w1, w2) frame persists MEMORY_AND_DISK (it
+    * feeds both the count aggregation and the scoring join); same contract
+    * as the pair generators — `spark.catalog.clearCache()` between
+    * corpora. */
+  def bigramCondProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    val bigrams = Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val probs = counts
+      .withColumn("__c1", sum(col("c2")).over(Window.partitionBy(col("w1"))))
+      .withColumn("cond_p", col("c2").cast("double") / col("__c1").cast("double"))
+      .select(col("w1"), col("w2"), col("cond_p"))
+    bigrams.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("cond_p")), 6).as("avg_cond_p"))
+  }
+
   /** Corpus mixture planning — the sizing step of data curation: given a
     * target token budget and per-stratum mixture weights, compute for each
     * stratum (source, language, quality bucket...) its token count, target

@@ -122,4 +122,35 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan("q67_quantize_int8")
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
+
+  test("pivot is one hash aggregation — no distinct-collect pre-pass, no window") {
+    val p = plan("q74_pivot")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window"), p)
+    // conditional aggregation: exactly one exchange (the day-key agg; the
+    // key shows as Spark's internal _groupingexpression alias) — the
+    // built-in .pivot() would plan two
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1,
+      s"expected exactly one exchange:\n${hashExchanges.mkString("\n")}")
+  }
+
+  test("z-score broadcasts the group stats back — fact rows never re-partition") {
+    val p = plan("q77_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), s"stats must be two-pass, not a whole-partition window:\n$p")
+  }
+
+  test("label centroids partial-aggregate map-side (VectorSum, no posexplode shuffle)") {
+    val p = plan("q79_label_centroids")
+    // the aggregation exchange must carry the label key only — a
+    // (label, dim) exchange would mean the posexplode-then-agg shape that
+    // shuffles d rows per vector
+    val aggExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(aggExchanges.exists(l => l.contains("label") && !l.contains("dim_idx")),
+      s"expected the VectorSum agg exchange on label only:\n${aggExchanges.mkString("\n")}")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
 }

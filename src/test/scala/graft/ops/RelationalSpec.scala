@@ -78,4 +78,28 @@ class RelationalSpec extends SparkTestBase {
       .select("event_id", "session_id").as[(Long, Long)].collect().toMap
     assert(out(1L) == 0 && out(2L) == 0 && out(3L) == 1 && out(4L) == 0)
   }
+
+  test("pivotCounts widens counts with zero-fill and drops undeclared categories") {
+    val df = Seq(("d1", "a"), ("d1", "a"), ("d1", "b"), ("d2", "b"),
+      ("d2", "zzz")).toDF("day", "cat")
+    val out = Relational.pivotCounts(df, col("day"), "day", "cat", Seq("a", "b", "c"))
+      .orderBy("day").as[(String, Long, Long, Long)].collect().toSeq
+    // zzz is not a declared category: its rows vanish rather than adding a column
+    assert(out == Seq(("d1", 2L, 1L, 0L), ("d2", 0L, 1L, 0L)))
+  }
+
+  test("groupZScore matches hand stats and nulls degenerate groups") {
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 5.0), // n = 1: stddev_samp undefined
+      ("g3", 4.0), ("g3", 4.0)) // zero variance
+      .toDF("k", "v")
+    val out = Relational.groupZScore(df, Seq("k"), col("v"))
+      .select(col("k"), col("v"), col("z"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(math.abs(out(("g1", 1.0)).get - (-1.0)) < 1e-12) // sd = 1.0, mean = 2
+    assert(math.abs(out(("g1", 3.0)).get - 1.0) < 1e-12)
+    assert(out(("g2", 5.0)).isEmpty)
+    assert(out(("g3", 4.0)).isEmpty)
+  }
 }

@@ -101,6 +101,20 @@ class TermsSpec extends SparkTestBase {
     assert(got == Map(1L -> 2.0, 2L -> 3.0, 3L -> 4.0, 4L -> 6.0, 5L -> 10.0))
   }
 
+  test("bigramCondProb averages corpus P(w2|w1) per doc; short docs absent") {
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus bigrams: doc1 (a,b) (b,a) (a,b); doc2 (a,c)
+    // c(a,.) = 3, c(b,.) = 1 -> P(b|a) = 2/3, P(a|b) = 1, P(c|a) = 1/3
+    val got = Terms.bigramCondProb(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L)
+    assert(math.abs(got(1L)._3 - math.rint((2.0 / 3 + 1.0 + 2.0 / 3) / 3 * 1e6) / 1e6) < 1e-12)
+    assert(got(2L)._2 == 1L)
+    assert(math.abs(got(2L)._3 - math.rint(1.0 / 3 * 1e6) / 1e6) < 1e-12)
+    assert(!got.contains(3L)) // one token: no bigrams
+  }
+
   test("quantizeInt8 round-trips within half a scale step and saturates at 127") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),

@@ -19,6 +19,15 @@ class VectorTextSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(3) - math.sqrt(9 + 49 + 9)) < 1e-12)
   }
 
+  test("groupCentroids computes per-group elementwise means") {
+    val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(-1.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Similarity.groupCentroids(df, "label", "embedding", 2)
+      .as[(Int, Seq[Double], Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(0)._2 == Seq(2.0, 3.0) && got(0)._3 == 2L)
+    assert(got(1)._2 == Seq(-1.0, 0.5) && got(1)._3 == 1L)
+  }
+
   test("codegen DotProduct matches the built-ins-only formulation bit-for-bit") {
     val rng = new scala.util.Random(17)
     val rows = (0 until 200).map { _ =>
