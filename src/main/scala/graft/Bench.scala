@@ -21,6 +21,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // drop state an execution left behind (persisted frames, checkpoint
+    // RDDs) and nudge a GC — run BETWEEN executions, outside the timers,
+    // so each timed run pays its own persists (as a driver cold run would)
+    // but not the previous execution's leftovers: queries with per-round
+    // localCheckpoints were measured 2-3x slower on their second timed run
+    // purely from accumulated memory-store pressure
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     val results = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).count() // warm-up (JIT + codegen)
@@ -28,6 +39,7 @@ object Bench {
         // spike during a single timed run was measured to inflate one query
         // 8x — min-of-k is the standard steady-state estimator for that
         val t = (0 until 2).map { _ =>
+          cleanup()
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
@@ -39,15 +51,12 @@ object Bench {
           System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
           name -> -1.0
       } finally {
-        // isolate queries: drop any cached plans/blocks a query pipeline
-        // persisted so later timings don't pay its memory pressure; then
-        // nudge a GC — Spark's ContextCleaner only reclaims shuffle files /
-        // broadcasts when the JVM collects their references, and 53 queries
-        // x 3 executions otherwise accumulate enough driver state that
-        // late-suite queries were measured 5-10x slower from GC pressure
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        System.gc()
+        // isolate queries: Spark's ContextCleaner only reclaims shuffle
+        // files / broadcasts when the JVM collects their references, and
+        // 79 queries x 3 executions otherwise accumulate enough driver
+        // state that late-suite queries were measured 5-10x slower from GC
+        // pressure
+        cleanup()
       }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
