@@ -930,7 +930,93 @@ object PipelineQueries {
               round(avg(x::DOUBLE), 6) AS c_val
             FROM u GROUP BY label, dim_idx ORDER BY label, dim_idx"""))
 
+  /** End-to-end corpus curation (CorpusPipeline): quality → lang →
+    * exact dedup → near-dup clusters → decontamination → stratified
+    * sampling, labeling every doc with the first stage that dropped it.
+    * The oracle replays the ENTIRE pipeline — each stage's SQL fragment is
+    * the one its standalone query (q46/q47/q40/q54/q59/q58) already
+    * verifies, chained over the same shrinking survivor sets. Benchmark
+    * stand-in: doc_id % 97 = 0 (as q59). */
+  private val q80 = Q("q80_curation_funnel",
+    (s, d) => {
+      val docs = documents(s, d)
+      val labeled = CorpusPipeline.curate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text",
+        CorpusPipeline.Config(
+          allowedLangs = Seq("en"),
+          blockCols = Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")),
+          shingleLen = 3, minJaccard = 0.1,
+          decontamN = 4, minOverlap = 1,
+          strataCol = "source", ratesPct = Map("src0" -> 50), defaultPct = 90))
+      labeled.select(col("doc_id"), col("lang_guess"), col("drop_stage"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val score = Map(
+        "en" -> """len(regexp_extract_all(lower(text), '\b(?:the|and|of|to|in|is|that|for|with|was)\b'))""",
+        "de" -> """len(regexp_extract_all(lower(text), '\b(?:der|die|das|und|ist|nicht|mit|ein|eine|den)\b'))""",
+        "es" -> """len(regexp_extract_all(lower(text), '\b(?:el|la|los|las|es|y|en|que|por|una)\b'))""",
+        "fr" -> """len(regexp_extract_all(lower(text), '\b(?:le|la|les|et|est|une|des|dans|pour|que)\b'))""",
+        "zh" -> """len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]'))""")
+      val Seq(en, de, es, fr, zh) = Seq("en", "de", "es", "fr", "zh").map(score)
+      def shingles(n: Int) =
+        s"""list_distinct(list_transform(
+           |  range(0, greatest(len(string_split($SqlNorm, ' ')) - $n, 0) + 1),
+           |  i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + $n], ' ')))""".stripMargin
+      s"""WITH RECURSIVE
+         |corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+         |fl AS (SELECT doc_id, lang, source, n_chars, text,
+         |  coalesce(len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 5 AND 100000
+         |    AND CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      / length(text) < 0.3, false) AS q_ok,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       WHEN $en >= $de AND $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |       WHEN $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |       WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |       WHEN $fr >= $zh THEN 'fr'
+         |       ELSE 'zh' END AS lang_guess
+         |  FROM corpus),
+         |base AS (SELECT * FROM fl WHERE q_ok AND lang_guess IN ('en')),
+         |ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS e_ok
+         |  FROM base),
+         |be AS (SELECT base.* FROM base JOIN ex USING (doc_id) WHERE e_ok),
+         |s3 AS (SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS blk,
+         |    ${shingles(3)} AS sh
+         |  FROM be),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM s3 a JOIN s3 b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |reach AS (SELECT doc_id AS id, doc_id AS lbl FROM be
+         |          UNION
+         |          SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+         |nf AS (SELECT id AS doc_id, min(lbl) = id AS n_ok FROM reach GROUP BY id),
+         |bn AS (SELECT be.* FROM be JOIN nf USING (doc_id) WHERE n_ok),
+         |bh AS (SELECT DISTINCT unnest(${shingles(4)}) AS g
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |cont AS (SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(${shingles(4)}) AS g FROM bn) t
+         |  JOIN bh USING (g))
+         |SELECT fl.doc_id, fl.lang_guess,
+         |  CASE WHEN NOT fl.q_ok THEN 'quality'
+         |       WHEN fl.lang_guess IS NULL OR fl.lang_guess NOT IN ('en') THEN 'lang'
+         |       WHEN ex.e_ok = false THEN 'exact_dup'
+         |       WHEN nf.n_ok = false THEN 'near_dup'
+         |       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+         |       WHEN NOT ((((((fl.doc_id % 2147483648) * 1103515245 + 12345)
+         |                    % 2147483648) // 65536) % 100) <
+         |         CASE WHEN fl.source = 'src0' THEN 50 ELSE 90 END) THEN 'sampled'
+         |       END AS drop_stage
+         |FROM fl LEFT JOIN ex USING (doc_id) LEFT JOIN nf USING (doc_id)
+         |        LEFT JOIN cont ON cont.doc_id = fl.doc_id
+         |ORDER BY fl.doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80)
 }

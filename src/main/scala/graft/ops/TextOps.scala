@@ -109,14 +109,22 @@ object TextOps {
     * `defaultPct`. */
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
                        strataCol: String, ratesPct: Map[String, Int],
-                       defaultPct: Int): org.apache.spark.sql.DataFrame = {
+                       defaultPct: Int): org.apache.spark.sql.DataFrame =
+    df.filter(sampleKeep(col(idCol), col(strataCol), ratesPct, defaultPct))
+
+  /** The [[stratifiedSample]] keep decision as a standalone predicate
+    * column, for pipelines that LABEL sampled-out rows instead of dropping
+    * them (e.g. [[CorpusPipeline]] funnel accounting). Same exact-integer
+    * LCG draw; filtering on this predicate IS stratifiedSample. */
+  def sampleKeep(id: Column, strata: Column, ratesPct: Map[String, Int],
+                 defaultPct: Int): Column = {
     val m = 2147483648L // 2^31, glibc LCG modulus
-    val x = pmod(pmod(col(idCol).cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
+    val x = pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
     val draw = pmod(shiftright(x, 16), lit(100L))
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
-      when(col(strataCol) === k, lit(v)).otherwise(acc)
+      when(strata === k, lit(v)).otherwise(acc)
     }
-    df.filter(draw < rate)
+    draw < rate
   }
 
   /** Concatenation packing: assign [[chunkSpans]] chunks to fixed-capacity
