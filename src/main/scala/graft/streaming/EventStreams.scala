@@ -187,6 +187,40 @@ object EventStreams {
   }
 
   final case class SessionState(sessionId: Long, lastTsMicros: Long)
+  /** Stream-stream interval join — the conversion-attribution shape: each
+    * left event (e.g. a click) joins every right event (e.g. a purchase)
+    * by the same user within `[left.ts, left.ts + maxGapSeconds]`. Both
+    * sides are watermarked and the join condition is time-BOUNDED in both
+    * directions, which is exactly what lets Spark keep bounded state for a
+    * stream-stream inner join in append mode: a buffered right row becomes
+    * evictable once the left watermark passes `right.ts` (no left row that
+    * could still match it can arrive), and symmetrically for the left —
+    * state is O(events inside the watermark + gap horizon) per side, not
+    * O(history). An UNbounded condition (plain equi-join of two streams)
+    * would grow state forever; this operator makes the bound part of its
+    * signature.
+    *
+    * Batch twin: the same range predicate as [[graft.ops.TimeJoins]]'
+    * interval machinery — `StreamStreamSpec` proves streaming output equals
+    * the batch join on identical data. Late rows beyond the watermark are
+    * dropped (the standard trade). */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxGapSeconds: Long,
+                   watermark: String = "2 hours"): DataFrame = {
+    require(maxGapSeconds >= 0, "maxGapSeconds must be >= 0")
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("left_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("r_user_id"),
+        col("event_id").cast("long").as("right_id"), col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"))
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+  }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of

@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events =
+    graft.Tables.events(spark, sf0001)
+
+  test("approxDistinct is within the HLL rsd bound of the exact count") {
+    val approx = Sketches.approxDistinct(events, Seq(col("event_type")),
+        col("user_id"), rsd = 0.05)
+      .as[(String, Long)].collect().toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k) - ex).toDouble / ex
+      // 0.05 rsd: allow 4 sigma
+      assert(err <= 0.2, s"$k: approx=${approx(k)} exact=$ex err=$err")
+    }
+  }
+
+  test("approxDistinct partial-aggregates map-side (sketches merge, values don't shuffle)") {
+    val p = Sketches.approxDistinct(events, Seq(col("event_type")), col("user_id"))
+      .queryExecution.executedPlan.toString
+    // partial_approx_count_distinct before the exchange = the map-side
+    // sketch merge; exact countDistinct would plan an expand/two-phase
+    // distinct that shuffles every value
+    assert(p.contains("partial_approx_count_distinct"), p)
+  }
+
+  test("approxQuantiles lands within rank-error of the exact percentiles") {
+    val approx = Sketches.approxQuantiles(events, Seq(col("event_type")),
+        col("value"), Seq(0.25, 0.5, 0.75), accuracy = 10000)
+      .as[(String, Seq[Double])].collect().toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("q"))
+      .as[(String, Seq[Double])].collect().toMap
+    exact.foreach { case (k, exq) =>
+      approx(k).zip(exq).foreach { case (a, e) =>
+        // value tolerance: GK guarantees rank error; on this smooth synthetic
+        // distribution that translates to a small value gap
+        assert(math.abs(a - e) <= math.max(0.05 * math.abs(e), 0.5),
+          s"$k: approx=$a exact=$e")
+      }
+    }
+  }
+
+  test("runtime bloom filter prunes the large join side when enabled") {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val lineitem = graft.Tables.lineitem(spark, sf0001)
+      val orders = graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders,
+        col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+      // and it still returns the right rows
+      val expected = lineitem.join(orders.hint("broadcast"),
+        col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
