@@ -572,10 +572,69 @@ object Queries {
               round((value - m) / nullif(sd, 0.0), 6) AS z
             FROM events JOIN s USING (event_type) ORDER BY event_id"""))
 
+  /** Fixed-interval resampling with gap-fill + forward fill (see
+    * Relational.resample): 6-hour bins per user, last observed value
+    * carried across empty bins. The filled value is PICKED (last by
+    * (ts, event_id)), never summed, so the DOUBLE column is exact on
+    * both engines; the bin index is integer-division microseconds
+    * (epochs here are post-1970, so trunc-div == floor-div on both). */
+  private val q81 = Q("q81_resample",
+    (s, d) => Relational.resample(events(s, d), "user_id", "ts", "event_id",
+        "value", intervalSec = 21600L)
+      .orderBy(col("user_id"), col("bin")),
+    Some("""WITH b AS (SELECT user_id,
+              epoch_us(ts) // 21600000000 AS bin, value, ts, event_id
+              FROM events),
+            lastv AS (SELECT user_id, bin, value FROM (
+              SELECT user_id, bin, value,
+                row_number() OVER (PARTITION BY user_id, bin
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM b) WHERE rn = 1),
+            cnt AS (SELECT user_id, bin, count(*) AS n_events
+              FROM b GROUP BY user_id, bin),
+            grid AS (SELECT user_id, unnest(range(min(bin), max(bin) + 1)) AS bin
+              FROM b GROUP BY user_id)
+            SELECT g.user_id, g.bin, coalesce(c.n_events, 0) AS n_events,
+              last_value(l.value IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+            FROM grid g
+            LEFT JOIN cnt c ON c.user_id = g.user_id AND c.bin = g.bin
+            LEFT JOIN lastv l ON l.user_id = g.user_id AND l.bin = g.bin
+            ORDER BY g.user_id, g.bin"""))
+
+  /** Full-outer join with null-side coalescing: high-value click users vs
+    * high-value purchase users — the side-by-side cohort compare where
+    * either side may be absent. Both inputs aggregate BEFORE the join
+    * (outer-join inputs are user-cardinality, not event-cardinality) and
+    * the join key is coalesced back to one column. */
+  private val q82 = Q("q82_full_outer",
+    (s, d) => {
+      val ev = events(s, d)
+      def side(t: String, cName: String) = ev
+        .filter(col("event_type") === t && col("value") > 200.0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as(cName))
+      val c = side("click", "n_click")
+      val p = side("purchase", "n_purchase").withColumnRenamed("user_id", "p_user_id")
+      c.join(p, col("user_id") === col("p_user_id"), "full_outer")
+        .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_purchase"), lit(0L)).as("n_purchase"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n_click FROM events
+              WHERE event_type = 'click' AND value > 200.0 GROUP BY user_id),
+            p AS (SELECT user_id, count(*) AS n_purchase FROM events
+              WHERE event_type = 'purchase' AND value > 200.0 GROUP BY user_id)
+            SELECT coalesce(c.user_id, p.user_id) AS user_id,
+              coalesce(c.n_click, 0) AS n_click,
+              coalesce(p.n_purchase, 0) AS n_purchase
+            FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+            ORDER BY user_id"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77)
+    q74, q75, q76, q77, q81, q82)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

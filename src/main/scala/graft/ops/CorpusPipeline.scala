@@ -133,4 +133,23 @@ object CorpusPipeline {
     labeled
       .groupBy(coalesce(col("drop_stage"), lit("kept")).as("stage"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** The stages [[curate]] can assign, in pipeline order. */
+  val Stages: Seq[String] =
+    Seq("quality", "lang", "exact_dup", "near_dup", "contaminated", "sampled")
+
+  /** Attach single-pass funnel metrics to a labeled frame: the returned
+    * `Observation` accumulates per-stage drop counts WHILE whatever action
+    * consumes the frame runs (typically the curated-corpus write), so the
+    * attrition report costs zero extra scans — [[funnel]] as a separate
+    * aggregation re-reads the corpus. `obs.get` blocks until the first
+    * action on the returned frame completes; metrics are accumulator-side,
+    * exactly-once per successful action. */
+  def observed(labeled: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("curation_funnel")
+    val metrics = Stages.map(s =>
+      count(when(col("drop_stage") === s, 1)).as(s)) :+
+      count(when(col("drop_stage").isNull, 1)).as("kept")
+    (labeled.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -21,6 +21,38 @@ object Layout {
     * resolution materializes query stages) only to read a partition count.
     * For the remaining narrow-over-scan plans the probe is free — no
     * exchanges means no jobs run. */
+  /** Write a hive-partitioned parquet layout on `partCols` — the on-disk
+    * organization a 100-TB corpus needs so downstream reads with a
+    * partition-column predicate scan ONLY the matching directories
+    * (partition pruning happens at file listing, before any footer or
+    * row-group IO). Partition columns should be low-cardinality
+    * (source, date, language...): each distinct combination is a
+    * directory, and the files-per-partition count follows the upstream
+    * task layout — repartition on `partCols` first if many tasks would
+    * otherwise each write a sliver into every partition. */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Overwrite ONLY the partitions present in `df` (dynamic partition
+    * overwrite), leaving sibling partitions intact — the incremental
+    * corpus-refresh primitive: re-curating one source/date re-writes that
+    * directory, the other N-1 partitions' files are untouched. Static
+    * overwrite (the default mode) would truncate the whole root. */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def spread(df: DataFrame, idCol: String): DataFrame = {
     val hasShuffle = df.queryExecution.analyzed.collectFirst {
       case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |

@@ -183,6 +183,47 @@ object Relational {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Fixed-interval time-series resampling with gap-fill and forward
+    * fill — the event-log → regular-grid step a feature/monitoring
+    * pipeline runs before windowed models. Per key: bucket events into
+    * `intervalSec` bins, keep the LAST observed value per bin (picked by
+    * (ts, id) order — picking, not summing, so the result is exact and
+    * engine-reproducible even for DOUBLE values), densify to the key's
+    * full [min_bin, max_bin] range via `sequence` + `explode`, and
+    * forward-fill empty bins with the last observed value
+    * (`last(ignoreNulls)`); `n_events` is 0 for gap bins.
+    *
+    * Scale: the expensive input shuffles ONCE on (key, bin) for the
+    * per-bin aggregate; the grid explode runs on the per-key extent
+    * frame (cardinality = #keys) and the final join + forward-fill
+    * window shuffle only grid-sized data (#keys × #bins, tiny vs the
+    * event log). Gap bins never materialize per-event data. The bin
+    * compare is exact integer microseconds (no fp epoch casts). */
+  def resample(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+               valueCol: String, intervalSec: Long): DataFrame = {
+    require(intervalSec > 0, "intervalSec must be positive")
+    val usPerBin = intervalSec * 1000000L
+    // floor-division in exact long arithmetic: subtract the (always
+    // non-negative) pmod remainder first, so the double division divides
+    // evenly and rounds to the exact integer — no floor(fp-quotient)
+    // knife edges at bin boundaries
+    val us = unix_micros(col(tsCol))
+    val binned = df.withColumn("bin",
+      ((us - pmod(us, lit(usPerBin))) / usPerBin).cast("long"))
+    val perBin = binned.groupBy(col(keyCol), col("bin"))
+      .agg(max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("__last_v"),
+        count(lit(1)).as("n_events"))
+    val grid = perBin.groupBy(col(keyCol))
+      .agg(min(col("bin")).as("__lo"), max(col("bin")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bin"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBin, Seq(keyCol, "bin"), "left")
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("__last_v"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** Per-group z-score standardization — the feature/quality-score
     * normalization step run before thresholding or model input. TWO-PASS:
     * a tiny per-group (mean, stddev) aggregate is broadcast-joined back

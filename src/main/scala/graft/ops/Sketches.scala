@@ -30,6 +30,21 @@ object Sketches {
     df.groupBy(keyCols: _*)
       .agg(approx_count_distinct(valueCol, rsd).as("approx_distinct"))
 
+  /** Single-pass frequent items (heavy hitters) per column — the
+    * "which sources/hosts/templates dominate this corpus" diagnostic.
+    * Karp-Schenker-Papadimitriou counting: each partition keeps at most
+    * 1/support candidate counters and partials merge associatively, so
+    * the job is one narrow pass + a counter merge — an exact groupBy-count
+    * would shuffle every distinct value. Guarantee is one-sided: every
+    * item with frequency > support IS in the result; infrequent false
+    * positives may accompany it (filter with an exact count over just the
+    * returned candidates — candidate-set sized, cheap — if exactness
+    * matters downstream). */
+  def frequentItems(df: DataFrame, cols: Seq[String], support: Double): DataFrame = {
+    require(support > 1e-4 && support < 1.0, "support must be in (1e-4, 1)")
+    df.stat.freqItems(cols.toArray, support)
+  }
+
   /** Approximate quantiles per group (Greenwald-Khanna, `accuracy` =
     * 1/relative-error; 10000 ≈ 1e-4 rank error). */
   def approxQuantiles(df: DataFrame, keyCols: Seq[Column], valueCol: Column,

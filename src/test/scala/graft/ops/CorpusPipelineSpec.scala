@@ -79,6 +79,24 @@ class CorpusPipelineSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("observed() yields the funnel counts from the consuming action's own pass") {
+    val labeled = CorpusPipeline.curate(docs, bench, "doc_id", "text", cfg())
+    val (framed, obs) = CorpusPipeline.observed(labeled)
+    // the action a real run performs: write the curated corpus; the funnel
+    // metrics ride along on the same job
+    val out = java.nio.file.Files.createTempDirectory("curated").toString
+    framed.filter(col("drop_stage").isNull).write.mode("overwrite").parquet(out)
+    val got = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    val expected = CorpusPipeline.funnel(labeled)
+      .as[(String, Long)].collect().toMap
+    (CorpusPipeline.Stages :+ "kept").foreach { s =>
+      assert(got(s) == expected.getOrElse(s, 0L), s"stage $s")
+    }
+    // and the written corpus is exactly the survivors
+    assert(spark.read.parquet(out).count() == expected("kept"))
+    spark.catalog.clearCache()
+  }
+
   test("curated corpus equals the stage-by-stage sequential pipeline") {
     val labeled = CorpusPipeline.curate(docs, bench, "doc_id", "text", cfg())
     val kept = labeled.filter(col("drop_stage").isNull)

@@ -102,4 +102,26 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("g2", 5.0)).isEmpty)
     assert(out(("g3", 4.0)).isEmpty)
   }
+
+  test("resample densifies gaps, forward-fills, and picks the last value per bin") {
+    def ts(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+    // key "a": bins 0 (two events — later one wins), 1 empty (gap), 2
+    // key "b": single bin — no gaps, no fill
+    val df = Seq(
+      ("a", ts(10), 1L, 5.0), ("a", ts(20), 2L, 7.0),
+      ("a", ts(125), 3L, 9.0),
+      ("b", ts(70), 4L, 2.0))
+      .toDF("k", "ts", "id", "v")
+    val base = ts(0).getTime / 1000L / 60L // bin of the epoch base, JVM-TZ-proof
+    val out = Relational.resample(df, "k", "ts", "id", "v", intervalSec = 60L)
+      .select(col("k"), col("bin") - lit(base), col("n_events"),
+        col("filled_value"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      ("a", 0L, 2L, 7.0),  // last of the two bin-0 events
+      ("a", 1L, 0L, 7.0),  // gap bin forward-filled
+      ("a", 2L, 1L, 9.0),
+      ("b", 1L, 1L, 2.0)))
+  }
 }

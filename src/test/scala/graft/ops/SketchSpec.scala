@@ -50,6 +50,14 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("frequentItems finds every item above the support threshold in one pass") {
+    // each of the 5 event types holds ~20% share — all must surface at 10%
+    val items = Sketches.frequentItems(events, Seq("event_type"), support = 0.1)
+      .select(col("event_type_freqItems")).as[Seq[String]].head().toSet
+    val all = events.select("event_type").distinct().as[String].collect().toSet
+    assert(all.subsetOf(items), s"missing heavy hitters: ${all -- items}")
+  }
+
   test("runtime bloom filter prunes the large join side when enabled") {
     val conf = spark.conf
     val keys = Seq(
