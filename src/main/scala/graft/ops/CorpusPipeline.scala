@@ -88,8 +88,12 @@ object CorpusPipeline {
       .withColumn("__keep_id", min(col(idCol))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
       .select(col(idCol), (col(idCol) === col("__keep_id")).as("__exact_ok"))
+    // persisted like base: three consumers (the pair generator, the cluster
+    // propagation's node list, and the decontamination candidate set) would
+    // otherwise each re-run the md5 window + id join above
     val baseExact = base.join(exactFlags.filter(col("__exact_ok")), Seq(idCol))
       .select(base.columns.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4. near-dup clusters over exact survivors; cluster reps survive
     val pairs = Dedup.ngramJaccardPairs(baseExact, idCol, textCol,
