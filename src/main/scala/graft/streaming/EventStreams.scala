@@ -221,6 +221,69 @@ object EventStreams {
         col("left_ts"), col("right_ts"))
   }
 
+  /** Left-outer variant of [[intervalJoin]]: conversion attribution where
+    * UNCONVERTED left events must also emit (with null right columns).
+    * Same bounded-state story as the inner join, plus the outer-specific
+    * rule: a buffered left row emits its null-padded result only once the
+    * right-side watermark passes the END of its match interval — no
+    * earlier (a matching right row could still arrive), no later (state
+    * must evict). Until the watermark advances that far, unmatched lefts
+    * are withheld, which is the documented outer stream-stream trade. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, maxGapSeconds: Long,
+                            watermark: String = "2 hours"): DataFrame = {
+    require(maxGapSeconds >= 0, "maxGapSeconds must be >= 0")
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id").cast("long").as("left_id"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("r_user_id"),
+        col("event_id").cast("long").as("right_id"), col("ts").as("right_ts"))
+    l.join(r,
+        col("user_id") === col("r_user_id") &&
+          col("right_ts") >= col("left_ts") &&
+          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"),
+        "left_outer")
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+  }
+
+  /** Session-window aggregation via the built-in `session_window` — the
+    * declarative twin of [[sessionize]]: per user, windows merge while
+    * events arrive within `gap` of the session's current end, and a
+    * session finalizes (append mode) once the watermark passes its end.
+    * Unlike the mapGroupsWithState path this gets Spark's native state
+    * format, RocksDB spilling, and session merging in the state store —
+    * prefer it when per-session AGGREGATES are the goal and reach for
+    * [[sessionize]] only when per-EVENT session labels are needed. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once partitioned parquet sink for FINALIZED append-mode
+    * output (watermarked windowed aggregates: [[tumblingCounts]],
+    * [[sessionWindowStats]]...): each micro-batch's rows land via dynamic
+    * partition overwrite ([[graft.ops.Layout.overwritePartitions]]), so a
+    * REPLAYED batch (failure/restart re-delivery) rewrites its partitions
+    * with identical content instead of appending duplicates — idempotence
+    * from the layout, no transaction log needed. The partition columns
+    * must make batch output partition-complete (e.g. the window start a
+    * finalized window emits exactly once); an append-only raw feed does
+    * NOT qualify — replay would truncate sibling rows sharing the
+    * partition. Caller starts the returned query (`.start()` semantics
+    * left to the caller via the writer). */
+  def sinkPartitionedUpsert(finalized: DataFrame, path: String,
+                            partCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    finalized.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Layout.overwritePartitions(batch, path, partCols)
+      }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of
