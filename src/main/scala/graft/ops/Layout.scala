@@ -35,6 +35,25 @@ object Layout {
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
   }
 
+  /** Range-partition + sort-within-partitions write — sort-based data
+    * skipping (poor-man's Z-order on one dimension): after
+    * `repartitionByRange(sortCols)` each output file covers a narrow,
+    * near-disjoint range of the sort key, so parquet min/max row-group
+    * stats let a selective scan skip almost every file — without any
+    * directory explosion (contrast [[writePartitioned]], which needs
+    * low-cardinality columns). The right layout for HIGH-cardinality
+    * predicates (id ranges, timestamps, hash prefixes) at 100 TB: range
+    * exchange once at write time, every later point/range query reads
+    * O(matching files). `nFiles` bounds the file count (and thus the
+    * per-file range width). */
+  def writeRangeSorted(df: DataFrame, path: String, sortCol: String,
+                       nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Overwrite ONLY the partitions present in `df` (dynamic partition
     * overwrite), leaving sibling partitions intact — the incremental
     * corpus-refresh primitive: re-curating one source/date re-writes that

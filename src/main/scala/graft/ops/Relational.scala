@@ -210,9 +210,16 @@ object Relational {
     val us = unix_micros(col(tsCol))
     val binned = df.withColumn("bin",
       ((us - pmod(us, lit(usPerBin))) / usPerBin).cast("long"))
+    // persisted: the per-key extent (grid) and the gap-fill join both
+    // consume this frame, and column pruning specializes the two subtrees
+    // enough that exchange reuse cannot deduplicate them — without the
+    // persist the EVENT LOG is scanned twice. Cardinality is (keys ×
+    // active bins), far below the log. Cache lifecycle: same contract as
+    // the pair generators — `spark.catalog.clearCache()` between runs.
     val perBin = binned.groupBy(col(keyCol), col("bin"))
       .agg(max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("__last_v"),
         count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = perBin.groupBy(col(keyCol))
       .agg(min(col("bin")).as("__lo"), max(col("bin")).as("__hi"))
       .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"))).as("bin"))

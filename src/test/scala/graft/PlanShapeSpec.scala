@@ -153,4 +153,47 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected the VectorSum agg exchange on label only:\n${aggExchanges.mkString("\n")}")
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
+
+  test("resample shuffles the event log once; the grid explode runs on the extent frame") {
+    val p = plan("q81_resample")
+    // both consumers (grid extent + gap-fill join) read the persisted
+    // per-(key, bin) aggregate — the event log is scanned once, into the
+    // cache build. (A textual FileScan count would double-count: the
+    // cached relation's plan is PRINTED under every InMemoryTableScan.)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2, s"expected both branches on the cached perBin:\n$p")
+    assert(p.contains("Generate explode(sequence"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("full-outer cohort join aggregates BOTH sides before joining") {
+    val p = plan("q82_full_outer")
+    val joinLine = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    val fullOuter = p.contains("FullOuter")
+    assert(fullOuter, p)
+    // every HashAggregate pair sits BELOW the join (inputs pre-aggregated
+    // to user cardinality); no aggregate above it
+    val lines = p.linesIterator.toSeq
+    val aggIdxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") => i }
+    assert(aggIdxs.nonEmpty && aggIdxs.forall(_ > joinLine),
+      s"aggregates must be below (after) the outer join in the tree:\n$p")
+  }
+
+  test("observed funnel keeps CollectMetrics below the survivor filter (counts see all rows)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val labeled = docs.withColumn("drop_stage",
+      when(col("doc_id") % 2 === 0, "quality"))
+    val (framed, _) = graft.ops.CorpusPipeline.observed(labeled)
+    val survivors = framed.filter(col("drop_stage").isNull)
+    val opt = survivors.queryExecution.optimizedPlan.toString
+    // the Filter must sit ABOVE CollectMetrics — pushdown through it would
+    // make the funnel count only survivors
+    val filterIdx = opt.linesIterator.indexWhere(_.contains("Filter"))
+    val metricsIdx = opt.linesIterator.indexWhere(_.contains("CollectMetrics"))
+    assert(metricsIdx >= 0, opt)
+    assert(filterIdx >= 0 && filterIdx < metricsIdx,
+      s"filter was pushed below CollectMetrics:\n$opt")
+  }
 }

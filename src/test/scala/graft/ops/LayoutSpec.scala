@@ -35,6 +35,35 @@ class LayoutSpec extends SparkTestBase {
       events.filter(col("event_type") === "purchase").count())
   }
 
+  test("writeRangeSorted yields near-disjoint per-file key ranges (data-skipping layout)") {
+    val dir = Files.createTempDirectory("layout_range").toString
+    val events = graft.Tables.events(spark, sf0001)
+    Layout.writeRangeSorted(events, dir, "user_id", nFiles = 8)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length > 1, "expected multiple range files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("user_id")), max(col("user_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // consecutive files don't interleave: file i's max <= file i+1's min
+    // (boundary ties allowed — range partitioning puts equal keys together,
+    // so in fact the ranges are fully disjoint for a key with many values)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+    // the layout actually narrows per-file spans vs the global span
+    val (gMin, gMax) = (ranges.map(_._1).min, ranges.map(_._2).max)
+    val avgSpan = ranges.map { case (lo, hi) => hi - lo }.sum.toDouble / ranges.length
+    assert(avgSpan < (gMax - gMin) / 2.0,
+      s"files span too wide for skipping: avg=$avgSpan global=${gMax - gMin}")
+    // and nothing was lost
+    assert(spark.read.parquet(dir).count() == events.count())
+  }
+
   test("overwritePartitions rewrites only the partitions present in the new data") {
     val dir = Files.createTempDirectory("layout_dyn").toString
     val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))

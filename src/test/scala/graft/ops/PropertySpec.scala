@@ -113,4 +113,36 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("resample equals an in-memory reference for generated event logs") {
+    val evGen: Gen[List[(String, Long, Long, Double)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 5000L),
+        Gen.chooseNum(0L, 100000L), Gen.chooseNum(-50, 50).map(_.toDouble)))
+    val interval = 300L
+    forAll(evGen) { raw =>
+      // unique ids: the pick order (ts, id) must be total
+      val data = raw.zipWithIndex.map { case ((k, sec, _, v), i) =>
+        (k, sec, i.toLong, v)
+      }
+      val df = data.map { case (k, sec, id, v) =>
+        (k, new java.sql.Timestamp(sec * 1000L), id, v)
+      }.toDF("k", "ts", "id", "v")
+      val got = Relational.resample(df, "k", "ts", "id", "v", interval)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+
+      // reference: per key, walk the dense bin range carrying the last value
+      val ref = data.groupBy(_._1).flatMap { case (k, evs) =>
+        val byBin = evs.groupBy(e => math.floorDiv(e._2, interval))
+        val bins = byBin.keys
+        var lastV = 0.0
+        (bins.min to bins.max).map { b =>
+          val here = byBin.getOrElse(b, Nil)
+          if (here.nonEmpty) lastV = here.maxBy(e => (e._2, e._3))._4
+          (k, b) -> (here.size.toLong, lastV)
+        }
+      }
+      assert(got == ref, s"data=$data")
+    }
+  }
 }
