@@ -631,10 +631,39 @@ object Queries {
             FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
             ORDER BY user_id"""))
 
+  /** Batch form of EventStreams.sessionWindowStats: per-user session
+    * aggregates via the built-in `session_window` (merge semantics: an
+    * event at EXACTLY gap seconds after the previous one starts a NEW
+    * session — [start, end) windows touching don't overlap — so the
+    * oracle's new-session rule is `>=`, unlike q36's sessionize whose
+    * reference rule is strict `>`). Sum rounded to 4dp like q35/q38. */
+  private val q83 = Q("q83_session_stats",
+    (s, d) => EventStreams_sessionStats(s, d),
+    Some("""WITH g AS (SELECT user_id, ts, event_id, value,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                THEN 1 ELSE 0 END AS ns FROM events),
+            s AS (SELECT user_id, ts, value,
+              sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g)
+            SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  private def EventStreams_sessionStats(s: org.apache.spark.sql.SparkSession,
+                                        d: String) =
+    graft.streaming.EventStreams.sessionWindowStats(events(s, d),
+        gap = "30 minutes", watermark = "0 seconds")
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82)
+    q74, q75, q76, q77, q81, q82, q83)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

@@ -472,6 +472,41 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter — the shape for when
+    * even the benchmark's DISTINCT shingle-hash set is too large to
+    * broadcast exactly (stacked eval suites, or paranoid n as low as 4):
+    * a Bloom filter over the benchmark hashes (`fpp` false-positive rate,
+    * ~1.2 bytes/item at 1% vs 8+ for exact longs) broadcasts in its
+    * place, the corpus explode keeps only might-contain hits — a
+    * vanishing fraction — and ONLY those survivors pay the exact
+    * verification join against the true benchmark set. Output is
+    * IDENTICAL to [[decontaminate]] (false positives die in the verify
+    * join); the bloom stage just keeps the corpus-side shuffle at
+    * ~(true matches + fpp · corpus shingles) rows. */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8, minOverlap: Int = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    require(fpp > 0 && fpp < 0.5, "fpp must be in (0, 0.5)")
+    val benchHashes = bench
+      .select(explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBench = math.max(benchHashes.count(), 1L)
+    val bloom = benchHashes.stat.bloomFilter("h", nBench, fpp)
+    val spark = corpus.sparkSession
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomBc.value.mightContainLong(h))
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("h"))
+      .filter(mightContain(col("h")))
+      // exact verify: only bloom survivors reach the real benchmark set
+      .join(benchHashes, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Corpus-wide duplicated-segment removal (the line/paragraph dedup step
     * of CCNet/RefinedWeb-style pipelines): drop every segment whose exact
     * text occurs >= `minDupCount` times across the WHOLE corpus (boilerplate

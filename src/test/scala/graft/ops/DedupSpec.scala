@@ -154,6 +154,22 @@ class DedupSpec extends SparkTestBase {
     assert(strict == Map(2L -> 2L))
   }
 
+  test("decontaminateBloom equals exact decontamination (false positives die in verify)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    // every ~97th doc doubles as "benchmark" — same split q59/q80 use
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    for (fpp <- Seq(0.3, 0.01)) { // high fpp stresses the verify join
+      val exact = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+        .as[(Long, Long)].collect().toSet
+      val bloomed = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text",
+        n = 8, fpp = fpp).as[(Long, Long)].collect().toSet
+      assert(bloomed == exact, s"fpp=$fpp")
+      assert(exact.nonEmpty, "fixture must actually contaminate")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dedupSegments drops corpus-wide duplicate lines and reassembles") {
     val lined = Seq(
       (1L, "unique one\nSHARED BOILERPLATE\nunique two"),
