@@ -177,11 +177,21 @@ object GraftFunctions {
       s"graft_l2sq requires exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Register `graft_dot` / `graft_l2sq` for SQL use. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", buildDot, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_l2sq", buildL2Sq, "scala_udf")
-  }
+  /** Every (name, builder) the engine exposes to SQL — vector math plus
+    * the text sketch kernels, one list shared by [[register]] and
+    * [[GraftExtensions]] so the two seams cannot drift. */
+  private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> buildDot,
+    "graft_l2sq" -> buildL2Sq,
+    "graft_text_hash62" -> TextFunctions.buildTextHash62,
+    "graft_shingle_hashes" -> TextFunctions.buildShingleHashes,
+    "graft_minhash_sig" -> TextFunctions.buildMinHashSig,
+    "graft_simhash62" -> TextFunctions.buildSimHash62)
+
+  /** Register the engine's SQL functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }

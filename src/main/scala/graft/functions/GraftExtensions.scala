@@ -10,14 +10,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * plugin seam — no code change in the consuming application). Per-session
   * registration is also available via [[GraftFunctions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      GraftFunctions.buildDot))
-    ext.injectFunction((
-      new FunctionIdentifier("graft_l2sq"),
-      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
-      GraftFunctions.buildL2Sq))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
 }

@@ -90,4 +90,35 @@ object TextFunctions {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(text), n, k))
   def simhash62(text: Column): Column =
     GraftColumnBridge.column(SimHash62(GraftColumnBridge.expression(text)))
+
+  /** SQL builders (FunctionRegistry / SparkSessionExtensions): the sketch
+    * parameters (shingle n, signature k) must be INTEGER LITERALS — they
+    * shape the kernel and its output schema, so a per-row value cannot
+    * work. The builders fail fast at ANALYSIS time on anything else. */
+  private def intLit(e: Expression, fn: String, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an INTEGER literal, got $other")
+  }
+  private[functions] val buildTextHash62: Seq[Expression] => Expression = {
+    case Seq(t) => TextHash62(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_text_hash62 requires exactly 1 argument, got ${e.length}")
+  }
+  private[functions] val buildShingleHashes: Seq[Expression] => Expression = {
+    case Seq(t, n) => ShingleHashSet(t, intLit(n, "graft_shingle_hashes", "n"))
+    case e => throw new IllegalArgumentException(
+      s"graft_shingle_hashes requires exactly 2 arguments, got ${e.length}")
+  }
+  private[functions] val buildMinHashSig: Seq[Expression] => Expression = {
+    case Seq(t, n, k) => MinHashSig(t, intLit(n, "graft_minhash_sig", "n"),
+      intLit(k, "graft_minhash_sig", "k"))
+    case e => throw new IllegalArgumentException(
+      s"graft_minhash_sig requires exactly 3 arguments, got ${e.length}")
+  }
+  private[functions] val buildSimHash62: Seq[Expression] => Expression = {
+    case Seq(t) => SimHash62(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_simhash62 requires exactly 1 argument, got ${e.length}")
+  }
 }

@@ -98,6 +98,31 @@ class TextKernelsSpec extends SparkTestBase {
     assert(near < far, s"near=$near far=$far")
   }
 
+  test("SQL registration exposes every kernel and enforces literal sketch params") {
+    GraftFunctions.register(spark)
+    docs.createOrReplaceTempView("tk_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_text_hash62(text) AS h, graft_simhash62(text) AS sh,
+         graft_shingle_hashes(text, 3) AS sg, graft_minhash_sig(text, 3, 16) AS mh
+         FROM tk_docs""")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+    val viaCol = docs.select(col("doc_id"),
+        TextFunctions.text_hash62(col("text")),
+        TextFunctions.simhash62(col("text")),
+        TextFunctions.shingle_hashes(col("text"), 3),
+        TextFunctions.minhash_sig(col("text"), 3, 16))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+    assert(viaSql == viaCol)
+    // sketch params shape the kernel: non-literal n must fail at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes(text, CAST(doc_id AS INT)) FROM tk_docs")
+        .collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal"), e.getMessage)
+  }
+
   test("interpreted eval matches codegen output and null propagates") {
     texts.foreach { case (_, t) =>
       val viaEval = TextKernels.simHash62(UTF8String.fromString(t))
