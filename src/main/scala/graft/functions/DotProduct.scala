@@ -177,20 +177,22 @@ object GraftFunctions {
       s"graft_l2sq requires exactly 2 arguments, got ${exprs.length}")
   }
 
-  /** Every (name, builder) the engine exposes to SQL — vector math plus
-    * the text sketch kernels, one list shared by [[register]] and
-    * [[GraftExtensions]] so the two seams cannot drift. */
-  private[functions] val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> buildDot,
-    "graft_l2sq" -> buildL2Sq,
-    "graft_text_hash62" -> TextFunctions.buildTextHash62,
-    "graft_shingle_hashes" -> TextFunctions.buildShingleHashes,
-    "graft_minhash_sig" -> TextFunctions.buildMinHashSig,
-    "graft_simhash62" -> TextFunctions.buildSimHash62)
+  /** Every (name, implementing expression class, builder) the engine
+    * exposes to SQL — vector math plus the text sketch kernels, one list
+    * shared by [[register]] and [[GraftExtensions]] so the two seams
+    * cannot drift. The class is what DESCRIBE FUNCTION reports; it must
+    * point at the EXPRESSION, not the registration plumbing. */
+  private[functions] val sqlFunctions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct], buildDot),
+    ("graft_l2sq", classOf[L2Sq], buildL2Sq),
+    ("graft_text_hash62", classOf[TextHash62], TextFunctions.buildTextHash62),
+    ("graft_shingle_hashes", classOf[ShingleHashSet], TextFunctions.buildShingleHashes),
+    ("graft_minhash_sig", classOf[MinHashSig], TextFunctions.buildMinHashSig),
+    ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =
-    sqlFunctions.foreach { case (name, builder) =>
+    sqlFunctions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }

@@ -11,10 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * registration is also available via [[GraftFunctions.register]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
+    GraftFunctions.sqlFunctions.foreach { case (name, exprClass, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        new ExpressionInfo(exprClass.getName, name),
         builder))
     }
 }

@@ -7,20 +7,6 @@ import org.apache.spark.sql.functions.col
 /** Physical-layout helpers. */
 object Layout {
 
-  /** Spread rows across the session's shuffle parallelism BEFORE an
-    * expensive per-row projection (sketch kernels, multi-regex scoring) —
-    * but only when needed: a single-split local file would otherwise
-    * serialize the whole map onto one core (AQE only coalesces, never
-    * splits a stage's input). On a real corpus with >= nPart input splits
-    * this is a no-op, so the at-scale plan pays NO extra shuffle.
-    *
-    * Shuffle-rooted frames (aggregate/join/window/... anywhere in the plan)
-    * are returned unchanged WITHOUT probing: their parallelism already
-    * comes from the shuffle, and probing `df.rdd` on such a plan would
-    * eagerly execute the upstream stages under AQE (the final-plan
-    * resolution materializes query stages) only to read a partition count.
-    * For the remaining narrow-over-scan plans the probe is free — no
-    * exchanges means no jobs run. */
   /** Write a hive-partitioned parquet layout on `partCols` — the on-disk
     * organization a 100-TB corpus needs so downstream reads with a
     * partition-column predicate scan ONLY the matching directories
@@ -58,20 +44,31 @@ object Layout {
     * overwrite), leaving sibling partitions intact — the incremental
     * corpus-refresh primitive: re-curating one source/date re-writes that
     * directory, the other N-1 partitions' files are untouched. Static
-    * overwrite (the default mode) would truncate the whole root. */
+    * overwrite (the default mode) would truncate the whole root. The mode
+    * is a PER-WRITER option, not a session-conf mutation: concurrent
+    * writes in the same session (two streaming sinks, or one refresh next
+    * to an unrelated static overwrite) never see each other's mode. */
   def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
     require(partCols.nonEmpty, "partCols must be non-empty")
-    val spark = df.sparkSession
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
-    finally saved match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(path)
   }
 
+  /** Spread rows across the session's shuffle parallelism BEFORE an
+    * expensive per-row projection (sketch kernels, multi-regex scoring) —
+    * but only when needed: a single-split local file would otherwise
+    * serialize the whole map onto one core (AQE only coalesces, never
+    * splits a stage's input). On a real corpus with >= nPart input splits
+    * this is a no-op, so the at-scale plan pays NO extra shuffle.
+    *
+    * Shuffle-rooted frames (aggregate/join/window/... anywhere in the plan)
+    * are returned unchanged WITHOUT probing: their parallelism already
+    * comes from the shuffle, and probing `df.rdd` on such a plan would
+    * eagerly execute the upstream stages under AQE (the final-plan
+    * resolution materializes query stages) only to read a partition count.
+    * For the remaining narrow-over-scan plans the probe is free — no
+    * exchanges means no jobs run. */
   def spread(df: DataFrame, idCol: String): DataFrame = {
     val hasShuffle = df.queryExecution.analyzed.collectFirst {
       case _: Aggregate | _: Join | _: Window | _: Sort | _: Distinct |

@@ -205,21 +205,8 @@ object EventStreams {
     * the batch join on identical data. Late rows beyond the watermark are
     * dropped (the standard trade). */
   def intervalJoin(left: DataFrame, right: DataFrame, maxGapSeconds: Long,
-                   watermark: String = "2 hours"): DataFrame = {
-    require(maxGapSeconds >= 0, "maxGapSeconds must be >= 0")
-    val l = left.withWatermark("ts", watermark)
-      .select(col("user_id").cast("long").as("user_id"),
-        col("event_id").cast("long").as("left_id"), col("ts").as("left_ts"))
-    val r = right.withWatermark("ts", watermark)
-      .select(col("user_id").cast("long").as("r_user_id"),
-        col("event_id").cast("long").as("right_id"), col("ts").as("right_ts"))
-    l.join(r,
-        col("user_id") === col("r_user_id") &&
-          col("right_ts") >= col("left_ts") &&
-          col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"))
-      .select(col("user_id"), col("left_id"), col("right_id"),
-        col("left_ts"), col("right_ts"))
-  }
+                   watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, maxGapSeconds, watermark, "inner")
 
   /** Left-outer variant of [[intervalJoin]]: conversion attribution where
     * UNCONVERTED left events must also emit (with null right columns).
@@ -230,7 +217,15 @@ object EventStreams {
     * must evict). Until the watermark advances that far, unmatched lefts
     * are withheld, which is the documented outer stream-stream trade. */
   def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, maxGapSeconds: Long,
-                            watermark: String = "2 hours"): DataFrame = {
+                            watermark: String = "2 hours"): DataFrame =
+    intervalJoinImpl(left, right, maxGapSeconds, watermark, "left_outer")
+
+  /** Shared body of [[intervalJoin]]/[[intervalJoinLeftOuter]] — ONE place
+    * owns the watermarking, casts, and bounded condition, so the inner and
+    * outer semantics can never drift apart. */
+  private def intervalJoinImpl(left: DataFrame, right: DataFrame,
+                               maxGapSeconds: Long, watermark: String,
+                               joinType: String): DataFrame = {
     require(maxGapSeconds >= 0, "maxGapSeconds must be >= 0")
     val l = left.withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"),
@@ -242,7 +237,7 @@ object EventStreams {
         col("user_id") === col("r_user_id") &&
           col("right_ts") >= col("left_ts") &&
           col("right_ts") <= col("left_ts") + expr(s"INTERVAL $maxGapSeconds SECONDS"),
-        "left_outer")
+        joinType)
       .select(col("user_id"), col("left_id"), col("right_id"),
         col("left_ts"), col("right_ts"))
   }
@@ -265,23 +260,32 @@ object EventStreams {
         col("n_events"), col("sum_value"))
 
   /** Exactly-once partitioned parquet sink for FINALIZED append-mode
-    * output (watermarked windowed aggregates: [[tumblingCounts]],
-    * [[sessionWindowStats]]...): each micro-batch's rows land via dynamic
-    * partition overwrite ([[graft.ops.Layout.overwritePartitions]]), so a
-    * REPLAYED batch (failure/restart re-delivery) rewrites its partitions
-    * with identical content instead of appending duplicates — idempotence
-    * from the layout, no transaction log needed. The partition columns
-    * must make batch output partition-complete (e.g. the window start a
-    * finalized window emits exactly once); an append-only raw feed does
-    * NOT qualify — replay would truncate sibling rows sharing the
-    * partition. Caller starts the returned query (`.start()` semantics
-    * left to the caller via the writer). */
+    * output: each micro-batch's rows land via dynamic partition overwrite
+    * ([[graft.ops.Layout.overwritePartitions]]), so a REPLAYED batch
+    * (failure/restart re-delivery) rewrites its partitions with identical
+    * content instead of appending duplicates — idempotence from the
+    * layout, no transaction log needed.
+    *
+    * The partition columns must make every micro-batch PARTITION-COMPLETE:
+    * each partition value's rows must all finalize in the same batch.
+    * Tumbling-window output partitioned BY ITS OWN window start qualifies
+    * (a window crosses the watermark once, emitting all its rows
+    * together). Session windows do NOT qualify under a coarser partition
+    * key (e.g. session date): two sessions sharing that key finalize in
+    * different batches — whichever emits later would overwrite the
+    * other's directory. An append-only raw feed does not qualify either.
+    * When in doubt, partition by exactly the window-start column.
+    *
+    * Each batch runs the incremental plan ONCE (no pre-write emptiness
+    * probe — foreachBatch recomputes its frame per action, and an empty
+    * dynamic overwrite touches no partitions anyway). Caller starts the
+    * returned writer. */
   def sinkPartitionedUpsert(finalized: DataFrame, path: String,
                             partCols: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     finalized.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.ops.Layout.overwritePartitions(batch, path, partCols)
+        graft.ops.Layout.overwritePartitions(batch, path, partCols)
       }
 
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
