@@ -85,6 +85,45 @@ class StreamSinkSpec extends SparkTestBase {
     assert(got == viaSessionize)
   }
 
+  test("sinkPartitionedUpsert recovers from a checkpoint restart without duplicating output") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val dir = Files.createTempDirectory("upsert_ckpt_sink").toString
+    val ckpt = Files.createTempDirectory("upsert_ckpt").toString
+    def start() = EventStreams.sinkPartitionedUpsert(
+        EventStreams.tumblingCounts(
+            in.toDF().toDF("event_id", "ts", "event_type", "value"),
+            window_ = "1 hour", watermark = "0 seconds")
+          .select(col("window.start").as("wstart"), col("event_type"),
+            col("cnt"), col("sum_value"))
+          .withColumn("part", date_format(col("wstart"), "yyyyMMddHH")),
+        dir, Seq("part"))
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = start()
+    in.addData((1L, ts(100), "click", 1.0), (2L, ts(200), "click", 2.0))
+    q1.processAllAvailable()
+    in.addData((3L, ts(7300), "view", 4.0)) // finalizes hour 0
+    q1.processAllAvailable()
+    q1.stop() // simulated failure/shutdown after hour 0 was written
+
+    // restart from the checkpoint; more traffic finalizes hour 2
+    val q2 = start()
+    in.addData((4L, ts(14500), "click", 8.0)) // finalizes hour 2
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = spark.read.parquet(dir)
+      .select("part", "event_type", "cnt", "sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    // hour 0 written exactly once (pre-restart), hour 2 exactly once
+    // (post-restart); no duplicated or truncated partitions
+    assert(got == Set(
+      ("2024010100", "click", 2L, 3.0),
+      ("2024010102", "view", 1L, 4.0)))
+  }
+
   test("sinkPartitionedUpsert finalizes windows to partitions and replay is idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
