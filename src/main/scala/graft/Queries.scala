@@ -660,10 +660,27 @@ object Queries {
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Per-group winsorization (see Relational.winsorize): values clamped
+    * to the group's exact [p05, p95]; bounds rounded to 6dp so both
+    * engines make the identical clamp decision, clamped values are either
+    * the raw double or that rounded bound — exact either way. */
+  private val q84 = Q("q84_winsorize",
+    (s, d) => Relational.winsorize(events(s, d), Seq("event_type"),
+        col("value"), 0.05, 0.95)
+      .select(col("event_id"), col("event_type"), col("value"), col("winsorized"))
+      .orderBy(col("event_id")),
+    Some("""WITH b AS (SELECT event_type,
+              round(quantile_cont(value, 0.05), 6) AS lo,
+              round(quantile_cont(value, 0.95), 6) AS hi
+            FROM events GROUP BY event_type)
+            SELECT event_id, event_type, value,
+              greatest(least(value, hi), lo) AS winsorized
+            FROM events JOIN b USING (event_type) ORDER BY event_id"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83)
+    q74, q75, q76, q77, q81, q82, q83, q84)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

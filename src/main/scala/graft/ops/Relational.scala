@@ -231,6 +231,30 @@ object Relational {
         last(col("__last_v"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Per-group winsorization: clamp a value column to its group's
+    * [pLo, pHi] exact percentiles — the outlier-capping step run on
+    * quality scores / feature columns before thresholding, where dropping
+    * outlier rows (the filter alternative) would lose the documents.
+    * Same two-pass shape as [[groupZScore]]: a tiny per-group bounds
+    * aggregate (exact `percentile`, one shuffle of the fact rows for the
+    * sort-based agg) broadcast-joined back onto the rows; the clamp
+    * itself is a narrow `greatest`/`least` map. Bounds are rounded to
+    * `scale` decimals so downstream engines replay the clamp decision
+    * bit-for-bit (the raw interpolated percentile differs in final-ulp
+    * association across engines). */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+                pLo: Double, pHi: Double, outName: String = "winsorized",
+                scale: Int = 6): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val bounds = df.groupBy(keyCols.map(col): _*)
+      .agg(round(percentile(valueCol, lit(pLo)), scale).as("__lo"),
+        round(percentile(valueCol, lit(pHi)), scale).as("__hi"))
+    df.join(broadcast(bounds), keyCols)
+      .withColumn(outName, greatest(least(valueCol, col("__hi")), col("__lo")))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group z-score standardization — the feature/quality-score
     * normalization step run before thresholding or model input. TWO-PASS:
     * a tiny per-group (mean, stddev) aggregate is broadcast-joined back

@@ -103,6 +103,16 @@ class RelationalSpec extends SparkTestBase {
     assert(out(("g3", 4.0)).isEmpty)
   }
 
+  test("winsorize clamps to exact group percentiles and leaves interior values alone") {
+    // 11 values 0..10 in one group: p05 = 0.5, p95 = 9.5 (continuous interp)
+    val df = (0 to 10).map(i => ("g", i.toLong, i.toDouble)).toDF("k", "id", "v")
+    val out = Relational.winsorize(df, Seq("k"), col("v"), 0.05, 0.95)
+      .select("id", "winsorized").as[(Long, Double)].collect().toMap
+    assert(out(0L) == 0.5)   // clamped up
+    assert(out(10L) == 9.5)  // clamped down
+    assert((1L to 9L).forall(i => out(i) == i.toDouble)) // untouched
+  }
+
   test("resample densifies gaps, forward-fills, and picks the last value per bin") {
     def ts(sec: Long) = new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)

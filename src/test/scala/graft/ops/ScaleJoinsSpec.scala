@@ -78,4 +78,39 @@ class ScaleJoinsSpec extends SparkTestBase {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("AQE splits a skewed join partition at runtime (the moderate-skew path)") {
+    // salting is the explicit fallback for PATHOLOGICAL keys known in
+    // advance (saltedJoin above); for moderate skew the engine relies on
+    // AQE's OptimizeSkewedJoin — this pins that reliance to a real plan
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // one key carries ~95% of the left rows, with fat payloads so the
+      // skewed partition crosses the byte threshold
+      val pad = "x" * 200
+      val left = ((0 until 20000).map(i => (1L, s"$pad$i")) ++
+        (0 until 1000).map(i => (i.toLong + 2, s"c$i"))).toDF("k", "lv")
+      val right = (0 until 1200).map(i => (i.toLong, i * 10)).toDF("k", "rv")
+      val joined = left.join(right, Seq("k"))
+      // materialize THIS DataFrame (count() would execute a separate
+      // QueryExecution and leave this one's adaptive plan unfinalized)
+      assert(joined.collect().length == 21000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"expected AQE to mark the join skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
