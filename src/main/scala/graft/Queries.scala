@@ -677,10 +677,28 @@ object Queries {
               greatest(least(value, hi), lo) AS winsorized
             FROM events JOIN b USING (event_type) ORDER BY event_id"""))
 
+  /** Pearson correlation + covariance per group (value vs the JSON-props
+    * k field) — the feature-redundancy screen run before model input.
+    * One map-side-partial aggregation; rounded to 6dp like q33's moments
+    * (one-pass co-moment association differs across engines in final
+    * ulps). */
+  private val q85 = Q("q85_correlation",
+    (s, d) => events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("double"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("value"), col("k")), 6).as("corr_vk"),
+        round(covar_samp(col("value"), col("k")), 6).as("covar_vk"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n,
+              round(corr(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS corr_vk,
+              round(covar_samp(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS covar_vk
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

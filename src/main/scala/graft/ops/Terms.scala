@@ -152,6 +152,91 @@ object Terms {
         round(avg(col("cond_p")), 6).as("avg_cond_p"))
   }
 
+  /** Train BPE merge rules over the corpus — the full tokenizer-training
+    * loop whose inner statistic is [[bpePairCounts]]. Split of work
+    * follows every production tokenizer trainer: the CORPUS-sized stage
+    * (normalize → tokenize → word-frequency count) runs distributed with
+    * map-side partial aggregation — one shuffle, vocabulary-cardinality
+    * output — and the merge loop runs driver-side over that collected
+    * word-frequency table (O(vocab · merges), in-memory; a 100-TB corpus
+    * still yields a word table of ~10^6-10^7 rows). Iterating the merge
+    * loop as Spark jobs instead would pay numMerges × job overhead to
+    * process kilobytes. `maxWords` guards the collect: crossing it raises
+    * with advice rather than silently OOMing the driver.
+    *
+    * Deterministic: ties in pair frequency break lexicographically on
+    * (first, second). Returns the ordered merge list — (symbol, symbol) →
+    * merged token, highest-frequency first. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 2000000): Seq[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val wordFreq = df
+      .select(explode(TextOps.wsTokens(TextOps.normalizeText(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val n = wordFreq.count()
+    require(n <= maxWords,
+      s"word vocabulary $n exceeds maxWords=$maxWords — downsample the corpus " +
+        "for merge training (merge rules converge on a fraction of the data)")
+    var words: Array[(Array[String], Long)] = wordFreq
+      .collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var continue = true
+    while (continue && merges.length < numMerges) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, freq) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, freq)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply trained merge rules to tokenize text — the column-side twin of
+    * [[bpeTrain]]: per word, replay the merges in training order. The
+    * rules broadcast (they are KBs); application is a narrow map. */
+  def bpeApply(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val ruleArr = merges.map { case (a, b) => Array(a, b) }.toArray
+    val applyMerges = udf { (w: String) =>
+      if (w == null) null
+      else {
+        var syms = w.map(_.toString).toArray
+        ruleArr.foreach { r =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == r(0) && syms(i + 1) == r(1)) {
+              out += (r(0) + r(1)); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+        syms
+      }
+    }
+    flatten(transform(TextOps.wsTokens(TextOps.normalizeText(textCol)), applyMerges(_)))
+  }
+
   /** Corpus mixture planning — the sizing step of data curation: given a
     * target token budget and per-stratum mixture weights, compute for each
     * stratum (source, language, quality bucket...) its token count, target

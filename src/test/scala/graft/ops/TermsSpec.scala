@@ -135,4 +135,33 @@ class TermsSpec extends SparkTestBase {
     // all-zero vector: no divide-by-zero, all-zero codes, zero error
     assert(out(2L) == ((2L, 0.0, Seq(0, 0, 0, 0), 0.0)))
   }
+
+  test("bpeTrain reproduces the hand-computed merge sequence (Sennrich corpus)") {
+    // low x5, lower x2, newest x6, widest x3 — pair counts: (e,s)=9 ties
+    // (s,t)=9 -> lexicographic pick (e,s); then (es,t)=9; then (l,o)=7
+    // ties (o,w)=7 -> (l,o); then (lo,w)=7
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = Terms.bpeTrain(corpus, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+
+    // applying the rules tokenizes an UNSEEN word with the learned units
+    val toks = Seq((1L, "lowest newest")).toDF("doc_id", "text")
+      .select(Terms.bpeApply(col("text"), merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("low", "est", "n", "e", "w", "est"))
+  }
+
+  test("bpeTrain stops early when no pairs remain and guards the vocab collect") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // only one distinct word "ab": first merge (a,b) consumes the only
+    // pair; the loop must stop rather than run all requested merges
+    assert(Terms.bpeTrain(tiny, "text", numMerges = 10) == Seq(("a", "b")))
+    val e = intercept[IllegalArgumentException] {
+      Terms.bpeTrain(docs, "text", numMerges = 2, maxWords = 3)
+    }
+    assert(e.getMessage.contains("maxWords"))
+  }
 }
