@@ -695,10 +695,38 @@ object Queries {
               round(covar_samp(value, CAST(json_extract(props, '$.k') AS DOUBLE)), 6) AS covar_vk
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Fuzzy label reconciliation: near-identical category strings by edit
+    * distance — the data-cleaning step that finds misspelled/variant
+    * labels before grouping on them. Runs on the DISTINCT label set
+    * (category vocabularies are small by nature — the corpus itself never
+    * enters the quadratic term), with the provably-lossless length prune
+    * |len(a) - len(b)| <= d ahead of the O(len²) distance. Levenshtein is
+    * the classic integer DP — engine-exact. */
+  private val q86 = Q("q86_fuzzy_labels",
+    (s, d) => {
+      val t = part(s, d).select(col("p_name").as("name")).distinct()
+      val a = t.select(col("name").as("name_a"))
+      val b = t.select(col("name").as("name_b"))
+      a.join(b, col("name_a") < col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= 6 &&
+          levenshtein(col("name_a"), col("name_b")) <= 6)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    Some("""WITH t AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM t a JOIN t b
+              ON a.name < b.name
+              AND abs(length(a.name) - length(b.name)) <= 6
+              AND levenshtein(a.name, b.name) <= 6
+            ORDER BY name_a, name_b"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
