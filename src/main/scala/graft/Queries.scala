@@ -723,10 +723,32 @@ object Queries {
               AND levenshtein(a.name, b.name) <= 6
             ORDER BY name_a, name_b"""))
 
+  /** Data-quality audit (see Checks.audit): N declared rules, ONE
+    * map-side-partial aggregation pass — never a job per rule. A null
+    * rule verdict counts as a violation (coalesce(pred, false) in both
+    * engines). The discount rule is deliberately tight so the audit
+    * reports nonzero violations. */
+  private val q87 = Q("q87_quality_audit",
+    (s, d) => Checks.audit(lineitem(s, d), Seq(
+      "qty_in_range" -> col("l_quantity").between(1, 50),
+      "discount_low" -> (col("l_discount") <= 0.05),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "flag_valid" -> col("l_returnflag").isin("R", "A", "N"))),
+    Some("""SELECT count(*) AS n_rows,
+              sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, false)
+                THEN 1 ELSE 0 END)::BIGINT AS qty_in_range,
+              sum(CASE WHEN NOT coalesce(l_discount <= 0.05, false)
+                THEN 1 ELSE 0 END)::BIGINT AS discount_low,
+              sum(CASE WHEN NOT coalesce(l_extendedprice > 0, false)
+                THEN 1 ELSE 0 END)::BIGINT AS price_positive,
+              sum(CASE WHEN NOT coalesce(l_returnflag IN ('R', 'A', 'N'), false)
+                THEN 1 ELSE 0 END)::BIGINT AS flag_valid
+            FROM lineitem"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
