@@ -745,10 +745,28 @@ object Queries {
                 THEN 1 ELSE 0 END)::BIGINT AS flag_valid
             FROM lineitem"""))
 
+  /** Sorted string aggregation (group-concat): nation roster per region.
+    * The order INSIDE the aggregate must be pinned — collect_list order is
+    * partition-arrival nondeterministic, so the engine sorts the collected
+    * array before joining (= DuckDB's string_agg ORDER BY). Output is one
+    * row per region: aggregate-then-concat, the collected groups are
+    * dimension-sized. */
+  private val q88 = Q("q88_string_agg",
+    (s, d) => nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+      .orderBy(col("r_name")),
+    Some("""SELECT r_name, count(*) AS n_nations,
+              string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
