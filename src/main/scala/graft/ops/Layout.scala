@@ -55,6 +55,34 @@ object Layout {
       .partitionBy(partCols: _*).parquet(path)
   }
 
+  /** Compact a small-files parquet directory in place: read, coalesce to
+    * `targetFiles`, rewrite. The small-file problem is an operational
+    * certainty at 100 TB (every streaming micro-batch and every
+    * fine-grained partition overwrite leaves slivers; each file costs a
+    * task + a footer read + a namenode entry forever after).
+    * `coalesce` — not `repartition` — so compaction is SHUFFLE-FREE:
+    * existing files merge into fewer tasks; row order within the new
+    * files follows input order. The rewrite stages into a sibling temp
+    * directory and swaps via rename, so a reader never sees a half-written
+    * directory and a mid-compaction crash leaves the original intact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val tmp = path.stripSuffix("/") + ".__compact_tmp"
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".__compact_old")
+    fs.rename(dst, bak)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(bak, dst) // roll back: the original directory wins
+      throw new java.io.IOException(s"compact: could not swap $tmp into $path")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Spread rows across the session's shuffle parallelism BEFORE an
     * expensive per-row projection (sketch kernels, multi-regex scoring) —
     * but only when needed: a single-split local file would otherwise

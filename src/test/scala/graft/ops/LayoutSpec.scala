@@ -64,6 +64,29 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() == events.count())
   }
 
+  test("compact merges small files shuffle-free and preserves every row") {
+    val dir = Files.createTempDirectory("layout_compact").toString + "/data"
+    val events = graft.Tables.events(spark, sf0001)
+    events.repartition(16).write.parquet(dir) // 16 slivers
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 16)
+    val expected = events.count()
+
+    val plan = spark.read.parquet(dir).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"coalesce must not shuffle:\n$plan")
+
+    Layout.compact(spark, dir, targetFiles = 2)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after == 2, s"expected 2 files after compaction, got $after")
+    assert(spark.read.parquet(dir).count() == expected)
+    // no temp/backup directories left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compact")), parent.mkString(","))
+  }
+
   test("overwritePartitions rewrites only the partitions present in the new data") {
     val dir = Files.createTempDirectory("layout_dyn").toString
     val v1 = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
