@@ -167,6 +167,54 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Incremental twin of [[writeLshSignatureStore]]: append a NEW batch's
+    * signatures into the existing bucketed store. The batch pays its own
+    * signature kernel + one band shuffle into the store's bucket layout;
+    * the EXISTING corpus is untouched — no re-signing, no re-shuffle.
+    * `shingleLen`/`numHashes`/`bands`/`numBuckets` must match the store's
+    * write (Spark rejects a mismatched bucket spec outright; a mismatched
+    * signature length would desynchronize est_sim silently, so it is the
+    * one parameter the caller must keep in lockstep — store it with the
+    * table). */
+  def appendToLshSignatureStore(df: DataFrame, idCol: String, textCol: String,
+                                table: String, shingleLen: Int = 3,
+                                numHashes: Int = 64, bands: Int = 16,
+                                numBuckets: Int = 32): Unit = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    sigs.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "band_key")
+      .sortBy("band_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Probe the signature store with a NEW batch: candidate (probe, store)
+    * pairs sharing an LSH band — the incremental-dedup query "which
+    * existing corpus documents does this batch near-duplicate?", answered
+    * WITHOUT touching the corpus text. The store side reads bucketed
+    * (exchange-free); only the probe batch — vanishingly small next to
+    * the corpus — shuffles into the band layout. Probe parameters must
+    * match the store's write (see [[appendToLshSignatureStore]]). */
+  def lshProbeStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                    df: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val probe = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+      .select(col("id").as("probe_id"), col("sig").as("probe_sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    probe.join(spark.table(table), Seq("band_key"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id").as("store_id"),
+        (size(filter(zip_with(col("probe_sig"), col("sig"), (x, y) => x === y),
+          m => m)).cast("double") / size(col("probe_sig"))).as("est_sim"))
+      .groupBy(col("probe_id"), col("store_id"))
+      .agg(first(col("est_sim")).as("est_sim"))
+  }
+
   /** Corpus-scale LSH path, part 2: candidate pairs from the bucketed
     * store. The bucket-size guard (a count window over band_key) and the
     * band self-join both run exchange-free — bucketing already satisfies

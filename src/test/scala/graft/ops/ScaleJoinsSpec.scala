@@ -66,6 +66,55 @@ class ScaleJoinsSpec extends SparkTestBase {
     }
   }
 
+  test("LSH store append + probe: incremental dedup without re-signing the corpus") {
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more text"),
+      (2L, "completely different content about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and then some more text"), // dup of 1
+      (11L, "yet another unrelated document talking about streaming watermarks"))
+      .toDF("doc_id", "text")
+    Dedup.writeLshSignatureStore(batch1, "doc_id", "text", "lsh_inc", numBuckets = 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // probe BEFORE appending: batch2 vs the existing corpus only
+      val probed = Dedup.lshProbeStore(spark, "lsh_inc", batch2, "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(probed == Set((10L, 1L, 1.0))) // the dup found; 11 matches nothing
+      // store side reads bucketed (its scan feeds the join sort directly,
+      // no exchange); the probe side pays its band shuffle + the
+      // Layout.spread single-split repartition (a local-input artifact),
+      // and the pair aggregation pays the third — so <= 3 total, with the
+      // store scan explicitly bucketed
+      val p = Dedup.lshProbeStore(spark, "lsh_inc", batch2, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+          !l.contains("ReusedExchange"))
+      assert(exchanges <= 3, p)
+      assert(p.contains("Bucketed: true"), s"store scan must be bucketed:\n$p")
+
+      // append batch2: candidates over the grown store == one-shot store
+      // over the full corpus
+      Dedup.appendToLshSignatureStore(batch2, "doc_id", "text", "lsh_inc",
+        numBuckets = 4)
+      val incremental = Dedup.minHashLshCandidatesFromStore(spark, "lsh_inc")
+        .as[(Long, Long, Double)].collect().toSet
+      Dedup.writeLshSignatureStore(batch1.unionByName(batch2), "doc_id", "text",
+        "lsh_full", numBuckets = 4)
+      val oneShot = Dedup.minHashLshCandidatesFromStore(spark, "lsh_full")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(incremental == oneShot)
+      assert(incremental.contains((1L, 10L, 1.0)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS lsh_inc")
+      spark.sql("DROP TABLE IF EXISTS lsh_full")
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     // heavy skew: 90% of left rows share one key
     val left = ((0 until 900).map(i => (1L, s"hot$i")) ++
