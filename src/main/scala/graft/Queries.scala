@@ -674,7 +674,8 @@ object Queries {
               round(quantile_cont(value, 0.95), 6) AS hi
             FROM events GROUP BY event_type)
             SELECT event_id, event_type, value,
-              greatest(least(value, hi), lo) AS winsorized
+              CASE WHEN value IS NULL THEN NULL
+                   ELSE greatest(least(value, hi), lo) END AS winsorized
             FROM events JOIN b USING (event_type) ORDER BY event_id"""))
 
   /** Pearson correlation + covariance per group (value vs the JSON-props
@@ -707,11 +708,15 @@ object Queries {
       val t = part(s, d).select(col("p_name").as("name")).distinct()
       val a = t.select(col("name").as("name_a"))
       val b = t.select(col("name").as("name_b"))
+      // cheap predicates only in the join condition; the DP moves out of
+      // the nested-loop condition into the projection, as the BOUNDED
+      // threshold variant — band-limited O(len·threshold), early-exit,
+      // distance > 6 reported as -1 and filtered
       a.join(b, col("name_a") < col("name_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= 6 &&
-          levenshtein(col("name_a"), col("name_b")) <= 6)
+          abs(length(col("name_a")) - length(col("name_b"))) <= 6)
         .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+          levenshtein(col("name_a"), col("name_b"), 6).cast("long").as("dist"))
+        .filter(col("dist") >= 0)
         .orderBy(col("name_a"), col("name_b"))
     },
     Some("""WITH t AS (SELECT DISTINCT p_name AS name FROM part)

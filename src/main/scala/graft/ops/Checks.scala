@@ -18,6 +18,8 @@ object Checks {
   def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "rules must be non-empty")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    require(!rules.exists(_._1 == "n_rows"),
+      "rule name n_rows collides with the built-in row-count column")
     val aggs = rules.map { case (name, pred) =>
       count(when(!coalesce(pred, lit(false)), 1)).as(name)
     }

@@ -201,12 +201,21 @@ object Dedup {
   def lshProbeStore(spark: org.apache.spark.sql.SparkSession, table: String,
                     df: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16): DataFrame = {
+                    bands: Int = 16, maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
     val probe = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
       .select(col("id").as("probe_id"), col("sig").as("probe_sig"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
-    probe.join(spark.table(table), Seq("band_key"))
+    // same degenerate-bucket guard as the sibling candidate paths: one
+    // boilerplate band shared by B store rows would otherwise multiply
+    // every probe hit by B. The count window runs on the bucketed scan —
+    // exchange-free like minHashLshCandidatesFromStore's
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val store = spark.table(table)
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    probe.join(store, Seq("band_key"))
       .filter(col("probe_id") =!= col("id"))
       .select(col("probe_id"), col("id").as("store_id"),
         (size(filter(zip_with(col("probe_sig"), col("sig"), (x, y) => x === y),

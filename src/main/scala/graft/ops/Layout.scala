@@ -63,22 +63,43 @@ object Layout {
     * `coalesce` — not `repartition` — so compaction is SHUFFLE-FREE:
     * existing files merge into fewer tasks; row order within the new
     * files follows input order. The rewrite stages into a sibling temp
-    * directory and swaps via rename, so a reader never sees a half-written
-    * directory and a mid-compaction crash leaves the original intact. */
+    * directory, then swaps via two renames. The swap is NOT atomic: a
+    * reader in the instant between the two renames sees no directory, and
+    * a crash there leaves the data at `<path>.__compact_old` — the next
+    * compact() detects and restores it. Never sees a HALF-WRITTEN
+    * directory, though: each rename is atomic, so readers get either the
+    * old files, the new files, or a clean not-found. Run compaction in
+    * the maintenance window a mutable-directory layout implies (a
+    * transaction-log table format is the zero-window alternative). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetFiles: Int): Unit = {
     require(targetFiles > 0, "targetFiles must be positive")
-    val tmp = path.stripSuffix("/") + ".__compact_tmp"
-    spark.read.parquet(path).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".__compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + ".__compact_old")
-    fs.rename(dst, bak)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(bak, dst) // roll back: the original directory wins
-      throw new java.io.IOException(s"compact: could not swap $tmp into $path")
+    // recover from a prior crash: a leftover backup with no live dir is
+    // the mid-swap state — restore it; a leftover tmp is always garbage
+    if (fs.exists(bak) && !fs.exists(dst)) {
+      if (!fs.rename(bak, dst))
+        throw new java.io.IOException(s"compact: could not restore $bak to $path")
+    } else if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"compact: could not clear stale $bak")
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new java.io.IOException(s"compact: could not clear stale $tmp")
+
+    spark.read.parquet(path).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // rename onto an EXISTING destination has nesting/copy semantics on
+    // some filesystems instead of failing — every step must be checked
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: could not back up $path to $bak")
+    if (!fs.rename(tmp, dst)) {
+      if (!fs.rename(bak, dst)) // roll back: the original directory wins
+        throw new java.io.IOException(
+          s"compact: swap failed AND rollback failed — data is at $bak")
+      throw new java.io.IOException(s"compact: could not swap $tmp into $path (rolled back)")
     }
     fs.delete(bak, true)
   }

@@ -251,7 +251,10 @@ object Relational {
       .agg(round(percentile(valueCol, lit(pLo)), scale).as("__lo"),
         round(percentile(valueCol, lit(pHi)), scale).as("__hi"))
     df.join(broadcast(bounds), keyCols)
-      .withColumn(outName, greatest(least(valueCol, col("__hi")), col("__lo")))
+      // least/greatest SKIP null inputs, which would silently clamp a
+      // null value to the upper bound — nulls must stay null
+      .withColumn(outName, when(valueCol.isNull, lit(null))
+        .otherwise(greatest(least(valueCol, col("__hi")), col("__lo"))))
       .drop("__lo", "__hi")
   }
 

@@ -174,12 +174,14 @@ object Terms {
       .select(explode(TextOps.wsTokens(TextOps.normalizeText(col(textCol)))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    val n = wordFreq.count()
-    require(n <= maxWords,
-      s"word vocabulary $n exceeds maxWords=$maxWords — downsample the corpus " +
+    // one corpus pass: the guard rides the same collect (limit + length
+    // check) instead of a separate count() job re-running the aggregation
+    val collected = wordFreq.limit(maxWords + 1).collect()
+    require(collected.length <= maxWords,
+      s"word vocabulary exceeds maxWords=$maxWords — downsample the corpus " +
         "for merge training (merge rules converge on a fraction of the data)")
-    var words: Array[(Array[String], Long)] = wordFreq
-      .collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    var words: Array[(Array[String], Long)] = collected
+      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var continue = true
     while (continue && merges.length < numMerges) {
@@ -212,6 +214,12 @@ object Terms {
     merges.toSeq
   }
 
+  /** UTF-32 code-point symbols — NOT UTF-16 code units: `w.map(_.toString)`
+    * would split a surrogate pair (emoji, supplementary-plane CJK) into two
+    * lone-surrogate "symbols" that are invalid strings on their own. */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** Apply trained merge rules to tokenize text — the column-side twin of
     * [[bpeTrain]]: per word, replay the merges in training order. The
     * rules broadcast (they are KBs); application is a narrow map. */
@@ -220,7 +228,7 @@ object Terms {
     val applyMerges = udf { (w: String) =>
       if (w == null) null
       else {
-        var syms = w.map(_.toString).toArray
+        var syms = codePointSyms(w)
         ruleArr.foreach { r =>
           val out = scala.collection.mutable.ArrayBuffer[String]()
           var i = 0
