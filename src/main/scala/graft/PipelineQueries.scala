@@ -1016,7 +1016,20 @@ object PipelineQueries {
          |ORDER BY fl.doc_id""".stripMargin
     })
 
+  /** Conjunctive term search (see Terms.searchDocs): docs containing all
+    * three query terms; the corpus-side isin prune keeps the shuffle at
+    * matching rows only. */
+  private val q89 = Q("q89_term_search",
+    (s, d) => Terms.searchDocs(documents(s, d), "doc_id", "text",
+        Seq("vector", "join", "filter"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id,
+               unnest(list_distinct(string_split($SqlNorm, ' '))) AS term
+               FROM documents)
+             SELECT doc_id FROM t WHERE term IN ('vector', 'join', 'filter')
+             GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89)
 }

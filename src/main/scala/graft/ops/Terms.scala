@@ -245,6 +245,29 @@ object Terms {
     flatten(transform(TextOps.wsTokens(TextOps.normalizeText(textCol)), applyMerges(_)))
   }
 
+  /** Conjunctive term search: documents containing EVERY query term (over
+    * distinct normalized tokens) — the retrieval query of a corpus
+    * platform. One narrow tokenize + an `isin` filter that keeps only
+    * (doc, query-term) rows — the corpus never shuffles, only matching
+    * rows (≤ |terms| per doc) reach the count aggregation; conjunction is
+    * `count == |terms|`, never |terms| chained self-joins. Query terms
+    * must already be normalized (lowercase alnum) — enforced, because a
+    * non-normalized term can never match and would silently return an
+    * empty result. */
+  def searchDocs(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
+    df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.wsTokens(TextOps.normalizeText(col(textCol))))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === terms.size)
+      .select(col("doc_id"))
+  }
+
   /** Corpus mixture planning — the sizing step of data curation: given a
     * target token budget and per-stratum mixture weights, compute for each
     * stratum (source, language, quality bucket...) its token count, target

@@ -136,6 +136,23 @@ class TermsSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 0.0, Seq(0, 0, 0, 0), 0.0)))
   }
 
+  test("searchDocs returns exactly the docs containing every query term") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),       // cat + mat
+      (2L, "a cat and a dog"),              // cat only
+      (3L, "MAT! cat, mat cat"),            // both (case/punct-normalized, dups)
+      (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val hits = Terms.searchDocs(corpus, "doc_id", "text", Seq("cat", "mat"))
+      .as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+    // non-normalized query terms can never match: fail fast, not empty-result
+    val e = intercept[IllegalArgumentException] {
+      Terms.searchDocs(corpus, "doc_id", "text", Seq("Cat"))
+    }
+    assert(e.getMessage.contains("normalized"))
+  }
+
   test("bpeTrain reproduces the hand-computed merge sequence (Sennrich corpus)") {
     // low x5, lower x2, newest x6, widest x3 — pair counts: (e,s)=9 ties
     // (s,t)=9 -> lexicographic pick (e,s); then (es,t)=9; then (l,o)=7
