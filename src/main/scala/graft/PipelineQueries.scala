@@ -1029,7 +1029,25 @@ object PipelineQueries {
              SELECT doc_id FROM t WHERE term IN ('vector', 'join', 'filter')
              GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id"""))
 
+  /** PPS document sampling (see TextOps.ppsSampleDocs): expected 100 docs
+    * drawn with probability ∝ whitespace token count; every draw and the
+    * all-integer ppm rate replay exactly in SQL. */
+  private val q90 = Q("q90_pps_sample",
+    (s, d) => TextOps.ppsSampleDocs(documents(s, d), "doc_id",
+        TextOps.wsTokenCount(col("text")), targetDocs = 100L)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+              FROM documents),
+            tot AS (SELECT sum(w) AS tot FROM w)
+            SELECT doc_id FROM w, tot
+            WHERE ((((doc_id % 2147483648) * 1103515245 + 12345)
+                     % 2147483648) // 32) % 1000000
+                  < least(1000000, (100000000 * w) // tot)
+            ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90)
 }

@@ -127,6 +127,36 @@ object TextOps {
     draw < rate
   }
 
+  /** Probability-proportional-to-size document sampling: keep probability
+    * ∝ the document's weight (token count), normalized so the EXPECTED
+    * number of kept documents is `targetDocs` — the importance-weighted
+    * draw an eval/inspection pipeline uses so heavy documents (which
+    * dominate training token mass) are proportionally represented.
+    * p_i = min(1, targetDocs · w_i / Σw), decided by the same
+    * SQL-replayable LCG as [[sampleKeep]] at parts-per-million
+    * granularity. ALL-INTEGER arithmetic: `targetDocs·10^6 · w_i` stays
+    * under 2^63 for weights ≤ ~10^6 tokens and targets ≤ 10^6 docs, and
+    * `div` keeps the rate exact where a double division would lose the
+    * knife edge past 2^53. The total-weight aggregate broadcasts; the
+    * keep decision is a narrow map. */
+  def ppsSampleDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    weightCol: org.apache.spark.sql.Column,
+                    targetDocs: Long): org.apache.spark.sql.DataFrame = {
+    require(targetDocs >= 1, "targetDocs must be >= 1")
+    require(targetDocs <= 1000000L, "targetDocs above 1e6 would overflow the ppm rate")
+    val tot = df.agg(sum(weightCol.cast("long")).as("__tot"))
+    val m = 2147483648L
+    val id = col(idCol)
+    val x = pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
+    val drawPpm = pmod(shiftright(x, 5), lit(1000000L))
+    val ratePpm = least(lit(1000000L),
+      expr(s"(${targetDocs * 1000000L} * __w) div __tot"))
+    df.withColumn("__w", weightCol.cast("long"))
+      .crossJoin(broadcast(tot))
+      .filter(drawPpm < ratePpm)
+      .drop("__w", "__tot")
+  }
+
   /** Concatenation packing: assign [[chunkSpans]] chunks to fixed-capacity
     * training sequences — the step that turns variable-length chunks into
     * dense `capacity`-token batches. Greedy running-fill per pack group:

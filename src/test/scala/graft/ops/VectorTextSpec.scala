@@ -163,6 +163,28 @@ class VectorTextSpec extends SparkTestBase {
     assert(kept == expected)
   }
 
+  test("ppsSampleDocs keeps each doc iff its LCG draw is under the weight-proportional rate") {
+    // weights 1..50 over ids 0..199, target 20 docs: replay every draw
+    val rows = (0L until 200L).map(i => (i, (i % 50) + 1))
+    val docs = rows.toDF("doc_id", "w")
+    val kept = TextOps.ppsSampleDocs(docs, "doc_id", col("w"), targetDocs = 20L)
+      .select("doc_id").as[Long].collect().toSet
+    val tot = rows.map(_._2).sum
+    val expected = rows.filter { case (id, w) =>
+      val m = 2147483648L
+      val x = (((id % m) * 1103515245L + 12345L) % m + m) % m
+      val draw = (x >> 5) % 1000000L
+      draw < math.min(1000000L, 20L * 1000000L * w / tot)
+    }.map(_._1).toSet
+    assert(kept == expected)
+    assert(kept.nonEmpty && kept.size < 60) // ~20 expected, not everything
+    // a weight heavy enough to cap at p=1 is always kept
+    val heavy = (Seq((999L, 1000000L)) ++ rows).toDF("doc_id", "w")
+    val keptHeavy = TextOps.ppsSampleDocs(heavy, "doc_id", col("w"), 20L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptHeavy.contains(999L))
+  }
+
   test("packSequences fills fixed-capacity sequences in (doc, chunk) order") {
     val docs = Seq(
       (0L, (1 to 10).map(i => s"a$i").mkString(" ")),  // grp 0: ntoks 4,4,2
