@@ -768,10 +768,38 @@ object Queries {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))
 
+  /** Session funnel (see Relational.funnelSteps): sessions reaching each
+    * step of view → click → purchase, first occurrences strictly
+    * increasing in event time. One output row. */
+  private val q91 = Q("q91_funnel_steps",
+    (s, d) => Relational.funnelSteps(events(s, d), "user_id", "ts", "event_id",
+      "event_type", 1800.0, Seq("view", "click", "purchase"))
+      .select(col("n_sessions"), col("n_view"), col("n_click"), col("n_purchase")),
+    Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS ns FROM events),
+            s AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+              sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+            p AS (SELECT user_id, sid,
+              min(CASE WHEN event_type = 'view' THEN us END) AS t0,
+              min(CASE WHEN event_type = 'click' THEN us END) AS t1,
+              min(CASE WHEN event_type = 'purchase' THEN us END) AS t2
+              FROM s GROUP BY user_id, sid)
+            SELECT count(*) AS n_sessions,
+              sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_view,
+              sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t0 < t1
+                THEN 1 ELSE 0 END)::BIGINT AS n_click,
+              sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t2 IS NOT NULL
+                AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END)::BIGINT AS n_purchase
+            FROM p"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

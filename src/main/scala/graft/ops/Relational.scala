@@ -231,6 +231,41 @@ object Relational {
         last(col("__last_v"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Session funnel analysis: how many sessions reach each step of an
+    * ordered event-type funnel (view → click → purchase...). A session
+    * reaches step i when every step j <= i occurred and their FIRST
+    * occurrences are strictly increasing in event time (ties in exact
+    * microseconds do not advance the funnel — documented, and what the
+    * SQL oracle replays). Composes [[sessionize]] with one per-session
+    * aggregate and one global rollup: two exchanges total (user hash for
+    * the session window, then (user, session) hash — the second is
+    * near-free since sessions nest inside users), output is ONE row. */
+  def funnelSteps(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+                  typeCol: String, gapSeconds: Double,
+                  steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val sessions = sessionize(df, userCol, tsCol, idCol, gapSeconds)
+    val us = unix_micros(col(tsCol))
+    val firstTs = steps.zipWithIndex.map { case (s, i) =>
+      min(when(col(typeCol) === s, us)).as(s"__t$i")
+    }
+    val perSession = sessions
+      .groupBy(col(userCol), col("session_id"))
+      .agg(firstTs.head, firstTs.tail: _*)
+    val reached = steps.indices.map { i =>
+      (0 to i).map(j => col(s"__t$j").isNotNull)
+        .reduce(_ && _) &&
+        (1 to i).map(j => col(s"__t${j - 1}") < col(s"__t$j"))
+          .foldLeft(lit(true))(_ && _)
+    }
+    perSession.agg(
+      count(lit(1)).as("n_sessions"),
+      reached.zip(steps).map { case (r, s) =>
+        count(when(r, 1)).as(s"n_$s")
+      }: _*)
+  }
+
   /** Per-group winsorization: clamp a value column to its group's
     * [pLo, pHi] exact percentiles — the outlier-capping step run on
     * quality scores / feature columns before thresholding, where dropping

@@ -113,6 +113,29 @@ class RelationalSpec extends SparkTestBase {
     assert((1L to 9L).forall(i => out(i) == i.toDouble)) // untouched
   }
 
+  test("funnelSteps counts sessions per step with strict event-time ordering") {
+    def ts(sec: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
+    val rows = Seq(
+      // user 1: full funnel in one session
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(10), "click"), (1L, 3L, ts(20), "purchase"),
+      // user 2: click without a view — reaches nothing
+      (2L, 4L, ts(0), "click"),
+      // user 3: view and click at the SAME microsecond — tie does not advance
+      (3L, 5L, ts(0), "view"), (3L, 6L, ts(0), "click"),
+      // user 4: view then purchase, no click — stops after view
+      (4L, 7L, ts(0), "view"), (4L, 8L, ts(30), "purchase"),
+      // user 1 again, NEW session (gap > 60s): view only
+      (1L, 9L, ts(300), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = Relational.funnelSteps(rows, "user_id", "ts", "event_id",
+        "event_type", gapSeconds = 60.0, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long, Long)].head()
+    // sessions: u1-s0, u1-s1, u2, u3, u4 = 5; views: all but u2 = 4;
+    // view->click: u1-s0 only; full funnel: u1-s0 only
+    assert(r == ((5L, 4L, 1L, 1L)))
+  }
+
   test("resample densifies gaps, forward-fills, and picks the last value per bin") {
     def ts(sec: Long) = new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
