@@ -796,10 +796,37 @@ object Queries {
                 AND t0 < t1 AND t1 < t2 THEN 1 ELSE 0 END)::BIGINT AS n_purchase
             FROM p"""))
 
+  /** Rolling 7-day distinct users per daily hop (WAU) — the engagement
+    * rollup every event platform runs. Spark's sliding window assigns
+    * each event to its 7 covering windows BEFORE the distinct-count
+    * aggregation (duration/slide = 7 replicas of (window, user) pairs —
+    * ids only, never payloads); the oracle materializes the same 7 hop
+    * starts per event explicitly. */
+  private val q92 = Q("q92_rolling_wau",
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("w"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("window_start"),
+        col("wau"), col("n_events"))
+      .orderBy(col("window_start")),
+    Some("""WITH h AS (SELECT user_id,
+              unnest([date_trunc('day', ts),
+                      date_trunc('day', ts) - INTERVAL 1 DAY,
+                      date_trunc('day', ts) - INTERVAL 2 DAY,
+                      date_trunc('day', ts) - INTERVAL 3 DAY,
+                      date_trunc('day', ts) - INTERVAL 4 DAY,
+                      date_trunc('day', ts) - INTERVAL 5 DAY,
+                      date_trunc('day', ts) - INTERVAL 6 DAY]) AS ws
+              FROM events)
+            SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+              count(DISTINCT user_id) AS wau, count(*) AS n_events
+            FROM h GROUP BY ws ORDER BY window_start"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
