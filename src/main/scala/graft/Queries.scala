@@ -823,10 +823,40 @@ object Queries {
               count(DISTINCT user_id) AS wau, count(*) AS n_events
             FROM h GROUP BY ws ORDER BY window_start"""))
 
+  /** Signup retention cohorts: users grouped by first-signup day, counted
+    * by how many were active on each of the next 7 days. Both inputs
+    * aggregate to id-cardinality BEFORE the join (distinct (user, day)
+    * activity × per-user cohort day); the cohort side is user-cardinality
+    * and broadcastable. */
+  private val q93 = Q("q93_retention",
+    (s, d) => {
+      val ev = events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort"))
+      val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      activity.join(broadcast(cohort), Seq("user_id"))
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("day_offset").between(0, 7))
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH c AS (SELECT user_id, min(date_trunc('day', ts)) AS cohort
+              FROM events WHERE event_type = 'signup' GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+            SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+              CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+              count(*) AS n_users
+            FROM a JOIN c USING (user_id)
+            WHERE date_diff('day', cohort, day) BETWEEN 0 AND 7
+            GROUP BY cohort, day_offset ORDER BY cohort_day, day_offset"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
