@@ -853,10 +853,69 @@ object Queries {
             WHERE date_diff('day', cohort, day) BETWEEN 0 AND 7
             GROUP BY cohort, day_offset ORDER BY cohort_day, day_offset"""))
 
+  /** Session path analysis: the 20 most common ordered event-type
+    * sequences. The in-session order is pinned by sorting collected
+    * (us, event_id, type) structs — collect_list alone is
+    * partition-arrival nondeterministic; the sort key is total, so the
+    * path string is exact. Sessions collect at session cardinality (tens
+    * of events each), never corpus-wide. */
+  private val q94 = Q("q94_event_paths",
+    (s, d) => {
+      val ev = Relational.sessionize(events(s, d), "user_id", "ts", "event_id", 1800.0)
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("id"), col("event_type").as("t")))),
+          x => x.getField("t")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH g AS (SELECT user_id, event_id, ts, event_type,
+              CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                THEN 1 ELSE 0 END AS ns FROM events),
+            s AS (SELECT user_id, event_id, ts, event_type,
+              sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM g),
+            p AS (SELECT user_id, sid,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+              FROM s GROUP BY user_id, sid)
+            SELECT path, count(*) AS n_sessions
+            FROM p GROUP BY path
+            ORDER BY n_sessions DESC, path LIMIT 20"""))
+
+  /** Brand affinity (market basket): part-brand pairs co-occurring in an
+    * order, top-20. The distinct (order, brand) projection collapses the
+    * fact table BEFORE the self-join (pairs form on order-cardinality
+    * id/brand rows, never raw lineitems); the part dimension broadcasts. */
+  private val q95 = Q("q95_brand_affinity",
+    (s, d) => {
+      val ob = lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val a = ob.select(col("okey"), col("brand").as("brand_a"))
+      val b = ob.select(col("okey").as("okey_b"), col("brand").as("brand_b"))
+      a.join(b, col("okey") === col("okey_b") && col("brand_a") < col("brand_b"))
+        .groupBy(col("brand_a"), col("brand_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    },
+    Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_orders
+            FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+            GROUP BY a.brand, b.brand
+            ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
-    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93)
+    q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93,
+    q94, q95)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
