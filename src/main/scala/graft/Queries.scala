@@ -911,11 +911,33 @@ object Queries {
             GROUP BY a.brand, b.brand
             ORDER BY n_orders DESC, brand_a, brand_b LIMIT 20"""))
 
+  /** Order-to-ship latency distribution per priority: exact p50/p90 of
+    * the day gap plus the mean — the SLA report shape. The date diff is
+    * computed on the fact join output (broadcast orders-side dimension
+    * columns only after the fact-fact equi-join); integer day gaps make
+    * the percentiles exact, mean rounded like q33. */
+  private val q96 = Q("q96_ship_latency",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat_days", datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(expr("percentile(lat_days, 0.5)"), 6).as("p50"),
+        round(expr("percentile(lat_days, 0.9)"), 6).as("p90"),
+        round(avg(col("lat_days")), 6).as("mean_days"))
+      .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, count(*) AS n_items,
+              round(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 6) AS p50,
+              round(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9), 6) AS p90,
+              round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS mean_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93,
-    q94, q95)
+    q94, q95, q96)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
