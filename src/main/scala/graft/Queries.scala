@@ -933,11 +933,71 @@ object Queries {
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Keyed dimension upsert (see Relational.upsert): a derived update set
+    * (every 5th nation renamed, plus one brand-new key) merged into the
+    * nation dim — update rows win wholesale, unmatched survive. */
+  private val q97 = Q("q97_dim_upsert",
+    (s, d) => {
+      import s.implicits._
+      val base = nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val updates = base.filter(col("n_nationkey") % 5 === 0)
+        .select(col("n_nationkey"), concat(col("n_name"), lit("_V2")).as("n_name"),
+          col("n_regionkey"))
+        .unionByName(Seq((990L, "NEWLAND", 0L))
+          .toDF("n_nationkey", "n_name", "n_regionkey"))
+      Relational.upsert(base, updates, Seq("n_nationkey"))
+        .orderBy(col("n_nationkey"))
+    },
+    Some("""WITH base AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+            u AS (SELECT n_nationkey, n_name || '_V2' AS n_name, n_regionkey
+                  FROM base WHERE n_nationkey % 5 = 0
+                  UNION ALL SELECT 990, 'NEWLAND', 0)
+            SELECT coalesce(u.n_nationkey, base.n_nationkey) AS n_nationkey,
+              CASE WHEN u.n_nationkey IS NOT NULL THEN u.n_name ELSE base.n_name END AS n_name,
+              CASE WHEN u.n_nationkey IS NOT NULL THEN u.n_regionkey ELSE base.n_regionkey END AS n_regionkey
+            FROM base FULL OUTER JOIN u ON base.n_nationkey = u.n_nationkey
+            ORDER BY n_nationkey"""))
+
+  /** Pareto (contribution) analysis: nations ranked by revenue with
+    * cumulative share — "which 20% produce 80%". Revenue rounded to
+    * pennies at the aggregate (q20's convention); the running share is a
+    * cumulative frame over the 25-row ordered aggregate like q16, rounded
+    * at 6dp. */
+  private val q98 = Q("q98_pareto",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("revenue").desc, col("n_name"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+      rev.withColumn("cum_share",
+          round(sum(col("revenue")).over(w) / sum(col("revenue")).over(tot), 6))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""WITH rev AS (SELECT n_name,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name)
+            SELECT n_name, revenue,
+              round(sum(revenue) OVER (ORDER BY revenue DESC, n_name
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                / sum(revenue) OVER (), 6) AS cum_share
+            FROM rev ORDER BY revenue DESC, n_name"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93,
-    q94, q95, q96)
+    q94, q95, q96, q97, q98)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }

@@ -231,6 +231,34 @@ object Relational {
         last(col("__last_v"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Keyed upsert (MERGE): rows from `updates` replace same-key rows in
+    * `base`; unmatched rows from both sides survive. The file-layout
+    * MERGE primitive for dimension refresh where no transaction-log
+    * format is available: full-outer join on the key, update side wins
+    * per column. Schemas must match (enforced) — the operator is a
+    * row-level merge, not a schema migration. At scale the updates side
+    * is typically a trickle against a large dim: Spark broadcasts it
+    * automatically under the threshold, and the output overwrites the dim
+    * via [[Layout.writePartitioned]] / a plain parquet rewrite. */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(base.columns.toSeq == updates.columns.toSeq,
+      s"schemas must match: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    val valueCols = base.columns.filterNot(keyCols.contains)
+    val u = updates.select(updates.columns.map(c => col(c).as(s"__u_$c")): _*)
+    val joinCond = keyCols.map(k => col(k) === col(s"__u_$k")).reduce(_ && _)
+    base.join(u, joinCond, "full_outer")
+      .select(
+        keyCols.map(k => coalesce(col(s"__u_$k"), col(k)).as(k)) ++
+          valueCols.map { c =>
+            // the UPDATE ROW wins wholesale (keyed on its key presence,
+            // not per-column null-coalescing: an update may legitimately
+            // set a column to null)
+            when(col(s"__u_${keyCols.head}").isNotNull, col(s"__u_$c"))
+              .otherwise(col(c)).as(c)
+          }: _*)
+  }
+
   /** Session funnel analysis: how many sessions reach each step of an
     * ordered event-type funnel (view → click → purchase...). A session
     * reaches step i when every step j <= i occurred and their FIRST

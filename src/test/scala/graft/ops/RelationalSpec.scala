@@ -113,6 +113,24 @@ class RelationalSpec extends SparkTestBase {
     assert((1L to 9L).forall(i => out(i) == i.toDouble)) // untouched
   }
 
+  test("upsert: update rows win wholesale, unmatched rows from both sides survive") {
+    val base = Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Some("c"), 30))
+      .toDF("k", "name", "v")
+    val updates = Seq(
+      (2L, None: Option[String], 99), // updates k=2, legitimately nulling name
+      (9L, Some("new"), 1))           // brand-new key
+      .toDF("k", "name", "v")
+    val out = Relational.upsert(base, updates, Seq("k"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getInt(2))).toMap
+    assert(out == Map(
+      1L -> (("a", 10)), 2L -> ((null, 99)), 3L -> (("c", 30)), 9L -> (("new", 1))))
+    // mismatched schemas are rejected, not silently merged
+    intercept[IllegalArgumentException] {
+      Relational.upsert(base, updates.drop("v"), Seq("k"))
+    }
+  }
+
   test("funnelSteps counts sessions per step with strict event-time ordering") {
     def ts(sec: Long) = new java.sql.Timestamp(
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + sec * 1000)
