@@ -993,11 +993,78 @@ object Queries {
                 / sum(revenue) OVER (), 6) AS cum_share
             FROM rev ORDER BY revenue DESC, n_name"""))
 
+  /** Top-3 part brands per customer nation by revenue — the nested
+    * analytics composite (two broadcast dims over the fact-fact join, one
+    * aggregate, then the per-group rank that plans WindowGroupLimit so at
+    * most 3 rows per nation survive the rank exchange). */
+  private val q99 = Q("q99_top_brands_per_nation",
+    (s, d) => {
+      val rev = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      Relational.topKPerGroup(rev, Seq(col("n_name")),
+          Seq(col("revenue").desc, col("p_brand").asc), 3)
+        .select(col("n_name"), col("p_brand"), col("revenue"), col("rn"))
+        .orderBy(col("n_name"), col("rn"))
+    },
+    Some("""WITH rev AS (SELECT n_name, p_brand,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN part ON l_partkey = p_partkey
+              GROUP BY n_name, p_brand)
+            SELECT n_name, p_brand, revenue, rn FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY n_name
+                ORDER BY revenue DESC, p_brand) AS BIGINT) AS rn FROM rev)
+            WHERE rn <= 3 ORDER BY n_name, rn"""))
+
+  /** Corpus snapshot diff: classify every doc id as added / removed /
+    * changed / unchanged between two snapshots (the current corpus vs a
+    * derived "previous" one), comparing CONTENT by md5 — full-outer on
+    * the id, digests shuffle, text never does. The publish-gate report a
+    * corpus pipeline emits between releases. */
+  private val q100 = Q("q100_snapshot_diff",
+    (s, d) => {
+      val cur = documents(s, d).select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      // derived previous snapshot: every 7th doc absent, every 11th doc's
+      // content altered
+      val prev = documents(s, d).filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit("_old")))
+            .otherwise(col("text")).cast("binary")).as("h"))
+        .withColumnRenamed("doc_id", "p_id").withColumnRenamed("h", "p_h")
+      cur.join(prev, col("doc_id") === col("p_id"), "full_outer")
+        .select(coalesce(col("doc_id"), col("p_id")).as("doc_id"),
+          when(col("p_id").isNull, "added")
+            .when(col("doc_id").isNull, "removed")
+            .when(col("h") =!= col("p_h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    },
+    Some("""WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+            prev AS (SELECT doc_id AS p_id,
+              md5(CASE WHEN doc_id % 11 = 0 THEN text || '_old' ELSE text END) AS p_h
+              FROM documents WHERE doc_id % 7 <> 0)
+            SELECT CASE WHEN p_id IS NULL THEN 'added'
+                        WHEN doc_id IS NULL THEN 'removed'
+                        WHEN h <> p_h THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+              count(*) AS n_docs
+            FROM cur FULL OUTER JOIN prev ON doc_id = p_id
+            GROUP BY 1 ORDER BY status"""))
+
   val relational: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25,
     q26, q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39,
     q74, q75, q76, q77, q81, q82, q83, q84, q85, q86, q87, q88, q91, q92, q93,
-    q94, q95, q96, q97, q98)
+    q94, q95, q96, q97, q98, q99, q100)
 
   val all: Seq[Q] = relational ++ PipelineQueries.all
 }
