@@ -971,11 +971,9 @@ object Queries {
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("revenue").desc, col("n_name"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+      val w = Window.orderBy(col("revenue").desc, col("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
       rev.withColumn("cum_share",
           round(sum(col("revenue")).over(w) / sum(col("revenue")).over(tot), 6))
         .orderBy(col("revenue").desc, col("n_name"))

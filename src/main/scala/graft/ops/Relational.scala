@@ -239,23 +239,33 @@ object Relational {
     * row-level merge, not a schema migration. At scale the updates side
     * is typically a trickle against a large dim: Spark broadcasts it
     * automatically under the threshold, and the output overwrites the dim
-    * via [[Layout.writePartitioned]] / a plain parquet rewrite. */
+    * via [[Layout.writePartitioned]] / a plain parquet rewrite.
+    *
+    * PRECONDITION: `updates` must be key-unique — a duplicated update key
+    * fans the matched base row out into contradictory output rows (SQL
+    * MERGE raises here; this primitive cannot without an extra pass).
+    * Run [[Checks.duplicateKeys]] on an untrusted source first. Null keys
+    * are handled null-SAFELY: a null-keyed update row matches a
+    * null-keyed base row (and wins), not silently dropped. */
   def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(base.columns.toSeq == updates.columns.toSeq,
       s"schemas must match: ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     val valueCols = base.columns.filterNot(keyCols.contains)
-    val u = updates.select(updates.columns.map(c => col(c).as(s"__u_$c")): _*)
-    val joinCond = keyCols.map(k => col(k) === col(s"__u_$k")).reduce(_ && _)
+    // explicit presence marker: "did an update row match" must not be
+    // inferred from key nullness (a legitimately-null key would read as
+    // absent and lose its update values)
+    val u = updates.select(updates.columns.map(c => col(c).as(s"__u_$c")) :+
+      lit(true).as("__u_present"): _*)
+    val joinCond = keyCols.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
     base.join(u, joinCond, "full_outer")
       .select(
-        keyCols.map(k => coalesce(col(s"__u_$k"), col(k)).as(k)) ++
+        keyCols.map(k =>
+          when(col("__u_present"), col(s"__u_$k")).otherwise(col(k)).as(k)) ++
           valueCols.map { c =>
-            // the UPDATE ROW wins wholesale (keyed on its key presence,
-            // not per-column null-coalescing: an update may legitimately
-            // set a column to null)
-            when(col(s"__u_${keyCols.head}").isNotNull, col(s"__u_$c"))
-              .otherwise(col(c)).as(c)
+            // the UPDATE ROW wins wholesale: an update may legitimately
+            // set a value column to null
+            when(col("__u_present"), col(s"__u_$c")).otherwise(col(c)).as(c)
           }: _*)
   }
 
@@ -273,6 +283,8 @@ object Relational {
                   steps: Seq[String]): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least 2 steps")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(!steps.contains("sessions"),
+      "step name 'sessions' collides with the built-in n_sessions column")
     val sessions = sessionize(df, userCol, tsCol, idCol, gapSeconds)
     val us = unix_micros(col(tsCol))
     val firstTs = steps.zipWithIndex.map { case (s, i) =>

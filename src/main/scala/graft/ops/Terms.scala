@@ -178,8 +178,9 @@ object Terms {
     // check) instead of a separate count() job re-running the aggregation
     val collected = wordFreq.limit(maxWords + 1).collect()
     require(collected.length <= maxWords,
-      s"word vocabulary exceeds maxWords=$maxWords — downsample the corpus " +
-        "for merge training (merge rules converge on a fraction of the data)")
+      s"word vocabulary exceeds maxWords=$maxWords (at least ${maxWords + 1} " +
+        "distinct words) — downsample the corpus for merge training " +
+        "(merge rules converge on a fraction of the data)")
     var words: Array[(Array[String], Long)] = collected
       .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()

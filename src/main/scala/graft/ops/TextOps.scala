@@ -116,11 +116,19 @@ object TextOps {
     * column, for pipelines that LABEL sampled-out rows instead of dropping
     * them (e.g. [[CorpusPipeline]] funnel accounting). Same exact-integer
     * LCG draw; filtering on this predicate IS stratifiedSample. */
+  /** The one LCG state expression every replayable sampler shares
+    * (glibc constants, exact all-integer mod-2^31) — [[sampleKeep]] and
+    * [[ppsSampleDocs]] derive their draws from THIS, and the SQL oracles
+    * replay these exact constants: tuning a copy independently would
+    * silently break parity. */
+  private def lcgState(id: Column): Column = {
+    val m = 2147483648L // 2^31, glibc LCG modulus
+    pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
+  }
+
   def sampleKeep(id: Column, strata: Column, ratesPct: Map[String, Int],
                  defaultPct: Int): Column = {
-    val m = 2147483648L // 2^31, glibc LCG modulus
-    val x = pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
-    val draw = pmod(shiftright(x, 16), lit(100L))
+    val draw = pmod(shiftright(lcgState(id), 16), lit(100L))
     val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, v)) =>
       when(strata === k, lit(v)).otherwise(acc)
     }
@@ -145,15 +153,21 @@ object TextOps {
     require(targetDocs >= 1, "targetDocs must be >= 1")
     require(targetDocs <= 1000000L, "targetDocs above 1e6 would overflow the ppm rate")
     val tot = df.agg(sum(weightCol.cast("long")).as("__tot"))
-    val m = 2147483648L
-    val id = col(idCol)
-    val x = pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
-    val drawPpm = pmod(shiftright(x, 5), lit(1000000L))
-    val ratePpm = least(lit(1000000L),
-      expr(s"(${targetDocs * 1000000L} * __w) div __tot"))
+    val drawPpm = pmod(shiftright(lcgState(col(idCol)), 5), lit(1000000L))
+    // per-row weight guard as an expression (assert_true throws in-flight,
+    // no extra validation pass): a weight outside [0, maxW] would wrap
+    // targetDocs·10^6·w negative and silently EXCLUDE the heaviest docs —
+    // the rows PPS most needs
+    val maxW = Long.MaxValue / (targetDocs * 1000000L)
+    val guarded = when(
+      assert_true(col("__w").isNull || col("__w").between(0L, maxW),
+        lit(s"ppsSampleDocs: weight outside [0, $maxW]")).isNull,
+      least(lit(1000000L), expr(s"(${targetDocs * 1000000L} * __w) div __tot")))
+    // (a NULL weight — null text — passes the guard and yields a null
+    // rate: the row drops from the sample, same as the SQL oracle)
     df.withColumn("__w", weightCol.cast("long"))
       .crossJoin(broadcast(tot))
-      .filter(drawPpm < ratePpm)
+      .filter(drawPpm < guarded)
       .drop("__w", "__tot")
   }
 

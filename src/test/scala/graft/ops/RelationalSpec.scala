@@ -129,6 +129,15 @@ class RelationalSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Relational.upsert(base, updates.drop("v"), Seq("k"))
     }
+    // null keys are null-SAFE: a null-keyed update matches the null-keyed
+    // base row and wins (presence flag, not key-nullness, marks the match)
+    val baseN = Seq((Some(1L), "a", 10), (None: Option[Long], "b", 20))
+      .toDF("k", "name", "v")
+    val updN = Seq((None: Option[Long], "B2", 99)).toDF("k", "name", "v")
+    val outN = Relational.upsert(baseN, updN, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        ((r.getString(1), r.getInt(2)))).toMap
+    assert(outN == Map(1L -> (("a", 10)), -1L -> (("B2", 99))))
   }
 
   test("funnelSteps counts sessions per step with strict event-time ordering") {
