@@ -1047,7 +1047,28 @@ object PipelineQueries {
                   < least(1000000, (100000000 * w) // tot)
             ORDER BY doc_id"""))
 
+  /** Embedding hygiene audit: vector count per (dimension, squared-norm
+    * bin) — the shape/scale profile checked before any ANN or dedup run
+    * (mixed dims or a mass of near-zero vectors mean a broken embedding
+    * job). Floor-binning a DOUBLE is exact here because both engines
+    * compute the identical f64: the codegen kernel sums squares
+    * sequentially and the oracle's list_reduce left-fold replays that
+    * association order bit-for-bit (same argument as the q49 SRP dots). */
+  private val q101 = Q("q101_embed_audit",
+    (s, d) => embeddings(s, d)
+      .select(size(col("embedding")).cast("long").as("dim"),
+        floor(VectorOps.normSq(col("embedding")) / 10.0).cast("long").as("sq_norm_bin"))
+      .groupBy(col("dim"), col("sq_norm_bin"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("dim"), col("sq_norm_bin")),
+    Some("""SELECT CAST(len(embedding) AS BIGINT) AS dim,
+              CAST(floor(list_reduce(
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (a, b) -> a + b) / 10.0) AS BIGINT) AS sq_norm_bin,
+              count(*) AS n_vectors
+            FROM embeddings GROUP BY 1, 2 ORDER BY dim, sq_norm_bin"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101)
 }
