@@ -1042,7 +1042,8 @@ object PipelineQueries {
               FROM documents),
             tot AS (SELECT sum(w) AS tot FROM w)
             SELECT doc_id FROM w, tot
-            WHERE ((((doc_id % 2147483648) * 1103515245 + 12345)
+            WHERE w IS NOT NULL
+              AND ((((doc_id % 2147483648) * 1103515245 + 12345)
                      % 2147483648) // 32) % 1000000
                   < least(1000000, (100000000 * w) // tot)
             ORDER BY doc_id"""))

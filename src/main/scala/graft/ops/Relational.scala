@@ -178,6 +178,9 @@ object Relational {
   def pivotCounts(df: DataFrame, keyCol: Column, keyName: String,
                   pivotCol: String, values: Seq[String]): DataFrame = {
     require(values.nonEmpty, "values must be non-empty")
+    // a duplicated category would emit two identically-named columns and
+    // make every downstream col(name) reference ambiguous
+    require(values.distinct.size == values.size, "values must be distinct")
     val aggs = values.map(v => count(when(col(pivotCol) === v, 1)).as(v))
     df.groupBy(keyCol.as(keyName))
       .agg(aggs.head, aggs.tail: _*)
@@ -316,7 +319,10 @@ object Relational {
     * itself is a narrow `greatest`/`least` map. Bounds are rounded to
     * `scale` decimals so downstream engines replay the clamp decision
     * bit-for-bit (the raw interpolated percentile differs in final-ulp
-    * association across engines). */
+    * association across engines). The bounds join is NULL-SAFE (`<=>`):
+    * `groupBy` puts null-key rows in their own group, so the join must
+    * match them back to that group's bounds rather than silently dropping
+    * them (the plain equi-join behavior). */
   def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                 pLo: Double, pHi: Double, outName: String = "winsorized",
                 scale: Int = 6): DataFrame = {
@@ -325,7 +331,7 @@ object Relational {
     val bounds = df.groupBy(keyCols.map(col): _*)
       .agg(round(percentile(valueCol, lit(pLo)), scale).as("__lo"),
         round(percentile(valueCol, lit(pHi)), scale).as("__hi"))
-    df.join(broadcast(bounds), keyCols)
+    nullSafeBroadcastJoin(df, bounds, keyCols)
       // least/greatest SKIP null inputs, which would silently clamp a
       // null value to the upper bound — nulls must stay null
       .withColumn(outName, when(valueCol.isNull, lit(null))
@@ -341,14 +347,27 @@ object Relational {
     * tasks, the product-shuffle trap [[Similarity]]'s TopK also avoids);
     * the two-pass shape aggregates map-side and never re-partitions the
     * fact rows. A degenerate group (n = 1 or zero variance) yields null z
-    * (nullif guard), not a division error. */
+    * (nullif guard), not a division error. The stats join is NULL-SAFE
+    * (`<=>`) for the same reason as [[winsorize]]: null-key rows belong to
+    * `groupBy`'s null group and must not be dropped by the join-back. */
   def groupZScore(df: DataFrame, keyCols: Seq[String], valueCol: Column,
                   outName: String = "z"): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val stats = df.groupBy(keyCols.map(col): _*)
       .agg(avg(valueCol).as("__mean"), stddev_samp(valueCol).as("__sd"))
-    df.join(broadcast(stats), keyCols)
+    nullSafeBroadcastJoin(df, stats, keyCols)
       .withColumn(outName, (valueCol - col("__mean")) / nullif(col("__sd"), lit(0.0)))
       .drop("__mean", "__sd")
+  }
+
+  /** Broadcast-join `small` (a per-group aggregate of `df`) back onto `df`
+    * with NULL-SAFE key equality, keeping a single copy of the key
+    * columns. `<=>` has no `usingColumns` form, so the small side's keys
+    * are renamed, matched with null-safe conditions, and dropped. */
+  private def nullSafeBroadcastJoin(df: DataFrame, small: DataFrame,
+                                    keyCols: Seq[String]): DataFrame = {
+    val renamed = keyCols.foldLeft(small)((d, k) => d.withColumnRenamed(k, s"__k_$k"))
+    val cond = keyCols.map(k => df(k) <=> renamed(s"__k_$k")).reduce(_ && _)
+    keyCols.foldLeft(df.join(broadcast(renamed), cond))((d, k) => d.drop(s"__k_$k"))
   }
 }

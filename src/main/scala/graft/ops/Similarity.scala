@@ -334,14 +334,20 @@ object Similarity {
     * shuffles |corpus|×d (group, dim, value) rows: d× more exchange bytes
     * for the same answer.) Elements are promoted f32→f64 exactly before
     * summing. Output: (groupCol, centroid ARRAY<DOUBLE>, n_vecs). Vectors
-    * shorter than `dim` fail the aggregation loudly; vectors longer are a
-    * contract violation the caller must prevent. */
+    * shorter than `dim` — and NULL vectors — fail the aggregation loudly
+    * (`assert_true` in-flight, not an opaque NPE inside the aggregator
+    * buffer); vectors longer are a contract violation the caller must
+    * prevent. */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
                      dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
     val vecSum = udaf(new Aggregators.VectorSum(dim))
+    val checked = when(
+      assert_true(col(vecCol).isNotNull,
+        lit(s"groupCentroids: null $vecCol — filter null embeddings upstream")).isNull,
+      col(vecCol))
     df.groupBy(col(groupCol))
-      .agg(vecSum(col(vecCol).cast("array<double>")).as("__sum"),
+      .agg(vecSum(checked.cast("array<double>")).as("__sum"),
         count(lit(1)).as("n_vecs"))
       .select(col(groupCol),
         transform(col("__sum"), x => x / col("n_vecs").cast("double")).as("centroid"),

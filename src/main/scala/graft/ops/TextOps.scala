@@ -162,9 +162,13 @@ object TextOps {
     val guarded = when(
       assert_true(col("__w").isNull || col("__w").between(0L, maxW),
         lit(s"ppsSampleDocs: weight outside [0, $maxW]")).isNull,
-      least(lit(1000000L), expr(s"(${targetDocs * 1000000L} * __w) div __tot")))
-    // (a NULL weight — null text — passes the guard and yields a null
-    // rate: the row drops from the sample, same as the SQL oracle)
+      // a NULL weight (null text) must DROP the row — made explicit here
+      // because least() SKIPS null arguments in both Spark and DuckDB, so
+      // least(10^6, null) would otherwise evaluate to 10^6 and keep every
+      // weightless doc with p = 1
+      when(col("__w").isNull, lit(null).cast("long"))
+        .otherwise(least(lit(1000000L),
+          expr(s"(${targetDocs * 1000000L} * __w) div __tot"))))
     df.withColumn("__w", weightCol.cast("long"))
       .crossJoin(broadcast(tot))
       .filter(drawPpm < guarded)

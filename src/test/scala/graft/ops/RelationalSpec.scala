@@ -86,6 +86,10 @@ class RelationalSpec extends SparkTestBase {
       .orderBy("day").as[(String, Long, Long, Long)].collect().toSeq
     // zzz is not a declared category: its rows vanish rather than adding a column
     assert(out == Seq(("d1", 2L, 1L, 0L), ("d2", 0L, 1L, 0L)))
+    // a duplicated category would produce two identically-named columns
+    intercept[IllegalArgumentException] {
+      Relational.pivotCounts(df, col("day"), "day", "cat", Seq("a", "b", "a"))
+    }
   }
 
   test("groupZScore matches hand stats and nulls degenerate groups") {
@@ -111,6 +115,24 @@ class RelationalSpec extends SparkTestBase {
     assert(out(0L) == 0.5)   // clamped up
     assert(out(10L) == 9.5)  // clamped down
     assert((1L to 9L).forall(i => out(i) == i.toDouble)) // untouched
+  }
+
+  test("winsorize and groupZScore keep null-key rows in their own group (null-safe join)") {
+    // null-key rows form a groupBy group; the join-back must match it,
+    // not silently drop the rows (the plain equi-join behavior)
+    val df = Seq((Some("g"), 1L, 1.0), (Some("g"), 2L, 2.0), (Some("g"), 3L, 3.0),
+      (None: Option[String], 4L, 10.0), (None, 5L, 20.0), (None, 6L, 30.0))
+      .toDF("k", "id", "v")
+    val win = Relational.winsorize(df, Seq("k"), col("v"), 0.25, 0.75)
+      .select("id", "winsorized").as[(Long, Double)].collect().toMap
+    assert(win.size == 6) // nothing dropped
+    assert(win(4L) == 15.0 && win(6L) == 25.0) // clamped within the NULL group
+    assert(win(5L) == 20.0)
+    val z = Relational.groupZScore(df, Seq("k"), col("v"))
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(z.size == 6)
+    assert(math.abs(z(4L) - (-1.0)) < 1e-12) // mean 20, sd 10 within NULL group
+    assert(math.abs(z(6L) - 1.0) < 1e-12)
   }
 
   test("upsert: update rows win wholesale, unmatched rows from both sides survive") {

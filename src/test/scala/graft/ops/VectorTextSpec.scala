@@ -28,6 +28,18 @@ class VectorTextSpec extends SparkTestBase {
     assert(got(1)._2 == Seq(-1.0, 0.5) && got(1)._3 == 1L)
   }
 
+  test("groupCentroids fails loudly (not NPE) on a null embedding") {
+    val df = Seq((0, Some(Seq(1.0f, 2.0f))), (0, None: Option[Seq[Float]]))
+      .toDF("label", "embedding")
+    val e = intercept[Exception] {
+      Similarity.groupCentroids(df, "label", "embedding", 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("null embedding"),
+      s"expected the assert_true contract message, got: $msgs")
+  }
+
   test("codegen DotProduct matches the built-ins-only formulation bit-for-bit") {
     val rng = new scala.util.Random(17)
     val rows = (0 until 200).map { _ =>
@@ -183,6 +195,14 @@ class VectorTextSpec extends SparkTestBase {
     val keptHeavy = TextOps.ppsSampleDocs(heavy, "doc_id", col("w"), 20L)
       .select("doc_id").as[Long].collect().toSet
     assert(keptHeavy.contains(999L))
+    // a NULL weight drops the row — explicitly, since least() would
+    // otherwise skip the null rate and keep the doc with p = 1
+    val withNull = (Seq((998L, None: Option[Long])) ++ rows.map { case (i, w) => (i, Some(w)) })
+      .toDF("doc_id", "w")
+    val keptNull = TextOps.ppsSampleDocs(withNull, "doc_id", col("w"), 20L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptNull.contains(998L))
+    assert(keptNull == kept) // the non-null draws are unchanged
   }
 
   test("packSequences fills fixed-capacity sequences in (doc, chunk) order") {
