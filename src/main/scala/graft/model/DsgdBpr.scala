@@ -46,11 +46,24 @@ object DsgdBpr {
       if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
   }
 
-  /** One item row: block id, global item id, factors. */
-  final case class ItemRow(block: Int, item: Int, f: Array[Double])
+  /** One item row: block id, global item id, factors, and the item's
+    * positive count. Popularity RIDES WITH the row — the within-block
+    * negative-sampling CDF is built from the stratum's own rows, so no
+    * global O(N) popularity map ever exists on the driver or in a
+    * broadcast (the round-4 scale ceiling). */
+  final case class ItemRow(block: Int, item: Int, f: Array[Double], pop: Long)
   /** One user row: block id, global user id, positives (sorted), factors. */
   final case class UserRow(block: Int, user: Int, pos: Array[Int], u: Array[Double])
   final case class StratumOut(users: Array[UserRow], items: Array[ItemRow])
+
+  /** The at-scale training result: factor frames with schema
+    * (id INT, features ARRAY<DOUBLE>) — user ids are the rated users,
+    * item ids cover 0..numItems-1 (unrated items keep their Gaussian
+    * init, same as [[Bpr.train]]). Backed by the final localCheckpoint,
+    * or by parquet when `factorsDir` was given — nothing factor-sized
+    * touches the driver. Collect into [[Bpr.ModelArrays]] via [[train]]
+    * only at fixture scale. */
+  final case class FactorFrames(userFactors: DataFrame, itemFactors: DataFrame)
 
   @inline private def userBlock(user: Int, p: Int): Int = math.floorMod(user, p)
   @inline private def itemBlock(item: Int, p: Int): Int = math.floorMod(item, p)
@@ -59,30 +72,47 @@ object DsgdBpr {
     * [[Bpr.train]]: max item-factor delta (reported by each stratum through
     * a max-accumulator — zero extra jobs), opt-in P/R@k (prices a
     * users × items scoring pass per epoch), factor parquet snapshots every
-    * `snapshotEvery` epochs + final. */
-  def train(positives: DataFrame, userCol: String, itemCol: String,
-            numItems: Int, p: Params = Params(),
-            itemGenres: Option[Map[Int, Array[Int]]] = None,
-            trace: Trace.BprConfig = Trace.BprConfig()): Bpr.ModelArrays = {
+    * `snapshotEvery` epochs + final.
+    *
+    * This is the SCALE entry point: the result stays distributed
+    * end-to-end. Per-item popularity is computed as a DataFrame aggregate
+    * and LEFT-JOINED onto the item rows at init (one extra shuffle, paid
+    * once) — the counts then ride with the item blocks through every
+    * stratum, so neither the popularity map nor the trained factors are
+    * ever collected or broadcast. `factorsDir` makes the returned frames
+    * parquet-backed (durable, lineage-free); otherwise they sit on the
+    * final localCheckpoint. */
+  def trainFactors(positives: DataFrame, userCol: String, itemCol: String,
+                   numItems: Int, p: Params = Params(),
+                   itemGenres: Option[Map[Int, Array[Int]]] = None,
+                   trace: Trace.BprConfig = Trace.BprConfig(),
+                   factorsDir: Option[String] = None): FactorFrames = {
     val spark = positives.sparkSession
     import spark.implicits._
     val P = p.blocks
     val scale = p.resolvedInitScale
 
-    // per-item popularity (for the within-block weighted negative draws)
-    val popularity = positives.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // genre arrays are reference-shaped metadata (tens of genres per item,
+    // supplied as a driver Map by contract) — broadcast stays appropriate
     val genresArr: Array[Array[Int]] = itemGenres
       .map(m => Array.tabulate(numItems)(i => m.getOrElse(i, Array.empty[Int])))
       .orNull
     val sc = spark.sparkContext
-    val bcPop = sc.broadcast(popularity)      // counts only — O(N) longs, not factors
     val bcGenres = sc.broadcast(genresArr)
 
+    // per-item popularity for the within-block weighted negative draws:
+    // an aggregate joined onto the init rows — NOT a driver collect
+    val popDf = positives.groupBy(col(itemCol).as("__item"))
+      .agg(count(lit(1)).as("__pop"))
     val initRng = new java.util.Random(p.seed)
     val itemInit = Array.fill(numItems)(Array.fill(p.rank)(initRng.nextGaussian() * scale))
     var items: Dataset[ItemRow] = spark.createDataset(
-      (0 until numItems).map(i => ItemRow(itemBlock(i, P), i, itemInit(i))))
+      (0 until numItems).map(i => (itemBlock(i, P), i, itemInit(i))))
+      .toDF("block", "item", "f")
+      .join(popDf, col("item") === col("__item"), "left")
+      .select(col("block"), col("item"), col("f"),
+        coalesce(col("__pop"), lit(0L)).as("pop"))
+      .as[ItemRow]
       .repartition(P, col("block")).persist()
     items.count()
 
@@ -118,9 +148,9 @@ object DsgdBpr {
           // accumulator — no extra jobs, safe under task re-execution
           val startF = itemRows.map(_.f.clone())
           val localIdx = itemRows.iterator.map(_.item).zipWithIndex.toMap
-          // within-block popularity CDF over the block's items
-          val pop = bcPop.value
-          val weights = itemRows.map(r => math.max(pop.getOrElse(r.item, 0L), 0L).toDouble + 1e-9)
+          // within-block popularity CDF over the block's items — counts
+          // came in ON the rows (r.pop), no global map
+          val weights = itemRows.map(r => math.max(r.pop, 0L).toDouble + 1e-9)
           val total = weights.sum
           val cdf = new Array[Double](itemRows.length)
           var acc = 0.0
@@ -221,14 +251,37 @@ object DsgdBpr {
       Trace.writeBprHistory(spark, dir, epochHist.toSeq)
     }
 
-    val userF = users.collect().map(ur => ur.user -> ur.u).toMap
-    val itemArr = new Array[Array[Double]](numItems)
-    items.collect().foreach(ir => itemArr(ir.item) = ir.f)
-    var i = 0
-    while (i < numItems) { // blocks never saw an unrated item? keep init
-      if (itemArr(i) == null) itemArr(i) = itemInit(i)
-      i += 1
+    val userDf = users.map(ur => (ur.user, ur.u.toSeq)).toDF("id", "features")
+    val itemDf = items.map(ir => (ir.item, ir.f.toSeq)).toDF("id", "features")
+    factorsDir match {
+      case Some(dir) =>
+        Trace.snapshotFactors(dir, "final", userDf, itemDf)
+        FactorFrames(spark.read.parquet(s"$dir/final/user_factors"),
+          spark.read.parquet(s"$dir/final/item_factors"))
+      case None => FactorFrames(userDf, itemDf)
     }
+  }
+
+  /** Fixture-scale convenience: run [[trainFactors]] and collect the
+    * result into in-memory [[Bpr.ModelArrays]] (the [[Bpr]]-compatible
+    * contract). The collect here is the ONLY factor-sized driver
+    * materialization in this file — at cluster scale call [[trainFactors]]
+    * and keep the frames distributed. */
+  def train(positives: DataFrame, userCol: String, itemCol: String,
+            numItems: Int, p: Params = Params(),
+            itemGenres: Option[Map[Int, Array[Int]]] = None,
+            trace: Trace.BprConfig = Trace.BprConfig()): Bpr.ModelArrays = {
+    val spark = positives.sparkSession
+    import spark.implicits._
+    val ff = trainFactors(positives, userCol, itemCol, numItems, p, itemGenres, trace)
+    val userF = ff.userFactors.as[(Int, Seq[Double])].collect()
+      .map { case (id, f) => id -> f.toArray }.toMap
+    val itemArr = new Array[Array[Double]](numItems)
+    ff.itemFactors.as[(Int, Seq[Double])].collect()
+      .foreach { case (id, f) => itemArr(id) = f.toArray }
+    // every id 0..numItems-1 was initialized and carried through the
+    // strata — a hole means the frame contract broke, fail loudly
+    require(itemArr.forall(_ != null), "item factor frame is missing ids")
     Bpr.ModelArrays(userF, itemArr)
   }
 

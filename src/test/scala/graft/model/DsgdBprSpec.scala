@@ -55,6 +55,36 @@ class DsgdBprSpec extends SparkTestBase {
     }
   }
 
+  test("trainFactors frame contract is bit-identical to the collecting wrapper") {
+    // the scale path: factors stay DataFrames end-to-end; collecting them
+    // here (test-side) must reproduce train()'s ModelArrays exactly
+    val p = DsgdBpr.Params(rank = 3, lr = 0.05, epochs = 4, blocks = 3, seed = 19L,
+      initScale = 0.1)
+    val viaArrays = DsgdBpr.train(clusteredPositives, "user", "item", 10, p)
+    val ff = DsgdBpr.trainFactors(clusteredPositives, "user", "item", 10, p)
+    val uf = ff.userFactors.as[(Int, Seq[Double])].collect().toMap
+    val vf = ff.itemFactors.as[(Int, Seq[Double])].collect().toMap
+    assert(uf.keySet == viaArrays.userFactors.keySet)
+    uf.foreach { case (u, f) => assert(f.toArray.sameElements(viaArrays.userFactors(u))) }
+    assert(vf.size == 10)
+    vf.foreach { case (i, f) => assert(f.toArray.sameElements(viaArrays.itemFactors(i))) }
+    // item rows carry their own popularity — every item id is present even
+    // when unrated (pop 0), so the frame covers the full catalog
+    assert(vf.keySet == (0 until 10).toSet)
+  }
+
+  test("trainFactors with factorsDir returns parquet-backed frames") {
+    val dir = java.nio.file.Files.createTempDirectory("dsgd_factors").toString
+    val p = DsgdBpr.Params(rank = 2, lr = 0.05, epochs = 2, blocks = 2, seed = 23L,
+      initScale = 0.1)
+    val ff = DsgdBpr.trainFactors(clusteredPositives, "user", "item", 10, p,
+      factorsDir = Some(dir))
+    // the returned frames read from the parquet snapshot, not the lineage
+    assert(ff.itemFactors.queryExecution.optimizedPlan.toString.contains("Relation"))
+    assert(new java.io.File(s"$dir/final/item_factors").exists())
+    assert(ff.userFactors.count() == 8 && ff.itemFactors.count() == 10)
+  }
+
   test("DSGD genre-aware mode trains without violating the skip rule") {
     // items 0-4 share genre 1, items 5-9 share genre 2: for cluster-1 users
     // every negative candidate for a positive in genre 1 must come from
