@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The actual media DECODE is stubbed (no image/audio libraries in this
-  * container — see [[StubDecoder]]): the deterministic fake keeps every
-  * Spark-side concern real — schema, binary payload movement, batch shape,
-  * partition sizing — so swapping in a real codec is a one-function change.
+  * IMAGE decode is REAL ([[ImageCodec]], `javax.imageio` — PNG/JPEG/GIF/
+  * BMP): kind="image" payloads a JDK codec claims get pixel-true dims,
+  * raster resize, and grid-luminance features. Payloads no codec claims —
+  * and video/audio, which have no JDK codec — fall back to
+  * [[StubDecoder]]'s deterministic byte-math so the pipeline stays total;
+  * the stub keeps every Spark-side concern (schema, payload movement,
+  * batch shape) identical to the real path.
   *
   * Scale notes: payloads never pass through a shuffle (feature extraction is
   * a narrow mapPartitions); `targetRecordsPerBatch` bounds peak memory per
@@ -73,14 +76,44 @@ object Multimodal {
     }
   }
 
+  /** Per-record resize: REAL raster resample (bilinear, PNG re-encode) when
+    * the payload decodes as an image; byte-space [[resizeStub]] otherwise.
+    * Mirrors the stub's never-upsample contract: a raster already within
+    * the target box passes through unchanged except for pixel-true dims. */
+  def resizeRecord(r: MediaRecord, targetW: Int, targetH: Int): MediaRecord =
+    if (r.kind != "image") resizeStub(r, targetW, targetH)
+    else ImageCodec.decode(r.payload) match {
+      case Some(img) if img.getWidth <= targetW && img.getHeight <= targetH =>
+        r.copy(width = img.getWidth, height = img.getHeight)
+      case Some(img) =>
+        r.copy(payload = ImageCodec.resizePng(img, targetW, targetH),
+          width = targetW, height = targetH)
+      case None => resizeStub(r, targetW, targetH)
+    }
+
   /** Batched resize over a media frame — same narrow, bounded-batch shape
     * as [[extractFeatures]]; payloads never shuffle. */
   def resizeAll(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
                 targetRecordsPerBatch: Int = 256): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(targetRecordsPerBatch).flatMap(_.map(resizeStub(_, targetW, targetH)))
+      it.grouped(targetRecordsPerBatch).flatMap(_.map(resizeRecord(_, targetW, targetH)))
     }
+  }
+
+  /** Fill width/height from the REAL image header (header-only probe — no
+    * raster decompression; see [[ImageCodec.probeDims]]). Non-image or
+    * unprobeable payloads keep their declared dims. The metadata-audit
+    * pass a media corpus runs before any decode-heavy stage. */
+  def probeImageMeta(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.kind != "image") r
+      else ImageCodec.probeDims(r.payload) match {
+        case Some((w, h)) => r.copy(width = w, height = h)
+        case None => r
+      }
+    })
   }
 
   /** Frame sampling as a Dataset operator: each video payload explodes into
@@ -96,15 +129,22 @@ object Multimodal {
   }
 
   /** Batched feature extraction over a media frame: narrow mapPartitions,
-    * records processed in bounded batches. */
+    * records processed in bounded batches. Decodable images yield REAL
+    * pixel features ([[ImageCodec.gridLuminance]], 4×4 grid = the same
+    * 16-dim schema as the stub); everything else gets the byte-math
+    * stand-in — one schema, no partial rows. */
   def extractFeatures(media: Dataset[MediaRecord],
                       targetRecordsPerBatch: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(targetRecordsPerBatch).flatMap { batch =>
         batch.map { r =>
-          MediaFeatures(r.media_id, r.kind, r.payload.length,
-            StubDecoder.decodeFeatures(r.payload))
+          val feature =
+            (if (r.kind == "image") ImageCodec.decode(r.payload) else None) match {
+              case Some(img) => ImageCodec.gridLuminance(img, 4)
+              case None => StubDecoder.decodeFeatures(r.payload)
+            }
+          MediaFeatures(r.media_id, r.kind, r.payload.length, feature)
         }
       }
     }

@@ -72,6 +72,63 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(again.payload.sameElements(resized(1L).payload))
   }
 
+  // a real PNG, built in memory: left half black, right half white
+  private def halfToneImage(w: Int, h: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: header probe, pixel-true resize, luminance features") {
+    val payload = pngBytes(halfToneImage(32, 20))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", payload, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "image", "not an image".getBytes, 0, 0, 0))
+      .toDS()
+    // header-only probe fills real dims; the undecodable record keeps its own
+    val probed = Multimodal.probeImageMeta(media).collect().map(r => r.media_id -> r).toMap
+    assert(probed(1L).width == 32 && probed(1L).height == 20)
+    assert(probed(2L).width == 0 && probed(2L).height == 0)
+    // real raster resize: the output payload is a decodable 8x8 PNG whose
+    // pixels preserve the half-black/half-white layout
+    val resized = Multimodal.resizeAll(media, 8, 8).collect().map(r => r.media_id -> r).toMap
+    assert(resized(1L).width == 8 && resized(1L).height == 8)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).payload))
+    assert(out.getWidth == 8 && out.getHeight == 8)
+    assert((out.getRGB(0, 4) & 0xffffff) == 0x000000) // left edge stays black
+    assert((out.getRGB(7, 4) & 0xffffff) == 0xffffff) // right edge stays white
+    // deterministic re-encode
+    val again = Multimodal.resizeAll(media, 8, 8).collect().find(_.media_id == 1L).get
+    assert(again.payload.sameElements(resized(1L).payload))
+    // pixel features: 4x4 grid luminance — left grid columns ~0, right ~1,
+    // a shape the byte-math stub cannot produce from compressed PNG bytes
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L).feature
+    assert(f1.length == Multimodal.StubDecoder.FeatureDim)
+    for (row <- 0 until 4) {
+      assert(f1(row * 4) < 0.05, s"left cell row $row should be black: ${f1(row * 4)}")
+      assert(f1(row * 4 + 3) > 0.95, s"right cell row $row should be white: ${f1(row * 4 + 3)}")
+    }
+    // the undecodable "image" falls back to the stub — same schema
+    assert(feats(2L).feature.length == Multimodal.StubDecoder.FeatureDim)
+  }
+
+  test("raster within the target box passes through with pixel-true dims") {
+    val payload = pngBytes(halfToneImage(6, 5))
+    val media = Seq(Multimodal.MediaRecord(1L, "image", payload, 0, 0, 0)).toDS()
+    val r = Multimodal.resizeAll(media, 8, 8).collect().head
+    assert(r.payload.sameElements(payload)) // no upsample, no re-encode
+    assert(r.width == 6 && r.height == 5)   // but dims become pixel-true
+  }
+
   test("video frame sampling as a dataset operator bounds rows per payload") {
     val docs = Seq((1L, "y" * 1000), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
