@@ -222,8 +222,8 @@ object Similarity {
     * break toward the lowest cell id. One definition, so a distance or
     * tie-break change can never desynchronize the store's partitioning
     * from the probes' assignment. */
-  private[ops] def cellsByDistance(vecCol: org.apache.spark.sql.Column,
-                                   centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
+  private[graft] def cellsByDistance(vecCol: org.apache.spark.sql.Column,
+                                     centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column = {
     import graft.functions.GraftFunctions.l2sq
     array_sort(array(centroids.map { case (cid, cv) =>
       struct(l2sq(vecCol, typedLit(cv)).as("d"), lit(cid).as("cell"))
@@ -231,9 +231,22 @@ object Similarity {
   }
 
   /** Argmin cell of [[cellsByDistance]]. */
-  private[ops] def nearestCell(vecCol: org.apache.spark.sql.Column,
-                               centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+  private[graft] def nearestCell(vecCol: org.apache.spark.sql.Column,
+                                 centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
     element_at(cellsByDistance(vecCol, centroids), 1).getField("cell")
+
+  /** MIPS probe order: (negated centroid dot, cell id) structs sorted
+    * ascending — i.e. cells by DESCENDING centroid inner product, ties
+    * toward the lowest cell id. The query-side cell ranking for
+    * max-inner-product serving ([[graft.serve.Recommend]]): the corpus is
+    * still partitioned by [[nearestCell]] (L2 — the k-means assignment),
+    * but a dot-product query wants the cells whose centroids score
+    * highest, not nearest. */
+  private[graft] def cellsByDot(vecCol: org.apache.spark.sql.Column,
+                                centroids: Seq[(Long, Seq[Double])]): org.apache.spark.sql.Column =
+    array_sort(array(centroids.map { case (cid, cv) =>
+      struct((-VectorOps.dot(vecCol, typedLit(cv))).as("d"), lit(cid).as("cell"))
+    }: _*))
 
   /** Fit a k-means codebook on the embedding column — the production
     * drop-in for the deterministic `centroids` argument of [[ivfSearch]] /

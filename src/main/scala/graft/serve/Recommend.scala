@@ -3,7 +3,7 @@ package graft.serve
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.model.AlsBias
-import graft.ops.{Relational, VectorOps}
+import graft.ops.{Relational, Similarity, VectorOps}
 
 /** Serving path: cold-start fold-in + full-catalog scoring + top-N
   * (SURVEY.md L7-L9), batched over ALL users as one pipeline instead of the
@@ -45,15 +45,25 @@ object Recommend {
   def recommend(userFactors: DataFrame, itemFactors: DataFrame,
                 itemRatingCounts: DataFrame, k: Int = 20,
                 popularityFloor: Long = 90L, biasDamping: Double = 0.05): DataFrame = {
-    val eligible = itemFactors
-      .join(itemRatingCounts.filter(col("n_ratings") >= popularityFloor)
-        .select(col("id")), Seq("id"), "left_semi")
     val scored = broadcast(userFactors.select(col("id").as("user_id"),
         col("features").as("u")))
-      .crossJoin(eligible.select(col("id").as("item_id"), col("features").as("v"),
-        col("bias").as("bv")))
+      .crossJoin(eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+        .select(col("id").as("item_id"), col("features").as("v"),
+          col("bias").as("bv")))
       .withColumn("score", VectorOps.dot(col("u"), col("v")) + lit(biasDamping) * col("bv"))
       .select(col("user_id"), col("item_id"), col("score"))
+    topKPerUser(scored, k)
+  }
+
+  private def eligibleItems(itemFactors: DataFrame, itemRatingCounts: DataFrame,
+                            popularityFloor: Long): DataFrame =
+    itemFactors.join(itemRatingCounts.filter(col("n_ratings") >= popularityFloor)
+      .select(col("id")), Seq("id"), "left_semi")
+
+  /** The shared serving tail: bounded per-user TopK Aggregator over
+    * (user_id, item_id, score) — at most k pairs per (user, partition)
+    * cross the wire, never the scored product. */
+  private def topKPerUser(scored: DataFrame, k: Int): DataFrame = {
     val itemType = scored.schema("item_id").dataType
     val topk = udaf(new graft.ops.Aggregators.TopK(k))
     scored.groupBy(col("user_id"))
@@ -61,5 +71,78 @@ object Recommend {
       .select(col("user_id"), posexplode(col("recs")))
       .select(col("user_id"), col("col._2").cast(itemType).as("item_id"),
         col("col._1").as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Serving store: the popularity-eligible catalog, IVF-cell-assigned
+    * (nearest codebook centroid by L2 — the k-means assignment) and
+    * written bucketed+sorted by cell. Built ONCE per model refresh; every
+    * [[recommendFromStore]] call after that bucket-prunes to its probed
+    * cells. The popularity floor is applied at write time — the store is
+    * the servable catalog by construction. */
+  def writeCatalogStore(itemFactors: DataFrame, itemRatingCounts: DataFrame,
+                        centroids: Seq[(Long, Seq[Double])], table: String,
+                        numBuckets: Int, popularityFloor: Long = 90L): Unit =
+    eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+      .select(col("id"), col("features").as("vec"), col("bias"),
+        Similarity.nearestCell(col("features"), centroids).as("cell"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** ANN catalog serving (the at-scale L9): each user probes the `nProbe`
+    * cells whose centroids have the HIGHEST inner product with their trait
+    * vector (IVF-MIPS probe — [[Similarity.cellsByDot]]), candidates in
+    * those cells score exactly (u·v + damping·b), bounded TopK per user.
+    * The probed cell ids become an IN-list literal so the bucketed store
+    * scan reads only matching buckets (`SelectedBucketsCount`, asserted in
+    * RecommendSpec) — a serve touches ~nProbe/nCells of the catalog bytes
+    * instead of cross-scoring users × catalog. Approximate by nature:
+    * recall@k vs the exact cross-score is spec-bound, and grows with
+    * `nProbe` (= exact at nProbe = nCells). */
+  def recommendFromStore(spark: org.apache.spark.sql.SparkSession, table: String,
+                         userFactors: DataFrame,
+                         centroids: Seq[(Long, Seq[Double])], nProbe: Int,
+                         k: Int = 20, biasDamping: Double = 0.05): DataFrame = {
+    val probes = userFactors
+      .select(col("id").as("user_id"), col("features").as("u"),
+        slice(Similarity.cellsByDot(col("features"), centroids), 1, nProbe).as("cells"))
+      .select(col("user_id"), col("u"), explode(col("cells.cell")).as("cell"))
+    // users are small by recommend's broadcast contract: collecting the
+    // probed cell set gives the literal IN-list bucket pruning needs
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = spark.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("score", VectorOps.dot(col("u"), col("vec")) + lit(biasDamping) * col("bias"))
+      .select(col("user_id"), col("id").as("item_id"), col("score"))
+    topKPerUser(scored, k)
+  }
+
+  /** Auto-switching L9 (mirrors MoviePipeline's exact/DSGD switch): exact
+    * cross-score below `annCatalogThreshold` servable items, IVF-MIPS
+    * above — fit a seeded k-means codebook on the item factors, build the
+    * bucketed store, probe. The default threshold marks where the exact
+    * users × catalog product stops being the cheap option; callers with a
+    * standing store should call [[recommendFromStore]] directly instead of
+    * re-fitting per serve. */
+  def recommendAuto(userFactors: DataFrame, itemFactors: DataFrame,
+                    itemRatingCounts: DataFrame, k: Int = 20,
+                    popularityFloor: Long = 90L, biasDamping: Double = 0.05,
+                    annCatalogThreshold: Long = 200000L, annCells: Int = 64,
+                    annProbe: Int = 8,
+                    storeTable: String = "graft_serving_catalog"): DataFrame = {
+    val eligible = eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+    if (eligible.count() < annCatalogThreshold)
+      recommend(userFactors, itemFactors, itemRatingCounts, k, popularityFloor, biasDamping)
+    else {
+      val centroids = Similarity.kmeansCodebook(eligible, "features", annCells)
+      writeCatalogStore(itemFactors, itemRatingCounts, centroids, storeTable,
+        numBuckets = annCells, popularityFloor = popularityFloor)
+      recommendFromStore(itemFactors.sparkSession, storeTable, userFactors,
+        centroids, annProbe, k, biasDamping)
+    }
   }
 }
