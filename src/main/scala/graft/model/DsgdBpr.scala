@@ -226,13 +226,19 @@ object DsgdBpr {
         def itemDf = items.map(ir => (ir.item, ir.f.toSeq)).toDF("id", "features")
         val (pk, rk) =
           if (trace.computeMetrics) {
-            val scored = userDf.select(col("id").as("user"), col("features").as("u"))
-              .crossJoin(broadcast(itemDf.select(col("id").as("item"), col("features").as("v"))))
-              .select(col("user"), col("item"),
-                graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
-            val r = Metrics.precisionRecallAtK(scored,
-              positives.select(col(userCol).as("user"), col(itemCol).as("item")),
-              "user", "item", "score", trace.metricK).head()
+            val pos = positives.select(col(userCol).as("user"), col(itemCol).as("item"))
+            val r = trace.metricMaxUsers match {
+              case Some(m) => // sampled eval: the product is m x N, not M x N
+                Metrics.precisionRecallAtKSampled(userDf, itemDf, pos,
+                  "user", "item", trace.metricK, m, seed = pp.seed).head()
+              case None =>
+                val scored = userDf.select(col("id").as("user"), col("features").as("u"))
+                  .crossJoin(broadcast(itemDf.select(col("id").as("item"), col("features").as("v"))))
+                  .select(col("user"), col("item"),
+                    graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
+                Metrics.precisionRecallAtK(scored, pos,
+                  "user", "item", "score", trace.metricK).head()
+            }
             (r.getDouble(0), r.getDouble(1))
           } else (Double.NaN, Double.NaN)
         val st = Trace.EpochStats(it, pk, rk, deltaAcc.value)

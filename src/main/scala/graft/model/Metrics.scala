@@ -55,4 +55,34 @@ object Metrics {
         avg(col("tp") / lit(k.toDouble)).as(s"precision_at_$k"),
         avg(col("tp") / col("npos")).as(s"recall_at_$k"))
   }
+
+  /** User-sampled P/R@k — the at-scale eval. [[precisionRecallAtK]] is
+    * exact but consumes a caller-materialized users × items scored
+    * product: faithful to the reference grid (implicit_feedback/
+    * prac_2.py:124-138) and right at fixture scale, but the product is
+    * the 100×-scale cost. This variant OWNS the scoring: it draws a
+    * deterministic `maxUsers`-user sample (lowest xxhash64(seed, user) —
+    * stable under any partitioning, a TakeOrdered over user ids only),
+    * cross-scores ONLY the sampled users against the catalog (the plan's
+    * one product is maxUsers × N by construction — never M × N), and
+    * evaluates P/R@k over the sample. Estimates the exact metric as a
+    * uniform-over-users subsample mean; maxUsers >= |users| reproduces
+    * the exact numbers bit-for-bit. */
+  def precisionRecallAtKSampled(userFactors: DataFrame, itemFactors: DataFrame,
+                                positives: DataFrame, userCol: String,
+                                itemCol: String, k: Int, maxUsers: Int,
+                                seed: Long = 42L): DataFrame = {
+    require(maxUsers >= 1, "maxUsers must be >= 1")
+    val sampled = positives.select(col(userCol)).distinct()
+      .orderBy(xxhash64(lit(seed), col(userCol)), col(userCol))
+      .limit(maxUsers)
+    val su = userFactors.join(
+      broadcast(sampled.withColumnRenamed(userCol, "id")), Seq("id"), "left_semi")
+    val scored = broadcast(su.select(col("id").as(userCol), col("features").as("u")))
+      .crossJoin(itemFactors.select(col("id").as(itemCol), col("features").as("v")))
+      .select(col(userCol), col(itemCol),
+        VectorOps.dot(col("u"), col("v")).as("score"))
+    val posSampled = positives.join(broadcast(sampled), Seq(userCol), "left_semi")
+    precisionRecallAtK(scored, posSampled, userCol, itemCol, "score", k)
+  }
 }

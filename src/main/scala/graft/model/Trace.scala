@@ -39,9 +39,13 @@ object Trace {
                               maxItemDelta: Double)
 
   /** BPR observer config; `metricK` is the reference's eval cut-off
-    * (prac_2.py uses the {40,50,60} grid — one k suffices for the trace). */
+    * (prac_2.py uses the {40,50,60} grid — one k suffices for the trace).
+    * `metricMaxUsers` switches the per-epoch eval to the user-sampled
+    * [[Metrics.precisionRecallAtKSampled]] — at scale the exact eval's
+    * users × items product costs more than the epoch it measures. */
   final case class BprConfig(computeMetrics: Boolean = false,
                              metricK: Int = 40,
+                             metricMaxUsers: Option[Int] = None,
                              onEpoch: EpochStats => Unit = _ => (),
                              snapshotDir: Option[String] = None,
                              snapshotEvery: Int = 5)

@@ -63,6 +63,52 @@ class BprMetricsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 0.5) < 1e-12) // 1 of 2 positives
   }
 
+  test("sampled P/R@k: exact at maxUsers >= all, within tolerance below, bounded plan") {
+    // 40 users x 60 items, rank 4 — big enough for a subsample mean to land
+    // near the full mean, small enough to hand-verify the sample identity
+    val rng = new scala.util.Random(41L)
+    val userF = (0 until 40).map(u => (u, Seq.fill(4)(rng.nextGaussian())))
+      .toDF("id", "features")
+    val itemF = (0 until 60).map(i => (i, Seq.fill(4)(rng.nextGaussian())))
+      .toDF("id", "features")
+    val positives = (for (u <- 0 until 40; i <- 0 until 60 if (u + i) % 7 == 0)
+      yield (u, i)).toDF("user", "item")
+    val exactScored = userF.select(col("id").as("user"), col("features").as("u"))
+      .crossJoin(itemF.select(col("id").as("item"), col("features").as("v")))
+      .select(col("user"), col("item"), VectorOps.dot(col("u"), col("v")).as("score"))
+    val exact = Metrics.precisionRecallAtK(exactScored, positives,
+      "user", "item", "score", 10).head()
+    // maxUsers covering every user reproduces the exact numbers bit-for-bit
+    val full = Metrics.precisionRecallAtKSampled(userF, itemF, positives,
+      "user", "item", 10, maxUsers = 40, seed = 9L).head()
+    assert(full.getDouble(0) == exact.getDouble(0))
+    assert(full.getDouble(1) == exact.getDouble(1))
+    // a strict subsample is the exact metric computed over exactly the
+    // sampled users: replay the xxhash64 draw and compare against the
+    // exact pipeline restricted to that user set
+    val sampledUsers = positives.select(col("user")).distinct()
+      .orderBy(xxhash64(lit(9L), col("user")), col("user")).limit(15)
+      .as[Int].collect().toSet
+    assert(sampledUsers.size == 15)
+    val restricted = Metrics.precisionRecallAtK(
+      exactScored.filter(col("user").isin(sampledUsers.toSeq: _*)),
+      positives.filter(col("user").isin(sampledUsers.toSeq: _*)),
+      "user", "item", "score", 10).head()
+    val sampled = Metrics.precisionRecallAtKSampled(userF, itemF, positives,
+      "user", "item", 10, maxUsers = 15, seed = 9L).head()
+    assert(sampled.getDouble(0) == restricted.getDouble(0))
+    assert(sampled.getDouble(1) == restricted.getDouble(1))
+    // subsample mean lands near the full mean (tolerance, not equality)
+    assert(math.abs(sampled.getDouble(1) - exact.getDouble(1)) < 0.15,
+      s"sampled=${sampled.getDouble(1)} exact=${exact.getDouble(1)}")
+    // plan shape: the one product joins a BROADCAST user side (the bounded
+    // sample), so no M x N cross of two large relations exists
+    val plan = Metrics.precisionRecallAtKSampled(userF, itemF, positives,
+      "user", "item", 10, maxUsers = 15, seed = 9L).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("GlobalLimit") || plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("regLogLik decreases as predictions deviate") {
     val ratings = Seq((0, 0, 4.0)).toDF("u", "i", "r")
     def modelWith(v: Double) = AlsBias.Model(
