@@ -30,6 +30,29 @@ object Relational {
       .withColumn(orderedIdxCol, (row_number().over(w) - 1).cast("long"))
   }
 
+  /** [[denseReindex]] for dimension cardinalities beyond ~10^8, where the
+    * window form's single-partition `row_number` stage stops being "tiny":
+    * `sortWithinPartitions` after a range repartition gives a globally
+    * sorted RDD whose `zipWithIndex` assigns 0..N-1 WITHOUT funneling the
+    * ids through one task — Spark computes per-partition counts (one cheap
+    * count job) and each partition offsets locally, fully parallel.
+    * Identical output to the window form on any input (property-spec'd);
+    * costs one extra job, so keep the window form below the crossover. */
+  def denseReindexHuge(df: DataFrame, idCol: String, orderedIdxCol: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol)).distinct()
+    val ranged = if (numPartitions > 0) ids.repartitionByRange(numPartitions, col(idCol))
+                 else ids.repartitionByRange(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      ids.schema.fields :+
+        org.apache.spark.sql.types.StructField(orderedIdxCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = ranged.sortWithinPartitions(col(idCol)).rdd.zipWithIndex()
+      .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Per-group top-k by an explicit total order (ties MUST be broken by the
     * caller's orderCols to stay deterministic). Reference: per-user top-k
     * recommendations (/root/reference/implicit_feedback/functions.py:233-238).

@@ -21,6 +21,20 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("denseReindexHuge equals the window form on any input and partitioning") {
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))
+    (0 until 5).foreach { i =>
+      val ids = gen.apply(Gen.Parameters.default, Seed(100 + i.toLong)).get
+      val df = ids.toDF("id").repartition(1 + i * 3) // vary input layout
+      val window = Relational.denseReindex(df, "id", "idx")
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val huge = Relational.denseReindexHuge(df, "id", "idx",
+          numPartitions = 1 + (i % 4))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(huge == window, s"seed $i")
+    }
+  }
+
   test("topKPerGroup agrees with sort-then-take per group") {
     val rows = Seq((1, 10.0, "a"), (1, 30.0, "b"), (1, 20.0, "c"), (1, 30.0, "d"),
       (2, 5.0, "e"), (2, 7.0, "f"))
