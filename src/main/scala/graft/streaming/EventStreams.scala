@@ -186,6 +186,96 @@ object EventStreams {
         })
   }
 
+  final case class MediaFeatureState(eventId: Long, tsMicros: Long,
+                                     nBytes: Int, feature: Array[Float])
+  final case class MediaEnrichedView(media_id: Long, event_id: Long,
+                                     ts: java.sql.Timestamp,
+                                     media_event_id: java.lang.Long,
+                                     n_bytes: java.lang.Integer,
+                                     feature: Array[Float])
+
+  /** Streaming media-metadata enrichment — [[enrichLatest]] composed with
+    * [[graft.multimodal.Multimodal]]'s feature extraction: a media stream
+    * (media_id, kind, payload, event_id, ts) is DECODED AT THE EDGE (real
+    * [[graft.multimodal.ImageCodec]] for images, byte-math stub otherwise)
+    * as a stateless narrow map, and each view event (media_id, event_id,
+    * ts) is emitted enriched with the latest-at-or-before features of its
+    * media — NULL columns when the media hasn't arrived yet.
+    *
+    * Scale shape: the decode runs BEFORE the keyed shuffle, so only the
+    * 16-float feature + byte count cross the exchange and sit in the state
+    * store — never the binary payload (a payload-through-shuffle variant
+    * would move the corpus bytes every micro-batch). State is one feature
+    * record per live media_id with the same event-time horizon eviction as
+    * [[enrichLatest]]; the same in-order/late-data contract applies
+    * (in-order feeds reproduce the batch as-of join exactly —
+    * StreamingMultimodalSpec proves equality against
+    * [[graft.ops.TimeJoins.asofJoin]] over batch-extracted features). */
+  def enrichLatestMediaFeatures(views: DataFrame, media: DataFrame,
+                                watermark: String = "2 hours",
+                                stateHorizon: String = "30 days"): Dataset[MediaEnrichedView] = {
+    import views.sparkSession.implicits._
+    import graft.multimodal.{ImageCodec, Multimodal}
+    // media side: decode features narrowly, keep payload out of the plan
+    val feats = media
+      .select(col("media_id").cast("long"), col("kind"),
+        col("payload").cast("binary"), col("event_id").cast("long"), col("ts"))
+      .as[(Long, String, Array[Byte], Long, java.sql.Timestamp)]
+      .map { case (mid, kind, payload, eid, t) =>
+        val f = (if (kind == "image") ImageCodec.decode(payload) else None) match {
+          case Some(img) => ImageCodec.gridLuminance(img, 4)
+          case None => Multimodal.StubDecoder.decodeFeatures(payload)
+        }
+        (mid, "media", eid, t, payload.length, f)
+      }
+      .toDF("media_id", "tag", "event_id", "ts", "n_bytes", "feature")
+    val viewSide = views
+      .select(col("media_id").cast("long"), lit("view").as("tag"),
+        col("event_id").cast("long"), col("ts"), lit(0).as("n_bytes"),
+        lit(null).cast("array<float>").as("feature"))
+    val tagged = feats.unionByName(viewSide)
+      .withWatermark("ts", watermark)
+      .select(col("media_id"), col("tag"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("n_bytes"), col("feature"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long, Int, Array[Float])]
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (mid: Long,
+         rows: Iterator[(Long, String, Long, java.sql.Timestamp, Long, Int, Array[Float])],
+         state: GroupState[MediaFeatureState]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // event-time order; media rows before views at equal time (the
+            // batch as-of's inclusive at-or-before rule)
+            val sorted = rows.toSeq.sortBy(r => (r._5, r._2 != "media", r._3))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[MediaEnrichedView]
+            sorted.foreach { case (_, tag, eid, t, tsUs, nBytes, feature) =>
+              if (tag == "media") {
+                if (st == null || tsUs > st.tsMicros ||
+                    (tsUs == st.tsMicros && eid > st.eventId))
+                  st = MediaFeatureState(eid, tsUs, nBytes, feature)
+              } else {
+                out += MediaEnrichedView(mid, eid, t,
+                  if (st == null) null else Long.box(st.eventId),
+                  if (st == null) null else Int.box(st.nBytes),
+                  if (st == null) null else st.feature)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.tsMicros / 1000L, state.getCurrentWatermarkMs() + 1L),
+                stateHorizon)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
   final case class SessionState(sessionId: Long, lastTsMicros: Long)
   /** Stream-stream interval join — the conversion-attribution shape: each
     * left event (e.g. a click) joins every right event (e.g. a purchase)

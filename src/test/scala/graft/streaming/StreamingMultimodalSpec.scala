@@ -129,6 +129,60 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(r.width == 6 && r.height == 5)   // but dims become pixel-true
   }
 
+  test("streaming media enrichment equals the batch as-of join on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val png1 = pngBytes(halfToneImage(16, 16))
+    val png2 = pngBytes(halfToneImage(24, 8))
+    val textPayload = "not an image".getBytes
+    // media uploads: media 1 at t0 (png1) and re-upload at t200 (png2);
+    // media 2 at t50 (undecodable -> stub features)
+    val mediaIn = MemoryStream[(Long, String, Array[Byte], Long, java.sql.Timestamp)]
+    val viewsIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val media = mediaIn.toDF().toDF("media_id", "kind", "payload", "event_id", "ts")
+    val views = viewsIn.toDF().toDF("media_id", "event_id", "ts")
+    val q = EventStreams.enrichLatestMediaFeatures(views, media)
+      .writeStream.format("memory").queryName("media_enrich_test")
+      .outputMode("append").start()
+    // in-order feed across micro-batches
+    mediaIn.addData((1L, "image", png1, 10L, ts(0)), (2L, "image", textPayload, 11L, ts(50)))
+    viewsIn.addData((1L, 100L, ts(60)), (2L, 101L, ts(60)), (3L, 102L, ts(60)))
+    q.processAllAvailable()
+    mediaIn.addData((1L, "image", png2, 12L, ts(200)))
+    viewsIn.addData((1L, 103L, ts(300)))
+    q.processAllAvailable()
+    val got = spark.table("media_enrich_test")
+      .as[EventStreams.MediaEnrichedView].collect()
+      .map(v => v.event_id -> v).toMap
+    q.stop()
+    // batch twin: extractFeatures on the media corpus, as-of join by media_id
+    val mediaBatch = Seq(
+      Multimodal.MediaRecord(1L, "image", png1, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "image", textPayload, 0, 0, 0),
+      Multimodal.MediaRecord(1L, "image", png2, 0, 0, 0))
+    val batchFeats = Multimodal.extractFeatures(mediaBatch.toDS()).collect()
+    def featOf(payload: Array[Byte]): Seq[Float] =
+      Multimodal.extractFeatures(
+        Seq(Multimodal.MediaRecord(0L, "image", payload, 0, 0, 0)).toDS())
+        .collect().head.feature.toSeq
+    assert(got.size == 4)
+    assert(got(100L).media_event_id == 10L && got(100L).feature.toSeq == featOf(png1))
+    assert(got(101L).media_event_id == 11L && got(101L).feature.toSeq == featOf(textPayload))
+    assert(got(102L).media_event_id == null && got(102L).feature == null) // media never arrived
+    assert(got(103L).media_event_id == 12L && got(103L).feature.toSeq == featOf(png2))
+    // and the batch as-of join picks the same media row per view
+    val featDf = mediaBatch.zip(Seq(10L, 11L, 12L)).zip(Seq(ts(0), ts(50), ts(200)))
+      .map { case ((m, eid), t) => (m.media_id, eid, t) }
+      .toDF("media_id", "event_id", "ts")
+    val viewDf = Seq((1L, 100L, ts(60)), (2L, 101L, ts(60)), (3L, 102L, ts(60)),
+      (1L, 103L, ts(300))).toDF("media_id", "event_id", "ts")
+    val asof = graft.ops.TimeJoins.asofJoin(viewDf, featDf, Seq("media_id"),
+        "ts", "event_id", Seq.empty)
+      .select(col("event_id"), col("r_id")).as[(Long, Option[Long])].collect().toMap
+    got.foreach { case (eid, v) =>
+      assert(asof(eid) == Option(v.media_event_id).map(_.toLong), s"view $eid")
+    }
+  }
+
   test("video frame sampling as a dataset operator bounds rows per payload") {
     val docs = Seq((1L, "y" * 1000), (2L, "")).toDF("doc_id", "text")
     val media = Multimodal.fromBinaryColumn(docs, "doc_id", "text", "video")
