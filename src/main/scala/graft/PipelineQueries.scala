@@ -1069,7 +1069,19 @@ object PipelineQueries {
               count(*) AS n_vectors
             FROM embeddings GROUP BY 1, 2 ORDER BY dim, sq_norm_bin"""))
 
+  /** Dense re-index via the zipWithIndex scale variant (see
+    * Relational.denseReindexHuge): range-partitioned sort + per-partition
+    * offsets instead of the window form's single-partition row_number —
+    * the >10^8-id dimension path, oracle-checked equal to the rank
+    * semantics. */
+  private val q102 = Q("q102_reindex_huge",
+    (s, d) => Relational.denseReindexHuge(documents(s, d), "doc_id", "idx", 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH ids AS (SELECT DISTINCT doc_id FROM documents)
+            SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+            FROM ids ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101, q102)
 }
