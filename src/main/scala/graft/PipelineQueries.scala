@@ -874,7 +874,10 @@ object PipelineQueries {
   private val q73 = Q("q73_salted_join",
     (s, d) => ScaleJoins.saltedJoin(lineitem(s, d),
         orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
-        "l_orderkey", saltFactor = 8)
+        "l_orderkey", saltFactor = 8,
+        // within an order, line number discriminates rows — 2 narrow ints
+        // hashed instead of the 16-column row (see saltedJoin scaladoc)
+        saltCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

