@@ -80,7 +80,8 @@ object MoviePipeline {
                        ks: Seq[Int] = Seq(40, 50, 60),
                        minUserRatings: Int = 10,
                        distributed: Option[Boolean] = None,
-                       distributedThreshold: Long = 2000000L): Map[Int, (Double, Double)] = {
+                       distributedThreshold: Long = 2000000L,
+                       evalMaxUsers: Option[Int] = None): Map[Int, (Double, Double)] = {
     val spark = ratings.sparkSession
     import spark.implicits._
     val curated = Ingest.prepareImplicit(ratings, minUserRatings)
@@ -88,22 +89,34 @@ object MoviePipeline {
     val positives = curated.select(col("userId_order").as("user"), col("movieId_order").as("item"))
     val useDsgd = distributed.getOrElse(
       !p.refCompatRegSign && positives.count() >= distributedThreshold)
-    val model =
-      if (useDsgd)
-        graft.model.DsgdBpr.train(positives, "user", "item", numItems,
+    // the DSGD path stays factor-frames end-to-end (trainFactors — nothing
+    // factor-sized ever lands on the driver); the reference-faithful
+    // broadcast trainer returns arrays by design and converts here
+    val (uf, vf) =
+      if (useDsgd) {
+        val ff = graft.model.DsgdBpr.trainFactors(positives, "user", "item", numItems,
           graft.model.DsgdBpr.Params(rank = p.rank, lr = p.lr, reg = p.reg,
             epochs = p.epochs, seed = p.seed,
             maxSampleRetries = p.maxSampleRetries, initScale = p.initScale))
-      else Bpr.train(positives, "user", "item", numItems, p)
-    val (uf, vf) = model.toDataFrames(spark)
-    val scored = broadcast(uf.select(col("id").as("user"), col("features").as("u")))
-      .crossJoin(vf.select(col("id").as("item"), col("features").as("v")))
-      .select(col("user"), col("item"),
-        graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
-    ks.map { k =>
-      val r = Metrics.precisionRecallAtK(scored, positives, "user", "item", "score", k).head()
-      k -> (r.getDouble(0), r.getDouble(1))
-    }.toMap
+        (ff.userFactors, ff.itemFactors)
+      } else Bpr.train(positives, "user", "item", numItems, p).toDataFrames(spark)
+    evalMaxUsers match {
+      case Some(m) => // at-scale eval: the product is m x N, never M x N
+        ks.map { k =>
+          val r = Metrics.precisionRecallAtKSampled(uf, vf, positives,
+            "user", "item", k, m, seed = p.seed).head()
+          k -> (r.getDouble(0), r.getDouble(1))
+        }.toMap
+      case None => // reference grid: exact eval over every user
+        val scored = broadcast(uf.select(col("id").as("user"), col("features").as("u")))
+          .crossJoin(vf.select(col("id").as("item"), col("features").as("v")))
+          .select(col("user"), col("item"),
+            graft.ops.VectorOps.dot(col("u"), col("v")).as("score"))
+        ks.map { k =>
+          val r = Metrics.precisionRecallAtK(scored, positives, "user", "item", "score", k).head()
+          k -> (r.getDouble(0), r.getDouble(1))
+        }.toMap
+    }
   }
 
   /** Entry point B (SURVEY §3.2): genre index → simulate users → serve from
