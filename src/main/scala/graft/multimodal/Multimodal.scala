@@ -102,16 +102,23 @@ object Multimodal {
   }
 
   /** Fill width/height from the REAL image header (header-only probe — no
-    * raster decompression; see [[ImageCodec.probeDims]]). Non-image or
-    * unprobeable payloads keep their declared dims. The metadata-audit
+    * raster decompression; see [[ImageCodec.probeDims]]) and sample_rate
+    * from the REAL audio container header ([[AudioCodec.probeMeta]]).
+    * Unprobeable payloads keep their declared metadata. The metadata-audit
     * pass a media corpus runs before any decode-heavy stage. */
   def probeImageMeta(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      if (r.kind != "image") r
-      else ImageCodec.probeDims(r.payload) match {
-        case Some((w, h)) => r.copy(width = w, height = h)
-        case None => r
+      r.kind match {
+        case "image" => ImageCodec.probeDims(r.payload) match {
+          case Some((w, h)) => r.copy(width = w, height = h)
+          case None => r
+        }
+        case "audio" => AudioCodec.probeMeta(r.payload) match {
+          case Some(m) => r.copy(sample_rate = m.sampleRate)
+          case None => r
+        }
+        case _ => r
       }
     })
   }
@@ -130,24 +137,35 @@ object Multimodal {
 
   /** Batched feature extraction over a media frame: narrow mapPartitions,
     * records processed in bounded batches. Decodable images yield REAL
-    * pixel features ([[ImageCodec.gridLuminance]], 4×4 grid = the same
-    * 16-dim schema as the stub); everything else gets the byte-math
-    * stand-in — one schema, no partial rows. */
+    * pixel features ([[ImageCodec.gridLuminance]], 4×4 grid), decodable
+    * audio REAL RMS-envelope features ([[AudioCodec.rmsEnvelope]]) — both
+    * the same 16-dim schema as the stub; everything else (video, payloads
+    * no JDK codec claims) gets the byte-math stand-in — one schema, no
+    * partial rows. */
   def extractFeatures(media: Dataset[MediaRecord],
                       targetRecordsPerBatch: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(targetRecordsPerBatch).flatMap { batch =>
         batch.map { r =>
-          val feature =
-            (if (r.kind == "image") ImageCodec.decode(r.payload) else None) match {
-              case Some(img) => ImageCodec.gridLuminance(img, 4)
-              case None => StubDecoder.decodeFeatures(r.payload)
-            }
-          MediaFeatures(r.media_id, r.kind, r.payload.length, feature)
+          MediaFeatures(r.media_id, r.kind, r.payload.length,
+            decodeFeature(r.kind, r.payload))
         }
       }
     }
+  }
+
+  /** The shared per-record feature kernel ([[extractFeatures]], the
+    * streaming [[graft.streaming.EventStreams.enrichLatestMediaFeatures]]):
+    * real codec by kind, byte-math stub when no JDK codec claims the
+    * payload. Always 16 dims. */
+  def decodeFeature(kind: String, payload: Array[Byte]): Array[Float] = {
+    val real = kind match {
+      case "image" => ImageCodec.decode(payload).map(ImageCodec.gridLuminance(_, 4))
+      case "audio" => AudioCodec.decodeSamples(payload).map(AudioCodec.rmsEnvelope(_))
+      case _ => None
+    }
+    real.getOrElse(StubDecoder.decodeFeatures(payload))
   }
 
   /** Build a media frame from any table with a binary-able column (used by

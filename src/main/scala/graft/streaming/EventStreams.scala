@@ -215,18 +215,15 @@ object EventStreams {
                                 watermark: String = "2 hours",
                                 stateHorizon: String = "30 days"): Dataset[MediaEnrichedView] = {
     import views.sparkSession.implicits._
-    import graft.multimodal.{ImageCodec, Multimodal}
+    import graft.multimodal.Multimodal
     // media side: decode features narrowly, keep payload out of the plan
     val feats = media
       .select(col("media_id").cast("long"), col("kind"),
         col("payload").cast("binary"), col("event_id").cast("long"), col("ts"))
       .as[(Long, String, Array[Byte], Long, java.sql.Timestamp)]
       .map { case (mid, kind, payload, eid, t) =>
-        val f = (if (kind == "image") ImageCodec.decode(payload) else None) match {
-          case Some(img) => ImageCodec.gridLuminance(img, 4)
-          case None => Multimodal.StubDecoder.decodeFeatures(payload)
-        }
-        (mid, "media", eid, t, payload.length, f)
+        (mid, "media", eid, t, payload.length,
+          Multimodal.decodeFeature(kind, payload))
       }
       .toDF("media_id", "tag", "event_id", "ts", "n_bytes", "feature")
     val viewSide = views

@@ -121,6 +121,47 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(feats(2L).feature.length == Multimodal.StubDecoder.FeatureDim)
   }
 
+  // a real WAV, built in memory: 16-bit PCM mono, silence then a loud
+  // square wave — the RMS envelope must be ~0 in early windows, high late
+  private def wavBytes(sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- nSamples / 2 until nSamples) { // loud second half
+      val v: Short = if ((i / 20) % 2 == 0) 16384 else -16384
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: header probe, RMS-envelope features, stub fallback") {
+    val wav = wavBytes(8000, 3200)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "audio", "not audio".getBytes, 0, 0, 0))
+      .toDS()
+    // header-only probe fills the real sample rate
+    val probed = Multimodal.probeImageMeta(media).collect().map(r => r.media_id -> r).toMap
+    assert(probed(1L).sample_rate == 8000)
+    assert(probed(2L).sample_rate == 0)
+    // real PCM features: silent first half -> ~0 RMS, square-wave second
+    // half -> ~0.5 RMS, a shape byte-math over the WAV container can't make
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L).feature
+    assert(f1.length == Multimodal.StubDecoder.FeatureDim)
+    for (w <- 0 until 8) assert(f1(w) < 0.01, s"window $w should be silent: ${f1(w)}")
+    for (w <- 8 until 16) assert(f1(w) > 0.4, s"window $w should be loud: ${f1(w)}")
+    // undecodable audio falls back to the stub — same schema
+    assert(feats(2L).feature.length == Multimodal.StubDecoder.FeatureDim)
+    assert(feats(2L).feature.toSeq ==
+      Multimodal.StubDecoder.decodeFeatures("not audio".getBytes).toSeq)
+  }
+
   test("raster within the target box passes through with pixel-true dims") {
     val payload = pngBytes(halfToneImage(6, 5))
     val media = Seq(Multimodal.MediaRecord(1L, "image", payload, 0, 0, 0)).toDS()
