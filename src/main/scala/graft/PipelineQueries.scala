@@ -1084,7 +1084,66 @@ object PipelineQueries {
             SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
             FROM ids ORDER BY doc_id"""))
 
+  /** Dedup survivors: the stage AFTER q54's clustering — per duplicate
+    * cluster keep the best copy (max n_chars, ties to the smallest id),
+    * not the min-id one. Oracle replays the clustering CTE then picks the
+    * representative with a per-cluster window; the Spark side is a plain
+    * max(struct) aggregation — no window over the corpus. */
+  private val q103 = Q("q103_cluster_survivors",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)
+      val labels = Dedup.duplicateClusters(docs, "doc_id", pairs)
+      Dedup.clusterRepresentatives(docs, "doc_id", labels,
+          col("n_chars").cast("long"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+             s AS (SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS blk,
+               list_distinct(list_transform(
+                 range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' '))) AS sh
+             FROM documents),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM s a JOIN s b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1),
+             e AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+             reach AS (
+               SELECT doc_id AS id, doc_id AS lbl FROM documents
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+             c AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+             r AS (SELECT doc_id AS rep_id, cluster_id, row_number() OVER (
+                 PARTITION BY cluster_id
+                 ORDER BY d.n_chars DESC, doc_id ASC) AS rn
+               FROM c JOIN documents d USING (doc_id))
+             SELECT c.doc_id, c.cluster_id, r.rep_id,
+               CAST(CASE WHEN c.doc_id = r.rep_id THEN 1 ELSE 0 END AS INTEGER) AS keep
+             FROM c JOIN r ON c.cluster_id = r.cluster_id AND r.rn = 1
+             ORDER BY c.doc_id"""))
+
+  /** Export manifest for deterministic training shards: per-shard doc
+    * count, token mass, XOR id-checksum and id range — the contract a
+    * trainer verifies its read against ([[graft.ops.Layout.shardManifest]];
+    * the write itself is LayoutSpec-tested). Oracle replays the shared
+    * LCG's bits 9.. shard draw. */
+  private val q104 = Q("q104_shard_manifest",
+    (s, d) => Layout.shardManifest(documents(s, d), "doc_id",
+      TextOps.wsTokenCount(col("text")), nShards = 8),
+    Some("""SELECT CAST(((((doc_id % 2147483648) * 1103515245 + 12345)
+                    % 2147483648) // 512) % 8 AS INTEGER) AS shard,
+              count(*) AS n_docs,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+              bit_xor((((doc_id % 2147483648) * 1103515245 + 12345)
+                       % 2147483648)) AS id_checksum,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY 1 ORDER BY shard"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
-    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101, q102)
+    q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
+    q102, q103, q104)
 }

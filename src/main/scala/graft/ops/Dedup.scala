@@ -499,6 +499,37 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** The dedup OUTPUT stage: one canonical representative per duplicate
+    * cluster, chosen by QUALITY. [[duplicateClusters]]' min-id `keep` flag
+    * answers "which rows form a cluster"; a curation pipeline then keeps
+    * the BEST copy, not the lowest-numbered one — min-id would discard a
+    * clean later crawl of the same page in favor of its boilerplate-laden
+    * first fetch.
+    *
+    * `docs` must carry `idCol` and the `rankCol` column; `labels` is the
+    * (id, cluster_id) frame [[duplicateClusters]] returns. The winner per
+    * cluster maximizes (rank, then SMALLEST id) — deterministic under ties
+    * on any partitioning. Output: (doc_id, cluster_id, rep_id, keep).
+    *
+    * Scale shape: rank attaches to labels by one id-keyed join (both sides
+    * corpus-sized — sort-merge), the per-cluster argmax is a plain
+    * `max(struct)` aggregation (map-side partial combine, ONE shuffle on
+    * cluster_id, state = one struct per cluster — never a window over the
+    * corpus), and the winners join back on the same cluster_id
+    * partitioning. Nothing quadratic, nothing driver-side. */
+  def clusterRepresentatives(docs: DataFrame, idCol: String,
+                             labels: DataFrame, rankCol: Column): DataFrame = {
+    val ranked = labels
+      .join(docs.select(col(idCol).cast("long").as("id"), rankCol.as("__rank")), Seq("id"))
+    // max of (rank asc, -id asc) = best rank, ties broken to the smallest id
+    val reps = ranked.groupBy(col("cluster_id"))
+      .agg(max(struct(col("__rank").as("r"), (-col("id")).as("nid"))).as("__best"))
+      .select(col("cluster_id"), (-col("__best.nid")).as("rep_id"))
+    ranked.join(reps, Seq("cluster_id"))
+      .select(col("id").as("doc_id"), col("cluster_id"), col("rep_id"),
+        (col("id") === col("rep_id")).cast("int").as("keep"))
+  }
+
   /** Benchmark decontamination: corpus documents sharing >= `minOverlap`
     * distinct n-token shingles (of the normalized text) with ANY benchmark
     * document — the train/eval-overlap filter a training pipeline runs

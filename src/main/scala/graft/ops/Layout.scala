@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers. */
 object Layout {
@@ -53,6 +53,45 @@ object Layout {
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*).parquet(path)
+  }
+
+  /** Per-shard accounting for a sharded export: (shard, n_docs, n_tokens,
+    * id_checksum, min_id, max_id), one row per NON-EMPTY shard. The
+    * publish-side contract of [[exportTrainingShards]]: a trainer (or a
+    * re-run) verifies its read against these counts, and two exports of
+    * the same corpus version produce byte-identical manifests.
+    *
+    * `id_checksum` is `bit_xor` of the LCG-mixed id — order-independent,
+    * overflow-free (XOR never wraps, unlike a SUM that a 10^12-row shard
+    * would overflow), and sensitive to membership: one missing or
+    * duplicated doc flips it. One aggregation, map-side partial, shuffle
+    * carries nShards rows. */
+  def shardManifest(df: DataFrame, idCol: String, weightCol: Column,
+                    nShards: Int): DataFrame =
+    df.groupBy(TextOps.shardAssign(col(idCol), nShards).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(weightCol.cast("long")).as("n_tokens"),
+        bit_xor(TextOps.lcgState(col(idCol))).as("id_checksum"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .orderBy(col("shard"))
+
+  /** The corpus → trainer handoff: write `df` as `nShards` deterministic
+    * hive partitions (`shard=K/`) and return the [[shardManifest]]. The
+    * shard id is the replayable [[TextOps.shardAssign]] LCG draw, so the
+    * SAME doc lands in the SAME shard every run — a failed export resumes
+    * by diffing manifests, and shard-parallel trainers re-read stable
+    * slices. `repartition(nShards, shard)` routes each shard's rows into
+    * few tasks before the partitioned write (without it every upstream
+    * task dribbles a sliver file into every shard directory — nShards ×
+    * nTasks small files at scale); rows are sorted by id within each file
+    * so re-exports are byte-comparable. */
+  def exportTrainingShards(df: DataFrame, idCol: String, weightCol: Column,
+                           nShards: Int, path: String): DataFrame = {
+    val sharded = df.withColumn("shard", TextOps.shardAssign(col(idCol), nShards))
+    sharded.repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    shardManifest(df, idCol, weightCol, nShards)
   }
 
   /** Compact a small-files parquet directory in place: read, coalesce to

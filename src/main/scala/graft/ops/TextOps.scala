@@ -121,7 +121,7 @@ object TextOps {
     * [[ppsSampleDocs]] derive their draws from THIS, and the SQL oracles
     * replay these exact constants: tuning a copy independently would
     * silently break parity. */
-  private def lcgState(id: Column): Column = {
+  private[ops] def lcgState(id: Column): Column = {
     val m = 2147483648L // 2^31, glibc LCG modulus
     pmod(pmod(id.cast("long"), lit(m)) * 1103515245L + 12345L, lit(m))
   }
@@ -133,6 +133,18 @@ object TextOps {
       when(strata === k, lit(v)).otherwise(acc)
     }
     draw < rate
+  }
+
+  /** Deterministic shard id in [0, nShards) for training-data export: the
+    * shared replayable LCG over the row id, drawing bits 9.. (decorrelated
+    * from [[sampleKeep]]'s 16.. percent draw and [[ppsSampleDocs]]'s 5..
+    * ppm draw — a doc's sample fate and its shard are independent).
+    * Pure column expression: the same id lands in the same shard on any
+    * cluster, any partitioning, any run — what makes an export resumable
+    * and a manifest diffable across re-runs. */
+  def shardAssign(id: Column, nShards: Int): Column = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    pmod(shiftright(lcgState(id), 9), lit(nShards.toLong)).cast("int")
   }
 
   /** Probability-proportional-to-size document sampling: keep probability

@@ -213,6 +213,22 @@ class DedupSpec extends SparkTestBase {
     assert(chained.values.toSet == Set(1L))
   }
 
+  test("clusterRepresentatives keeps the best-ranked copy per cluster") {
+    // cluster {1,2,3}: doc 2 has the highest rank → it is the survivor;
+    // cluster {10,11}: rank TIE → the smaller id (10) wins;
+    // singleton 20 represents itself
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (20L, 1L)).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("id", "cluster_id")
+    val out = Dedup.clusterRepresentatives(docs, "doc_id", labels, col("quality"))
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, 0), (2L, 1L, 2L, 1), (3L, 1L, 2L, 0),
+      (10L, 10L, 10L, 1), (11L, 10L, 10L, 0),
+      (20L, 20L, 20L, 1)))
+  }
+
   test("repetitionRatio measures within-doc duplicate shingles") {
     val docs2 = Seq(
       (1L, "a b c d e"),             // 3 shingles, all distinct -> 0

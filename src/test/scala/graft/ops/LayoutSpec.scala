@@ -105,4 +105,43 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
       .equalsIgnoreCase("static"))
   }
+
+  test("exportTrainingShards: deterministic layout, one file per shard, manifest verifies the read") {
+    val dir = Files.createTempDirectory("layout_shards").toString
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text")
+    val n = 4
+    val manifest = Layout.exportTrainingShards(docs, "doc_id",
+      TextOps.wsTokenCount(col("text")), n, dir)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+
+    // every row survives the write, with its manifest-declared shard
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val backByShard = back.groupBy(col("shard"))
+      .count().as[(Int, Long)].collect().toMap
+    assert(manifest.map(m => m._1 -> m._2).toMap == backByShard)
+    // the read-back shard column equals the replayable assignment
+    assert(back.filter(
+      col("shard") =!= TextOps.shardAssign(col("doc_id"), n)).count() == 0)
+
+    // routing: each shard directory holds exactly ONE data file (one task
+    // owns each shard) — no nTasks × nShards sliver explosion
+    for (m <- manifest) {
+      val files = new java.io.File(s"$dir/shard=${m._1}").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"shard ${m._1}: expected 1 file, got $files")
+    }
+
+    // manifest checksums verify an independent read of the shard dirs
+    val readManifest = Layout.shardManifest(
+      back.drop("shard"), "doc_id", TextOps.wsTokenCount(col("text")), n)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(readManifest == manifest)
+    // ... and the assignment is partition-layout independent
+    val reManifest = Layout.shardManifest(
+      docs.repartition(7), "doc_id", TextOps.wsTokenCount(col("text")), n)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(reManifest == manifest)
+  }
 }
