@@ -64,9 +64,50 @@ object ImageCodec {
         RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       g.drawImage(img, 0, 0, targetW, targetH, null)
     } finally g.dispose()
+    encodePng(out)
+  }
+
+  /** Deterministic PNG encode of a raster (shared by [[resizePng]] and the
+    * real frame-sampling path). */
+  def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(out, "png", bos)
+    ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Evenly-strided REAL frame decode from a multi-frame container —
+    * animated GIF is the one video-ish format the JDK decodes natively
+    * (a production cluster swaps this kernel for an ffmpeg/JNI decoder;
+    * every operator above it is decoder-agnostic). Returns at most
+    * `maxFrames` (source-index, raster) pairs, evenly spaced across the
+    * container's frames; empty when no JDK codec claims the bytes.
+    *
+    * Frame rasters are the codec's per-frame output: a GIF frame may be a
+    * sub-rectangle of the logical screen (inter-frame delta) — fine for
+    * per-frame features, which normalize by the raster's own dims. The
+    * frame count scan and each read stay bounded by the one in-memory
+    * payload; nothing here touches the driver. */
+  def decodeFrames(payload: Array[Byte], maxFrames: Int): Seq[(Int, BufferedImage)] = {
+    if (payload == null || payload.isEmpty || maxFrames <= 0) return Seq.empty
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) Seq.empty
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          val indices =
+            if (n <= maxFrames) 0 until n
+            else (0 until maxFrames).map(i => i * n / maxFrames)
+          indices.map(i => i -> r.read(i))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => Seq.empty
+    } finally if (iis != null) iis.close()
   }
 
   /** Grid mean-luminance descriptor: the raster is cut into grid×grid

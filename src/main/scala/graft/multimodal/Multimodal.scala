@@ -125,13 +125,28 @@ object Multimodal {
 
   /** Frame sampling as a Dataset operator: each video payload explodes into
     * at most `maxFrames` frame rows, partition-locally (the row count is
-    * bounded by maxFrames x input rows; frames never re-shuffle). */
+    * bounded by maxFrames x input rows; frames never re-shuffle).
+    *
+    * Payloads the JDK decodes as a multi-frame container (animated GIF)
+    * yield REAL evenly-strided frames, PNG-re-encoded with their SOURCE
+    * frame index — so downstream feature extraction over the frame rows
+    * ([[decodeFeature]] with kind "image") sees true pixels. Everything
+    * else falls back to the byte-window stub with dense indices — one
+    * schema, the pipeline stays total. */
   def sampleVideoFrames(media: Dataset[MediaRecord], frameBytes: Int,
                         maxFrames: Int): Dataset[FrameRecord] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      StubDecoder.sampleFrames(r.payload, frameBytes, maxFrames).zipWithIndex
-        .map { case (f, i) => FrameRecord(r.media_id, i, f) }
+      val real =
+        if (r.kind == "video" || r.kind == "image")
+          ImageCodec.decodeFrames(r.payload, maxFrames)
+        else Seq.empty
+      if (real.nonEmpty)
+        real.map { case (i, img) =>
+          FrameRecord(r.media_id, i, ImageCodec.encodePng(img)) }
+      else
+        StubDecoder.sampleFrames(r.payload, frameBytes, maxFrames).zipWithIndex
+          .map { case (f, i) => FrameRecord(r.media_id, i, f) }
     }
   }
 

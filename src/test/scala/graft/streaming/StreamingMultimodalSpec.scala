@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -240,5 +240,54 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(frames.length == 5)
     assert(frames.forall(_.length <= 100))
     assert(Multimodal.StubDecoder.sampleFrames(Array.empty[Byte], 100, 5).isEmpty)
+  }
+
+  // a real animated GIF, built in memory: frames 0-4 black, 5-9 white
+  private def animatedGifBytes(w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = if (f < nFrames / 2) 0x000000 else 0xffffff
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("real GIF frame sampling: strided source indices, true pixels per frame") {
+    val gif = animatedGifBytes(8, 6, nFrames = 10)
+    // the kernel: 4 of 10 frames, evenly strided, rasters decoded
+    val decoded = ImageCodec.decodeFrames(gif, maxFrames = 4)
+    assert(decoded.map(_._1) == Seq(0, 2, 5, 7))
+    // the operator: real frames for the GIF, stub windows for noise bytes
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "video", Array.tabulate[Byte](500)(_.toByte), 0, 0, 0))
+      .toDS()
+    val frames = Multimodal.sampleVideoFrames(media, frameBytes = 100, maxFrames = 4)
+      .collect()
+    val gifFrames = frames.filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(gifFrames.map(_.frame_idx).toSeq == Seq(0, 2, 5, 7))
+    // each sampled frame round-trips as a real image with the GIF's dims,
+    // and early/late frames carry the dark/bright pixel content
+    val lums = gifFrames.map { fr =>
+      val img = ImageCodec.decode(fr.frame).get
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      ImageCodec.gridLuminance(img, 1).head
+    }
+    assert(lums(0) < 0.1f && lums(1) < 0.1f, s"early frames dark: ${lums.toSeq}")
+    assert(lums(2) > 0.9f && lums(3) > 0.9f, s"late frames bright: ${lums.toSeq}")
+    // noise payload: stub path, dense indices, bounded windows
+    val stubFrames = frames.filter(_.media_id == 2L)
+    assert(stubFrames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
+    assert(stubFrames.forall(_.frame.length <= 100))
   }
 }
