@@ -267,6 +267,47 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
   }
 
+  /** Corpus-scaled codebook: k = ceil(N / targetCellPop) clamped to
+    * [1, maxK], fitted on a deterministic hash sample of at most
+    * `maxFitRows` vectors. This is the at-scale companion to the
+    * fixed-codebook cell operators: with k growing alongside the corpus,
+    * EXPECTED cell population stays ~targetCellPop, so the within-cell
+    * quadratic of [[semanticNearPairs]] is bounded by design rather than
+    * by the maxCellSize backstop (PLANS.md's 10x table measures exactly
+    * this failure mode for a fixed k). The k-means fit itself is bounded
+    * too: the sample filter is the replayable xxhash64-threshold form (no
+    * sort, no limit — a narrow scan), so fit cost is O(maxFitRows · k ·
+    * iterations) regardless of corpus size. */
+  def autoCodebook(df: DataFrame, vecCol: String, targetCellPop: Int,
+                   maxK: Int = 65536, maxFitRows: Long = 100000L,
+                   seed: Long = 42L): Seq[(Long, Seq[Double])] = {
+    require(targetCellPop > 0, "targetCellPop must be positive")
+    require(maxFitRows > 0, "maxFitRows must be positive")
+    val n = df.count()
+    if (n == 0) return Seq.empty
+    val k = math.max(1L, math.min(maxK.toLong,
+      (n + targetCellPop - 1) / targetCellPop)).toInt
+    val fit =
+      if (n <= maxFitRows) df
+      else {
+        val keepPpm = math.max(1L, maxFitRows * 1000000L / n)
+        df.filter(pmod(xxhash64(col(vecCol), lit(seed)),
+          lit(1000000L)) < lit(keepPpm))
+      }
+    kmeansCodebook(fit, vecCol, k, seed)
+  }
+
+  /** [[semanticNearPairs]] with a corpus-scaled [[autoCodebook]] — the
+    * form to reach for when the corpus size is not known up front. */
+  def semanticNearPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double, targetCellPop: Int = 1000,
+                            maxK: Int = 65536, maxFitRows: Long = 100000L,
+                            seed: Long = 42L,
+                            maxCellSize: Int = 10000): DataFrame =
+    semanticNearPairs(df, idCol, vecCol,
+      autoCodebook(df, vecCol, targetCellPop, maxK, maxFitRows, seed),
+      minCosine, maxCellSize)
+
   /** IVF (inverted-file) ANN search: corpus vectors are assigned to their
     * nearest centroid by squared L2 (coarse quantization); a query probes
     * only the `nProbe` cells whose centroids are nearest to it, then ranks

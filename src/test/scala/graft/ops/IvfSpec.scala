@@ -169,4 +169,41 @@ class IvfSpec extends SparkTestBase {
     assert(keep == Map(100L -> 100L, 101L -> 100L, 102L -> 100L,
       200L -> 200L, 201L -> 200L, 202L -> 200L))
   }
+
+  test("autoCodebook scales k with the corpus and bounds cell population") {
+    // synthetic blob corpus: `nBlobs` tight clusters of 8 vectors each in
+    // 4-d; near-dup pairs live strictly within a blob
+    def blobs(nBlobs: Int): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(7)
+      val centers = (0 until nBlobs).map(_ => Seq.fill(4)(rnd.nextGaussian()))
+      centers.zipWithIndex.flatMap { case (c, b) =>
+        (0 until 8).map { j =>
+          (b * 100L + j, c.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+        }
+      }.toDF("vec_id", "embedding")
+    }
+    val small = blobs(4)   //  32 vectors
+    val large = blobs(16)  // 128 vectors
+    // k tracks ceil(N / targetCellPop); the clamp engages at maxK
+    assert(Similarity.autoCodebook(small, "embedding", targetCellPop = 8).size == 4)
+    assert(Similarity.autoCodebook(large, "embedding", targetCellPop = 8).size == 16)
+    assert(Similarity.autoCodebook(large, "embedding", targetCellPop = 8,
+      maxK = 5).size == 5)
+    assert(Similarity.autoCodebook(large.limit(0), "embedding", 8).isEmpty)
+    // at both scales every within-blob pair survives the celled search:
+    // 8 vectors x C(8,2) = 28 pairs per blob, nothing cross-blob at 0.99
+    for ((corp, nBlobs) <- Seq((small, 4), (large, 16))) {
+      val pairs = Similarity.semanticNearPairsAuto(corp, "vec_id", "embedding",
+          minCosine = 0.99, targetCellPop = 8)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      assert(pairs.length == 28 * nBlobs, s"nBlobs=$nBlobs got ${pairs.length}")
+      assert(pairs.forall { case (a, b) => a / 100 == b / 100 })
+    }
+    // the >maxFitRows path: a bounded deterministic sample still yields a
+    // k-sized codebook and the same pair recall
+    val sampled = Similarity.semanticNearPairsAuto(large, "vec_id", "embedding",
+        minCosine = 0.99, targetCellPop = 8, maxFitRows = 64L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(sampled.length == 28 * 16)
+  }
 }
