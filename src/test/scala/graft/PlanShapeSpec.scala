@@ -197,4 +197,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(filterIdx >= 0 && filterIdx < metricsIdx,
       s"filter was pushed below CollectMetrics:\n$opt")
   }
+
+  test("cluster-survivor selection aggregates, never windows over the corpus") {
+    import org.apache.spark.sql.functions._
+    // isolate the rep-selection stage (q103 minus the iterative clustering,
+    // whose jobs run eagerly and hide the stage under test)
+    val labels = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), (col("doc_id") % 7).as("cluster_id"))
+    val p = graft.ops.Dedup.clusterRepresentatives(
+      Tables.documents(spark, sf), "doc_id", labels,
+      col("n_chars").cast("long")).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"rep selection must not plan a window:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"argmax must partial-aggregate map-side:\n$p")
+  }
+
+  test("shard manifest is one aggregation with a map-side partial") {
+    val p = plan("q104_shard_manifest")
+    // one exchange pair: partial aggregate -> shuffle on shard -> final
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") && !l.contains("Broadcast"))
+    assert(exchanges <= 2, // shard hash + the orderBy range exchange
+      s"manifest should shuffle only nShards rows (+ final sort):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"manifest aggregate must partial-combine map-side:\n$p")
+  }
 }
