@@ -94,6 +94,24 @@ object Layout {
     shardManifest(df, idCol, weightCol, nShards)
   }
 
+  /** Fold per-batch shard manifests (parquet under `manifestPath`, one
+    * directory per micro-batch) into the corpus manifest. The manifest is
+    * a MONOID: doc counts and token masses add, XOR checksums xor
+    * (micro-batches of an append-only feed are disjoint by id, and XOR of
+    * disjoint XOR-aggregates is the union's XOR), id ranges min/max — so
+    * the merged manifest equals [[shardManifest]] over the full corpus
+    * without ever rescanning it. The aggregation input is batches ×
+    * nShards rows: trivially small at any corpus size. */
+  def mergedShardManifest(spark: org.apache.spark.sql.SparkSession,
+                          manifestPath: String): DataFrame =
+    spark.read.parquet(manifestPath)
+      .groupBy(col("shard"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        bit_xor(col("id_checksum")).as("id_checksum"),
+        min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+      .orderBy(col("shard"))
+
   /** Compact a small-files parquet directory in place: read, coalesce to
     * `targetFiles`, rewrite. The small-file problem is an operational
     * certainty at 100 TB (every streaming micro-batch and every

@@ -375,6 +375,42 @@ object EventStreams {
         graft.ops.Layout.overwritePartitions(batch, path, partCols)
       }
 
+  /** Streaming training-shard export: an append-only document feed lands
+    * as `path/batch=B/shard=K/` with a per-batch manifest under
+    * `manifestPath/batch=B/` — the streaming twin of
+    * [[graft.ops.Layout.exportTrainingShards]].
+    *
+    * Exactly-once by OVERWRITE-per-batch-directory: a replayed micro-batch
+    * (failure between write and commit) rewrites its own `batch=B`
+    * directories instead of double-appending — the foreachBatch
+    * idempotence recipe, applied to both the data and its manifest. The
+    * shard id is the same replayable [[graft.ops.TextOps.shardAssign]]
+    * draw as the batch exporter, so a doc lands in the same shard whether
+    * it arrived by backfill or by stream; a trainer reads one shard across
+    * all batches via partition pruning on `shard` (both are partition
+    * columns under discovery). The corpus manifest at any point is
+    * [[graft.ops.Layout.mergedShardManifest]] over `manifestPath` — a fold
+    * of batches × nShards rows, never a corpus rescan. Batch-granular
+    * small files are the append trade; [[graft.ops.Layout.compact]] per
+    * shard directory is the standing fix. Caller starts the writer. */
+  def sinkTrainingShards(docs: DataFrame, idCol: String,
+                         weightCol: org.apache.spark.sql.Column, nShards: Int,
+                         path: String, manifestPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.{Layout, TextOps}
+        val sharded = batch.withColumn("shard",
+          TextOps.shardAssign(col(idCol), nShards))
+        sharded.repartition(nShards, col("shard"))
+          .sortWithinPartitions(col("shard"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$path/batch=$batchId")
+        Layout.shardManifest(batch, idCol, weightCol, nShards)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$manifestPath/batch=$batchId")
+      }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of

@@ -160,4 +160,48 @@ class StreamSinkSpec extends SparkTestBase {
     q.stop()
     assert(secondRead == firstRead)
   }
+
+  test("sinkTrainingShards: streamed docs land in batch/shard layout; merged manifest equals the batch exporter's") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.{Layout, TextOps}
+    val in = MemoryStream[(Long, String)]
+    val dir = Files.createTempDirectory("shard_sink").toString
+    val mdir = Files.createTempDirectory("shard_manifest").toString
+    val n = 4
+    val q = EventStreams.sinkTrainingShards(
+        in.toDF().toDF("doc_id", "text"), "doc_id",
+        TextOps.wsTokenCount(col("text")), n, dir, mdir)
+      .start()
+    val batch1 = (0L until 20L).map(i => (i, s"doc $i body words"))
+    val batch2 = (20L until 50L).map(i => (i, s"late doc $i arrives"))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // every doc is present exactly once, in its replayable shard, across
+    // batch subdirectories (both batch and shard are discovered partitions)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 50L)
+    assert(back.select("doc_id").distinct().count() == 50L)
+    assert(back.filter(
+      col("shard") =!= TextOps.shardAssign(col("doc_id"), n)).count() == 0)
+    assert(back.select("batch").distinct().count() == 2L)
+
+    // the folded manifest equals shardManifest over the full corpus — the
+    // monoid property (counts add, XORs xor, ranges min/max)
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val expected = Layout.shardManifest(all, "doc_id",
+        TextOps.wsTokenCount(col("text")), n)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    val merged = Layout.mergedShardManifest(spark, mdir)
+      .select("shard", "n_docs", "n_tokens", "id_checksum", "min_id", "max_id")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(merged == expected)
+
+    // a trainer's one-shard read prunes to that shard's directories
+    val oneShard = back.filter(col("shard") === merged.head._1)
+    assert(oneShard.count() == merged.head._2)
+  }
 }
