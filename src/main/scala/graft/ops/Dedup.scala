@@ -509,7 +509,11 @@ object Dedup {
     * `docs` must carry `idCol` and the `rankCol` column; `labels` is the
     * (id, cluster_id) frame [[duplicateClusters]] returns. The winner per
     * cluster maximizes (rank, then SMALLEST id) — deterministic under ties
-    * on any partitioning. Output: (doc_id, cluster_id, rep_id, keep).
+    * on any partitioning. A NULL rank sorts below every non-null rank
+    * (Spark struct ordering), so a null-quality copy only represents a
+    * cluster whose every member is null-ranked — the conservative choice,
+    * documented rather than silent. Output: (doc_id, cluster_id, rep_id,
+    * keep).
     *
     * Scale shape: rank attaches to labels by one id-keyed join (both sides
     * corpus-sized — sort-merge), the per-cluster argmax is a plain

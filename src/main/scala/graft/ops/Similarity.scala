@@ -259,7 +259,10 @@ object Similarity {
                      maxIter: Int = 20): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feats = df.select(
+    // NULL vectors are dropped from the FIT (a codebook fit is a sample
+    // anyway; a null row would otherwise kill KMeans with an opaque
+    // executor error) — assignment-side operators handle nulls themselves
+    val feats = df.filter(col(vecCol).isNotNull).select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(feats)

@@ -141,10 +141,16 @@ object TextOps {
     * ppm draw — a doc's sample fate and its shard are independent).
     * Pure column expression: the same id lands in the same shard on any
     * cluster, any partitioning, any run — what makes an export resumable
-    * and a manifest diffable across re-runs. */
+    * and a manifest diffable across re-runs.
+    *
+    * A NULL id fails the job loudly (in-flight assert, [[ppsSampleDocs]]'s
+    * guard pattern): silently it would propagate a NULL shard — a
+    * `shard=__HIVE_DEFAULT_PARTITION__` directory no trainer reads and a
+    * manifest row no re-run reproduces. */
   def shardAssign(id: Column, nShards: Int): Column = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    pmod(shiftright(lcgState(id), 9), lit(nShards.toLong)).cast("int")
+    when(assert_true(id.isNotNull, lit("shardAssign: NULL id")).isNull,
+      pmod(shiftright(lcgState(id), 9), lit(nShards.toLong)).cast("int"))
   }
 
   /** Probability-proportional-to-size document sampling: keep probability

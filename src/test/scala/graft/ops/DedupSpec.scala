@@ -227,6 +227,16 @@ class DedupSpec extends SparkTestBase {
       (1L, 1L, 2L, 0), (2L, 1L, 2L, 1), (3L, 1L, 2L, 0),
       (10L, 10L, 10L, 1), (11L, 10L, 10L, 0),
       (20L, 20L, 20L, 1)))
+    // a NULL rank never beats a ranked copy; an all-null cluster still
+    // elects exactly one representative (smallest id)
+    val nullDocs = Seq((1L, Some(3L)), (2L, None), (30L, None), (31L, None))
+      .toDF("doc_id", "quality")
+    val nullLabels = Seq((1L, 1L), (2L, 1L), (30L, 30L), (31L, 30L))
+      .toDF("id", "cluster_id")
+    val nOut = Dedup.clusterRepresentatives(nullDocs, "doc_id", nullLabels,
+        col("quality")).select("doc_id", "rep_id", "keep")
+      .as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    assert(nOut == Seq((1L, 1L, 1), (2L, 1L, 0), (30L, 30L, 1), (31L, 30L, 0)))
   }
 
   test("repetitionRatio measures within-doc duplicate shingles") {

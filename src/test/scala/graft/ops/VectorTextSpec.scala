@@ -262,4 +262,19 @@ class VectorTextSpec extends SparkTestBase {
     // same parity (same direction) only
     assert(pairs.forall(p => (p._1 % 2) == (p._2 % 2)))
   }
+
+  test("shardAssign is deterministic, in-range, and fails loudly on a NULL id") {
+    val df = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val shards = df.select(TextOps.shardAssign(col("doc_id"), 8).as("s"))
+      .as[Int].collect()
+    assert(shards.forall(s => s >= 0 && s < 8))
+    // every shard is populated at this size (the LCG draw spreads)
+    assert(shards.toSet == (0 until 8).toSet)
+    // NULL id: in-flight assert, not a silent NULL shard
+    val withNull = Seq(Some(1L), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      withNull.select(TextOps.shardAssign(col("doc_id"), 8)).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
