@@ -191,6 +191,43 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** Core of the incremental probe: candidate (probe, store) pairs between
+    * a banded PROBE signature frame (`probe_id`, `probe_sig`, `band_key`)
+    * and a banded STORE signature frame (`id`, `sig`, `band_key`) — the
+    * frame-level primitive [[lshProbeStore]] (bucketed base table) and the
+    * streaming delta-log probe both reduce to. The degenerate-bucket guard
+    * runs on the STORE side (one boilerplate band shared by B store rows
+    * would otherwise multiply every probe hit by B); when the store frame
+    * is a bucketed table scan the count window rides the bucketed layout
+    * exchange-free, exactly as in [[minHashLshCandidatesFromStore]]. */
+  def lshProbeFrames(store: DataFrame, probe: DataFrame,
+                     maxBucketSize: Int = 200): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
+    val guarded = store
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    probe.join(guarded, Seq("band_key"))
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id"), col("id").as("store_id"),
+        (size(filter(zip_with(col("probe_sig"), col("sig"), (x, y) => x === y),
+          m => m)).cast("double") / size(col("probe_sig"))).as("est_sim"))
+      .groupBy(col("probe_id"), col("store_id"))
+      .agg(first(col("est_sim")).as("est_sim"))
+  }
+
+  /** Banded probe frame for a new batch: (probe_id, probe_sig, band_key)
+    * rows ready for [[lshProbeFrames]]. Parameters must match the store
+    * being probed (see [[appendToLshSignatureStore]]). */
+  def lshProbeBands(df: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int = 3, numHashes: Int = 64,
+                    bands: Int = 16): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
+      .select(col("id").as("probe_id"), col("sig").as("probe_sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+  }
+
   /** Probe the signature store with a NEW batch: candidate (probe, store)
     * pairs sharing an LSH band — the incremental-dedup query "which
     * existing corpus documents does this batch near-duplicate?", answered
@@ -201,27 +238,64 @@ object Dedup {
   def lshProbeStore(spark: org.apache.spark.sql.SparkSession, table: String,
                     df: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3, numHashes: Int = 64,
-                    bands: Int = 16, maxBucketSize: Int = 200): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val probe = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-      .select(col("id").as("probe_id"), col("sig").as("probe_sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
-    // same degenerate-bucket guard as the sibling candidate paths: one
-    // boilerplate band shared by B store rows would otherwise multiply
-    // every probe hit by B. The count window runs on the bucketed scan —
-    // exchange-free like minHashLshCandidatesFromStore's
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val store = spark.table(table)
-      .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
-    probe.join(store, Seq("band_key"))
-      .filter(col("probe_id") =!= col("id"))
-      .select(col("probe_id"), col("id").as("store_id"),
-        (size(filter(zip_with(col("probe_sig"), col("sig"), (x, y) => x === y),
-          m => m)).cast("double") / size(col("probe_sig"))).as("est_sim"))
-      .groupBy(col("probe_id"), col("store_id"))
-      .agg(first(col("est_sim")).as("est_sim"))
+                    bands: Int = 16, maxBucketSize: Int = 200): DataFrame =
+    lshProbeFrames(spark.table(table),
+      lshProbeBands(df, idCol, textCol, shingleLen, numHashes, bands),
+      maxBucketSize)
+
+  /** Fold a streaming delta log (as written by
+    * [[graft.streaming.EventStreams.sinkIncrementalLshDedup]]:
+    * `deltaPath/batch=B/` directories of (id, sig, band_key) rows) into the
+    * bucketed base store — the LSM compaction step of the incremental
+    * dedup pipeline. Cost is O(delta): the delta rows pay one shuffle into
+    * the store's bucket layout and APPEND; the existing corpus is never
+    * rewritten. Folded batch directories are deleted after the append
+    * commits, so the probe union (base ∪ delta) stays duplicate-free.
+    * Returns the number of batches folded.
+    *
+    * Single-owner offline op. A crash between append and delete re-appends
+    * those batches on re-run: probe RESULTS stay correct (pairs collapse in
+    * [[lshProbeFrames]]'s aggregation and est_sim depends only on the
+    * signatures), but duplicated store rows inflate the bucket-size guard's
+    * counts — the repair is a full [[writeLshSignatureStore]] rewrite. The
+    * batch-id collect is one long per micro-batch ever folded — trivially
+    * driver-sized.
+    *
+    * `maxBatchExclusive` bounds the fold to COMMITTED batches: pass the
+    * stream's latest checkpointed batch id, and a failure-replayed batch
+    * (always the latest, never a committed one) still finds its
+    * predecessors split cleanly between base and delta — each document
+    * covered exactly once, so replay output is bit-identical even when a
+    * compaction ran in between. Folding an uncommitted batch would put its
+    * docs in the base, where its own replay can't exclude them. */
+  def compactLshDelta(spark: org.apache.spark.sql.SparkSession, table: String,
+                      deltaPath: String, numBuckets: Int = 32,
+                      maxBatchExclusive: Long = Long.MaxValue): Int = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(deltaPath)
+    if (!fs.exists(root) ||
+        !fs.listStatus(root).exists(_.getPath.getName.startsWith("batch=")))
+      return 0
+    val delta = spark.read.option("basePath", deltaPath).parquet(deltaPath)
+      .filter(col("batch") < maxBatchExclusive)
+    val batches = delta.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (batches.isEmpty) return 0
+    // pin the fold to the batches seen NOW — a micro-batch landing during
+    // the append is left for the next compaction, not half-folded
+    delta.filter(col("batch").isin(batches: _*))
+      .select(col("id"), col("sig"), col("band_key"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "band_key")
+      .sortBy("band_key")
+      .format("parquet")
+      .saveAsTable(table)
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$b"), true)
+    }
+    batches.length
   }
 
   /** Corpus-scale LSH path, part 2: candidate pairs from the bucketed

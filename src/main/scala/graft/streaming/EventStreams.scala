@@ -411,6 +411,99 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$manifestPath/batch=$batchId")
       }
 
+  /** One micro-batch of the incremental near-dup pipeline — extracted from
+    * [[sinkIncrementalLshDedup]] so the replay contract is directly
+    * testable. For batch B of a document feed:
+    *
+    *  1. signs the batch once ([[graft.ops.Dedup.lshProbeBands]]) and probes
+    *     THREE tiers for LSH candidates: the bucketed base store (optional;
+    *     store side reads exchange-free), the streaming delta log (every
+    *     batch < B — the docs that arrived since the last compaction), and
+    *     the batch itself (first-seen-wins: the larger id is flagged);
+    *  2. lands the flagged candidates at `outPath/batch=B` and the batch's
+    *     own banded signatures at `deltaPath/batch=B` — both
+    *     overwrite-per-batch-directory, the foreachBatch idempotence recipe.
+    *
+    * Replay safety: a re-delivered batch B probes `batch < B` only (its own
+    * half-written delta directory is excluded by partition pruning) and
+    * rewrites its two directories with identical content. That holds EVEN
+    * IF [[graft.ops.Dedup.compactLshDelta]] ran in between: compaction
+    * moves delta batches into the base store and deletes their directories,
+    * so base ∪ delta still covers exactly the documents of batches < B,
+    * each once. Nothing here reads document text except the one signature
+    * kernel pass; exchanges carry (8-byte band key, id, 64-int signature)
+    * rows, never payloads. */
+  def processIncrementalLshBatch(batch: DataFrame, batchId: Long,
+                                 idCol: String, textCol: String,
+                                 baseTable: Option[String], deltaPath: String,
+                                 outPath: String, shingleLen: Int = 3,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 maxBucketSize: Int = 200): Unit = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    // feeds up to four plan branches (base probe, delta probe, within-batch
+    // self-probe x2) plus the delta write — persist per scale conventions
+    val banded = Dedup.lshProbeBands(batch, idCol, textCol, shingleLen,
+        numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val asStore = banded.select(col("probe_id").as("id"),
+        col("probe_sig").as("sig"), col("band_key"))
+      val base = baseTable.filter(spark.catalog.tableExists)
+        .map(t => Dedup.lshProbeFrames(spark.table(t), banded, maxBucketSize))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
+      val deltaRoot = new org.apache.hadoop.fs.Path(deltaPath)
+      // "no delta yet" = no batch=* child (an existing-but-empty directory
+      // would fail parquet schema inference)
+      val delta =
+        if (fs.exists(deltaRoot) &&
+            fs.listStatus(deltaRoot).exists(_.getPath.getName.startsWith("batch=")))
+          Some(Dedup.lshProbeFrames(
+            spark.read.option("basePath", deltaPath).parquet(deltaPath)
+              .filter(col("batch") < batchId)
+              .select(col("id"), col("sig"), col("band_key")),
+            banded, maxBucketSize))
+        else None
+      val within = Dedup.lshProbeFrames(asStore, banded, maxBucketSize)
+        .filter(col("probe_id") > col("store_id"))
+      val flagged = (Seq(within) ++ base ++ delta)
+        .reduce(_ unionByName _)
+        // a pair can surface from several tiers only while a crashed
+        // compaction's double-append persists; est_sim is signature-pure so
+        // any copy is the value
+        .groupBy(col("probe_id"), col("store_id"))
+        .agg(first(col("est_sim")).as("est_sim"))
+        .select(col("probe_id"), col("store_id").as("match_id"),
+          col("est_sim"))
+      flagged.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      asStore.write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
+    } finally banded.unpersist()
+  }
+
+  /** Streaming incremental near-duplicate detection: an append-only
+    * document feed is LSH-probed per micro-batch against everything that
+    * arrived before it — the continuous-ingestion twin of the batch
+    * [[graft.ops.Dedup.lshProbeStore]] path, in the LSM shape: a bucketed
+    * base store (built by [[graft.ops.Dedup.writeLshSignatureStore]]
+    * backfill, probed exchange-free), a replay-idempotent per-batch delta
+    * log, and [[graft.ops.Dedup.compactLshDelta]] folding deltas into the
+    * base offline at O(delta) cost. Flagged candidates land at
+    * `outPath/batch=B` as (probe_id, match_id, est_sim). Caller starts the
+    * returned writer; see [[processIncrementalLshBatch]] for the per-batch
+    * contract. */
+  def sinkIncrementalLshDedup(docs: DataFrame, idCol: String, textCol: String,
+                              baseTable: Option[String], deltaPath: String,
+                              outPath: String, shingleLen: Int = 3,
+                              numHashes: Int = 64, bands: Int = 16,
+                              maxBucketSize: Int = 200): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIncrementalLshBatch(batch, batchId, idCol, textCol, baseTable,
+          deltaPath, outPath, shingleLen, numHashes, bands, maxBucketSize)
+      }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of
