@@ -1142,8 +1142,61 @@ object PipelineQueries {
               min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM documents GROUP BY 1 ORDER BY shard"""))
 
+  /** Incremental near-dup probe: the batch twin of the streaming LSM path
+    * ([[graft.streaming.EventStreams.sinkIncrementalLshDedup]]) — the 20%
+    * "new batch" slice (doc_id % 5 == 0) LSH-probed against the 80%
+    * "already ingested" store slice, via the same
+    * [[graft.ops.Dedup.lshProbeFrames]] primitive the streaming sink and
+    * the bucketed-store probe share. The bucket-size guard counts STORE
+    * rows only (the probe side is small by contract). Oracle replays
+    * signatures → band keys → store-side guard → probe join in SQL over
+    * the same polynomial hash family as q43. */
+  private val q105 = Q("q105_incremental_neardup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val store = Dedup.lshProbeBands(
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+        .select(col("probe_id").as("id"), col("probe_sig").as("sig"),
+          col("band_key"))
+      val probe = Dedup.lshProbeBands(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      Dedup.lshProbeFrames(store, probe)
+        .orderBy(col("probe_id"), col("store_id"))
+    },
+    Some {
+      val K = 64; val bands = 16; val rpb = 4; val maxBucket = 200
+      import graft.functions.TextKernels.{coefA, coefB}
+      val mins = (0 until K).map(j =>
+        s"min((${coefA(j)}::BIGINT * h1 + ${coefB(j)}::BIGINT * h2 + $j) % $P) AS s$j")
+        .mkString(", ")
+      def bandKey(b: Int): String =
+        (0 until rpb).foldLeft(s"${97 + b}::BIGINT") { (acc, r) =>
+          s"(($acc) * 1000003 + s${b * rpb + r}) % $P"
+        }
+      val bandList = (0 until bands).map(bandKey).mkString(", ")
+      val eqTerms = (0 until K)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (${sqlShingleRows(3)}),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("s", 131, 7)} AS h1,
+         |              ${sqlPolyHash("s", 137, 11)} AS h2 FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |banded AS (SELECT doc_id, unnest([$bandList]) AS band_key FROM sig),
+         |p AS (SELECT * FROM banded WHERE doc_id % 5 = 0),
+         |st AS (SELECT * FROM banded WHERE doc_id % 5 != 0),
+         |ok AS (SELECT band_key FROM st GROUP BY band_key
+         |       HAVING count(*) <= $maxBucket),
+         |stok AS (SELECT s.doc_id, s.band_key FROM st s JOIN ok USING (band_key)),
+         |pairs AS (SELECT DISTINCT p.doc_id AS probe_id, s.doc_id AS store_id
+         |          FROM p JOIN stok s USING (band_key)
+         |          WHERE p.doc_id != s.doc_id)
+         |SELECT pr.probe_id, pr.store_id, ($eqTerms) / $K.0 AS est_sim
+         |FROM pairs pr JOIN sig a ON a.doc_id = pr.probe_id
+         |              JOIN sig b ON b.doc_id = pr.store_id
+         |ORDER BY probe_id, store_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104)
+    q102, q103, q104, q105)
 }
