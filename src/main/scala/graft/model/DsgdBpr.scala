@@ -46,12 +46,15 @@ object DsgdBpr {
       if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
   }
 
-  /** One item row: block id, global item id, factors, and the item's
-    * positive count. Popularity RIDES WITH the row — the within-block
-    * negative-sampling CDF is built from the stratum's own rows, so no
-    * global O(N) popularity map ever exists on the driver or in a
-    * broadcast (the round-4 scale ceiling). */
-  final case class ItemRow(block: Int, item: Int, f: Array[Double], pop: Long)
+  /** One item row: block id, global item id, factors, the item's positive
+    * count, and its genre ids. Popularity AND genres RIDE WITH the row —
+    * the within-block negative-sampling CDF and the genre-disjoint
+    * rejection both read the stratum's own rows, so no global O(N)
+    * popularity map or genre table ever exists on the driver or in a
+    * broadcast (the round-4/round-5 scale ceilings). `g` is empty when the
+    * trainer is not genre-aware. */
+  final case class ItemRow(block: Int, item: Int, f: Array[Double], pop: Long,
+                           g: Array[Int])
   /** One user row: block id, global user id, positives (sorted), factors. */
   final case class UserRow(block: Int, user: Int, pos: Array[Int], u: Array[Double])
   final case class StratumOut(users: Array[UserRow], items: Array[ItemRow])
@@ -75,44 +78,75 @@ object DsgdBpr {
     * `snapshotEvery` epochs + final.
     *
     * This is the SCALE entry point: the result stays distributed
-    * end-to-end. Per-item popularity is computed as a DataFrame aggregate
-    * and LEFT-JOINED onto the item rows at init (one extra shuffle, paid
-    * once) — the counts then ride with the item blocks through every
-    * stratum, so neither the popularity map nor the trained factors are
-    * ever collected or broadcast. `factorsDir` makes the returned frames
-    * parquet-backed (durable, lineage-free); otherwise they sit on the
-    * final localCheckpoint. */
+    * end-to-end — init included. Item factors initialize via
+    * `spark.range` + per-item seeded Gaussians; per-item popularity AND
+    * genres are DataFrame aggregates/tables LEFT-JOINED onto the item
+    * rows at init (shuffles paid once) — counts and genre ids then ride
+    * with the item blocks through every stratum, so no popularity map,
+    * genre table, or factor matrix is ever collected or broadcast.
+    * Nothing O(numItems) touches the driver at any point. For at-scale
+    * genre metadata pass `itemGenresDf` (item INT, genres ARRAY<INT>);
+    * the `itemGenres` driver Map stays for the reference-shaped fixture
+    * contract. `factorsDir` makes the returned frames parquet-backed
+    * (durable, lineage-free); otherwise they sit on the final
+    * localCheckpoint. */
   def trainFactors(positives: DataFrame, userCol: String, itemCol: String,
                    numItems: Int, p: Params = Params(),
                    itemGenres: Option[Map[Int, Array[Int]]] = None,
                    trace: Trace.BprConfig = Trace.BprConfig(),
-                   factorsDir: Option[String] = None): FactorFrames = {
+                   factorsDir: Option[String] = None,
+                   itemGenresDf: Option[DataFrame] = None): FactorFrames = {
     val spark = positives.sparkSession
     import spark.implicits._
     val P = p.blocks
     val scale = p.resolvedInitScale
-
-    // genre arrays are reference-shaped metadata (tens of genres per item,
-    // supplied as a driver Map by contract) — broadcast stays appropriate
-    val genresArr: Array[Array[Int]] = itemGenres
-      .map(m => Array.tabulate(numItems)(i => m.getOrElse(i, Array.empty[Int])))
-      .orNull
     val sc = spark.sparkContext
-    val bcGenres = sc.broadcast(genresArr)
+
+    // Genres ride the item rows (joined at init) instead of a broadcast
+    // Array.tabulate(numItems) — at 10^8 items the tabulated array alone
+    // was a GB-scale driver allocation even for a sparse genre map. Two
+    // sources: `itemGenresDf` (item INT, genres ARRAY<INT>) for at-scale
+    // genre tables, or the reference-shaped driver Map (already in driver
+    // memory by contract, so createDataset adds nothing).
+    val genreSrc: Option[DataFrame] = itemGenresDf
+      .map(df => df.select(col("item").as("__gitem"), col("genres").as("__genres")))
+      .orElse(itemGenres.map { m =>
+        spark.createDataset(m.toSeq.map { case (i, g) => (i, g.toSeq) })
+          .toDF("__gitem", "__genres")
+      })
+    val genreAware = genreSrc.isDefined
 
     // per-item popularity for the within-block weighted negative draws:
     // an aggregate joined onto the init rows — NOT a driver collect
     val popDf = positives.groupBy(col(itemCol).as("__item"))
       .agg(count(lit(1)).as("__pop"))
-    val initRng = new java.util.Random(p.seed)
-    val itemInit = Array.fill(numItems)(Array.fill(p.rank)(initRng.nextGaussian() * scale))
-    var items: Dataset[ItemRow] = spark.createDataset(
-      (0 until numItems).map(i => (itemBlock(i, P), i, itemInit(i))))
-      .toDF("block", "item", "f")
+    // Item-factor init is DISTRIBUTED: spark.range + a per-item seeded
+    // Gaussian (the same pattern as the user init below). Nothing
+    // O(numItems) is ever allocated on the driver — the previous
+    // Array.fill(numItems)(rank doubles) + local-Seq createDataset was
+    // ~10 GB at 10^8 items x 12 doubles before the first stratum ran.
+    // Per-item seeding is also partitioning-independent, so the
+    // bit-identical-across-layouts contract strengthens to the init too.
+    val pr = p.rank
+    val pseed = p.seed
+    val itemsInit = spark.range(numItems.toLong).as[Long].map { il =>
+      val i = il.toInt
+      val rng = new java.util.Random(pseed ^ 0x9E3779B97F4A7C15L ^ (i.toLong * 2654435761L))
+      (itemBlock(i, P), i, Array.fill(pr)(rng.nextGaussian() * scale))
+    }.toDF("block", "item", "f")
       .join(popDf, col("item") === col("__item"), "left")
-      .select(col("block"), col("item"), col("f"),
-        coalesce(col("__pop"), lit(0L)).as("pop"))
-      .as[ItemRow]
+    val withPop = genreSrc match {
+      case Some(g) =>
+        itemsInit.join(g, col("item") === col("__gitem"), "left")
+          .select(col("block"), col("item"), col("f"),
+            coalesce(col("__pop"), lit(0L)).as("pop"),
+            coalesce(col("__genres"), array().cast("array<int>")).as("g"))
+      case None =>
+        itemsInit.select(col("block"), col("item"), col("f"),
+          coalesce(col("__pop"), lit(0L)).as("pop"),
+          array().cast("array<int>").as("g"))
+    }
+    var items: Dataset[ItemRow] = withPop.as[ItemRow]
       .repartition(P, col("block")).persist()
     items.count()
 
@@ -157,7 +191,6 @@ object DsgdBpr {
           var i = 0
           while (i < itemRows.length) { acc += weights(i) / total; cdf(i) = acc; i += 1 }
           cdf(itemRows.length - 1) = 1.0
-          val genres = bcGenres.value
           val d = pp.rank
           val updatedUsers = blockUsers.map { ur =>
             val rng = new java.util.Random(
@@ -167,8 +200,8 @@ object DsgdBpr {
             val u = ur.u.clone()
             ur.pos.foreach { gi =>
               localIdx.get(gi).foreach { li => // only this stratum's positives
-                val lj = sampleNegativeLocal(rng, cdf, itemRows, posSet, gi,
-                  genres, pp.maxSampleRetries)
+                val lj = sampleNegativeLocal(rng, cdf, itemRows, posSet,
+                  itemRows(li).g, genreAware, pp.maxSampleRetries)
                 if (lj >= 0) {
                   val vi = itemRows(li).f
                   val vj = itemRows(lj).f
@@ -293,16 +326,19 @@ object DsgdBpr {
 
   /** Within-block negative draw: inverse-CDF over the block's popularity,
     * rejecting positives and (genre-aware) genre-sharers; deterministic
-    * bounded fallback; -1 when the block holds no eligible negative. */
+    * bounded fallback; -1 when the block holds no eligible negative.
+    * Genres are read off the item rows themselves (`ItemRow.g`), so the
+    * rejection rule needs no global genre table in scope. */
   private def sampleNegativeLocal(rng: java.util.Random, cdf: Array[Double],
                                   itemRows: Array[ItemRow],
-                                  userPos: java.util.HashSet[Int], posItem: Int,
-                                  genresOf: Array[Array[Int]],
+                                  userPos: java.util.HashSet[Int],
+                                  posGenres: Array[Int],
+                                  genreAware: Boolean,
                                   maxRetries: Int): Int = {
     @inline def eligible(lj: Int): Boolean = {
       val gid = itemRows(lj).item
       !userPos.contains(gid) &&
-        (genresOf == null || !genresOf(posItem).exists(genresOf(gid).contains))
+        (!genreAware || !posGenres.exists(itemRows(lj).g.contains))
     }
     var tries = 0
     while (tries < maxRetries) {

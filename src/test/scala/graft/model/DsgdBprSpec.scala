@@ -85,6 +85,40 @@ class DsgdBprSpec extends SparkTestBase {
     assert(ff.userFactors.count() == 8 && ff.itemFactors.count() == 10)
   }
 
+  test("item-factor init is distributed: plan reads Range, no local table scan") {
+    // the at-scale contract: nothing O(numItems) is allocated on the
+    // driver. With epochs=0 the returned item frame IS the init frame —
+    // its plan must be built on spark.range (Range leaf), not a
+    // LocalTableScan/LocalRelation of a driver-side Seq. Positives also
+    // come from spark.range here so the only possible local leaf would be
+    // the init itself.
+    val pos = spark.range(40).selectExpr("cast(id % 8 as int) as user",
+      "cast(id % 10 as int) as item")
+    val p = DsgdBpr.Params(rank = 3, epochs = 0, blocks = 3, seed = 3L, initScale = 0.1)
+    val ff = DsgdBpr.trainFactors(pos, "user", "item", 10, p)
+    val plan = ff.itemFactors.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Range"), s"expected Range leaf in:\n$plan")
+    assert(!plan.contains("LocalRelation") && !plan.contains("LocalTableScan"),
+      s"driver-local leaf in init plan:\n$plan")
+  }
+
+  test("genre-aware training is bit-identical across Map and DataFrame genre sources") {
+    // the join-based genre path (at-scale) must reproduce the driver-Map
+    // path exactly: genres ride the item rows either way
+    val genres = (0 until 10).map(i => i -> Array(if (i < 5) 1 else 2)).toMap
+    val genresDf = genres.toSeq.map { case (i, g) => (i, g.toSeq) }
+      .toDF("item", "genres")
+    val p = DsgdBpr.Params(rank = 3, lr = 0.05, epochs = 3, blocks = 2, seed = 13L,
+      initScale = 0.1)
+    val viaMap = DsgdBpr.train(clusteredPositives, "user", "item", 10, p, Some(genres))
+    val ffDf = DsgdBpr.trainFactors(clusteredPositives, "user", "item", 10, p,
+      itemGenresDf = Some(genresDf))
+    val vf = ffDf.itemFactors.as[(Int, Seq[Double])].collect().toMap
+    vf.foreach { case (i, f) => assert(f.toArray.sameElements(viaMap.itemFactors(i)), s"item $i") }
+    val uf = ffDf.userFactors.as[(Int, Seq[Double])].collect().toMap
+    uf.foreach { case (u, f) => assert(f.toArray.sameElements(viaMap.userFactors(u)), s"user $u") }
+  }
+
   test("DSGD genre-aware mode trains without violating the skip rule") {
     // items 0-4 share genre 1, items 5-9 share genre 2: for cluster-1 users
     // every negative candidate for a positive in genre 1 must come from
