@@ -62,18 +62,9 @@ object AudioCodec {
           var acc = 0.0
           var c = 0
           while (c < ch) {
-            val base = i * frameSize + c * bytesPerSample
-            val v =
-              if (bytesPerSample == 1) {
-                if (enc == AudioFormat.Encoding.PCM_UNSIGNED)
-                  ((buf(base) & 0xff) - 128) / 128.0
-                else buf(base) / 128.0
-              } else {
-                val lo = buf(base + (if (f.isBigEndian) 1 else 0)) & 0xff
-                val hi = buf(base + (if (f.isBigEndian) 0 else 1))
-                ((hi << 8) | lo) / 32768.0
-              }
-            acc += v
+            acc += pcmToDouble(buf, i * frameSize + c * bytesPerSample,
+              bytesPerSample, f.isBigEndian,
+              enc == AudioFormat.Encoding.PCM_UNSIGNED)
             c += 1
           }
           out(i) = acc / ch
@@ -83,6 +74,23 @@ object AudioCodec {
       } finally in.close()
     } catch { case _: Exception => None }
   }
+
+  /** One PCM sample → [-1, 1]. Unsigned encodings re-center at mid-scale
+    * before dividing (8-bit 0x80 → 0.0, 16-bit 0x8000 → 0.0) — assembling
+    * the 16-bit value with a sign-extended high byte would decode unsigned
+    * mid-scale as -1.0. */
+  private[multimodal] def pcmToDouble(buf: Array[Byte], base: Int,
+                                      bytesPerSample: Int, bigEndian: Boolean,
+                                      unsigned: Boolean): Double =
+    if (bytesPerSample == 1) {
+      if (unsigned) ((buf(base) & 0xff) - 128) / 128.0
+      else buf(base) / 128.0
+    } else {
+      val lo = buf(base + (if (bigEndian) 1 else 0)) & 0xff
+      val hi = buf(base + (if (bigEndian) 0 else 1))
+      if (unsigned) ((((hi & 0xff) << 8) | lo) - 32768) / 32768.0
+      else ((hi << 8) | lo) / 32768.0
+    }
 
   /** 16-dim RMS-energy envelope: samples cut into
     * [[Multimodal.StubDecoder.FeatureDim]] equal windows, each contributing

@@ -75,8 +75,11 @@ object ScaleUp {
       else d.withColumn("embedding",
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
-          (x, j) => when(pmod(j * lit(2654435761L) + lit(i.toLong * 40503L), lit(2L)) === 0,
-            x).otherwise(-x)))
+          // sign from a real per-(copy, dim) hash — a linear form in (i, j)
+          // with odd coefficients reduces mod 2 to parity(i + j), making
+          // copies two apart apply IDENTICAL sign patterns (cosine ±1
+          // cross-copy duplicates, quadratically inflating near-dup pairs)
+          (x, j) => when(pmod(xxhash64(lit(i), j), lit(2L)) === 0, x).otherwise(-x)))
     }), "embeddings")
 
     write(replicate(read("lineitem"),
