@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in partition-local batches.
   *
-  * IMAGE decode is REAL ([[ImageCodec]], `javax.imageio` — PNG/JPEG/GIF/
-  * BMP): kind="image" payloads a JDK codec claims get pixel-true dims,
-  * raster resize, and grid-luminance features. Payloads no codec claims —
-  * and video/audio, which have no JDK codec — fall back to
-  * [[StubDecoder]]'s deterministic byte-math so the pipeline stays total;
-  * the stub keeps every Spark-side concern (schema, payload movement,
-  * batch shape) identical to the real path.
+  * Decode is REAL wherever a JDK codec exists: images via [[ImageCodec]]
+  * (`javax.imageio` — PNG/JPEG/GIF/BMP: pixel-true dims, raster resize,
+  * grid-luminance features), audio via [[AudioCodec]]
+  * (`javax.sound.sampled` — WAV/AIFF/AU PCM: RMS-envelope features), and
+  * video via multi-frame containers the JDK reads (animated GIF:
+  * frame-sampled, mean-pooled luminance features). Payloads no codec
+  * claims fall back to [[StubDecoder]]'s deterministic byte-math so the
+  * pipeline stays total; the stub keeps every Spark-side concern (schema,
+  * payload movement, batch shape) identical to the real path.
   *
   * Scale notes: payloads never pass through a shuffle (feature extraction is
   * a narrow mapPartitions); `targetRecordsPerBatch` bounds peak memory per
@@ -153,10 +155,10 @@ object Multimodal {
   /** Batched feature extraction over a media frame: narrow mapPartitions,
     * records processed in bounded batches. Decodable images yield REAL
     * pixel features ([[ImageCodec.gridLuminance]], 4×4 grid), decodable
-    * audio REAL RMS-envelope features ([[AudioCodec.rmsEnvelope]]) — both
-    * the same 16-dim schema as the stub; everything else (video, payloads
-    * no JDK codec claims) gets the byte-math stand-in — one schema, no
-    * partial rows. */
+    * audio REAL RMS-envelope features ([[AudioCodec.rmsEnvelope]]),
+    * decodable video REAL frame-pooled luminance features — all the same
+    * 16-dim schema as the stub; payloads no JDK codec claims get the
+    * byte-math stand-in — one schema, no partial rows. */
   def extractFeatures(media: Dataset[MediaRecord],
                       targetRecordsPerBatch: Int = 256): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -170,14 +172,40 @@ object Multimodal {
     }
   }
 
+  /** Frames sampled per video payload for the pooled feature — bounds the
+    * decode work per record the way `targetRecordsPerBatch` bounds it per
+    * task. */
+  val VideoFeatureFrames = 8
+
   /** The shared per-record feature kernel ([[extractFeatures]], the
     * streaming [[graft.streaming.EventStreams.enrichLatestMediaFeatures]]):
     * real codec by kind, byte-math stub when no JDK codec claims the
-    * payload. Always 16 dims. */
+    * payload. Always 16 dims.
+    *
+    * VIDEO is real when the JDK decodes the container (animated GIF):
+    * evenly-strided frames ([[ImageCodec.decodeFrames]], the same kernel
+    * [[sampleVideoFrames]] uses) each produce a 4×4 grid-luminance raster
+    * feature, mean-pooled across frames — temporal average pooling, the
+    * standard fixed-length video descriptor shape. Single-frame stills
+    * sent as kind="video" degrade gracefully to that frame's features. */
   def decodeFeature(kind: String, payload: Array[Byte]): Array[Float] = {
     val real = kind match {
       case "image" => ImageCodec.decode(payload).map(ImageCodec.gridLuminance(_, 4))
       case "audio" => AudioCodec.decodeSamples(payload).map(AudioCodec.rmsEnvelope(_))
+      case "video" =>
+        val frames = ImageCodec.decodeFrames(payload, VideoFeatureFrames)
+        if (frames.isEmpty) None
+        else {
+          val pooled = new Array[Float](StubDecoder.FeatureDim)
+          frames.foreach { case (_, img) =>
+            val g = ImageCodec.gridLuminance(img, 4)
+            var k = 0
+            while (k < pooled.length) { pooled(k) += g(k); k += 1 }
+          }
+          var k = 0
+          while (k < pooled.length) { pooled(k) /= frames.size; k += 1 }
+          Some(pooled)
+        }
       case _ => None
     }
     real.getOrElse(StubDecoder.decodeFeatures(payload))

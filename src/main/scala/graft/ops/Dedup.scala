@@ -267,10 +267,13 @@ object Dedup {
     * predecessors split cleanly between base and delta — each document
     * covered exactly once, so replay output is bit-identical even when a
     * compaction ran in between. Folding an uncommitted batch would put its
-    * docs in the base, where its own replay can't exclude them. */
+    * docs in the base, where its own replay can't exclude them — which is
+    * why the parameter has NO default: the caller must state the horizon
+    * (there is no value that is safe without consulting the stream's
+    * checkpoint). */
   def compactLshDelta(spark: org.apache.spark.sql.SparkSession, table: String,
                       deltaPath: String, numBuckets: Int = 32,
-                      maxBatchExclusive: Long = Long.MaxValue): Int = {
+                      maxBatchExclusive: Long): Int = {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)

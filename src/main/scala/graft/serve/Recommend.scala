@@ -123,26 +123,46 @@ object Recommend {
 
   /** Auto-switching L9 (mirrors MoviePipeline's exact/DSGD switch): exact
     * cross-score below `annCatalogThreshold` servable items, IVF-MIPS
-    * above — fit a seeded k-means codebook on the item factors, build the
-    * bucketed store, probe. The default threshold marks where the exact
-    * users × catalog product stops being the cheap option; callers with a
+    * above — fit a codebook on the item factors, build the bucketed store,
+    * probe. The default threshold marks where the exact users × catalog
+    * product stops being the cheap option.
+    *
+    * The codebook is CORPUS-SCALED ([[Similarity.autoCodebook]]):
+    * k = ⌈n / annTargetCellPop⌉ clamped to `annMaxCells`, fit on at most
+    * `annFitSampleRows` hash-sampled vectors — cell population stays
+    * ~constant as the catalog grows (a fixed cell count degrades probe
+    * selectivity: 64 cells over 100 M items is ~1.5 M items per probe).
+    *
+    * Store lifecycle: each call writes its own store table — by default a
+    * UNIQUE generated name, so concurrent serves on a shared metastore
+    * never clobber each other between write and probe. The table outlives
+    * the returned (lazy) frame and is the caller's to drop; callers with a
     * standing store should call [[recommendFromStore]] directly instead of
-    * re-fitting per serve. */
+    * re-fitting per serve. Passing `storeTable` explicitly asserts
+    * single-writer semantics for that name. */
   def recommendAuto(userFactors: DataFrame, itemFactors: DataFrame,
                     itemRatingCounts: DataFrame, k: Int = 20,
                     popularityFloor: Long = 90L, biasDamping: Double = 0.05,
-                    annCatalogThreshold: Long = 200000L, annCells: Int = 64,
-                    annProbe: Int = 8,
-                    storeTable: String = "graft_serving_catalog"): DataFrame = {
+                    annCatalogThreshold: Long = 200000L,
+                    annTargetCellPop: Int = 4096, annMaxCells: Int = 65536,
+                    annFitSampleRows: Long = 100000L, annProbe: Int = 8,
+                    storeTable: Option[String] = None): DataFrame = {
     val eligible = eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
-    if (eligible.count() < annCatalogThreshold)
-      recommend(userFactors, itemFactors, itemRatingCounts, k, popularityFloor, biasDamping)
-    else {
-      val centroids = Similarity.kmeansCodebook(eligible, "features", annCells)
-      writeCatalogStore(itemFactors, itemRatingCounts, centroids, storeTable,
-        numBuckets = annCells, popularityFloor = popularityFloor)
-      recommendFromStore(itemFactors.sparkSession, storeTable, userFactors,
-        centroids, annProbe, k, biasDamping)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (eligible.count() < annCatalogThreshold)
+        recommend(userFactors, itemFactors, itemRatingCounts, k, popularityFloor, biasDamping)
+      else {
+        val table = storeTable.getOrElse(
+          "graft_serving_catalog_" + java.util.UUID.randomUUID().toString.replace("-", "_"))
+        val centroids = Similarity.autoCodebook(eligible, "features",
+          annTargetCellPop, annMaxCells, annFitSampleRows)
+        writeCatalogStore(itemFactors, itemRatingCounts, centroids, table,
+          numBuckets = centroids.size, popularityFloor = popularityFloor)
+        // the store is written: the returned frame reads the table only
+        recommendFromStore(itemFactors.sparkSession, table, userFactors,
+          centroids, annProbe, k, biasDamping)
+      }
+    } finally eligible.unpersist(blocking = false)
   }
 }

@@ -509,28 +509,55 @@ object EventStreams {
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of
     * batch query q36 (same gap rule: new session when the time since the
     * previous event exceeds gapSeconds). Emits the CURRENT session id per
-    * micro-batch of events, keyed by user. */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): Dataset[SessionizedEvent] = {
+    * micro-batch of events, keyed by user.
+    *
+    * State is EVICTED on an event-time timeout `horizonSeconds` past a
+    * user's last event (the same bounded-state shape as
+    * [[dedupEventTimeMinimal]]) — on an unbounded user universe the state
+    * store holds only the users seen within the horizon, not every user
+    * ever. A user returning after eviction restarts at session id 0 (a
+    * fresh session — the horizon is ≥ the gap, so a new session was due
+    * regardless; only the per-user session COUNTER resets, which the batch
+    * twin would have kept counting). `horizonSeconds` must be ≥
+    * `gapSeconds`: evicting sooner than the gap could stitch a
+    * would-be-same session into a fresh id. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L,
+                 horizonSeconds: Long = 7L * 86400L): Dataset[SessionizedEvent] = {
+    require(horizonSeconds >= gapSeconds,
+      s"horizonSeconds ($horizonSeconds) must be >= gapSeconds ($gapSeconds)")
     import events.sparkSession.implicits._
     val typed = events
+      .withWatermark("ts", s"$horizonSeconds seconds")
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        unix_micros(col("ts")).as("ts_us"))
-      .as[(Long, Long, Long)]
+        col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, java.sql.Timestamp, Long)]
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = sorted.map { case (_, eventId, tsUs) =>
-            val gapUs = tsUs - st.lastTsMicros
-            val sid = if (st.lastTsMicros != Long.MinValue && gapUs > gapSeconds * 1000000L)
-              st.sessionId + 1 else st.sessionId
-            st = SessionState(sid, math.max(st.lastTsMicros, tsUs))
-            SessionizedEvent(user, eventId, sid)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            // horizon passed with no new events: drop the session state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val out = sorted.map { case (_, eventId, _, tsUs) =>
+              val gapUs = tsUs - st.lastTsMicros
+              val sid = if (st.lastTsMicros != Long.MinValue && gapUs > gapSeconds * 1000000L)
+                st.sessionId + 1 else st.sessionId
+              st = SessionState(sid, math.max(st.lastTsMicros, tsUs))
+              SessionizedEvent(user, eventId, sid)
+            }
+            state.update(st)
+            // evict once the watermark passes lastTs + horizon; the timeout
+            // must sit strictly above the current watermark
+            state.setTimeoutTimestamp(math.max(
+              st.lastTsMicros / 1000L + horizonSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 }

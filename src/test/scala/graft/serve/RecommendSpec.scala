@@ -76,18 +76,74 @@ class RecommendSpec extends SparkTestBase {
     // high threshold: exact path, no store table created
     spark.sql("DROP TABLE IF EXISTS rec_auto")
     val small = Recommend.recommendAuto(users, items, counts, k = 5,
-      annCatalogThreshold = 100000L, storeTable = "rec_auto")
+      annCatalogThreshold = 100000L, storeTable = Some("rec_auto"))
     assert(small.count() == 30 * 5)
     assert(!spark.catalog.tableExists("rec_auto"))
-    // threshold 1: ANN path — builds the store and serves from it
+    // threshold 1: ANN path — builds the store and serves from it.
+    // 360 eligible items / targetCellPop 50 = 8 cells; probing all 8
+    // reproduces the exact top-k
     try {
       val ann = Recommend.recommendAuto(users, items, counts, k = 5,
-        annCatalogThreshold = 1L, annCells = 8, annProbe = 8, storeTable = "rec_auto")
+        annCatalogThreshold = 1L, annTargetCellPop = 50, annProbe = 8,
+        storeTable = Some("rec_auto"))
       assert(spark.catalog.tableExists("rec_auto"))
-      // nProbe = nCells: the switched path still reproduces the exact top-k
       val exact = Recommend.recommend(users, items, counts, k = 5)
         .as[(Int, Int, Double, Int)].collect().toSet
       assert(ann.as[(Int, Int, Double, Int)].collect().toSet == exact)
     } finally spark.sql("DROP TABLE IF EXISTS rec_auto")
+  }
+
+  private def numBuckets(table: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Num Buckets")
+      .select("data_type").as[String].head().trim.toInt
+
+  test("recommendAuto sizes the serving codebook to the eligible catalog") {
+    // same targetCellPop, two catalog sizes: the store's cell/bucket count
+    // must grow with the catalog (k = ceil(n / targetCellPop)), and the
+    // recall bound must hold at BOTH sizes with half the cells probed
+    val rng2 = new scala.util.Random(131L)
+    def catalog(n: Int) = (0 until n)
+      .map(i => (i, Seq.fill(rank)(rng2.nextGaussian()), rng2.nextGaussian() * 0.5))
+      .toDF("id", "features", "bias")
+    def allEligible(n: Int) = (0 until n).map(i => (i, 100L)).toDF("id", "n_ratings")
+    def recallVsExact(nItems: Int, table: String): Double = {
+      val its = catalog(nItems)
+      val cts = allEligible(nItems)
+      val cells = (nItems + 49) / 50
+      val ann = recSets(Recommend.recommendAuto(users, its, cts, k = 20,
+        annCatalogThreshold = 1L, annTargetCellPop = 50,
+        annProbe = (cells + 1) / 2, storeTable = Some(table)))
+      assert(numBuckets(table) == cells,
+        s"expected $cells buckets for $nItems items")
+      val exact = recSets(Recommend.recommend(users, its, cts, k = 20))
+      val recalls = exact.map { case (u, ex) =>
+        ann.getOrElse(u, Set.empty).intersect(ex).size.toDouble / ex.size
+      }
+      recalls.sum / recalls.size
+    }
+    try {
+      val rSmall = recallVsExact(400, "rec_scale_s")   // 8 cells, probe 4
+      val rBig = recallVsExact(1600, "rec_scale_b")    // 32 cells, probe 16
+      assert(numBuckets("rec_scale_b") > numBuckets("rec_scale_s"))
+      assert(rSmall >= 0.8, s"small-catalog recall@20 = $rSmall")
+      assert(rBig >= 0.8, s"big-catalog recall@20 = $rBig")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rec_scale_s")
+      spark.sql("DROP TABLE IF EXISTS rec_scale_b")
+    }
+  }
+
+  test("recommendAuto default store name is unique per call (no clobber)") {
+    val before = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_serving_catalog_")).toSet
+    Recommend.recommendAuto(users, items, counts, k = 5,
+      annCatalogThreshold = 1L, annTargetCellPop = 50, annProbe = 8).count()
+    Recommend.recommendAuto(users, items, counts, k = 5,
+      annCatalogThreshold = 1L, annTargetCellPop = 50, annProbe = 8).count()
+    val created = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_serving_catalog_")).toSet -- before
+    try assert(created.size == 2, s"two serves must write two stores: $created")
+    finally created.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 }

@@ -95,6 +95,43 @@ class IncrementalLshDedupSpec extends SparkTestBase {
     }
   }
 
+  test("probe landing mid-compaction (base appended, delta not deleted) stays deduped") {
+    // the crash window between compactLshDelta's base append and its delta
+    // delete: folded docs are covered by BOTH tiers. A probe batch landing
+    // there must still flag each (probe, store) pair exactly once — the
+    // first-agg over tiers collapses the double coverage (est_sim is
+    // signature-pure, so any copy is the value)
+    val outDir = Files.createTempDirectory("lsh_out_mc").toString
+    val deltaDir = Files.createTempDirectory("lsh_delta_mc").toString
+    Dedup.writeLshSignatureStore(Seq((1L, tA)).toDF("doc_id", "text"),
+      "doc_id", "text", "lsh_mc", numBuckets = 4)
+    try {
+      // committed batch 0: doc 10 dups base doc 1; doc 11 is new content
+      EventStreams.processIncrementalLshBatch(
+        Seq((10L, tA), (11L, tC)).toDF("doc_id", "text"), 0L,
+        "doc_id", "text", Some("lsh_mc"), deltaDir, outDir)
+      assert(readPairs(outDir, 0L) == Set((10L, 1L, 1.0)))
+      // snapshot the delta, compact, then restore the snapshot — the exact
+      // on-disk state of a compaction that crashed after its append
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(deltaDir), conf)
+      val b0 = new org.apache.hadoop.fs.Path(deltaDir, "batch=0")
+      val saved = new org.apache.hadoop.fs.Path(
+        Files.createTempDirectory("lsh_saved_mc").toString, "batch=0")
+      org.apache.hadoop.fs.FileUtil.copy(fs, b0, fs, saved, false, conf)
+      assert(Dedup.compactLshDelta(spark, "lsh_mc", deltaDir,
+        numBuckets = 4, maxBatchExclusive = 1L) == 1)
+      org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, b0, false, conf)
+      // docs 10/11 now sit in base AND delta; the mid-compaction probe:
+      // doc 20 dups 1 and 10 (both tiers for 10), 21 dups 11 (both tiers)
+      EventStreams.processIncrementalLshBatch(
+        Seq((20L, tA), (21L, tC)).toDF("doc_id", "text"), 1L,
+        "doc_id", "text", Some("lsh_mc"), deltaDir, outDir)
+      assert(readPairs(outDir, 1L) ==
+        Set((20L, 1L, 1.0), (20L, 10L, 1.0), (21L, 11L, 1.0)))
+    } finally spark.sql("DROP TABLE IF EXISTS lsh_mc")
+  }
+
   test("sink works with NO base store: delta log and within-batch tiers only") {
     implicit val sqlCtx = spark.sqlContext
     val outDir = Files.createTempDirectory("lsh_out_nb").toString

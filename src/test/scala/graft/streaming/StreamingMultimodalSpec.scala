@@ -46,6 +46,38 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(rows == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
   }
 
+  test("sessionize evicts idle-user state past the horizon and restarts fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val df = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = EventStreams.sessionize(df, gapSeconds = 10, horizonSeconds = 60)
+      .writeStream.format("memory").queryName("session_evict_test")
+      .outputMode("append").start()
+    // two users start sessions, then fall silent
+    input.addData((1L, 1L, ts(0)), (1L, 2L, ts(5)), (2L, 3L, ts(0)))
+    q.processAllAvailable()
+    // a third user far past the horizon advances the watermark...
+    input.addData((3L, 4L, ts(1000)))
+    q.processAllAvailable()
+    // ...and the next batch fires the event-time timeouts for users 1 and 2
+    input.addData((3L, 5L, ts(1100)))
+    q.processAllAvailable()
+    // user 1 returns after eviction: FRESH state, session id restarts at 0
+    // (a stale surviving state would emit 1 via the gap increment)
+    input.addData((1L, 6L, ts(1200)))
+    q.processAllAvailable()
+    val rows = spark.table("session_evict_test").as[EventStreams.SessionizedEvent]
+      .collect().map(e => e.event_id -> e.session_id).toMap
+    // the state store holds only users seen within the horizon (3 and the
+    // returned 1), not every user ever — bounded under an idle-user feed
+    val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    q.stop()
+    assert(rows(1L) == 0L && rows(2L) == 0L && rows(3L) == 0L)
+    assert(rows(4L) == 0L && rows(5L) == 1L) // user 3: 100s gap > 10s -> new session
+    assert(rows(6L) == 0L, s"returned user must restart fresh: ${rows(6L)}")
+    assert(stateRows <= 2, s"state store must evict idle users: $stateRows rows")
+  }
+
   test("multimodal feature extraction is deterministic with stable schema") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "different"))
       .toDF("doc_id", "text")
@@ -260,6 +292,33 @@ class StreamingMultimodalSpec extends SparkTestBase {
     writer.dispose()
     ios.close()
     bos.toByteArray
+  }
+
+  test("real video features: frame-decoded, mean-pooled, stable across re-encode") {
+    // frames 0-4 black, 5-9 white -> temporal mean pooling over evenly
+    // strided frames gives ~0.5 per grid cell, a value byte-math over the
+    // LZW-compressed GIF container cannot produce
+    val gif = animatedGifBytes(16, 12, nFrames = 10)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif, 0, 0, 0),
+      Multimodal.MediaRecord(2L, "video", Array.tabulate[Byte](600)(_.toByte), 0, 0, 0))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    val f1 = feats(1L).feature
+    assert(f1.length == Multimodal.StubDecoder.FeatureDim)
+    f1.foreach(v => assert(v > 0.3f && v < 0.7f, s"pooled cell should be ~0.5: ${f1.toSeq}"))
+    // pixel-derived, not the stub's byte math over the same payload
+    assert(f1.toSeq != Multimodal.StubDecoder.decodeFeatures(gif).toSeq)
+    // deterministic across an independent re-encode of the same frames
+    assert(Multimodal.decodeFeature("video", animatedGifBytes(16, 12, 10)).toSeq == f1.toSeq)
+    // undecodable video still falls back to the stub — same schema
+    assert(feats(2L).feature.toSeq ==
+      Multimodal.StubDecoder.decodeFeatures(Array.tabulate[Byte](600)(_.toByte)).toSeq)
+    // a single-frame still sent as kind=video degrades to that frame's
+    // image features (pooling over one frame)
+    val png = pngBytes(halfToneImage(16, 12))
+    assert(Multimodal.decodeFeature("video", png).toSeq ==
+      Multimodal.decodeFeature("image", png).toSeq)
   }
 
   test("real GIF frame sampling: strided source indices, true pixels per frame") {
