@@ -1195,8 +1195,55 @@ object PipelineQueries {
          |ORDER BY probe_id, store_id""".stripMargin
     })
 
+  /** ANN catalog serving through the BUCKETED STORE path
+    * ([[graft.serve.Recommend.writeCatalogStore]] +
+    * [[graft.serve.Recommend.recommendFromStore]]): synthetic factor
+    * frames from the embeddings table (queries = vec_id < 20, catalog =
+    * the rest, deterministic bias, every 10th item under the popularity
+    * floor), the q53 fixed codebook as centroids, and nProbe = nCells —
+    * exact by the probe contract (every cell probed = every eligible item
+    * scored), so the DuckDB oracle is a plain cross-score + window while
+    * the hash-verified plan is the real store build + bucket-pruned probe
+    * + bounded-TopK serve. */
+  private val q106 = Q("q106_ann_serving",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val users = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("features"))
+      val items = emb.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("features"),
+          ((col("vec_id") % 5).cast("double") * 0.2).as("bias"))
+      val counts = emb.select(col("vec_id").as("id"),
+        when(col("vec_id") % 10 === 9, 5L).otherwise(100L).as("n_ratings"))
+      val codebook = fixedCodebook(emb)
+      graft.serve.Recommend.writeCatalogStore(items, counts, codebook,
+        "q106_store", numBuckets = codebook.size)
+      graft.serve.Recommend.recommendFromStore(s, "q106_store", users,
+          codebook, nProbe = codebook.size, k = 5)
+        .select(col("user_id"), col("item_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rnk"))
+        .orderBy(col("user_id"), col("rnk"))
+    },
+    Some {
+      s"""WITH users AS (SELECT vec_id AS user_id, embedding
+         |               FROM embeddings WHERE vec_id < 20),
+         |items AS (SELECT vec_id AS item_id, embedding,
+         |            (CAST(vec_id % 5 AS DOUBLE) * 0.2) AS bias
+         |          FROM embeddings WHERE vec_id >= 20 AND vec_id % 10 != 9),
+         |scored AS (SELECT u.user_id, i.item_id,
+         |             (${sqlDotChain("u", "i")}) + (0.05 * i.bias) AS score
+         |           FROM users u CROSS JOIN items i),
+         |ranked AS (SELECT user_id, item_id, score, CAST(row_number() OVER
+         |  (PARTITION BY user_id ORDER BY score DESC, item_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT user_id, item_id, round(score, 6) AS score, rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY user_id, rnk""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105)
+    q102, q103, q104, q105, q106)
 }

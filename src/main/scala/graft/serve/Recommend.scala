@@ -81,7 +81,18 @@ object Recommend {
     * the servable catalog by construction. */
   def writeCatalogStore(itemFactors: DataFrame, itemRatingCounts: DataFrame,
                         centroids: Seq[(Long, Seq[Double])], table: String,
-                        numBuckets: Int, popularityFloor: Long = 90L): Unit =
+                        numBuckets: Int, popularityFloor: Long = 90L): Unit = {
+    val spark = itemFactors.sparkSession
+    // a previous PROCESS can leave the table's warehouse location behind
+    // with no entry in this session's in-memory catalog — overwrite mode
+    // cannot reclaim an untracked location (LOCATION_ALREADY_EXISTS), so
+    // drop both the entry and any stale directory first (safe under the
+    // store's single-writer contract)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
       .select(col("id"), col("features").as("vec"), col("bias"),
         Similarity.nearestCell(col("features"), centroids).as("cell"))
@@ -90,6 +101,7 @@ object Recommend {
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** ANN catalog serving (the at-scale L9): each user probes the `nProbe`
     * cells whose centroids have the HIGHEST inner product with their trait
