@@ -56,10 +56,15 @@ object Similarity {
     * vectors by cosine (query set must be small enough to broadcast). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    // norms ride the join sides: once per query/corpus ROW, not per pair
+    // (per-pair cosine would evaluate 3 dot kernels x Q x N)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      VectorOps.norm(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
-      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rank")
   }
@@ -158,9 +163,12 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
       .distinct()
     pairs
-      .join(b.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
-      .join(b.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
-      .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .join(b.select(col("id").as("id_a"), col("vec").as("va"),
+        VectorOps.norm(col("vec")).as("na")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("vec").as("vb"),
+        VectorOps.norm(col("vec")).as("nb")), Seq("id_b"))
+      .withColumn("cosine_sim", round(VectorOps.cosineFromParts(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cosine_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
@@ -195,11 +203,13 @@ object Similarity {
       .filter(col("csz") > 1 && col("csz") <= maxCellSize)
       .select(col("cell"))
     val pruned = assigned.join(okCells, Seq("cell"), "left_semi")
-    pruned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
-      .join(pruned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb")),
-        Seq("cell"))
+    pruned.select(col("cell"), col("id").as("id_a"), col("vec").as("va"),
+        VectorOps.norm(col("vec")).as("na"))
+      .join(pruned.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"),
+        VectorOps.norm(col("vec")).as("nb")), Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", round(VectorOps.cosine(col("va"), col("vb")), 6))
+      .withColumn("cosine_sim", round(VectorOps.cosineFromParts(
+        VectorOps.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .filter(col("cosine_sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
@@ -330,13 +340,16 @@ object Similarity {
           slice(cellsByDistance(col(vecCol), centroids), 1, n).as("cells"))
         .select(col("id"), col("v"), explode(col("cells.cell")).as("cell"))
     val assigned = nearestCells(corpus, 1)
-      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"))
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
+        VectorOps.norm(col("v")).as("cn"))
     val probes = nearestCells(broadcast(queries), nProbe)
-      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"))
+      .select(col("cell"), col("id").as("query_id"), col("v").as("qv"),
+        VectorOps.norm(col("v")).as("qn"))
     // (query, cand) pairs are unique — each corpus vector sits in exactly one
     // cell — so the bounded TopK needs no candidate dedup
     val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rnk")
   }
@@ -368,17 +381,23 @@ object Similarity {
                          nProbe: Int, k: Int): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorOps.norm(col(vecCol)).as("qn"),
         slice(cellsByDistance(col(vecCol), centroids), 1, nProbe).as("cells"))
-      .select(col("query_id"), col("qv"), explode(col("cells.cell")).as("cell"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells.cell")).as("cell"))
     // queries are small by ivfSearch's contract: collecting the probed cell
     // set gives the literal IN-list bucket pruning needs
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // the candidate norm is computed in the scan projection — once per
+    // stored row read, no store schema change
     val cand = spark.table(table)
       .filter(col("cell").isin(probedCells: _*))
-      .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"))
+      .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"),
+        VectorOps.norm(col("vec")).as("cn"))
     val scored = cand.join(broadcast(probes), Seq("cell"))
-      .withColumn("sim", VectorOps.cosine(col("qv"), col("cv")))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rnk")
   }

@@ -47,6 +47,16 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  /** [[cosine]] assembled from a dot column and PRECOMPUTED per-side norms —
+    * the pair-scoring shape: inside a cross/pair join, `cosine(va, vb)`
+    * evaluates three dot kernels PER PAIR (the dot plus both norms), but
+    * each side's norm depends only on its own row — computing it in the
+    * join-side projection costs once per ROW and rides the join. Same
+    * expressions in the same order as [[cosine]] (sqrt-of-dot, NULLIF
+    * guard), so results are bit-identical. */
+  def cosineFromParts(dp: Column, na: Column, nb: Column): Column =
+    dp / nullif(na * nb, lit(0.0))
+
   /** a + s·b (axpy), used by fold-in updates. */
   def axpy(s: Column, a: Column, b: Column): Column =
     zip_with(a, b, (x, y) => x.cast("double") + s * y.cast("double"))
