@@ -369,6 +369,28 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** Incremental catalog refresh: assign NEW vectors to their cells under
+    * the SAME codebook and append to the bucketed store — O(new) cost, the
+    * existing corpus is never rewritten (a 10^8-row store re-quantizes
+    * nothing when a day's new items land). Same append semantics as
+    * [[graft.ops.Dedup.appendToLshSignatureStore]]: bucketBy-append adds
+    * bucketed files per bucket id, and probes see old ∪ new after commit.
+    * The CODEBOOK must be the store's codebook — appending under a refit
+    * codebook desynchronizes the existing rows' partitioning from the
+    * probe assignment (that refresh is [[writeIvfStore]], a rewrite, by
+    * design). Callers own id-uniqueness across appends (re-appending an id
+    * duplicates its row, inflating that cell until a rewrite). */
+  def appendToIvfStore(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[(Long, Seq[Double])], table: String,
+                       numBuckets: Int): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        nearestCell(col(vecCol), centroids).as("cell"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** IVF store, part 2: ANN probe over the bucketed store. The probed cell
     * ids become an IN-list literal, which Spark's bucket pruning turns into
     * reading ONLY the matching buckets (`SelectedBucketsCount: m out of n`

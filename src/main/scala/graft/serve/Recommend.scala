@@ -103,6 +103,27 @@ object Recommend {
       .saveAsTable(table)
   }
 
+  /** Incremental catalog refresh: append NEW servable items to the store
+    * under the store's EXISTING codebook — O(new items), no rewrite of the
+    * standing catalog (the [[graft.ops.Similarity.appendToIvfStore]]
+    * pattern applied to the serving store: same popularity floor at
+    * append time, same cell assignment, bucketed files append per cell).
+    * A codebook refit requires [[writeCatalogStore]] (rewrite) — appending
+    * under a different codebook desynchronizes probe assignment from the
+    * standing rows' partitioning. Callers own id-uniqueness across
+    * appends. */
+  def appendToCatalogStore(itemFactors: DataFrame, itemRatingCounts: DataFrame,
+                           centroids: Seq[(Long, Seq[Double])], table: String,
+                           numBuckets: Int, popularityFloor: Long = 90L): Unit =
+    eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+      .select(col("id"), col("features").as("vec"), col("bias"),
+        Similarity.nearestCell(col("features"), centroids).as("cell"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** ANN catalog serving (the at-scale L9): each user probes the `nProbe`
     * cells whose centroids have the HIGHEST inner product with their trait
     * vector (IVF-MIPS probe — [[Similarity.cellsByDot]]), candidates in

@@ -70,6 +70,40 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("IVF store append: new vectors probe-visible, equal to a full rewrite") {
+    // base store holds the corpus; a refresh appends new vectors under the
+    // SAME codebook at O(new) cost — probes must see old ∪ new exactly as
+    // a from-scratch store of the union would, and bucket pruning must
+    // still hold on the appended table
+    val newcomers = Seq((103L, vec(0.98, 0.02)), (203L, vec(0.02, 0.95)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "ivf_store_app", numBuckets = 4)
+    Similarity.writeIvfStore(corpus.unionByName(newcomers), "vec_id", "embedding",
+      centroids, "ivf_store_full", numBuckets = 4)
+    try {
+      Similarity.appendToIvfStore(newcomers, "vec_id", "embedding", centroids,
+        "ivf_store_app", numBuckets = 4)
+      val appended = Similarity.ivfSearchFromStore(spark, "ivf_store_app",
+        queries, "vec_id", "embedding", centroids, nProbe = 1, k = 10)
+      val rewritten = Similarity.ivfSearchFromStore(spark, "ivf_store_full",
+          queries, "vec_id", "embedding", centroids, nProbe = 1, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(appended.as[(Long, Long, Double, Long)].collect().toSet == rewritten)
+      assert(rewritten.map(_._2).contains(103L) && rewritten.map(_._2).contains(203L))
+      // pruning survives the append (bucketed files per append, same layout)
+      val scanLine = appended.queryExecution.executedPlan.toString.linesIterator
+        .find(_.contains("SelectedBucketsCount"))
+      assert(scanLine.isDefined)
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(scanLine.get).get
+      assert(m.group(1).toInt < m.group(2).toInt, scanLine.get)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_store_app")
+      spark.sql("DROP TABLE IF EXISTS ivf_store_full")
+    }
+  }
+
   test("srpNearPairs with Rademacher planes finds planted near-duplicates") {
     // asymmetric components: a (0.5, 0.5, 0.5, 0.5)-style vector lands
     // exactly ON a +-1 hyperplane (dot = 0), where a 0.01 perturbation

@@ -134,6 +134,38 @@ class RecommendSpec extends SparkTestBase {
     }
   }
 
+  test("catalog store append: new eligible items served, floor applied at append") {
+    // day-2 refresh: two new items appended under the standing codebook —
+    // one servable, one under the popularity floor. Probes at nProbe =
+    // nCells must rank the servable newcomer exactly as a full rewrite
+    // would, and never surface the under-floor one.
+    val rng3 = new scala.util.Random(211L)
+    val newItems = Seq(
+      (1000, Seq.fill(rank)(rng3.nextGaussian()), 0.3),
+      (1001, Seq.fill(rank)(rng3.nextGaussian()), 0.1))
+      .toDF("id", "features", "bias")
+    val newCounts = Seq((1000, 500L), (1001, 5L)).toDF("id", "n_ratings")
+    val centroids = graft.ops.Similarity.kmeansCodebook(
+      items.select("features"), "features", 8, seed = 7L)
+    Recommend.writeCatalogStore(items, counts, centroids, "rec_store_inc", numBuckets = 8)
+    Recommend.writeCatalogStore(items.unionByName(newItems),
+      counts.unionByName(newCounts), centroids, "rec_store_rw", numBuckets = 8)
+    try {
+      Recommend.appendToCatalogStore(newItems, newCounts, centroids,
+        "rec_store_inc", numBuckets = 8)
+      val inc = Recommend.recommendFromStore(spark, "rec_store_inc", users,
+        centroids, nProbe = 8, k = 20).as[(Int, Int, Double, Int)].collect().toSet
+      val rw = Recommend.recommendFromStore(spark, "rec_store_rw", users,
+        centroids, nProbe = 8, k = 20).as[(Int, Int, Double, Int)].collect().toSet
+      assert(inc == rw)
+      assert(inc.exists(_._2 == 1000), "servable newcomer must be rankable")
+      assert(!inc.exists(_._2 == 1001), "under-floor newcomer must never serve")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rec_store_inc")
+      spark.sql("DROP TABLE IF EXISTS rec_store_rw")
+    }
+  }
+
   test("recommendAuto default store name is unique per call (no clobber)") {
     val before = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_serving_catalog_")).toSet
