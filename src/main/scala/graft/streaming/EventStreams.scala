@@ -411,6 +411,32 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$manifestPath/batch=$batchId")
       }
 
+  /** Streaming ANN serving: a feed of refreshed user factor rows
+    * (`id`, `features` — e.g. the fold-in output for users whose histories
+    * just changed) is served per micro-batch against the STANDING bucketed
+    * catalog store ([[graft.serve.Recommend.writeCatalogStore]] /
+    * `appendToCatalogStore`), landing top-k recommendations at
+    * `outPath/batch=B`. The serve-side economics are the batch path's:
+    * each micro-batch's probe reads ~nProbe/nCells of the catalog bytes
+    * (bucket-pruned IN-list scan) and the TopK tail is bounded — a
+    * micro-batch of U users costs O(U × probed-cells), independent of the
+    * user universe. Overwrite-per-batch-directory = the foreachBatch
+    * replay-idempotence recipe shared by every sink here; the store itself
+    * is read-only to this sink (refreshes are the owner's offline
+    * append/rewrite). Centroids must be the store's codebook, same as any
+    * probe. */
+  def sinkRecommendFromStore(userFactors: DataFrame, table: String,
+                             centroids: Seq[(Long, Seq[Double])],
+                             nProbe: Int, k: Int, outPath: String,
+                             biasDamping: Double = 0.05): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    userFactors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.serve.Recommend.recommendFromStore(batch.sparkSession, table,
+            batch, centroids, nProbe, k, biasDamping)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      }
+
   /** One micro-batch of the incremental near-dup pipeline — extracted from
     * [[sinkIncrementalLshDedup]] so the replay contract is directly
     * testable. For batch B of a document feed:

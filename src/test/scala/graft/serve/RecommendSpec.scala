@@ -166,6 +166,37 @@ class RecommendSpec extends SparkTestBase {
     }
   }
 
+  test("streaming serving sink: per-batch store probes equal the batch serve") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val outDir = java.nio.file.Files.createTempDirectory("rec_stream").toString
+    val centroids = graft.ops.Similarity.kmeansCodebook(
+      items.select("features"), "features", 8, seed = 7L)
+    Recommend.writeCatalogStore(items, counts, centroids, "rec_stream_store",
+      numBuckets = 8)
+    try {
+      val in = MemoryStream[(Int, Seq[Double])]
+      val q = graft.streaming.EventStreams.sinkRecommendFromStore(
+          in.toDF().toDF("id", "features"), "rec_stream_store", centroids,
+          nProbe = 4, k = 5, outDir)
+        .start()
+      val batch0 = users.as[(Int, Seq[Double], Double)].collect()
+        .map { case (id, f, _) => (id, f) }
+      in.addData(batch0.take(10).toSeq: _*); q.processAllAvailable()
+      in.addData(batch0.drop(10).toSeq: _*); q.processAllAvailable()
+      q.stop()
+      def served(dir: String) = spark.read.parquet(dir)
+        .as[(Int, Int, Double, Int)].collect().toSet
+      def batchServe(us: Seq[(Int, Seq[Double])]) =
+        Recommend.recommendFromStore(spark, "rec_stream_store",
+            us.toDF("id", "features"), centroids, nProbe = 4, k = 5)
+          .as[(Int, Int, Double, Int)].collect().toSet
+      assert(served(s"$outDir/batch=0") == batchServe(batch0.take(10).toSeq))
+      assert(served(s"$outDir/batch=1") == batchServe(batch0.drop(10).toSeq))
+      assert(served(s"$outDir/batch=0").nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS rec_stream_store")
+  }
+
   test("recommendAuto default store name is unique per call (no clobber)") {
     val before = spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("graft_serving_catalog_")).toSet
