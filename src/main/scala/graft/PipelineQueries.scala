@@ -1242,8 +1242,57 @@ object PipelineQueries {
          |FROM ranked WHERE rnk <= 5 ORDER BY user_id, rnk""".stripMargin
     })
 
+  /** CCNet-style boilerplate phrase scoring: bigram shingles occurring in
+    * ≥ 5% of documents are corpus boilerplate; each doc reports its
+    * distinct-shingle count and boilerplate fraction. (Synthetic-corpus
+    * parameters: the 40-word vocabulary makes 2-grams the granularity with
+    * a discriminative document-frequency spread — production defaults are
+    * n=3, 25%.) Oracle replays shingling, the integer DF threshold, and
+    * the join-back in SQL. */
+  private val q107 = Q("q107_boilerplate",
+    (s, d) => Dedup.boilerplateShingleRatio(documents(s, d), "doc_id", "text",
+        n = 2, minDocPct = 5)
+      .orderBy(col("doc_id")),
+    Some {
+      s"""WITH sh AS (SELECT DISTINCT doc_id, md5(s) AS dg
+         |            FROM (${sqlShingleRows(2)})),
+         |bp AS (SELECT dg FROM (SELECT dg, count(*) AS df FROM sh GROUP BY dg)
+         |       WHERE df * 100 >= 5 * (SELECT count(DISTINCT doc_id) FROM sh)),
+         |j AS (SELECT s.doc_id, CASE WHEN b.dg IS NOT NULL THEN 1 ELSE 0 END AS is_bp
+         |      FROM sh s LEFT JOIN bp b USING (dg))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(is_bp) AS BIGINT) AS n_boiler,
+         |       round(sum(is_bp)::DOUBLE / count(*), 6) AS boiler_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
+  /** Cross-source contamination matrix: distinct 6-gram shingles shared by
+    * each unordered source pair — the governance audit of which corpus
+    * sources leak into each other (benchmark-suite-as-source = train-test
+    * contamination sweep). The universal-gram cap mirrors the operator
+    * default. */
+  private val q108 = Q("q108_source_overlap",
+    (s, d) => Dedup.crossSourceNgramOverlap(documents(s, d), "doc_id", "text",
+        "source", n = 6, maxSourcesPerGram = 1000)
+      .orderBy(col("src_a"), col("src_b")),
+    Some {
+      s"""WITH base AS (SELECT source, s FROM (
+         |  SELECT doc_id, source, unnest(list_transform(
+         |    range(0, greatest(len(string_split($SqlNorm, ' ')) - 6, 0) + 1),
+         |    i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 6], ' '))) AS s
+         |  FROM documents)),
+         |g AS (SELECT DISTINCT source, md5(s) AS dg FROM base),
+         |ok AS (SELECT dg FROM g GROUP BY dg
+         |       HAVING count(*) > 1 AND count(*) <= 1000),
+         |p AS (SELECT g.source, g.dg FROM g JOIN ok USING (dg))
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       CAST(count(*) AS BIGINT) AS n_shared
+         |FROM p a JOIN p b ON a.dg = b.dg AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106)
+    q102, q103, q104, q105, q106, q107, q108)
 }

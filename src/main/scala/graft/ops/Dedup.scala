@@ -713,4 +713,75 @@ object Dedup {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
       .filter(col("n_kept") > 0)
   }
+
+  /** CCNet-style corpus-frequency boilerplate detection at phrase
+    * granularity: an n-gram shingle occurring in ≥ `minDocPct`% of the
+    * documents is corpus boilerplate (navigation chrome, license headers,
+    * templated intros), and each document is scored by the fraction of its
+    * DISTINCT shingles that are boilerplate — the per-doc drop/clean signal
+    * a curation funnel thresholds on. Output: (doc_id, n_shingles,
+    * n_boiler, boiler_ratio).
+    *
+    * Scale shape: one shingle pass ([[shingleRows]]); distinct
+    * (doc, md5-digest) rows shuffle on the DIGEST, never shingle text; doc
+    * frequency is a single count aggregation; the threshold compare is
+    * integer (df·100 ≥ pct·nDocs — no double knife-edge); the boilerplate
+    * set joins back on the digest and per-doc scoring is one doc-id
+    * aggregation. The distinct-shingle frame feeds two branches (DF count
+    * + join-back), so it persists — [[minHashLshCandidates]]'s cache
+    * contract (clearCache between corpora). Docs yielding no shingles
+    * (NULL/empty text) have no defined ratio and drop out, matching the
+    * shingle-kernel total-function contract. */
+  def boilerplateShingleRatio(df: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, minDocPct: Int = 25): DataFrame = {
+    require(minDocPct >= 1 && minDocPct <= 100, "minDocPct must be in [1, 100]")
+    val sh = shingleRows(df, idCol, textCol, n)
+      .select(col("id"), md5(col("shingle").cast("binary")).as("dg"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sh.select(col("id")).distinct().count() // scalar, one job
+    val boiler = sh.groupBy(col("dg")).agg(count(lit(1)).as("df"))
+      .filter(col("df") * 100 >= lit(minDocPct.toLong) * nDocs)
+      .select(col("dg"), lit(1).as("__bp"))
+    sh.join(boiler, Seq("dg"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__bp"), lit(0))).cast("long").as("n_boiler"))
+      .select(col("id").as("doc_id"), col("n_shingles"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6)
+          .as("boiler_ratio"))
+  }
+
+  /** Cross-source n-gram contamination matrix: for every unordered source
+    * pair, the number of DISTINCT n-gram shingles present in both — the
+    * corpus-governance audit "which sources leak into / template each
+    * other" (and, run with a benchmark suite as one side, the
+    * train-test-contamination sweep at n-gram granularity; the Bloom path
+    * ([[buildNgramBloom]]) answers per-DOC membership, this answers
+    * source-pair mass). Output: (src_a, src_b, n_shared), src_a < src_b.
+    *
+    * Scale shape: distinct (source, digest) rows shuffle on the DIGEST;
+    * the pair join is a self-join keyed by digest whose per-key group is
+    * the gram's source count — bounded by the source dimension (small by
+    * contract), and `maxSourcesPerGram` guards the degenerate universal
+    * gram (present in half the sources, it contributes quadratically many
+    * pairs while carrying no pairwise signal — the same cap reasoning as
+    * LSH's `maxBucketSize`). The matrix itself is ≤ |sources|² rows. */
+  def crossSourceNgramOverlap(df: DataFrame, idCol: String, textCol: String,
+                              srcCol: String, n: Int = 6,
+                              maxSourcesPerGram: Int = 1000): DataFrame = {
+    val grams = shingleRows(df, idCol, textCol, n, passthrough = Seq(srcCol))
+      .select(col(srcCol).as("src"), md5(col("shingle").cast("binary")).as("dg"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = grams.groupBy(col("dg")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") > 1 && col("ns") <= maxSourcesPerGram)
+      .select(col("dg"))
+    val pruned = grams.join(ok, Seq("dg"), "left_semi")
+    pruned.select(col("dg"), col("src").as("src_a"))
+      .join(pruned.select(col("dg"), col("src").as("src_b")), Seq("dg"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

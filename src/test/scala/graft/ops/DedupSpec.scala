@@ -258,4 +258,51 @@ class DedupSpec extends SparkTestBase {
     assert(fps(1L) == fps(5L))
     assert(fps(1L) != fps(4L))
   }
+
+  test("boilerplateShingleRatio flags corpus-frequent phrases per doc") {
+    // "click here now" rides 4 of 5 docs (80% >= 50% threshold); each
+    // doc's filler trigrams are unique to it (DF 1 -> not boilerplate)
+    val corpus = Seq(
+      (1L, "click here now alpha beta gamma delta"),
+      (2L, "epsilon zeta click here now eta theta"),
+      (3L, "iota kappa lambda click here now mu"),
+      (4L, "click here now nu xi omicron pi"),
+      (5L, "sigma tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateShingleRatio(corpus, "doc_id", "text",
+        n = 3, minDocPct = 50)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // every doc has 5 distinct trigrams (7 tokens); only the planted
+    // phrase clears 50% document frequency
+    (1L to 4L).foreach { id =>
+      val (nSh, nBp, ratio) = out(id)
+      assert(nSh == 5L, s"doc $id shingles: $nSh")
+      assert(nBp == 1L, s"doc $id boiler count: $nBp")
+      assert(ratio == 0.2, s"doc $id ratio: $ratio")
+    }
+    assert(out(5L) == ((5L, 0L, 0.0)))
+  }
+
+  test("crossSourceNgramOverlap counts shared grams per source pair with cap") {
+    // sources A and B share one planted 6-gram; C shares nothing; a
+    // universal gram sits in all three and must die under the cap
+    val shared = "one two three four five six"
+    val universal = "u1 u2 u3 u4 u5 u6"
+    val corpus = Seq(
+      (1L, "A", s"$shared alpha beta $universal"),
+      (2L, "B", s"gamma $shared delta $universal"),
+      (3L, "C", s"epsilon zeta eta theta iota kappa $universal"))
+      .toDF("doc_id", "source", "text")
+    def matrix(cap: Int): Map[(String, String), Long] =
+      Dedup.crossSourceNgramOverlap(corpus, "doc_id", "text",
+          "source", n = 6, maxSourcesPerGram = cap)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    // cap 2: the universal gram (3 sources) dies; only the planted pair
+    assert(matrix(2) == Map(("A", "B") -> 1L))
+    // uncapped: the universal gram contributes one shared gram to every pair
+    assert(matrix(1000) == Map(
+      ("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+  }
 }
