@@ -1291,8 +1291,35 @@ object PipelineQueries {
          |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
     })
 
+  /** Naive-Bayes source classifier (train by counting + smoothed scoring,
+    * [[Classify.nbPredict]]): the quality-classifier stage of a curation
+    * pipeline, self-trained on the corpus's own source labels. The oracle
+    * replays the count/smooth/score algebra and the argmax tie-break
+    * (score DESC, class ASC) exactly. */
+  private val q109 = Q("q109_nb_classify",
+    (s, d) => Classify.nbPredict(documents(s, d), "doc_id", "text", "source")
+      .orderBy(col("doc_id")),
+    Some {
+      s"""WITH tk AS (SELECT doc_id, source AS y0, w FROM (
+         |    SELECT doc_id, source, unnest(string_split($SqlNorm, ' ')) AS w
+         |    FROM documents) WHERE w <> ''),
+         |c AS (SELECT w, y0 AS y, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         |cy AS (SELECT y, sum(cnt) AS cy FROM c GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM c),
+         |pr AS (SELECT w, y, (coalesce(cnt, 0) + 1)::DOUBLE
+         |         / (cy + v)::DOUBLE AS p
+         |       FROM (SELECT DISTINCT w FROM c) CROSS JOIN cy
+         |       LEFT JOIN c USING (w, y) CROSS JOIN v),
+         |sc AS (SELECT doc_id, y, round(avg(p), 6) AS s
+         |       FROM tk JOIN pr USING (w) GROUP BY 1, 2)
+         |SELECT doc_id, y AS pred_label, s AS score FROM (
+         |  SELECT doc_id, y, s, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY s DESC, y ASC) AS rn FROM sc)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108)
+    q102, q103, q104, q105, q106, q107, q108, q109)
 }

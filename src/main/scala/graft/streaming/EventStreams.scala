@@ -530,6 +530,42 @@ object EventStreams {
           deltaPath, outPath, shingleLen, numHashes, bands, maxBucketSize)
       }
 
+  /** Streaming quality gate — the train-batch / serve-stream split of the
+    * Naive-Bayes classifier ([[graft.ops.Classify]]): an append-only
+    * document feed is classified per row against a BROADCAST model
+    * ([[graft.ops.Classify.nbTrainCollect]], vocabulary-sized by
+    * contract), tagging each document with its predicted class, that
+    * class's mean-conditional score, and a `keep` verdict
+    * (`pred_label == keepClass && score >= minScore`).
+    *
+    * Deliberately STATELESS: no shuffle, no watermark, no state store —
+    * one narrow projection per micro-batch, so gate throughput is scan
+    * throughput and the operator composes ahead of any keyed stage
+    * (the decode-at-the-edge argument of [[enrichLatestMediaFeatures]],
+    * applied to classification). The broadcast is the serve-time model
+    * pin: refreshing the model is a restart with a retrained broadcast,
+    * not an in-flight mutation. The scoring UDF is the sanctioned
+    * broadcast-lookup escape hatch (the Bloom-filter membership shape,
+    * SURVEY §4) — the per-row work is a hash probe per token.
+    *
+    * Works identically on batch frames (the gate IS the batch scorer when
+    * the model was trained on the same corpus — spec'd equivalence). */
+  def gateByNbModel(docs: DataFrame, textCol: String,
+                    model: graft.ops.Classify.NbModel,
+                    keepClass: String, minScore: Double): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val predictUdf = udf((toks: Seq[String]) => bc.value.predict(toks))
+    docs
+      .withColumn("__p",
+        predictUdf(graft.ops.TextOps.wsTokens(
+          graft.ops.TextOps.normalizeText(col(textCol)))))
+      .withColumn("pred_label", col("__p._1"))
+      .withColumn("score", col("__p._2"))
+      .drop("__p")
+      .withColumn("keep",
+        col("pred_label") === lit(keepClass) && col("score") >= lit(minScore))
+  }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of
