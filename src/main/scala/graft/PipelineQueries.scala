@@ -1318,8 +1318,36 @@ object PipelineQueries {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     })
 
+  /** Span-level repeated-substring detection ([[Dedup.repeatedSpans]],
+    * Lee et al. ACL'22 at k-gram granularity): maximal per-doc token spans
+    * covered by 8-token windows occurring ≥2 times corpus-wide. The oracle
+    * groups windows by their STRING (the operator by the 62-bit kernel
+    * hash — equal iff strings equal, collisions negligible at any tested
+    * scale; q42's precedent) and replays the gaps-and-islands merge. */
+  private val q110 = Q("q110_repeated_spans",
+    (s, d) => Dedup.repeatedSpans(documents(s, d), "doc_id", "text", 8)
+      .orderBy(col("doc_id"), col("span_start")),
+    Some {
+      s"""WITH t AS (SELECT doc_id, string_split($SqlNorm, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id,
+         |        unnest(range(0, len(toks) - 8 + 1)) AS pos,
+         |        unnest(list_transform(range(0, len(toks) - 8 + 1),
+         |          i -> array_to_string(toks[i + 1:i + 8], ' '))) AS ws
+         |      FROM t WHERE len(toks) >= 8),
+         |p AS (SELECT doc_id, pos FROM w
+         |      WHERE ws IN (SELECT ws FROM w GROUP BY ws HAVING count(*) >= 2)),
+         |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+         |      FROM p),
+         |s AS (SELECT doc_id, pos, sum(brk) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len,
+         |       count(*) AS n_windows
+         |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }

@@ -187,6 +187,7 @@ object GraftFunctions {
     ("graft_l2sq", classOf[L2Sq], buildL2Sq),
     ("graft_text_hash62", classOf[TextHash62], TextFunctions.buildTextHash62),
     ("graft_shingle_hashes", classOf[ShingleHashSet], TextFunctions.buildShingleHashes),
+    ("graft_shingle_hash_seq", classOf[ShingleHashSeq], TextFunctions.buildShingleHashSeq),
     ("graft_minhash_sig", classOf[MinHashSig], TextFunctions.buildMinHashSig),
     ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62))
 

@@ -47,6 +47,19 @@ case class ShingleHashSet(child: Expression, n: Int) extends TextKernelExpressio
     copy(child = newChild)
 }
 
+/** Positional (non-distinct) 62-bit n-token full-window shingle hashes:
+  * index = token position; empty for docs shorter than n tokens. */
+case class ShingleHashSeq(child: Expression, n: Int) extends TextKernelExpression {
+  require(n >= 1, "shingle length must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash_seq"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashSeq(input.asInstanceOf[UTF8String], n)
+  override protected def kernelCall(c: String): String = s"shingleHashSeq($c, $n)"
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSeq =
+    copy(child = newChild)
+}
+
 /** k-component MinHash signature over n-token shingles. */
 case class MinHashSig(child: Expression, n: Int, k: Int) extends TextKernelExpression {
   require(n >= 1 && k >= 1, "shingle length and signature size must be >= 1")
@@ -86,6 +99,8 @@ object TextFunctions {
     GraftColumnBridge.column(TextHash62(GraftColumnBridge.expression(text)))
   def shingle_hashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(ShingleHashSet(GraftColumnBridge.expression(text), n))
+  def shingle_hash_seq(text: Column, n: Int): Column =
+    GraftColumnBridge.column(ShingleHashSeq(GraftColumnBridge.expression(text), n))
   def minhash_sig(text: Column, n: Int, k: Int): Column =
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(text), n, k))
   def simhash62(text: Column): Column =
@@ -109,6 +124,11 @@ object TextFunctions {
     case Seq(t, n) => ShingleHashSet(t, intLit(n, "graft_shingle_hashes", "n"))
     case e => throw new IllegalArgumentException(
       s"graft_shingle_hashes requires exactly 2 arguments, got ${e.length}")
+  }
+  private[functions] val buildShingleHashSeq: Seq[Expression] => Expression = {
+    case Seq(t, n) => ShingleHashSeq(t, intLit(n, "graft_shingle_hash_seq", "n"))
+    case e => throw new IllegalArgumentException(
+      s"graft_shingle_hash_seq requires exactly 2 arguments, got ${e.length}")
   }
   private[functions] val buildMinHashSig: Seq[Expression] => Expression = {
     case Seq(t, n, k) => MinHashSig(t, intLit(n, "graft_minhash_sig", "n"),

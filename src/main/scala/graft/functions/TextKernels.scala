@@ -143,6 +143,29 @@ object TextKernels extends Serializable {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, w))
   }
 
+  /** POSITIONAL 62-bit shingle hashes: element i = hash of the FULL
+    * n-token window starting at token i of the normalized text — NOT
+    * deduplicated, NOT sorted, and (unlike [[shingleHashSet]]) no partial
+    * tail window: a doc with fewer than n tokens yields an empty array.
+    * Position is the array index, so `posexplode` recovers (pos, hash)
+    * rows — the input to span-level duplicate detection, where WHERE a
+    * window occurs matters as much as THAT it occurs. */
+  def shingleHashSeq(text: UTF8String, n: Int): ArrayData = {
+    val s = normalize(text.toString)
+    val starts = tokenStarts(s)
+    val ntok = starts.length - 1
+    val m = math.max(ntok - n + 1, 0)
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val from = starts(i)
+      val until = (if (i + n >= ntok) s.length + 1 else starts(i + n)) - 1
+      hs(i) = hashRange(s, from, until)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(hs)
+  }
+
   /** k-component MinHash signature over the doc's n-token shingles
     * (duplicate shingles are harmless under min). */
   def minHashSig(text: UTF8String, n: Int, k: Int): ArrayData = {

@@ -784,4 +784,59 @@ object Dedup {
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** SPAN-level repeated-substring detection — the sub-document granularity
+    * Lee et al. ("Deduplicating Training Data Makes Language Models
+    * Better", ACL'22) show whole-doc dedup misses: a k-token window whose
+    * text occurs ≥ `minCount` times ANYWHERE in the corpus (across docs or
+    * repeated within one) marks its positions duplicated, and runs of
+    * overlapping-or-adjacent duplicated windows merge into maximal spans.
+    * Their suffix-array formulation is inherently single-machine; the
+    * distributed equivalent is positional k-gram matching: every repeated
+    * substring of length ≥ k contains a repeated k-window at each offset,
+    * so the merged spans cover exactly the ≥k-token repeated regions
+    * (granularity k: span ENDS round up to a window boundary). Output one
+    * row per maximal span: (doc_id, span_start, span_len, n_windows) in
+    * token coordinates of the normalized text — the mask a training
+    * pipeline cuts or down-weights before packing sequences
+    * ([[graft.ops.TextOps.packSequences]] consumes the complement).
+    *
+    * Scale shape: positional window hashes come from ONE codegen'd map
+    * ([[graft.functions.TextKernels.shingleHashSeq]] — no partial tail
+    * window, so sub-k docs contribute nothing); rows (doc_id, pos, g) are
+    * 20 bytes and shuffle ONCE on the 8-byte gram hash, where a count
+    * window marks repeats on that same exchange (the q42 prune pattern —
+    * no second pass, no extra exchange; a corpus-boilerplate gram makes a
+    * large window partition but its rows are narrow and the unordered
+    * count spills, not OOMs). Survivors shuffle ONCE more on doc_id for
+    * the gaps-and-islands merge — windows bounded by doc length, never
+    * corpus-wide. Total: two shuffles of the window universe, both on
+    * narrow keys; the full text never crosses the wire (no Layout.spread
+    * here — kernel work is linear in text BYTES, and scan partitions are
+    * byte-balanced by maxPartitionBytes already). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 1 && minCount >= 2, "need k >= 1 and minCount >= 2")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.shingle_hash_seq(col(textCol), k)))
+      .toDF("doc_id", "pos", "g")
+      .repartition(n, col("g"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val dupPos = w
+      .withColumn("__occ", count(lit(1)).over(wG))
+      .filter(col("__occ") >= minCount)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wDoc) <= k, 0L).otherwise(1L))
+      .withColumn("__grp", sum(col("__brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"), col("n_windows"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Hand-computed cases for [[Dedup.repeatedSpans]] and its positional
+  * shingle kernel: cross-doc repeats, within-doc repeats, maximal-span
+  * merging, the ≥k no-partial-window contract, and the minCount knob. */
+class RepeatedSpansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingle_hash_seq is positional, full windows only") {
+    val out = df((1L, "a b c d"), (2L, "a b"), (3L, ""))
+      .select(col("doc_id"), TextFunctions.shingle_hash_seq(col("text"), 3).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L).length == 2)    // windows "a b c", "b c d"
+    assert(out(2L).isEmpty && out(3L).isEmpty) // sub-k docs: nothing
+    // positional identity: same window text => same hash at both sites
+    val again = df((4L, "x a b c"), (5L, "a b c y"))
+      .select(TextFunctions.shingle_hash_seq(col("text"), 3).as("hs"))
+      .as[Seq[Long]].collect()
+    assert(again(0)(1) == again(1)(0)) // "a b c" at pos 1 and pos 0
+  }
+
+  test("cross-doc repeated window becomes a span in both docs") {
+    // "one two three four" shared by docs 1 and 2 at different offsets
+    val d = df(
+      (1L, "one two three four alpha beta gamma"),
+      (2L, "x y one two three four p q r"),
+      (3L, "nothing shared here at all friends"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 4L, 1L), (2L, 2L, 4L, 1L)))
+  }
+
+  test("overlapping duplicated windows merge into one maximal span") {
+    // 6-token repeat shared across docs => with k=4, three overlapping
+    // windows (pos 0,1,2 in doc 1) merge into a single span of len 6
+    val rep = "one two three four five six"
+    val d = df((1L, s"$rep tail a b"), (2L, s"head c $rep"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 6L, 3L), (2L, 2L, 6L, 3L)))
+  }
+
+  test("disjoint repeats yield separate spans; within-doc repeat counts") {
+    // doc 1 repeats its own 4-gram at pos 0 and pos 8 (gap 8 > k=4)
+    val d = df((1L, "a b c d x1 x2 x3 x4 a b c d"),
+               (2L, "unrelated words only in here"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 4L, 1L), (1L, 8L, 4L, 1L)))
+  }
+
+  test("adjacent (non-overlapping, gap-free) windows merge") {
+    // doc 1: duplicated windows at pos 0 and pos 4 with k=4 — intervals
+    // [0,3] and [4,7] touch, so one contiguous masked span of len 8
+    val d = df(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d zz1 zz2 zz3 zz4"),   // repeats window at pos 0
+      (3L, "yy1 yy2 yy3 yy4 e f g h"))   // repeats window at pos 4
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(_._1 == 1L).toSet
+    assert(spans == Set((1L, 0L, 8L, 2L)))
+  }
+
+  test("minCount raises the repetition bar") {
+    val d = df(
+      (1L, "one two three four a1 a2 a3 a4"),
+      (2L, "one two three four b1 b2 b3 b4"),
+      (3L, "one two three four c1 c2 c3 c4"),
+      (4L, "a1 a2 a3 a4 only twice here x"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4, minCount = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the triple-repeated gram survives minCount=3; the doubled one does not
+    assert(spans == Set((1L, 0L, 4L, 1L), (2L, 0L, 4L, 1L), (3L, 0L, 4L, 1L)))
+  }
+
+  test("normalization applies before windowing (case/punct-insensitive)") {
+    val d = df((1L, "One, Two THREE four tail1 tail2 tail3"),
+               (2L, "pad1 pad2 pad3 one two three FOUR!"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 0L, 4L, 1L), (2L, 3L, 4L, 1L)))
+  }
+}
