@@ -1346,8 +1346,42 @@ object PipelineQueries {
          |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
     })
 
+  /** CCNet-shaped perplexity filter ([[Terms.bigramPerplexity]]): a
+    * Laplace-smoothed bigram LM trained on the src0 slice (the "clean
+    * reference") scores every document; the oracle replays the count /
+    * smooth / −log₂ / 2^avg algebra with the same train/apply split. */
+  private val q111 = Q("q111_lm_perplexity",
+    (s, d) => {
+      val docs = documents(s, d)
+      Terms.bigramPerplexity(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0"), "text")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      s"""WITH tt AS (SELECT string_split($SqlNorm, ' ') AS toks
+         |            FROM documents WHERE source = 'src0'),
+         |tb AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+         |              unnest(toks[2:len(toks)]) AS w2 FROM tt),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tb GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |        (SELECT unnest(toks) AS w FROM tt)),
+         |sb AS (SELECT doc_id, unnest(toks[1:len(toks) - 1]) AS w1,
+         |              unnest(toks[2:len(toks)]) AS w2
+         |       FROM (SELECT doc_id, string_split($SqlNorm, ' ') AS toks
+         |             FROM documents)),
+         |p AS (SELECT doc_id,
+         |        -log2((coalesce(c2.c2, 0) + 1)::DOUBLE
+         |              / (coalesce(c1.c1, 0) + v.v)::DOUBLE) AS nll
+         |      FROM sb LEFT JOIN c2 USING (w1, w2)
+         |              LEFT JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll,
+         |       round(pow(2.0, avg(nll)), 4) AS ppl
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
 }

@@ -152,6 +152,58 @@ object Terms {
         round(avg(col("cond_p")), 6).as("avg_cond_p"))
   }
 
+  /** Perplexity scoring under a Laplace-smoothed bigram LM with a
+    * TRAIN/APPLY split — the CCNet quality-filter shape (Wenzek et al.
+    * LREC'20: an LM trained on a clean reference corpus scores every
+    * candidate document; low perplexity ≈ reference-like, high ≈ noise),
+    * with the n-gram LM standing in for their KenLM. Per scored document:
+    * n_bigrams, avg_nll (mean −log₂ p(w₂|w₁)) and ppl = 2^avg_nll, where
+    * p(w₂|w₁) = (c(w₁,w₂)+1) / (c(w₁,·)+V) over TRAINING counts, V =
+    * distinct training tokens — so unseen contexts degrade gracefully to
+    * 1/V instead of zeroing the document. A pipeline thresholds on ppl
+    * (keep low band, drop or down-weight the tail); unlike
+    * [[bigramCondProb]] (self-scored, unsmoothed) this is the
+    * cross-corpus form: the model never sees the scored text.
+    *
+    * Scale shape: training counts are one map-side-combined aggregation
+    * of the training corpus (vocabulary²-bounded output); context counts
+    * re-aggregate the COUNT table, not the corpus; V is a scalar frame
+    * cross-joined via broadcast. Scoring shuffles the candidate bigram
+    * stream once onto (w1, w2) and once onto w1 for the two lookup
+    * joins (left joins — unseen pairs/contexts coalesce to 0), then
+    * aggregates per doc. Nothing corpus-sized is collected or broadcast;
+    * documents with < 2 tokens have no bigrams and are absent. */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       train: DataFrame, trainTextCol: String): DataFrame = {
+    def bg(tcol: String): Column = {
+      val toks = TextOps.wsTokens(TextOps.normalizeText(col(tcol)))
+      explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg")
+    }
+    val trainBg = train.select(bg(trainTextCol))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val vDf = train
+      .select(explode(TextOps.wsTokens(TextOps.normalizeText(col(trainTextCol)))).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    val scoreBg = docs.select(col(idCol).as("doc_id"), bg(textCol))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val nll = scoreBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vDf))
+      .withColumn("__nll", -log(2.0,
+        (coalesce(col("__c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v")).cast("double")))
+    nll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 6).as("avg_nll"),
+        round(pow(lit(2.0), avg(col("__nll"))), 4).as("ppl"))
+  }
+
   /** Train BPE merge rules over the corpus — the full tokenizer-training
     * loop whose inner statistic is [[bpePairCounts]]. Split of work
     * follows every production tokenizer trainer: the CORPUS-sized stage
