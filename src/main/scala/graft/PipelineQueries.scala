@@ -1380,8 +1380,33 @@ object PipelineQueries {
          |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** Asymmetric containment near-dup pairs ([[Dedup.ngramContainmentPairs]],
+    * Broder's |A∩B|/|A|): catches short-inside-long inclusion that symmetric
+    * Jaccard misses — blocked on lang ONLY (a length bucket would separate
+    * exactly the asymmetric pairs this measure exists for). The oracle is
+    * the independent brute form: per-block cross join with list_intersect,
+    * equivalent because a pair with containment ≥ t > 0 shares ≥ 1 shingle
+    * and the corpus's block DF stays below the operator's prune cap. */
+  private val q112 = Q("q112_ngram_containment",
+    (s, d) => Dedup.ngramContainmentPairs(documents(s, d), "doc_id", "text",
+        Seq(col("lang")), 3, 0.6)
+      .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val contA = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)"
+      val contB = "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)"
+      s"""WITH s AS (SELECT doc_id, lang, list_distinct(list_transform(
+         |    range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+         |    i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' '))) AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       $contA AS cont_a, $contB AS cont_b
+         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE greatest($contA, $contB) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
 }

@@ -439,7 +439,21 @@ object Dedup {
     * the same (block, h) partitioning as the pair join — no extra exchange. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], shingleLen: Int,
-                        minJaccard: Double, maxShingleDf: Int = 500): DataFrame = {
+                        minJaccard: Double, maxShingleDf: Int = 500): DataFrame =
+    blockedPairCounts(df, idCol, textCol, blockCols, shingleLen, maxShingleDf)
+      .withColumn("jaccard",
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Shared core of [[ngramJaccardPairs]] / [[ngramContainmentPairs]]:
+    * blocked self-join over per-doc distinct shingle-hash sets, yielding
+    * per-pair (id_a < id_b) set sizes and intersection count — every
+    * set-overlap measure (Jaccard, containment, overlap coefficient, Dice)
+    * is a closed-form over (na, nb, c). */
+  private def blockedPairCounts(df: DataFrame, idCol: String, textCol: String,
+                                blockCols: Seq[Column], shingleLen: Int,
+                                maxShingleDf: Int): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val withBlock = df.withColumn("block", struct(blockCols: _*))
     // per-doc DISTINCT shingle-hash sets in one shuffle-free codegen'd map
@@ -474,11 +488,39 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jaccard",
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Blocked n-gram CONTAINMENT near-dup pairs — the asymmetric overlap
+    * measure (Broder '97's "containment of A in B": |A∩B|/|A|) symmetric
+    * Jaccard structurally misses: a short document pasted inside a much
+    * longer one has |A∩B| ≈ |A| ≪ |A∪B|, so Jaccard vanishes with the
+    * length ratio while containment stays ≈ 1. The quote/excerpt/
+    * template-inclusion detector of a curation pipeline — and, run with a
+    * benchmark suite as one side, the contamination check that catches
+    * benchmark items EMBEDDED in web pages. Emits both directions per
+    * unordered pair (cont_a = |A∩B|/|A|, cont_b = |A∩B|/|B|) and keeps
+    * pairs where EITHER side's containment clears the threshold; consumers
+    * read max(cont_a, cont_b) ≥ t with the contained side identified by
+    * which column cleared.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] (shared
+    * [[blockedPairCounts]] core — one shingle pass, (block, hash)-keyed
+    * self-join with the hot-shingle DF prune, per-pair counts closed over
+    * (na, nb, c)); only the final arithmetic differs. Same `maxShingleDf`
+    * underestimate contract on pruned shingles. BLOCKING CAVEAT: do NOT
+    * block on a length bucket here (q42's choice) — the asymmetric pairs
+    * containment exists to find are short-vs-long, which length bucketing
+    * separates by construction; block on invariants of inclusion (lang,
+    * source) only. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[Column], shingleLen: Int,
+                            minContainment: Double,
+                            maxShingleDf: Int = 500): DataFrame =
+    blockedPairCounts(df, idCol, textCol, blockCols, shingleLen, maxShingleDf)
+      .withColumn("cont_a", round(col("c").cast("double") / col("na"), 6))
+      .withColumn("cont_b", round(col("c").cast("double") / col("nb"), 6))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+      .select(col("id_a"), col("id_b"), col("cont_a"), col("cont_b"))
 
   /** Duplicate-cluster extraction — the KEEP-LIST step of corpus dedup:
     * connected components over the undirected near-duplicate pair graph
