@@ -1324,26 +1324,34 @@ object PipelineQueries {
     * groups windows by their STRING (the operator by the 62-bit kernel
     * hash — equal iff strings equal, collisions negligible at any tested
     * scale; q42's precedent) and replays the gaps-and-islands merge. */
+  /** Shared CTE chain replaying [[Dedup.repeatedSpans]] at window size k:
+    * positional k-token windows (strings — hash equality iff string
+    * equality), corpus-wide repeat mark, gaps-and-islands merge. Yields
+    * CTEs t (doc_id, toks) and sp (doc_id, grp with per-window pos rows);
+    * q110 and q113 close over them differently. */
+  private def sqlSpanChain(k: Int): String =
+    s"""t AS (SELECT doc_id, string_split($SqlNorm, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id,
+       |        unnest(range(0, len(toks) - $k + 1)) AS pos,
+       |        unnest(list_transform(range(0, len(toks) - $k + 1),
+       |          i -> array_to_string(toks[i + 1:i + $k], ' '))) AS ws
+       |      FROM t WHERE len(toks) >= $k),
+       |p AS (SELECT doc_id, pos FROM w
+       |      WHERE ws IN (SELECT ws FROM w GROUP BY ws HAVING count(*) >= 2)),
+       |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+       |        PARTITION BY doc_id ORDER BY pos) <= $k THEN 0 ELSE 1 END AS brk
+       |      FROM p),
+       |sp AS (SELECT doc_id, pos, sum(brk) OVER (
+       |        PARTITION BY doc_id ORDER BY pos) AS grp FROM b)""".stripMargin
+
   private val q110 = Q("q110_repeated_spans",
     (s, d) => Dedup.repeatedSpans(documents(s, d), "doc_id", "text", 8)
       .orderBy(col("doc_id"), col("span_start")),
     Some {
-      s"""WITH t AS (SELECT doc_id, string_split($SqlNorm, ' ') AS toks FROM documents),
-         |w AS (SELECT doc_id,
-         |        unnest(range(0, len(toks) - 8 + 1)) AS pos,
-         |        unnest(list_transform(range(0, len(toks) - 8 + 1),
-         |          i -> array_to_string(toks[i + 1:i + 8], ' '))) AS ws
-         |      FROM t WHERE len(toks) >= 8),
-         |p AS (SELECT doc_id, pos FROM w
-         |      WHERE ws IN (SELECT ws FROM w GROUP BY ws HAVING count(*) >= 2)),
-         |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
-         |        PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
-         |      FROM p),
-         |s AS (SELECT doc_id, pos, sum(brk) OVER (
-         |        PARTITION BY doc_id ORDER BY pos) AS grp FROM b)
+      s"""WITH ${sqlSpanChain(8)}
          |SELECT doc_id, min(pos) AS span_start, max(pos) - min(pos) + 8 AS span_len,
          |       count(*) AS n_windows
-         |FROM s GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
+         |FROM sp GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin
     })
 
   /** CCNet-shaped perplexity filter ([[Terms.bigramPerplexity]]): a
@@ -1405,8 +1413,39 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin
     })
 
+  /** Span CUT ([[Dedup.cutSpans]] ∘ [[Dedup.repeatedSpans]]): remove every
+    * repeated-span token from every document — the train-on-this output of
+    * sub-document dedup. The oracle rebuilds spans via the shared chain,
+    * anti-joins covered positions, and re-assembles text with an ordered
+    * string_agg; fully-covered docs survive as empty rows both sides. */
+  private val q113 = Q("q113_span_cut",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.cutSpans(docs, "doc_id", "text",
+          Dedup.repeatedSpans(docs, "doc_id", "text", 8))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      s"""WITH ${sqlSpanChain(8)},
+         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 8 - 1 AS s1
+         |          FROM sp GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+         |               unnest(toks) AS w FROM t),
+         |cut AS (SELECT DISTINCT tok.doc_id, pos FROM tok
+         |        JOIN spans s ON tok.doc_id = s.doc_id
+         |                    AND pos >= s.s0 AND pos <= s.s1),
+         |kept AS (SELECT doc_id, pos, w FROM tok
+         |         ANTI JOIN cut USING (doc_id, pos)),
+         |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       coalesce(agg.n_kept, 0) AS n_kept,
+         |       len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
 }

@@ -881,4 +881,38 @@ object Dedup {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_windows"))
   }
+
+  /** Consumer of [[repeatedSpans]] (or any (doc_id, span_start, span_len)
+    * frame in normalized-token coordinates): CUT the flagged spans out of
+    * each document, returning the cleaned text plus kept/cut token counts
+    * — Lee et al.'s remove-the-repetition step, producing what a pipeline
+    * actually trains on ([[graft.ops.TextOps.packSequences]] consumes
+    * `clean_text` downstream). Documents without spans pass through with
+    * their normalized text intact; a fully-covered document survives as an
+    * empty row (n_kept = 0) for the funnel to drop explicitly rather than
+    * vanishing silently.
+    *
+    * Scale shape: spans aggregate per doc (bounded by doc_len/k entries,
+    * one map-side-combined shuffle) and join the corpus on doc_id (one
+    * shuffle); the cut itself is a codegen'd array `filter`/`exists` over
+    * the token array — no explode, no window, nothing corpus-sized beyond
+    * the one keyed join. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spans: DataFrame): DataFrame = {
+    val spanT = "array<struct<span_start:bigint,span_len:bigint>>"
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_len"))).as("__spans"))
+    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .join(sp, Seq("doc_id"), "left")
+      .withColumn("__spans", coalesce(col("__spans"), array().cast(spanT)))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__spans"), s =>
+          i.cast("long") >= s.getField("span_start") &&
+            i.cast("long") < s.getField("span_start") + s.getField("span_len"))))
+      .select(col("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_cut"))
+  }
 }

@@ -80,6 +80,33 @@ class RepeatedSpansSpec extends SparkTestBase {
     assert(spans == Set((1L, 0L, 4L, 1L), (2L, 0L, 4L, 1L), (3L, 0L, 4L, 1L)))
   }
 
+  test("cutSpans removes exactly the flagged tokens and rejoins") {
+    val d = df((1L, "a b c d e f g h"))
+    val spans = Seq((1L, 2L, 3L)).toDF("doc_id", "span_start", "span_len")
+    val out = Dedup.cutSpans(d, "doc_id", "text", spans)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(out == ((1L, "a b f g h", 5L, 3L)))
+  }
+
+  test("cutSpans: no spans passes normalized text; full cover leaves empty row") {
+    val d = df((1L, "Keep, ALL of this!"), (2L, "x y z w"))
+    val spans = Seq((2L, 0L, 4L)).toDF("doc_id", "span_start", "span_len")
+    val out = Dedup.cutSpans(d, "doc_id", "text", spans)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "keep all of this", 4L, 0L)))
+    assert(out(2L) == ((2L, "", 0L, 4L)))
+  }
+
+  test("cutSpans composes with repeatedSpans end to end") {
+    val rep = "one two three four five six"
+    val d = df((1L, s"$rep tail a b"), (2L, s"head c $rep"))
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", 4)
+    val out = Dedup.cutSpans(d, "doc_id", "text", spans)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, "tail a b", 3L, 6L)))
+    assert(out(2L) == ((2L, "head c", 2L, 6L)))
+  }
+
   test("normalization applies before windowing (case/punct-insensitive)") {
     val d = df((1L, "One, Two THREE four tail1 tail2 tail3"),
                (2L, "pad1 pad2 pad3 one two three FOUR!"))
