@@ -204,6 +204,64 @@ object Terms {
         round(pow(lit(2.0), avg(col("__nll"))), 4).as("ppl"))
   }
 
+  /** Driver-collected bigram LM for broadcast serving — the serve-time
+    * twin of [[bigramPerplexity]] (same Laplace algebra: seen pair →
+    * (c2+1)/(c1+V), unseen pair in seen context → 1/(c1+V), unseen
+    * context → 1/V). `pairP` and `ctxDenom` are VOCABULARY-sized by the
+    * [[bigramLmTrainCollect]] guard, never corpus-sized. */
+  final case class BigramLmModel(pairP: Map[(String, String), Double],
+                                 ctxDenom: Map[String, Double], v: Long) {
+    private val ln2 = math.log(2.0)
+    def nll(w1: String, w2: String): Double = {
+      val d = ctxDenom.getOrElse(w1, v.toDouble)
+      -math.log(pairP.getOrElse((w1, w2), 1.0 / d)) / ln2
+    }
+    /** (n_bigrams, avg_nll, ppl) — None for sub-bigram docs, matching the
+      * batch operator's absent-row contract. */
+    def score(tokens: Seq[String]): Option[(Long, Double, Double)] =
+      if (tokens.length < 2) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < tokens.length - 1) { s += nll(tokens(i), tokens(i + 1)); i += 1 }
+        val avg = s / (tokens.length - 1)
+        Some((tokens.length - 1L, avg, math.pow(2.0, avg)))
+      }
+  }
+
+  /** Train the bigram LM and collect it for broadcast serving. The
+    * collect is the OBSERVED-bigram table (≤ vocab², in practice a few ×
+    * vocab — the Heaps'-law tail), guarded like
+    * [[graft.ops.Classify.nbTrainCollect]]: crossing `maxPairs` raises
+    * with advice (serve from the distributed frames via
+    * [[bigramPerplexity]]) instead of silently OOMing the driver. */
+  def bigramLmTrainCollect(train: DataFrame, textCol: String,
+                           maxPairs: Int = 5000000): BigramLmModel = {
+    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    val bg = train.select(explode(zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = c2.limit(maxPairs + 1).collect()
+    require(rows.length <= maxPairs,
+      s"bigramLmTrainCollect: observed-bigram table exceeds maxPairs=$maxPairs — " +
+        "raise the cap or serve through the distributed bigramPerplexity join")
+    val v = train.select(explode(toks).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    c2.unpersist()
+    val c1 = rows.groupBy(_.getString(0)).map { case (w1, rs) =>
+      w1 -> (rs.map(_.getLong(2)).sum + v).toDouble
+    }
+    val pairP = rows.map { r =>
+      val d = c1(r.getString(0))
+      (r.getString(0), r.getString(1)) -> (r.getLong(2) + 1L).toDouble / d
+    }.toMap
+    BigramLmModel(pairP, c1, v)
+  }
+
   /** Train BPE merge rules over the corpus — the full tokenizer-training
     * loop whose inner statistic is [[bpePairCounts]]. Split of work
     * follows every production tokenizer trainer: the CORPUS-sized stage

@@ -566,6 +566,33 @@ object EventStreams {
         col("pred_label") === lit(keepClass) && col("score") >= lit(minScore))
   }
 
+  /** Streaming perplexity gate — [[gateByNbModel]]'s LM sibling (the CCNet
+    * serve shape): each document in an append-only feed is scored against
+    * a BROADCAST Laplace-smoothed bigram LM
+    * ([[graft.ops.Terms.bigramLmTrainCollect]], vocabulary-sized by
+    * contract) and tagged (n_bigrams, avg_nll, ppl, keep = ppl ≤ maxPpl).
+    * Same deliberately STATELESS design: one narrow projection per
+    * micro-batch, no shuffle/watermark/state store, model refresh = restart
+    * with a retrained broadcast. Sub-bigram documents score NULL and fail
+    * the gate (no evidence ≠ reference-like). Works identically on batch
+    * frames — spec'd equivalent to [[graft.ops.Terms.bigramPerplexity]]
+    * under the same train corpus. */
+  def gateByLmPerplexity(docs: DataFrame, textCol: String,
+                         model: graft.ops.Terms.BigramLmModel,
+                         maxPpl: Double): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val scoreUdf = udf((toks: Seq[String]) => bc.value.score(toks))
+    docs
+      .withColumn("__s",
+        scoreUdf(graft.ops.TextOps.wsTokens(
+          graft.ops.TextOps.normalizeText(col(textCol)))))
+      .withColumn("n_bigrams", col("__s._1"))
+      .withColumn("avg_nll", col("__s._2"))
+      .withColumn("ppl", col("__s._3"))
+      .drop("__s")
+      .withColumn("keep", coalesce(col("ppl") <= lit(maxPpl), lit(false)))
+  }
+
   final case class SessionizedEvent(user_id: Long, event_id: Long, session_id: Long)
 
   /** Gap-based sessionization via mapGroupsWithState — streaming twin of
