@@ -212,6 +212,33 @@ class PlanShapeSpec extends SparkTestBase {
       s"argmax must partial-aggregate map-side:\n$p")
   }
 
+  test("repeated-span detection: kernel in the scan stage, two narrow-key exchanges") {
+    import org.apache.spark.sql.functions._
+    val p = graft.ops.Dedup.repeatedSpans(
+      Tables.documents(spark, sf), "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    // positional kernel runs in the same stage as the scan (no exchange
+    // between Scan and Generate), and text never shuffles: the only
+    // exchanges carry (doc_id, pos, g)
+    assert(p.contains("graft_shingle_hash_seq"), p)
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(exchanges.size == 2, s"want gram + doc_id exchanges only:\n$p")
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text must not cross the wire:\n$p")
+  }
+
+  test("span cut is one keyed join, no explode of the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val p = graft.ops.Dedup.cutSpans(docs, "doc_id", "text",
+        graft.ops.Dedup.repeatedSpans(docs, "doc_id", "text", 8))
+      .queryExecution.executedPlan.toString
+    // the cut itself is an array filter/exists projection — the only
+    // Generate in the plan belongs to the span DETECTOR subtree
+    assert(p.linesIterator.count(_.matches(".*\\bGenerate (pos)?explode.*")) == 1, p)
+  }
+
   test("shard manifest is one aggregation with a map-side partial") {
     val p = plan("q104_shard_manifest")
     // one exchange pair: partial aggregate -> shuffle on shard -> final
