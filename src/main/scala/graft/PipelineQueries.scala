@@ -600,16 +600,23 @@ object PipelineQueries {
             FROM p ORDER BY pack_group, doc_id, chunk_idx"""))
 
   /** PII scrubbing: emails, IPv4s, phone numbers → typed placeholders, with
-    * the substitution count. A narrow codegen map — the regex family is
-    * valid in both Java regex and RE2, so the oracle replays the exact
-    * redaction chain. (This corpus plants no PII — the operator's match
-    * semantics are exercised in VectorTextSpec; here both engines must
-    * agree the text is clean.) */
+    * the substitution count. Single-pass codegen kernel
+    * ([[graft.functions.RedactPii]]): one struct-valued expression computes
+    * the redacted text AND the count in 3 regex scans per row — the composed
+    * column form ([[TextOps.redactPii]] + piiCount) pays 9. Semantics are
+    * bit-identical (same sequential java.util.regex chain), so the oracle is
+    * unchanged; the regex family is valid in both Java regex and RE2, so
+    * DuckDB replays the exact redaction chain. (This corpus plants no PII —
+    * the operator's match semantics are exercised in VectorTextSpec; here
+    * both engines must agree the text is clean.) */
   private val q62 = Q("q62_pii_redact",
-    (s, d) => documents(s, d)
-      .select(col("doc_id"), TextOps.redactPii(col("text")).as("clean_text"),
-        TextOps.piiCount(col("text")).as("n_pii"))
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      val r = graft.functions.TextFunctions.redact_pii(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), r.getField("clean_text").as("clean_text"),
+          r.getField("n_pii").as("n_pii"))
+        .orderBy(col("doc_id"))
+    },
     Some {
       val Seq(em, ip, ph) = TextOps.PiiPatterns.map(_._2)
       s"""WITH r1 AS (SELECT doc_id, text,
@@ -1444,8 +1451,62 @@ object PipelineQueries {
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
     })
 
+  /** L16 substitute (SURVEY §7.4): PCA projection of the embedding corpus to
+    * 2-D — the visualization-prep step the reference runs through t-SNE
+    * (tSNE_and_conv_plot.py:107-108). Fit is one map-side-combining
+    * aggregation (count + Σv + Σvvᵀ), eigen driver-side on the 64×64
+    * covariance, projection a narrow literal-dot map
+    * ([[graft.ops.Projection]]). No SQL oracle — a 64-dim eigenproblem is
+    * not expressible in DuckDB — so the driver records the rows-only check;
+    * value-level correctness is pinned by ProjectionSpec (golden 2-D eigen,
+    * ml.feature.PCA agreement, orthonormality/variance/sign properties). */
+  private val q114 = Q("q114_pca_project",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Projection.pcaProject2d(emb.select(col("vec_id"), col("embedding")),
+          "embedding", dim = 64)
+        .select(col("vec_id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
+        .orderBy(col("vec_id"))
+    },
+    None)
+
+  /** Quantized IVF ANN (verdict r6 item 8 — the q53 × q67 composite): int8
+    * codes + per-vector scale in the cell-bucketed store, candidates ranked
+    * on dequantized dots from the compact store, exact re-rank on the
+    * survivors against the full-precision corpus. Declared at the
+    * exact-equality operating point (nProbe = nCells, full re-rank), where
+    * the result provably equals brute-force cosine top-k — so the oracle is
+    * the q48 brute-force SQL; the approximate operating point (bounded
+    * rerankK, partial probes) is recall-spec'd in QuantizedIvfSpec. */
+  private val q115 = Q("q115_quantized_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val codebook = fixedCodebook(emb)
+      Similarity.writeQuantizedIvfStore(corpus, "vec_id", "embedding",
+        codebook, "q115_store", numBuckets = codebook.size)
+      Similarity.quantizedIvfSearchFromStore(s, "q115_store", corpus, qs,
+          "vec_id", "embedding", codebook, nProbe = codebook.size, k = 5,
+          rerankK = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
-    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113)
+    q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
+    q114, q115)
 }

@@ -189,7 +189,8 @@ object GraftFunctions {
     ("graft_shingle_hashes", classOf[ShingleHashSet], TextFunctions.buildShingleHashes),
     ("graft_shingle_hash_seq", classOf[ShingleHashSeq], TextFunctions.buildShingleHashSeq),
     ("graft_minhash_sig", classOf[MinHashSig], TextFunctions.buildMinHashSig),
-    ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62))
+    ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62),
+    ("graft_redact_pii", classOf[RedactPii], TextFunctions.buildRedactPii))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -83,6 +83,24 @@ case class SimHash62(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** Single-pass PII redaction: STRUCT(clean_text STRING, n_pii BIGINT) with
+  * the sequential [[graft.ops.TextOps.PiiPatterns]] chain semantics (see
+  * [[TextKernels.redactPiiCount]]). One kernel call yields both outputs, so
+  * selecting both fields costs one regex chain per row, not two — Catalyst's
+  * subexpression elimination shares the struct between the GetStructField
+  * projections. */
+case class RedactPii(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("n_pii", LongType, nullable = false)))
+  override def prettyName: String = "graft_redact_pii"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.redactPiiCount(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"redactPiiCount($c)"
+  override protected def withNewChildInternal(newChild: Expression): RedactPii =
+    copy(child = newChild)
+}
+
 /** 62-bit rolling-polynomial fingerprint of the normalized text. */
 case class TextHash62(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -105,6 +123,8 @@ object TextFunctions {
     GraftColumnBridge.column(MinHashSig(GraftColumnBridge.expression(text), n, k))
   def simhash62(text: Column): Column =
     GraftColumnBridge.column(SimHash62(GraftColumnBridge.expression(text)))
+  def redact_pii(text: Column): Column =
+    GraftColumnBridge.column(RedactPii(GraftColumnBridge.expression(text)))
 
   /** SQL builders (FunctionRegistry / SparkSessionExtensions): the sketch
     * parameters (shingle n, signature k) must be INTEGER LITERALS — they
@@ -140,5 +160,10 @@ object TextFunctions {
     case Seq(t) => SimHash62(t)
     case e => throw new IllegalArgumentException(
       s"graft_simhash62 requires exactly 1 argument, got ${e.length}")
+  }
+  private[functions] val buildRedactPii: Seq[Expression] => Expression = {
+    case Seq(t) => RedactPii(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_redact_pii requires exactly 1 argument, got ${e.length}")
   }
 }

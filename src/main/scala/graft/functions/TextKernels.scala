@@ -206,6 +206,48 @@ object TextKernels extends Serializable {
     hashRange(s, 0, s.length)
   }
 
+  /** PII redaction chain compiled once per executor: (placeholder, pattern)
+    * in [[graft.ops.TextOps.PiiPatterns]] order. java.util.regex — the same
+    * engine Spark's own regexp_replace uses, so match semantics are
+    * bit-identical to the composed column form. */
+  private lazy val piiCompiled: Array[(String, java.util.regex.Pattern)] =
+    graft.ops.TextOps.PiiPatterns.iterator
+      .map { case (kind, re) => (s"<$kind>", java.util.regex.Pattern.compile(re)) }
+      .toArray
+
+  /** Sequential PII redaction + substitution count in one kernel call:
+    * pattern k runs on the text with patterns 1..k−1 already redacted (the
+    * exact [[graft.ops.TextOps.redactPii]]/piiCount contract the DuckDB
+    * oracle replays), but each pattern's matcher pass does the replace AND
+    * the count together, and a pattern with no match skips the rebuild
+    * entirely. The composed column form pays 9 regex scans per row (3 for
+    * the replace chain + 3+3 for the count's shadow chain); this pays 3,
+    * with zero intermediate UTF8String round-trips. */
+  def redactPiiCount(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    var s = text.toString
+    var count = 0L
+    var pi = 0
+    while (pi < piiCompiled.length) {
+      val (placeholder, pattern) = piiCompiled(pi)
+      val m = pattern.matcher(s)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        var last = 0
+        var more = true
+        while (more) {
+          count += 1
+          sb.append(s, last, m.start()).append(placeholder)
+          last = m.end()
+          more = m.find()
+        }
+        sb.append(s, last, s.length)
+        s = sb.toString
+      }
+      pi += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(s), count)
+  }
+
   /** 62-bit SimHash over whitespace tokens of the normalized text: bit b of
     * the result = sign of Σ_tokens (bit b of (h1,h2) ? +1 : -1), bits 0..30
     * from h1, 31..61 from h2 (all token occurrences vote, not distinct). */

@@ -424,6 +424,91 @@ object Similarity {
     rankTopK(scored, k, "rnk")
   }
 
+  /** Quantized IVF store (the q53 IVF bucketing × q67 int8 quantization
+    * composite): cell-bucketed parquet carrying int8 codes + one f64 scale
+    * per vector instead of the f32 embeddings — ~4× fewer store bytes, the
+    * memory-bound 100-TB serving shape. Codes are the symmetric
+    * [[VectorOps.quantizeInt8]] family (floor(x/scale + 0.5), clamped),
+    * stored as ARRAY<TINYINT> (values are in [-127, 127] by construction,
+    * so the cast is lossless). Bucketing/sorting by cell follows the
+    * [[writeIvfStore]] contract: probe IN-lists become bucket-pruned scans. */
+  def writeQuantizedIvfStore(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Seq[(Long, Seq[Double])], table: String,
+                             numBuckets: Int): Unit =
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        nearestCell(col(vecCol), centroids).as("cell"))
+      .withColumn("scale", VectorOps.int8Scale(col("__v")))
+      .select(col("id"), col("cell"), col("scale"),
+        VectorOps.quantizeInt8(col("__v"), col("scale"))
+          .cast("array<tinyint>").as("codes"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Two-stage ANN probe over a [[writeQuantizedIvfStore]] table:
+    *
+    *   1. approximate rank — candidates in the probed cells are scored on
+    *      DEQUANTIZED dots read from the compact store
+    *      (dot(q, codes)·scale vs ‖codes‖·scale — cosine over the int8
+    *      reconstruction), and only the top `rerankK` per query survive;
+    *   2. exact re-rank — survivors join back to the full-precision
+    *      `corpus` BY ID (the exchange carries |queries|·rerankK id rows,
+    *      never the store), exact cosine picks the final top `k`.
+    *
+    * At scale the probe reads only nProbe/nCells of the QUANTIZED bytes
+    * (4× smaller than the f32 store) and the expensive full-precision rows
+    * are fetched for ~rerankK candidates per query — the standard
+    * memory-bound serving layout (SQ8 IVF + re-rank).
+    *
+    * `rerankK <= 0` disables stage-1 truncation (every candidate in the
+    * probed cells is exactly re-ranked): with nProbe = nCells this makes
+    * the result EXACTLY equal to brute-force [[cosineTopK]] — the
+    * declared-query contract — because stage 1 then only routes ids and
+    * quantization error cannot change the final ranking. */
+  def quantizedIvfSearchFromStore(spark: SparkSession, table: String,
+                                  corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  centroids: Seq[(Long, Seq[Double])],
+                                  nProbe: Int, k: Int, rerankK: Int): DataFrame = {
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorOps.norm(col(vecCol)).as("qn"),
+        slice(cellsByDistance(col(vecCol), centroids), 1, nProbe).as("cells"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells.cell")).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    // stage 1: dequantized cosine from the compact store (bucket-pruned scan)
+    val approx = spark.table(table)
+      .filter(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("id").as("cand_id"), col("scale"),
+        col("codes").cast("array<double>").as("codes"))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("codes")) * col("scale"),
+        col("qn"), VectorOps.norm(col("codes")) * col("scale")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    val pool =
+      if (rerankK <= 0)
+        approx.filter(col("sim").isNotNull && !isnan(col("sim")))
+          .select(col("query_id"), col("cand_id"))
+      else rankTopK(approx, rerankK, "arnk")
+        .select(col("query_id"), col("cand_id"))
+    // stage 2: exact cosine on the full-precision vectors, survivors only
+    val cand = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      VectorOps.norm(col(vecCol)).as("cn"))
+    val scored = pool
+      .join(cand, Seq("cand_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"), VectorOps.norm(col(vecCol)).as("qn"))), Seq("query_id"))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    rankTopK(scored, k, "rnk")
+  }
+
   /** Per-group embedding centroids — class prototypes for few-shot label
     * transfer, cluster summaries, drift monitoring. One hash aggregation
     * with the elementwise [[Aggregators.VectorSum]]: partial sums combine

@@ -237,6 +237,30 @@ class VectorTextSpec extends SparkTestBase {
       (3L, "nothing sensitive here", 0L)))
   }
 
+  test("RedactPii kernel matches the composed redactPii/piiCount chain exactly") {
+    // adversarial shapes: adjacent matches, digit runs bordering emails,
+    // multiple matches per pattern, empty text, null text, no matches,
+    // a phone whose greedy span only resolves after the email is redacted
+    val texts = Seq(
+      "contact john.doe@example.com or 10.0.0.1 or +1 555 123 4567",
+      "digit-heavy email 12345678@x.com must count once, not as a phone",
+      "a@b.io c@d.io 1.2.3.4 5.6.7.8 +44 (0)20 7946 0958 and 020 7946 0958",
+      "call 123456789 9foo@bar.com", // greedy phone overlapping an email start
+      "", "no pii at all", null,
+      "edge 999.999.999.999 still redacts as ipv4 by the simple pattern",
+      "<email> literal placeholder is left alone; real one x@y.zz is not")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = graft.functions.TextFunctions.redact_pii(col("text"))
+    val kernel = docs.select(col("doc_id"),
+        r.getField("clean_text"), r.getField("n_pii"))
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    val composed = docs.select(col("doc_id"),
+        TextOps.redactPii(col("text")), TextOps.piiCount(col("text")))
+      .as[(Long, Option[String], Option[Long])].collect().sortBy(_._1).toSeq
+    assert(kernel == composed)
+  }
+
   test("cosineTopK drops NaN-scoring (zero-norm) candidates deterministically") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 0.0f)), // zero vector: NaN cosine
