@@ -72,7 +72,17 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact truncates long stdout tails, which has left the
+    // per-query map unauditable in past rounds — persist the identical JSON
+    // line to a file as the durable record (overridable for local runs)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"BENCH: could not write $out: ${e.getMessage}") }
     spark.stop()
   }
 }

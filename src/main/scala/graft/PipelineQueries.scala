@@ -163,12 +163,17 @@ object PipelineQueries {
               AS bpeish_tokens
             FROM documents ORDER BY doc_id"""))
 
-  /** Quality scoring: length / punctuation ratio / word stats / keep flag. */
+  /** Quality scoring: length / punctuation ratio / word stats / keep flag.
+    * One [[graft.functions.LangQualityStats]] kernel pass supplies every
+    * statistic (the composed columns paid 2 regex scans + a length pass);
+    * casts pin the original INT output schema, and the oracle replays the
+    * regex formulation — parity is spec'd in VectorTextSpec. */
   private val q46 = Q("q46_quality_score",
     (s, d) => {
-      val chars = length(col("text"))
-      val words = TextOps.wsTokenCount(col("text"))
-      val punct = TextOps.nonAlnumCount(col("text"))
+      val st = graft.functions.TextFunctions.lang_quality_stats(col("text"))
+      val chars = st.getField("n_chars").cast("int")
+      val words = st.getField("n_ws_tokens").cast("int")
+      val punct = st.getField("n_nonalnum").cast("int")
       Layout.spread(documents(s, d), "doc_id")
         .select(col("doc_id"), chars.as("n_chars2"), words.as("n_words"),
           round(punct.cast("double") / chars, 6).as("punct_ratio"),
@@ -189,10 +194,13 @@ object PipelineQueries {
               THEN 1 ELSE 0 END AS keep
             FROM documents ORDER BY doc_id"""))
 
-  /** Language ID: stopword-marker scores + fixed-priority argmax. */
+  /** Language ID: stopword-marker scores + fixed-priority argmax, from the
+    * single-pass kernel (was 5 `regexp_extract_all(lower(text), ...)` scans
+    * per row); the oracle replays the regex form. */
   private val q47 = Q("q47_lang_id", (s, d) => {
-    val scores = TextOps.LangMarkers.map { case (lang, pat) =>
-      lang -> TextOps.langScore(col("text"), pat)
+    val st = graft.functions.TextFunctions.lang_quality_stats(col("text"))
+    val scores = TextOps.LangMarkers.map { case (lang, _) =>
+      lang -> st.getField(lang).cast("int")
     }
     Layout.spread(documents(s, d), "doc_id")
       .select(Seq(col("doc_id")) ++

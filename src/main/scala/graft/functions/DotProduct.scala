@@ -190,7 +190,9 @@ object GraftFunctions {
     ("graft_shingle_hash_seq", classOf[ShingleHashSeq], TextFunctions.buildShingleHashSeq),
     ("graft_minhash_sig", classOf[MinHashSig], TextFunctions.buildMinHashSig),
     ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62),
-    ("graft_redact_pii", classOf[RedactPii], TextFunctions.buildRedactPii))
+    ("graft_redact_pii", classOf[RedactPii], TextFunctions.buildRedactPii),
+    ("graft_lang_quality_stats", classOf[LangQualityStats],
+      TextFunctions.buildLangQualityStats))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -101,6 +101,23 @@ case class RedactPii(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** Single-pass language-ID + quality statistics: STRUCT(n_ws_tokens BIGINT,
+  * n_nonalnum BIGINT, n_chars BIGINT, en BIGINT, de BIGINT, es BIGINT,
+  * fr BIGINT, zh BIGINT) with the exact composed-column semantics (see
+  * [[TextKernels.langQualityStats]]) at ~2 character passes instead of ~10
+  * regex scans per document. */
+case class LangQualityStats(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StructType(
+    Seq("n_ws_tokens", "n_nonalnum", "n_chars", "en", "de", "es", "fr", "zh")
+      .map(StructField(_, LongType, nullable = false)))
+  override def prettyName: String = "graft_lang_quality_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.langQualityStats(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"langQualityStats($c)"
+  override protected def withNewChildInternal(newChild: Expression): LangQualityStats =
+    copy(child = newChild)
+}
+
 /** 62-bit rolling-polynomial fingerprint of the normalized text. */
 case class TextHash62(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -125,6 +142,8 @@ object TextFunctions {
     GraftColumnBridge.column(SimHash62(GraftColumnBridge.expression(text)))
   def redact_pii(text: Column): Column =
     GraftColumnBridge.column(RedactPii(GraftColumnBridge.expression(text)))
+  def lang_quality_stats(text: Column): Column =
+    GraftColumnBridge.column(LangQualityStats(GraftColumnBridge.expression(text)))
 
   /** SQL builders (FunctionRegistry / SparkSessionExtensions): the sketch
     * parameters (shingle n, signature k) must be INTEGER LITERALS — they
@@ -165,5 +184,10 @@ object TextFunctions {
     case Seq(t) => RedactPii(t)
     case e => throw new IllegalArgumentException(
       s"graft_redact_pii requires exactly 1 argument, got ${e.length}")
+  }
+  private[functions] val buildLangQualityStats: Seq[Expression] => Expression = {
+    case Seq(t) => LangQualityStats(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_lang_quality_stats requires exactly 1 argument, got ${e.length}")
   }
 }

@@ -221,31 +221,149 @@ object TextKernels extends Serializable {
     * oracle replays), but each pattern's matcher pass does the replace AND
     * the count together, and a pattern with no match skips the rebuild
     * entirely. The composed column form pays 9 regex scans per row (3 for
-    * the replace chain + 3+3 for the count's shadow chain); this pays 3,
-    * with zero intermediate UTF8String round-trips. */
+    * the replace chain + 3+3 for the count's shadow chain); this pays at
+    * most 3, with zero intermediate UTF8String round-trips.
+    *
+    * Mandatory-character gates make the common clean-text case cheaper
+    * still: an email match REQUIRES a literal '@' and an IPv4/phone match
+    * REQUIRES a digit (both facts read directly off
+    * [[graft.ops.TextOps.PiiPatterns]]), so one cheap char scan decides
+    * which regex engines run at all — a corpus document with neither
+    * character pays zero regex work. Exact: a gate only skips a pattern
+    * that provably cannot match, and placeholders inserted by earlier
+    * patterns contain neither '@' nor digits, so gates computed on the
+    * ORIGINAL text stay valid for the whole chain. */
   def redactPiiCount(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     var s = text.toString
     var count = 0L
+    var hasAt = false
+    var hasDigit = false
+    var ci = 0
+    while (ci < s.length && !(hasAt && hasDigit)) {
+      val c = s.charAt(ci)
+      if (c == '@') hasAt = true
+      else if (c >= '0' && c <= '9') hasDigit = true
+      ci += 1
+    }
     var pi = 0
     while (pi < piiCompiled.length) {
       val (placeholder, pattern) = piiCompiled(pi)
-      val m = pattern.matcher(s)
-      if (m.find()) {
-        val sb = new java.lang.StringBuilder(s.length)
-        var last = 0
-        var more = true
-        while (more) {
-          count += 1
-          sb.append(s, last, m.start()).append(placeholder)
-          last = m.end()
-          more = m.find()
+      // gate: pattern 0 (email) needs '@'; patterns 1-2 (ipv4, phone) need
+      // a digit
+      if (if (pi == 0) hasAt else hasDigit) {
+        val m = pattern.matcher(s)
+        if (m.find()) {
+          val sb = new java.lang.StringBuilder(s.length)
+          var last = 0
+          var more = true
+          while (more) {
+            count += 1
+            sb.append(s, last, m.start()).append(placeholder)
+            last = m.end()
+            more = m.find()
+          }
+          sb.append(s, last, s.length)
+          s = sb.toString
         }
-        sb.append(s, last, s.length)
-        s = sb.toString
       }
       pi += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(s), count)
+  }
+
+  /** Marker word → indexes of the languages scoring it, derived from
+    * [[graft.ops.TextOps.LangMarkerWords]] (shared words like "la"/"que"
+    * score several languages). */
+  private lazy val langMarkerIndex: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    graft.ops.TextOps.LangMarkerWords.zipWithIndex.foreach { case ((_, words), li) =>
+      words.foreach { w =>
+        m.put(w, Option(m.get(w)).map(_ :+ li).getOrElse(Array(li)))
+      }
+    }
+    m
+  }
+  private lazy val maxMarkerLen: Int =
+    graft.ops.TextOps.LangMarkerWords.flatMap(_._2).map(_.length).max
+
+  /** Single-pass language-ID + quality statistics — the fused form of the
+    * curation funnel's flag computation, which composed costs ~10 full
+    * regex scans per document (5 × `regexp_extract_all(lower(text), ...)`
+    * marker counts + whitespace-token count + punctuation count). Two
+    * character passes (original text; lowered text) produce:
+    *
+    *   - n_ws_tokens: `size(split(trim(text), "\s+"))` semantics exactly —
+    *     trim strips 0x20 only (Spark's trim), split keeps leading/trailing
+    *     empties (limit −1), so tokens = (maximal [ \t\n\x0B\f\r] runs) + 1,
+    *     and the empty string yields 1;
+    *   - n_nonalnum: `[^A-Za-z0-9\s]` code-point count over the raw text;
+    *   - n_chars:    `length(text)` (code points);
+    *   - en/de/es/fr: marker-word hits over `lower(text)` — a `\b(?:w|…)\b`
+    *     alternation match is exactly "maximal \w run equals a marker word"
+    *     (no boundary exists inside a \w run), so hits are counted by
+    *     hashing each ≤ maxMarkerLen run against the marker index;
+    *   - zh:          [一-鿿] code-point count (lowering is a no-op
+    *     on CJK).
+    *
+    * Lowering is string-level `toLowerCase(Locale.ROOT)` — the same
+    * one-to-many expansions (e.g. U+0130 → "i" + combining dot) Spark's
+    * `lower()` performs, which per-char lowering would miss. */
+  def langQualityStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // pass 1: raw text — ws-token count, non-alnum count, char length
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    var nTok = 1L
+    var nNonAlnum = 0L
+    var nChars = 0L
+    var inWs = false
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (ws && !inWs) nTok += 1L
+      inWs = ws
+      i += 1
+    }
+    i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1L
+      val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9')
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!alnum && !ws) nNonAlnum += 1L
+      i += Character.charCount(cp)
+    }
+    // pass 2: lowered text — marker-word hits per language + CJK count
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    val scores = new Array[Long](graft.ops.TextOps.LangMarkerWords.length)
+    var zh = 0L
+    var runStart = -1
+    // a maximal \w run equal to a marker word scores its languages; runs
+    // longer than any marker can never hit, so no substring is built for them
+    def endRun(end: Int): Unit = if (runStart >= 0) {
+      if (end - runStart <= maxMarkerLen) {
+        val langs = langMarkerIndex.get(low.substring(runStart, end))
+        if (langs != null) { var k = 0; while (k < langs.length) { scores(langs(k)) += 1L; k += 1 } }
+      }
+      runStart = -1
+    }
+    i = 0
+    while (i < low.length) {
+      val cp = low.codePointAt(i)
+      val isWord = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+        (cp >= '0' && cp <= '9') || cp == '_'
+      if (isWord) { if (runStart < 0) runStart = i }
+      else endRun(i)
+      if (cp >= 0x4e00 && cp <= 0x9fff) zh += 1L
+      i += Character.charCount(cp)
+    }
+    endRun(low.length)
+    org.apache.spark.sql.catalyst.InternalRow(nTok, nNonAlnum, nChars,
+      scores(0), scores(1), scores(2), scores(3), zh)
   }
 
   /** 62-bit SimHash over whitespace tokens of the normalized text: bit b of

@@ -65,22 +65,36 @@ object CorpusPipeline {
   def curate(docs: DataFrame, bench: DataFrame, idCol: String,
              textCol: String, cfg: Config): DataFrame = {
     val text = col(textCol)
-    val words = TextOps.wsTokenCount(text)
-    val punct = TextOps.nonAlnumCount(text)
+    // ONE kernel pass computes every flag statistic (token count, punct
+    // count, length, 5 language scores) — the composed column form paid
+    // ~10 regex scans per document, and showed up twice in the plan (once
+    // under `base`, once in the final label chain). See
+    // [[graft.functions.TextKernels.langQualityStats]]; semantics parity
+    // with the composed form is spec'd in VectorTextSpec.
+    val stats = graft.functions.TextFunctions.lang_quality_stats(text)
+    val words = col("__s").getField("n_ws_tokens")
     val qualityOk = words >= cfg.minWords && words <= cfg.maxWords &&
-      punct.cast("double") / length(text) < cfg.maxPunctRatio
+      col("__s").getField("n_nonalnum").cast("double") /
+        col("__s").getField("n_chars").cast("double") < cfg.maxPunctRatio
     val langGuess = TextOps.langId(
-      TextOps.LangMarkers.map { case (l, p) => l -> TextOps.langScore(text, p) })
+      TextOps.LangMarkers.map { case (l, _) => l -> col("__s").getField(l) })
 
+    // Persisted MEMORY_AND_DISK: `flagged` feeds FOUR plan branches (the
+    // three expensive stages through `base` below, plus the final label
+    // join) — un-persisted, the final chain re-ran the flag kernel over the
+    // whole corpus. Cache carries the corpus + 3 flag columns, the same
+    // storage class the survivor set already paid.
     val flagged = docs
+      .withColumn("__s", stats)
       .withColumn("__quality_ok", qualityOk)
       .withColumn("lang_guess", langGuess)
       .withColumn("__lang_ok", col("lang_guess").isin(cfg.allowedLangs: _*))
-
-    // survivors of the narrow stages: candidate set for the expensive ones.
-    // Persisted — it feeds three downstream plan branches.
-    val base = flagged.filter(col("__quality_ok") && col("__lang_ok"))
+      .drop("__s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // survivors of the narrow stages: candidate set for the expensive
+    // ones — a cheap cache-read filter for each consumer
+    val base = flagged.filter(col("__quality_ok") && col("__lang_ok"))
 
     // 3. exact dedup: survivors whose id is the min of their md5 group
     val exactFlags = base

@@ -354,12 +354,27 @@ object Similarity {
     rankTopK(scored, k, "rnk")
   }
 
+  /** A previous PROCESS can leave a store table's warehouse location behind
+    * with no entry in this session's in-memory catalog — overwrite mode
+    * cannot reclaim an untracked location (LOCATION_ALREADY_EXISTS), so
+    * drop both the catalog entry and any stale directory before a rewrite
+    * (safe under the stores' single-writer contract). */
+  private def dropStaleStore(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    ()
+  }
+
   /** IVF store, part 1: assign every corpus vector to its nearest-centroid
     * cell and write bucketed+sorted by cell id. The assignment pass (argmin
     * of squared L2 over the codebook) is paid once at write time. */
   def writeIvfStore(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Long, Seq[Double])], table: String,
                     numBuckets: Int): Unit = {
+    dropStaleStore(df.sparkSession, table)
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
         nearestCell(col(vecCol), centroids).as("cell"))
       .write.mode("overwrite")
@@ -434,7 +449,8 @@ object Similarity {
     * [[writeIvfStore]] contract: probe IN-lists become bucket-pruned scans. */
   def writeQuantizedIvfStore(df: DataFrame, idCol: String, vecCol: String,
                              centroids: Seq[(Long, Seq[Double])], table: String,
-                             numBuckets: Int): Unit =
+                             numBuckets: Int): Unit = {
+    dropStaleStore(df.sparkSession, table)
     df.select(col(idCol).as("id"), col(vecCol).as("__v"),
         nearestCell(col(vecCol), centroids).as("cell"))
       .withColumn("scale", VectorOps.int8Scale(col("__v")))
@@ -446,6 +462,7 @@ object Similarity {
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Two-stage ANN probe over a [[writeQuantizedIvfStore]] table:
     *

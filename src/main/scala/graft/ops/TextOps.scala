@@ -250,13 +250,20 @@ object TextOps {
 
   /** Language-ID stopword families. Deterministic n-gram/stopword heuristic:
     * score = number of language-marker word hits; argmax with a fixed
-    * priority order (en, de, es, fr, zh) for ties. */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(?:the|and|of|to|in|is|that|for|with|was)\\b",
-    "de" -> "\\b(?:der|die|das|und|ist|nicht|mit|ein|eine|den)\\b",
-    "es" -> "\\b(?:el|la|los|las|es|y|en|que|por|una)\\b",
-    "fr" -> "\\b(?:le|la|les|et|est|une|des|dans|pour|que)\\b",
-    "zh" -> "[\\u4e00-\\u9fff]")
+    * priority order (en, de, es, fr, zh) for ties. The word lists are the
+    * single source of truth: the regex form below and the single-pass
+    * [[graft.functions.TextKernels.langQualityStats]] kernel both derive
+    * from them, so they cannot drift. */
+  val LangMarkerWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"))
+
+  val LangMarkers: Seq[(String, String)] =
+    LangMarkerWords.map { case (l, ws) =>
+      l -> ("\\b(?:" + ws.mkString("|") + ")\\b")
+    } :+ ("zh" -> "[\\u4e00-\\u9fff]")
 
   def langScore(text: Column, markerRegex: String): Column =
     size(regexp_extract_all(lower(text), lit(markerRegex), lit(0)))

@@ -261,6 +261,53 @@ class VectorTextSpec extends SparkTestBase {
     assert(kernel == composed)
   }
 
+  test("LangQualityStats kernel matches the composed regex columns exactly") {
+    // adversarial shapes: every \s char, leading/trailing spaces vs tabs
+    // (Spark trim strips 0x20 only), empty text, null text, marker words
+    // shared across languages (la/que/en), markers glued to digits or
+    // underscores (\w run continues -> no hit), CJK chars, Unicode
+    // one-to-many lowercase (U+0130), Kelvin sign (U+212A -> k)
+    val texts = Seq(
+      "The and THE der la que en y _the the9 9the the_ the",
+      " \t le la les \n est unedes \f dans \r pour que  ",
+      "", "   ", "\t\t", null,
+      "中文文本 the 中",
+      "İstanbul Kelvin the",
+      "punct!!! ##$% und--nicht; mit,ein.eine: den?")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val s = graft.functions.TextFunctions.lang_quality_stats(col("text"))
+    val kernel = docs.select(col("doc_id"), s.getField("n_ws_tokens"),
+        s.getField("n_nonalnum"), s.getField("n_chars"),
+        s.getField("en"), s.getField("de"), s.getField("es"),
+        s.getField("fr"), s.getField("zh"))
+      .collect().map(r => (r.getLong(0), Seq.tabulate(8)(i =>
+        if (r.isNullAt(i + 1)) -1L else r.getLong(i + 1)))).sortBy(_._1).toSeq
+    val composed = docs.select(col("doc_id"),
+        TextOps.wsTokenCount(col("text")).cast("long"),
+        TextOps.nonAlnumCount(col("text")).cast("long"),
+        length(col("text")).cast("long"),
+        TextOps.langScore(col("text"), TextOps.LangMarkers(0)._2).cast("long"),
+        TextOps.langScore(col("text"), TextOps.LangMarkers(1)._2).cast("long"),
+        TextOps.langScore(col("text"), TextOps.LangMarkers(2)._2).cast("long"),
+        TextOps.langScore(col("text"), TextOps.LangMarkers(3)._2).cast("long"),
+        TextOps.langScore(col("text"), TextOps.LangMarkers(4)._2).cast("long"))
+      .collect().map(r => (r.getLong(0), Seq.tabulate(8)(i =>
+        if (r.isNullAt(i + 1)) -1L else r.getLong(i + 1)))).sortBy(_._1).toSeq
+    assert(kernel == composed)
+    // and on the real corpus
+    val corpus = graft.Tables.documents(spark, sf0001)
+    val ks = graft.functions.TextFunctions.lang_quality_stats(col("text"))
+    val diff = corpus.select(
+        ks.getField("n_ws_tokens") =!= TextOps.wsTokenCount(col("text")).cast("long") ||
+        ks.getField("n_nonalnum") =!= TextOps.nonAlnumCount(col("text")).cast("long") ||
+        ks.getField("n_chars") =!= length(col("text")).cast("long") ||
+        ks.getField("en") =!= TextOps.langScore(col("text"), TextOps.LangMarkers(0)._2).cast("long") ||
+        ks.getField("zh") =!= TextOps.langScore(col("text"), TextOps.LangMarkers(4)._2).cast("long"))
+      .as[Boolean].collect()
+    assert(diff.forall(!_), s"${diff.count(identity)} corpus docs diverge")
+  }
+
   test("cosineTopK drops NaN-scoring (zero-norm) candidates deterministically") {
     val corpus = Seq(
       (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.0f, 0.0f)), // zero vector: NaN cosine
