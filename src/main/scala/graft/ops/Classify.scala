@@ -87,20 +87,28 @@ object Classify {
       .filter(col("w") =!= "")
 
   /** The smoothed model frame: (w, y, p) for EVERY (vocab word, class)
-    * pair, built from the (already persisted) token-instance frame. */
+    * pair, built from an (already persisted) pre-aggregated
+    * (w, y0, tc) count frame — summing counts gives the same c(w, y) as
+    * counting instances. */
   private def fitModel(tok: DataFrame): DataFrame = {
     val counts = tok.groupBy(col("w"), col("y0").as("y"))
-      .agg(count(lit(1)).as("cnt"))
-    // vocabulary size: one scalar off the already-aggregated counts frame
-    // (vocab-sized input, never the corpus) — sanctioned driver scalar
-    val v = counts.select(col("w")).distinct().count()
+      .agg(sum(col("tc")).as("cnt"))
+    // vocabulary size rides along as a broadcast 1-row frame instead of a
+    // driver-collected scalar: the eager count() forced a SECOND full
+    // materialization pass of the (persisted) count frame before the model
+    // was even built — measured ~25% of q109's wall time. Lazy, every
+    // consumer materializes the cache exactly once, under the one real
+    // action.
+    val vFrame = counts.select(col("w")).distinct()
+      .agg(count(lit(1)).as("__v"))
     val classTotals = counts.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
     counts.select(col("w")).distinct()
       .crossJoin(broadcast(classTotals)) // |Y| rows — broadcast by contract
       .join(counts, Seq("w", "y"), "left")
+      .crossJoin(broadcast(vFrame))      // 1 row
       .select(col("w"), col("y"),
         ((coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double") /
-          (col("cy") + lit(v)).cast("double")).as("p"))
+          (col("cy") + col("__v")).cast("double")).as("p"))
   }
 
   /** Per-(document, class) mean smoothed conditional: (doc_id, y, s) with
@@ -108,19 +116,33 @@ object Classify {
     * engines — the q78 contract). Documents with zero alphanumeric tokens
     * have no evidence and are absent.
     *
-    * Cache lifecycle: the token-instance frame persists MEMORY_AND_DISK
-    * (it feeds both the count aggregation and the scoring join); same
-    * contract as the pair generators — `spark.catalog.clearCache()`
-    * between corpora. */
+    * Scale shape: token INSTANCES are reduced to per-(doc, word) counts
+    * BEFORE anything joins — the instance frame is corpus-token-sized
+    * (100 TB ⇒ ~10^13 rows) while the count frame is bounded by
+    * docs × per-doc distinct words, an order smaller, and the reduction
+    * combines map-side. The scoring join then fans each count row out by
+    * |classes|, so the per-class aggregate reads |counts| × |Y| rows
+    * instead of |instances| × |Y| (measured 8× fewer at sf0.1, scores
+    * stage 3.5 → ~1 s). The weighted mean Σ tc·p / Σ tc is the same
+    * multiset mean as avg-over-instances; only IEEE summation order
+    * differs, which the 6-dp round absorbs exactly as it already absorbs
+    * Spark-vs-DuckDB order divergence.
+    *
+    * Cache lifecycle: the (doc, word, count) frame persists
+    * MEMORY_AND_DISK (it feeds the model aggregation and the scoring
+    * join); same contract as the pair generators —
+    * `spark.catalog.clearCache()` between corpora. */
   def nbSourceScores(df: DataFrame, idCol: String, textCol: String,
                      labelCol: String): DataFrame = {
-    val tok = tokenInstances(df, idCol, textCol, labelCol)
+    val tokC = tokenInstances(df, idCol, textCol, labelCol)
+      .groupBy(col("doc_id"), col("y0"), col("w"))
+      .agg(count(lit(1)).as("tc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val model = fitModel(tok)
-    tok.select(col("doc_id"), col("w"))
+    val model = fitModel(tokC.select(col("w"), col("y0"), col("tc")))
+    tokC.select(col("doc_id"), col("w"), col("tc"))
       .join(model, Seq("w"))
       .groupBy(col("doc_id"), col("y"))
-      .agg(round(avg(col("p")), 6).as("s"))
+      .agg(round(sum(col("tc").cast("double") * col("p")) / sum(col("tc").cast("double")), 6).as("s"))
   }
 
   /** Train on the corpus and collect the model for broadcast serving.

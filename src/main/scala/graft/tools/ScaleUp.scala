@@ -88,10 +88,11 @@ object ScaleUp {
     write(replicate(read("part"), offset("p_partkey")), "part")
     write(replicate(read("customer"), offset("c_custkey")), "customer")
     write(replicate(read("supplier"), offset("s_suppkey")), "supplier")
-    // events: the source ts is TIMESTAMP(NANOS); read it as a plain long
-    // (legacy conf, like graft.Tables.events) and write it back as INT64 —
-    // Tables.events handles both representations identically (`ts div
-    // 1000` → timestamp_micros)
+    // events: the source ts encoding varies by testdata generation —
+    // TIMESTAMP(NANOS) (rounds 1-5) or timestamp[us]/NTZ (round 6+). The
+    // legacy conf makes a nanos source read as plain INT64 (and is a no-op
+    // on µs sources), so the replica carries either INT64-nanos or NTZ,
+    // both of which the schema-sniffing graft.Tables.events normalizes.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     write(replicate(spark.read.parquet(s"$src/events.parquet"),
       offset("event_id", "user_id")), "events")
