@@ -1512,9 +1512,98 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** BM25 ranked retrieval ([[Terms.bm25Search]]): the relevance-ranked
+    * upgrade of q89's boolean search — keyword leg of hybrid corpus
+    * search. Rational (log-free) Robertson idf per the engine's
+    * bit-replayability contract; ranking on the 6-dp rounded score with
+    * doc_id tie-break, so the DuckDB oracle replays the exact order. */
+  private val q116 = Q("q116_bm25_search",
+    (s, d) => Terms.bm25Search(documents(s, d), "doc_id", "text",
+        Seq("vector", "join", "filter"), k = 20)
+      .orderBy(col("bm25").desc, col("doc_id")),
+    Some {
+      s"""WITH tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+         |             FROM documents),
+         |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
+         |dl AS (SELECT d.doc_id, count(t.term) AS dl
+         |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('vector', 'join', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, count(*) AS n_hit,
+         |    round(sum(((st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * tf.tf::DOUBLE * 2.2
+         |      / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))), 6)
+         |      AS bm25
+         |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit, bm25,
+         |       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+         |FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20)
+         |ORDER BY rnk""".stripMargin
+    })
+
+  /** Hybrid search: reciprocal-rank fusion ([[Similarity.rrfFuse]]) of the
+    * q116 BM25 keyword ranking with a vector-similarity ranking for query
+    * vector 0 — the standard two-leg retrieval stack of a corpus platform.
+    * Both legs and the fusion are rational arithmetic over integer ranks,
+    * so the oracle replays the fused order exactly. */
+  private val q117 = Q("q117_hybrid_rrf",
+    (s, d) => {
+      val kw = Terms.bm25Search(documents(s, d), "doc_id", "text",
+          Seq("vector", "join", "filter"), k = 20)
+        .select(col("doc_id").as("id"), col("rnk"))
+      val emb = embeddings(s, d)
+      val vec = Similarity.cosineTopK(emb.filter(col("vec_id") === 0),
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", 20)
+        .select(col("cand_id").as("id"), col("rank").as("rnk"))
+      Similarity.rrfFuse(Seq(kw, vec), "id", "rnk", k = 15)
+        .orderBy(col("rrf").desc, col("id"))
+    },
+    Some {
+      s"""WITH tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+         |             FROM documents),
+         |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
+         |dl AS (SELECT d.doc_id, count(t.term) AS dl
+         |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN ('vector', 'join', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, round(sum(
+         |    ((st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * tf.tf::DOUBLE * 2.2
+         |      / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))), 6)
+         |      AS bm25
+         |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+         |       CROSS JOIN st
+         |  GROUP BY 1),
+         |kw AS (SELECT doc_id AS id, CAST(row_number() OVER
+         |         (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+         |       FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20)),
+         |ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+         |n2 AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         |dots AS (SELECT b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+         |         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+         |         GROUP BY 1),
+         |sims AS (SELECT cand_id, dp / (na.nrm * nb.nrm) AS sim
+         |         FROM dots JOIN n2 na ON na.vec_id = 0
+         |                   JOIN n2 nb ON nb.vec_id = cand_id),
+         |vec AS (SELECT id, rnk FROM (SELECT cand_id AS id, CAST(row_number() OVER
+         |          (ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+         |        WHERE rnk <= 20),
+         |u AS (SELECT id, 1.0 / (60.0 + rnk) AS c FROM kw
+         |      UNION ALL SELECT id, 1.0 / (60.0 + rnk) AS c FROM vec)
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_lists, round(sum(c), 6) AS rrf
+         |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 15""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115)
+    q114, q115, q116, q117)
 }

@@ -526,6 +526,35 @@ object Similarity {
     rankTopK(scored, k, "rnk")
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner for a
+    * keyword ranking ([[Terms.bm25Search]]) and a vector ranking
+    * ([[cosineTopK]] / [[ivfSearchFromStore]]):
+    *
+    *   rrf(d) = Σ_lists 1 / (kRrf + rank_d)     (missing ⇒ no term)
+    *
+    * Pure rational arithmetic over integer ranks (correctly-rounded IEEE
+    * division — replayable bit-for-bit by an external SQL engine, same
+    * contract as the linear-idf decisions); the 6-dp round absorbs
+    * addition-order differences when ≥3 lists fuse. Output
+    * (id, n_lists, rrf) ranked (rrf desc, id asc), top `k` as
+    * TakeOrderedAndProject.
+    *
+    * Scale shape: inputs are already-truncated top-k lists (bounded —
+    * |lists| × k rows total), so fusion is a union + one tiny keyed
+    * aggregate; nothing corpus-sized is touched. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k >= 1 && kRrf >= 1, "k and kRrf must be >= 1")
+    lists.map(df => df.select(col(idCol).cast("long").as("id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double"))).as("__c")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lists"), round(sum(col("__c")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Per-group embedding centroids — class prototypes for few-shot label
     * transfer, cluster summaries, drift monitoring. One hash aggregation
     * with the elementwise [[Aggregators.VectorSum]]: partial sums combine

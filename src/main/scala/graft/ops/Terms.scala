@@ -379,6 +379,71 @@ object Terms {
       .select(col("doc_id"))
   }
 
+  /** BM25 ranked retrieval over the corpus — [[searchDocs]]' boolean
+    * conjunction upgraded to the standard relevance ranking a corpus
+    * platform serves (the keyword leg of hybrid search next to the ANN
+    * paths in [[Similarity]]).
+    *
+    *   score(doc) = Σ_{t ∈ query ∩ doc} idf(t) · tf·(k1+1) /
+    *                  (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * `idf` is the RATIONAL Robertson form WITHOUT the log:
+    * (N − df + 0.5)/(df + 0.5) + 1 — same bit-replayability decision as
+    * [[tfIdfTopTerms]]' linear inverse frequency (`ln` is libm-dependent
+    * at the last ulp, which makes cross-engine rank comparisons
+    * knife-edged; division is correctly-rounded IEEE everywhere).
+    * Production rankers wanting the log-damped form rank on
+    * `ln(idf)`-weighted terms with the identical plan shape. Ranking
+    * sorts on the 6-dp ROUNDED score (ties → doc_id asc), so the order an
+    * external engine replays is the order this returns.
+    *
+    * Scale shape: the corpus pays two narrow scans and zero corpus-sized
+    * shuffles — (1) per-doc token length + the global (N, avgdl)
+    * aggregate (broadcast, 1 row); (2) tokenize with an `isin` prune
+    * BEFORE any aggregation, so only (doc, query-term) instances reach
+    * the tf shuffle (≤ |terms| rows per matching doc). Document
+    * frequencies of the query terms are a |terms|-row broadcast;
+    * candidate doc lengths join by id; the global top-k plans as
+    * TakeOrderedAndProject. dl counts non-empty normalized tokens
+    * (0 for empty/NULL text; NULL-text docs still count toward N and
+    * avgdl, matching a LEFT-JOIN length oracle). */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int, k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
+    require(k >= 1, "k must be >= 1")
+    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    val docLen = Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        coalesce(size(filter(toks, t => t =!= "")), lit(0)).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*)) // prune BEFORE the aggregation
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), round(sum(w), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+      // rank rides along for downstream fusion (rrfFuse); the window sees
+      // only the k retained rows, so the single-partition sort is bounded
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+  }
+
   /** Corpus mixture planning — the sizing step of data curation: given a
     * target token budget and per-stratum mixture weights, compute for each
     * stratum (source, language, quality bucket...) its token count, target

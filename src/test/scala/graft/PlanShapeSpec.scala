@@ -239,6 +239,52 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.matches(".*\\bGenerate (pos)?explode.*")) == 1, p)
   }
 
+  test("PCA projection is a narrow literal-dot map: no shuffle, no window") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val model = graft.ops.Projection.fitPca(emb, "embedding", dim = 64, k = 2)
+    val p = graft.ops.Projection.projectPca(emb, "embedding", model, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    // the projection itself (fit already done) must be scan + project only
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("quantized IVF store carries tinyint codes and the probe bucket-prunes") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") >= 20).select(col("vec_id"), col("embedding"))
+    val codebook = corpus.filter(col("vec_id") < 28).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq
+    graft.ops.Similarity.writeQuantizedIvfStore(corpus, "vec_id", "embedding",
+      codebook, "plan_qivf", numBuckets = codebook.size)
+    try {
+      assert(spark.table("plan_qivf").schema("codes").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+        org.apache.spark.sql.types.ByteType)
+      val p = graft.ops.Similarity.quantizedIvfSearchFromStore(spark, "plan_qivf",
+          corpus, emb.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", codebook, nProbe = 2, k = 3, rerankK = 6)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), p)
+    } finally spark.sql("DROP TABLE IF EXISTS plan_qivf")
+  }
+
+  test("BM25 prunes to query terms before any aggregation; top-k avoids a global sort") {
+    val p = plan("q116_bm25_search")
+    // the isin prune must sit scan-side, BELOW the tf aggregate: the only
+    // rows entering any exchange are (doc, query-term) instances
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val aggExchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning")).toSeq
+    // tf (doc_id, term), df (term), score (doc_id), + docLen side reuse —
+    // none of them may carry the text column
+    assert(!aggExchanges.exists(_.contains("text")),
+      s"corpus text must not cross the wire:\n$p")
+    assert(p.contains("vector"), "query-term literals should appear in the plan")
+  }
+
   test("shard manifest is one aggregation with a map-side partial") {
     val p = plan("q104_shard_manifest")
     // one exchange pair: partial aggregate -> shuffle on shard -> final

@@ -171,6 +171,48 @@ class TermsSpec extends SparkTestBase {
     assert(toks == Seq("low", "est", "n", "e", "w", "est"))
   }
 
+  test("bm25Search ranks by the hand-computed rational-idf BM25") {
+    // N=4, avgdl=(4+3+3+0)/4=2.5; df: vector=2, join=1, filter=1
+    // idf(vector)=2.0, idf(join)=idf(filter)=10/3
+    // doc1 len-norm 1.2*(0.25+0.75*4/2.5)=1.74:
+    //   2*2*2.2/3.74 + 2*(10/3)*2.2/2.74 = 7.705739 (6dp)
+    // doc2 len-norm 1.38: 2*2.2/2.38 = 1.848739
+    val docs = Seq(
+      (1L, "Vector JOIN filter vector!"),  // normalization folds case/punct
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry"),
+      (4L, ""))                            // dl=0 still counts toward avgdl
+      .toDF("doc_id", "text")
+    val out = Terms.bm25Search(docs, "doc_id", "text",
+        Seq("vector", "join", "filter"), k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 7.705739, 1L), (2L, 1L, 1.848739, 2L)))
+    // top-k truncation keeps the best-scoring doc
+    val top1 = Terms.bm25Search(docs, "doc_id", "text",
+        Seq("vector", "join", "filter"), k = 1)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(top1 == Seq((1L, 3L, 7.705739, 1L)))
+    // RRF fusion with a second (vector-side) ranking: hand-check
+    // 1/(60+rank) sums — doc 1 in both lists, doc 2 keyword-only, doc 9
+    // vector-only
+    val vecList = Seq((9L, 1L), (1L, 2L)).toDF("id", "rnk")
+    val kwList = out.map(r => (r._1, r._4)).toDF("id", "rnk")
+    val fused = Similarity.rrfFuse(Seq(kwList, vecList), "id", "rnk", k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val r1 = BigDecimal(1.0 / 61 + 1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r9 = BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2 = BigDecimal(1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fused == Seq((1L, 2L, r1), (9L, 1L, r9), (2L, 1L, r2)))
+    // no matching docs -> empty, not an error
+    assert(Terms.bm25Search(docs, "doc_id", "text", Seq("zzz"), k = 5)
+      .collect().isEmpty)
+    // un-normalized query terms are rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Terms.bm25Search(docs, "doc_id", "text", Seq("Vector"), k = 5)
+    }
+    assert(e.getMessage.contains("normalized"))
+  }
+
   test("bpeTrain stops early when no pairs remain and guards the vocab collect") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // only one distinct word "ab": first merge (a,b) consumes the only
