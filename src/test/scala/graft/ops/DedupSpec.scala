@@ -133,7 +133,10 @@ class DedupSpec extends SparkTestBase {
     val nodes = (1L to 5L).toDF("doc_id")
     val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(nodes, "doc_id", chain, maxRounds = 1).collect()
+      // driverEdgeCap = 0 forces the distributed propagation path (the
+      // driver union-find needs no rounds and cannot fail to converge)
+      Dedup.duplicateClusters(nodes, "doc_id", chain, maxRounds = 1,
+        driverEdgeCap = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -201,16 +204,25 @@ class DedupSpec extends SparkTestBase {
     // {10,11}, and singletons 20, 21 (no pairs at all)
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val out = Dedup.duplicateClusters(nodes, "doc_id", pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L)
+    // both execution paths — driver union-find (default: edges under the
+    // cap) and distributed frontier propagation (cap = 0) — must agree
+    val fast = Dedup.duplicateClusters(nodes, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 21L))
+    val dist = Dedup.duplicateClusters(nodes, "doc_id", pairs, driverEdgeCap = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == expected)
+    assert(dist == expected)
     // chain needing multiple propagation rounds: 5-4, 4-3, 3-2, 2-1
     val chainNodes = (1L to 5L).toDF("doc_id")
     val chain = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
-    val chained = Dedup.duplicateClusters(chainNodes, "doc_id", chain)
-      .as[(Long, Long)].collect().toMap
-    assert(chained.values.toSet == Set(1L))
+    for (cap <- Seq(0L, 1000000L)) {
+      val chained = Dedup.duplicateClusters(chainNodes, "doc_id", chain,
+          driverEdgeCap = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(chained.values.toSet == Set(1L), s"cap=$cap")
+    }
   }
 
   test("clusterRepresentatives keeps the best-ranked copy per cluster") {
