@@ -1601,9 +1601,63 @@ object PipelineQueries {
          |FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 15""".stripMargin
     })
 
+  /** Surgical decontamination ([[Dedup.cutSpans]] ∘
+    * [[Dedup.contaminatedSpans]]): excise only the token spans a corpus
+    * document shares with the benchmark set (6-token windows, q80's
+    * corpus/bench split) instead of dropping the whole document — q59's
+    * doc-level verdict upgraded to span surgery. The oracle rebuilds the
+    * bench window set as STRINGS (q110's hash-equality-iff-string-equality
+    * precedent), marks matching corpus positions, replays the
+    * gaps-and-islands merge and the token cut. */
+  private val q118 = Q("q118_decontaminate_spans",
+    (s, d) => {
+      val docs = documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.cutSpans(corpus, "doc_id", "text",
+          Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", 6))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      s"""WITH t AS (SELECT doc_id, string_split($SqlNorm, ' ') AS toks
+         |           FROM documents WHERE doc_id % 97 <> 0),
+         |bt AS (SELECT string_split($SqlNorm, ' ') AS toks
+         |       FROM documents WHERE doc_id % 97 = 0),
+         |bw AS (SELECT DISTINCT unnest(list_transform(
+         |         range(0, len(toks) - 6 + 1),
+         |         i -> array_to_string(toks[i + 1:i + 6], ' '))) AS ws
+         |       FROM bt WHERE len(toks) >= 6),
+         |w AS (SELECT doc_id,
+         |        unnest(range(0, len(toks) - 6 + 1)) AS pos,
+         |        unnest(list_transform(range(0, len(toks) - 6 + 1),
+         |          i -> array_to_string(toks[i + 1:i + 6], ' '))) AS ws
+         |      FROM t WHERE len(toks) >= 6),
+         |p AS (SELECT doc_id, pos FROM w WHERE ws IN (SELECT ws FROM bw)),
+         |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) <= 6 THEN 0 ELSE 1 END AS brk
+         |      FROM p),
+         |sp AS (SELECT doc_id, pos, sum(brk) OVER (
+         |        PARTITION BY doc_id ORDER BY pos) AS grp FROM b),
+         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 6 - 1 AS s1
+         |          FROM sp GROUP BY doc_id, grp),
+         |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+         |               unnest(toks) AS w FROM t),
+         |cut AS (SELECT DISTINCT tok.doc_id, pos FROM tok
+         |        JOIN spans s ON tok.doc_id = s.doc_id
+         |                    AND pos >= s.s0 AND pos <= s.s1),
+         |kept AS (SELECT doc_id, pos, w FROM tok
+         |         ANTI JOIN cut USING (doc_id, pos)),
+         |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+         |       coalesce(agg.n_kept, 0) AS n_kept,
+         |       len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut
+         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117)
+    q114, q115, q116, q117, q118)
 }

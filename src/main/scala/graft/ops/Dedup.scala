@@ -915,9 +915,18 @@ object Dedup {
       .withColumn("__occ", count(lit(1)).over(wG))
       .filter(col("__occ") >= minCount)
       .select(col("doc_id"), col("pos"))
+    mergeWindowSpans(dupPos, k)
+  }
+
+  /** Gaps-and-islands merge of flagged window positions into maximal
+    * per-doc spans: positions within `k` of their predecessor coalesce
+    * (overlapping/adjacent k-windows form one span). Shared by
+    * [[repeatedSpans]] and [[contaminatedSpans]]; the doc-keyed window is
+    * bounded by doc_len/k rows per document. */
+  private def mergeWindowSpans(flagged: DataFrame, k: Int): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos
+    flagged
       .withColumn("__brk",
         when(col("pos") - lag(col("pos"), 1).over(wDoc) <= k, 0L).otherwise(1L))
       .withColumn("__grp", sum(col("__brk")).over(wDoc))
@@ -926,6 +935,37 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_len"),
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_len"), col("n_windows"))
+  }
+
+  /** SURGICAL decontamination front end: positions of corpus k-token
+    * windows that occur ANYWHERE in the benchmark set, merged into maximal
+    * per-doc spans ([[mergeWindowSpans]]) — feed to [[cutSpans]] to excise
+    * only the leaked text instead of dropping whole documents (the
+    * [[decontaminate]] doc-level verdict loses an entire document over one
+    * quoted benchmark item; modern pipelines cut the quotation). Window
+    * hashing is the positional [[graft.functions.ShingleHashSeq]] kernel on
+    * BOTH sides — full k-windows only, so a benchmark shorter than k tokens
+    * contributes nothing (it has no k-window to leak).
+    *
+    * Scale shape: the benchmark's distinct window-hash set broadcasts
+    * (eval suites are MBs against TBs — same contract as
+    * [[decontaminate]]); the corpus pays one narrow kernel scan +
+    * posexplode, and only BENCH-MATCHING positions (a vanishing fraction)
+    * reach the doc-keyed merge window. Nothing corpus-sized shuffles. */
+  def contaminatedSpans(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val benchGrams = bench
+      .select(explode(
+        graft.functions.TextFunctions.shingle_hash_seq(col(textCol), k)).as("g"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.shingle_hash_seq(col(textCol), k)))
+      .toDF("doc_id", "pos", "g")
+      .join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id"), col("pos"))
+    mergeWindowSpans(hits, k)
   }
 
   /** Consumer of [[repeatedSpans]] (or any (doc_id, span_start, span_len)

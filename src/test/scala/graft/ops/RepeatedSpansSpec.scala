@@ -114,4 +114,30 @@ class RepeatedSpansSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(spans == Set((1L, 0L, 4L, 1L), (2L, 3L, 4L, 1L)))
   }
+
+  test("contaminatedSpans cuts exactly the benchmark quote, nothing else") {
+    // doc 1 quotes a 5-token benchmark passage mid-document; doc 2 is
+    // clean; doc 3 is shorter than the window and can never match
+    val corpus = df(
+      (1L, "intro words the quick brown fox jumps closing remark"),
+      (2L, "totally unrelated content with many words here"),
+      (3L, "tiny doc"))
+    val bench = df((100L, "prefix the quick brown fox jumps suffix"))
+    val spans = Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // windows of "the quick brown fox jumps" start at corpus positions
+    // 2..4 (3 overlapping 3-windows) and merge into one span covering
+    // tokens 2..6: span_len = 4 - 2 + 3 = 5
+    assert(spans == Set((1L, 2L, 5L, 3L)))
+    val cut = Dedup.cutSpans(corpus, "doc_id", "text",
+        Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", 3))
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cut(1L) == ((1L, "intro words closing remark", 4L, 5L)))
+    assert(cut(2L)._3 == 7L && cut(2L)._4 == 0L) // untouched
+    assert(cut(3L)._4 == 0L)
+    // a benchmark shorter than the window has no k-window to leak
+    val tinyBench = df((100L, "fox jumps"))
+    assert(Dedup.contaminatedSpans(corpus, tinyBench, "doc_id", "text", 3)
+      .collect().isEmpty)
+  }
 }
