@@ -145,4 +145,38 @@ class PropertySpec extends SparkTestBase {
       assert(got == ref, s"data=$data")
     }
   }
+
+  private val edgeLists: Gen[List[(Long, Long)]] =
+    Gen.listOf(Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 60L)))
+
+  test("duplicateClusters: driver union-find equals distributed propagation on random graphs") {
+    forAll(edgeLists) { rawEdges =>
+      // self-loops and duplicate pairs are legal inputs; components must
+      // come out identical either way, labeled with the min member id
+      val edges = rawEdges.filter { case (a, b) => a != b }
+      val nodeIds = (0L to 60L).toList
+      val nodes = nodeIds.toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      val fast = Dedup.duplicateClusters(nodes, "doc_id", pairs)
+        .as[(Long, Long)].collect().toMap
+      val dist = Dedup.duplicateClusters(nodes, "doc_id", pairs, driverEdgeCap = 0L)
+        .as[(Long, Long)].collect().toMap
+      // reference: brute-force transitive closure over the undirected graph
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(start: Long): Set[Long] = {
+        var seen = Set(start); var frontier = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      val ref = nodeIds.map(id => id -> component(id).min).toMap
+      assert(fast == ref, s"fast path diverges, edges=$edges")
+      assert(dist == ref, s"distributed path diverges, edges=$edges")
+    }
+  }
 }
