@@ -221,4 +221,51 @@ object Multimodal {
         lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
       .as[MediaRecord]
   }
+
+  /** 64-bit perceptual average-hash (aHash) of an image payload: decode,
+    * 8×8 grid mean-luminance ([[ImageCodec.gridLuminance]] — resolution-
+    * independent, so a resized copy hashes near-identically), bit i set
+    * iff cell i's luminance exceeds the grid mean. Undecodable payloads
+    * take a deterministic polynomial byte hash instead (totality under
+    * junk payloads, same contract as the byte-math feature stub): two
+    * byte-identical junk payloads still pair at distance 0, and unrelated
+    * junk lands far apart with overwhelming probability. */
+  def imageAHash(payload: Array[Byte]): Long =
+    ImageCodec.decode(payload) match {
+      case Some(img) =>
+        val g = ImageCodec.gridLuminance(img, 8)
+        var mean = 0.0
+        var i = 0
+        while (i < 64) { mean += g(i); i += 1 }
+        mean /= 64.0
+        var h = 0L
+        i = 0
+        while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+        h
+      case None =>
+        var h = 1125899906842597L // large prime seed
+        var i = 0
+        while (i < payload.length) { h = h * 31L + (payload(i) & 0xff); i += 1 }
+        h
+    }
+
+  /** Per-record aHash frame (media_id, sig) for an image dataset — the
+    * signature store a perceptual-dedup pipeline persists. Narrow
+    * deserialize-once map, no shuffle. */
+  def imageAHashes(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map(r => (r.media_id, imageAHash(r.payload))).toDF("id", "sig")
+  }
+
+  /** Perceptual image near-duplicates: pairs of images whose 64-bit aHash
+    * differs in ≤ `maxHamming` bits — the image leg of corpus dedup
+    * (re-encoded/resized/slightly-edited copies that byte-exact dedup
+    * misses). Delegates to the shared pigeonhole-blocked Hamming core
+    * ([[graft.ops.Dedup.hammingNearPairs]]): exact for the bound, the
+    * quadratic term confined to chunk buckets, degenerate buckets capped.
+    * Output (id_a, id_b, hamming). */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3,
+                        maxBucketSize: Int = 1000): DataFrame =
+    graft.ops.Dedup.hammingNearPairs(imageAHashes(media), maxHamming,
+      maxBucketSize, nBits = 64)
 }

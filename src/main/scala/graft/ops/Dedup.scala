@@ -340,18 +340,64 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Bit ranges distributing 62 bits over `chunks` NON-EMPTY chunks:
-    * the first 62 % chunks get ceil width, the rest floor width. Every
-    * chunk spans >= 1 bit for chunks <= 62, which the pigeonhole argument
-    * requires (a naive uniform-ceil split leaves trailing chunks EMPTY
-    * once chunks >= 9 — an empty chunk is one universal bucket, and after
-    * the bucket-size cap drops it the remaining chunks no longer cover
-    * the distance bound: silent recall loss). */
-  private[graft] def chunkRanges(chunks: Int): Seq[(Int, Int)] = {
-    val base = 62 / chunks
-    val extra = 62 % chunks
+  /** Bit ranges distributing `nBits` bits over `chunks` NON-EMPTY chunks:
+    * the first nBits % chunks get ceil width, the rest floor width. Every
+    * chunk spans >= 1 bit for chunks <= nBits, which the pigeonhole
+    * argument requires (a naive uniform-ceil split leaves trailing chunks
+    * EMPTY once chunks >= 9 — an empty chunk is one universal bucket, and
+    * after the bucket-size cap drops it the remaining chunks no longer
+    * cover the distance bound: silent recall loss). nBits defaults to the
+    * text SimHash's 62; the perceptual image hash uses 64. */
+  private[graft] def chunkRanges(chunks: Int, nBits: Int = 62): Seq[(Int, Int)] = {
+    val base = nBits / chunks
+    val extra = nBits % chunks
     val widths = (0 until chunks).map(c => base + (if (c < extra) 1 else 0))
     widths.scanLeft(0)(_ + _).zip(widths).take(chunks)
+  }
+
+  /** Generic pigeonhole-blocked Hamming near-pair core over ANY `nBits`-bit
+    * LONG signature frame (`sigs`: (id, sig)): split into maxHamming + 1
+    * chunks, candidates share a (chunk, value) key, exact popcount
+    * verifies. Exact for the bound; quadratic work confined to buckets
+    * with the standard degenerate-bucket cap. Backs [[simHashNearPairs]]
+    * (62-bit text sketch) and
+    * [[graft.multimodal.Multimodal.imageNearDupPairs]] (64-bit perceptual
+    * aHash).
+    *
+    * For nBits = 64 the top chunk's mask spans to bit 63; the shift/mask
+    * arithmetic stays non-negative because chunk widths are < 64 for every
+    * chunks >= 2, and chunks = 1 (maxHamming = 0) masks with -1L — i.e.
+    * the full signature, which is exactly the equality bucket that case
+    * wants. */
+  private[graft] def hammingNearPairs(sigs: DataFrame, maxHamming: Int,
+                                      maxBucketSize: Int, nBits: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBits,
+      s"maxHamming $maxHamming out of range for $nBits-bit signatures")
+    val chunks = maxHamming + 1
+    val hashes = sigs.toDF("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunkKeys = chunkRanges(chunks, nBits).zipWithIndex.map { case ((lo, bits), c) =>
+      struct(lit(c).as("c"),
+        shiftright(col("sig"), lo)
+          .bitwiseAND(lit(if (bits >= 64) -1L else (1L << bits) - 1)).as("v"))
+    }
+    val banded = hashes.select(col("id"), explode(array(chunkKeys: _*)).as("bk"))
+    val okBuckets = banded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
+      .select(col("bk"))
+    val pruned = banded.join(okBuckets, Seq("bk"), "left_semi")
+    val pairs = pruned.select(col("bk"), col("id").as("id_a"))
+      .join(pruned.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    pairs
+      .join(hashes.select(col("id").as("id_a"), col("sig").as("ha")), Seq("id_a"))
+      .join(hashes.select(col("id").as("id_b"), col("sig").as("hb")), Seq("id_b"))
+      .withColumn("hamming", hammingDist(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** SimHash near-duplicate pairs — the pairing step the sketch exists for:
@@ -379,38 +425,15 @@ object Dedup {
     * operator returning an unconsumed frame cannot safely unpersist its own
     * input. */
   def simHashNearPairs(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 62, s"maxHamming $maxHamming out of range")
-    val chunks = maxHamming + 1
-    val hashes = simHash(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkKeys = chunkRanges(chunks).zipWithIndex.map { case ((lo, bits), c) =>
-      struct(lit(c).as("c"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << bits) - 1)).as("v"))
-    }
-    // bucket-size guard as aggregate + left-semi prune, NOT the q42 count
-    // window: here the banded frame derives from the PERSISTED hashes cache
-    // (shift/mask per row), so the prune's second pass is a cheap cache
-    // read — measured: the window variant's extra sort on the band exchange
-    // costs more than it saves (q56 1.36 s → 1.59 s at sf0.1)
-    val banded = hashes.select(col("id"), explode(array(chunkKeys: _*)).as("bk"))
-    val okBuckets = banded.groupBy(col("bk"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
-      .select(col("bk"))
-    val pruned = banded.join(okBuckets, Seq("bk"), "left_semi")
-    val pairs = pruned.select(col("bk"), col("id").as("id_a"))
-      .join(pruned.select(col("bk"), col("id").as("id_b")), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    pairs
-      .join(hashes.select(col("id").as("id_a"), col("simhash").as("ha")), Seq("id_a"))
-      .join(hashes.select(col("id").as("id_b"), col("simhash").as("hb")), Seq("id_b"))
-      .withColumn("hamming", hammingDist(col("ha"), col("hb")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
-  }
+                       maxHamming: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    // bucket-size guard inside the shared core is aggregate + left-semi
+    // prune, NOT the q42 count window: the banded frame derives from the
+    // PERSISTED hashes cache (shift/mask per row), so the prune's second
+    // pass is a cheap cache read — measured: the window variant's extra
+    // sort on the band exchange costs more than it saves (q56 1.36 s →
+    // 1.59 s at sf0.1)
+    hammingNearPairs(simHash(df, idCol, textCol), maxHamming, maxBucketSize,
+      nBits = 62)
 
   /** Blocked n-gram Jaccard near-dup pairs: candidates share (lang, length
     * bucket); Jaccard over distinct word shingles.
