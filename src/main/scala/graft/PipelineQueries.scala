@@ -1655,9 +1655,78 @@ object PipelineQueries {
          |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
     })
 
+  /** Fixed-size per-stratum sample ([[TextOps.groupSample]]): exactly
+    * min(k, |stratum|) docs per source by the k smallest replayable LCG
+    * draws — the reservoir-sampling contract via a bounded per-group TopK
+    * aggregator (each (stratum, partition) exchanges <= k pairs; a window
+    * would shuffle the corpus). Oracle replays draw + row_number. */
+  private val q119 = Q("q119_group_sample",
+    (s, d) => TextOps.groupSample(documents(s, d), "doc_id", "source", k = 20)
+      .withColumnRenamed("stratum", "source")
+      .orderBy(col("source"), col("draw"), col("doc_id")),
+    Some("""WITH dr AS (SELECT source, doc_id,
+              (((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648) AS draw
+            FROM documents),
+            rk AS (SELECT *, row_number() OVER (
+              PARTITION BY source ORDER BY draw, doc_id) AS rn FROM dr)
+            SELECT source, doc_id, draw FROM rk WHERE rn <= 20
+            ORDER BY source, draw, doc_id"""))
+
+  /** Z-order key computation ([[Layout.zOrderKey]]): min-max bin both
+    * columns to 16 bits, Morton-interleave — the write-time sort key of
+    * [[Layout.writeZOrdered]]'s multi-column data-skipping layout,
+    * declared as a query because the key is pure replayable integer bit
+    * math (truncating division + 4 shift-or-mask dilation steps, both
+    * engines bit-identical). */
+  private val q120 = Q("q120_zorder_key",
+    (s, d) => Layout.zOrderKey(
+        orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        "o_orderkey", "o_custkey", zName = "zkey")
+      .orderBy(col("zkey"), col("o_orderkey")),
+    Some("""WITH mm AS (SELECT min(o_orderkey) AS amin, max(o_orderkey) AS amax,
+                   min(o_custkey) AS bmin, max(o_custkey) AS bmax FROM orders),
+            b AS (SELECT o_orderkey, o_custkey,
+                CASE WHEN amax = amin THEN 0
+                     ELSE ((o_orderkey - amin) * 65535) // (amax - amin) END AS xa,
+                CASE WHEN bmax = bmin THEN 0
+                     ELSE ((o_custkey - bmin) * 65535) // (bmax - bmin) END AS xb
+              FROM orders CROSS JOIN mm),
+            s1 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS a1,
+                          (xb | (xb << 8)) & 16711935 AS b1 FROM b),
+            s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+                          (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+            s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+                          (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+            s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+                          (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+            SELECT o_orderkey, o_custkey, (a4 | (b4 << 1)) AS zkey FROM s4
+            ORDER BY zkey, o_orderkey"""))
+
+  /** Hot/cold split skew join ([[ScaleJoins.hotKeySplitJoin]] fed by
+    * [[ScaleJoins.detectHotKeys]]): detected-hot keys join a broadcast
+    * right slice (hot rows never shuffle), the rest takes the plain
+    * shuffle join — declared at its equality contract (q73's precedent):
+    * the result must equal the plain equi-join + aggregate. */
+  private val q121 = Q("q121_hot_split_join",
+    (s, d) => {
+      val li = lineitem(s, d)
+      val sup = supplier(s, d).withColumnRenamed("s_suppkey", "l_suppkey")
+      val hot = ScaleJoins.detectHotKeys(li, "l_suppkey", support = 0.005)
+      ScaleJoins.hotKeySplitJoin(li, sup, "l_suppkey", hot)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("s_name"))
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name ORDER BY s_name"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118)
+    q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -40,6 +40,72 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Spread the low 16 bits of `c` out to even bit positions (classic
+    * Morton bit-dilation: four shift-or-mask doubling steps). Input must
+    * already be in [0, 65536) — [[zOrderKey]] bins raw columns down. */
+  private def spread16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton (Z-curve) key over two 16-bit bin values: bits of `a`
+    * land on even positions, bits of `b` on odd — so sorting by the key
+    * orders rows along the Z-curve, where ranges of EITHER dimension map
+    * to a bounded set of curve segments. Pure integer bit math, exactly
+    * replayable by any engine with shifts and masks (q120's oracle). */
+  def mortonKey16(a: Column, b: Column): Column =
+    spread16(a.cast("long")).bitwiseOR(shiftleft(spread16(b.cast("long")), 1))
+
+  /** Min-max bin an integral column into [0, 65536): exact integer
+    * arithmetic `((v - lo) * 65535) div (hi - lo)`, truncating division —
+    * identical in Spark and SQL engines for the non-negative operands
+    * here. Exact while `(hi - lo) * 65535` fits double's 53-bit mantissa,
+    * i.e. column RANGES up to ~2^37 — beyond that the product's double
+    * rounding may move a value one bin, which skews layout, never
+    * correctness (the key is dropped after sorting). */
+  private def bin16(v: Column, lo: Column, hi: Column): Column =
+    when(hi === lo, lit(0L))
+      .otherwise(((v.cast("long") - lo) * lit(65535L) / (hi - lo)).cast("long"))
+
+  /** Append a Z-order key column `zName` interleaving the min-max-binned
+    * values of `colA` and `colB`. The min/max aggregate is one tiny job
+    * whose 1-row result broadcast-joins back — the corpus itself stays
+    * narrow. */
+  def zOrderKey(df: DataFrame, colA: String, colB: String,
+                zName: String = "__z"): DataFrame = {
+    val mm = df.agg(
+      min(col(colA)).cast("long").as("__amin"), max(col(colA)).cast("long").as("__amax"),
+      min(col(colB)).cast("long").as("__bmin"), max(col(colB)).cast("long").as("__bmax"))
+    df.crossJoin(broadcast(mm))
+      .withColumn(zName, mortonKey16(
+        bin16(col(colA), col("__amin"), col("__amax")),
+        bin16(col(colB), col("__bmin"), col("__bmax"))))
+      .drop("__amin", "__amax", "__bmin", "__bmax")
+  }
+
+  /** Z-order layout: range-partition + sort by the Morton key of (colA,
+    * colB), so each output file covers a short Z-curve segment — a narrow
+    * rectangle-ish region of the 2-D key space. Parquet min/max stats then
+    * skip files for selective predicates on EITHER column (~sqrt(nFiles)
+    * of the files match a point predicate on one dimension), where
+    * [[writeRangeSorted]] skips only on its single sort column and leaves
+    * the other column's per-file span at the full global range. This is
+    * the multi-column data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER
+    * shape) for the two-predicate access pattern at 100 TB. The key is
+    * computed once at write time and dropped — readers see the original
+    * schema. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    zOrderKey(df, colA, colB)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Overwrite ONLY the partitions present in `df` (dynamic partition
     * overwrite), leaving sibling partitions intact — the incremental
     * corpus-refresh primitive: re-curating one source/date re-writes that

@@ -62,6 +62,56 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Exact hot-key detection in two bounded passes: a single narrow
+    * `freqItems` sweep (KSP counters, at most 1/support candidates per
+    * partition, associative merge — no corpus shuffle) proposes
+    * candidates, then ONE aggregation over just the candidate rows counts
+    * them exactly and keeps keys with frequency >= support. freqItems'
+    * guarantee is one-sided (every key above support is proposed, false
+    * positives possible) — the exact pass kills the false positives, so
+    * the result is precisely the >= support key set. Both jobs are
+    * candidate-bounded: nothing corpus-sized shuffles or collects. */
+  def detectHotKeys(df: DataFrame, key: String, support: Double): Seq[Any] = {
+    require(support > 1e-4 && support < 1.0, "support must be in (1e-4, 1)")
+    val cands = df.stat.freqItems(Array(key), support)
+      .head().getSeq[Any](0).filter(_ != null)
+    if (cands.isEmpty) return Nil
+    // candidate-bounded collect: at most 1/support rows
+    val counts = df.filter(col(key).isin(cands: _*))
+      .groupBy(col(key)).agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    val rest = df.filter(!col(key).isin(cands: _*) || col(key).isNull).count()
+    val total = counts.map(_._2).sum + rest
+    counts.filter { case (_, n) => n >= support * total }.map(_._1).toSeq
+  }
+
+  /** Skew join by hot/cold split: rows with a key in `hotKeys` join
+    * against a BROADCAST slice of the right side restricted to those keys
+    * — the hot rows never shuffle at all, the one task-size bomb is
+    * defused at the source; everything else takes the plain shuffle join.
+    * Result == `left.join(right, key)` for non-null-key rows (inner join;
+    * null keys match nothing on either path).
+    *
+    * This is the production alternative to [[saltedJoin]] when the hot
+    * set is KNOWN (or detected via [[detectHotKeys]]): salting pays
+    * saltFactor× replication of the ENTIRE right side through the
+    * shuffle, the split replicates only the hot slice — and to every
+    * executor once, not to saltFactor reducers. The cold join's AQE skew
+    * handling stays available for moderate residual skew. Requires the
+    * hot slice of the RIGHT side to fit in a broadcast (hot KEYS are few
+    * by construction; a right side with corpus-sized payload per hot key
+    * is the one shape this cannot help — that's a different join, not a
+    * skew problem). */
+  def hotKeySplitJoin(left: DataFrame, right: DataFrame, key: String,
+                      hotKeys: Seq[Any]): DataFrame = {
+    if (hotKeys.isEmpty) return left.join(right, Seq(key))
+    val cold = left.filter(!col(key).isin(hotKeys: _*))
+      .join(right.filter(!col(key).isin(hotKeys: _*)), Seq(key))
+    val hot = left.filter(col(key).isin(hotKeys: _*))
+      .join(broadcast(right.filter(col(key).isin(hotKeys: _*))), Seq(key))
+    cold.unionByName(hot)
+  }
+
   /** Shuffle-exchange count in a frame's executed plan (plan-shape
     * assertions). Counts only real shuffles: broadcast exchanges and
     * ReusedExchange references (which also print the word "Exchange") are

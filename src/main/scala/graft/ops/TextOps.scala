@@ -153,6 +153,40 @@ object TextOps {
       pmod(shiftright(lcgState(id), 9), lit(nShards.toLong)).cast("int"))
   }
 
+  /** Deterministic FIXED-SIZE uniform sample per stratum: exactly
+    * `min(k, |stratum|)` rows from each group — the reservoir-sampling
+    * contract, without reservoir state. Rate-based [[stratifiedSample]]
+    * keeps a binomially-varying count; eval sets, few-shot pools and
+    * per-source inspection slices need an exact k. Selection order is the
+    * shared replayable [[lcgState]] draw (id tie-break), so the sample is
+    * the same on any cluster, partitioning or run, and the oracle replays
+    * every pick.
+    *
+    * Scale shape: a bounded [[Aggregators.TopK]] per stratum — each
+    * (stratum, partition) exchanges at most k (draw, id) pairs, map-side
+    * combined, so the shuffle carries O(strata · partitions · k), never
+    * the corpus. The row_number-window formulation shuffles every corpus
+    * row to a stratum-count-bounded set of reducers first — both the
+    * volume and the parallelism fail at 100 TB. TopK keeps the k BEST by
+    * score desc, so the draw rides negated: "k smallest LCG draws" — a
+    * uniform k-subset, since the LCG ranks ids in corpus-independent
+    * pseudorandom order. Output is (stratum, id, draw) — join back on id
+    * for payload columns (the sample is id-cardinality; the join is the
+    * cheap side). */
+  def groupSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  strataCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val topk = udaf(new Aggregators.TopK(k))
+    df.select(col(strataCol).as("stratum"),
+        (-lcgState(col(idCol))).cast("double").as("__negdraw"),
+        col(idCol).cast("long").as("__id"))
+      .groupBy(col("stratum"))
+      .agg(topk(col("__negdraw"), col("__id")).as("picks"))
+      .select(col("stratum"), explode(col("picks")).as("p"))
+      .select(col("stratum"), col("p._2").as(idCol),
+        (-col("p._1")).cast("long").as("draw"))
+  }
+
   /** Probability-proportional-to-size document sampling: keep probability
     * ∝ the document's weight (token count), normalized so the EXPECTED
     * number of kept documents is `targetDocs` — the importance-weighted

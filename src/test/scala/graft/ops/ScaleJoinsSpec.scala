@@ -138,6 +138,40 @@ class ScaleJoinsSpec extends SparkTestBase {
     assert(a.filter(_._1.startsWith("hot")).values.toSet.size >= 4) // actually spreads
   }
 
+  test("detectHotKeys finds exactly the >= support keys (false positives killed)") {
+    // one key at 95%, one at ~3%, the rest singletons: support 0.05 must
+    // return exactly the 95% key — the 3% key may be PROPOSED by
+    // freqItems' one-sided sweep, but the exact pass filters it
+    val df = ((0 until 9500).map(_ => 1L) ++ (0 until 300).map(_ => 2L) ++
+      (0 until 200).map(i => i.toLong + 10)).toDF("k")
+    val hot = ScaleJoins.detectHotKeys(df, "k", support = 0.05)
+    assert(hot == Seq(1L))
+    // no key reaches 96% — empty result, not an error (the 95% key is
+    // proposed by the sweep, the exact pass rejects it)
+    assert(ScaleJoins.detectHotKeys(df, "k", support = 0.96).isEmpty)
+  }
+
+  test("hotKeySplitJoin equals the plain join; hot side broadcasts, cold side shuffles") {
+    val left = ((0 until 9500).map(i => (1L, s"hot$i")) ++
+      (0 until 500).map(i => (i.toLong + 2, s"cold$i"))).toDF("k", "lv")
+    val right = (0 until 600).map(i => (i.toLong, i * 10)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    val hot = ScaleJoins.detectHotKeys(left, "k", support = 0.5)
+    assert(hot == Seq(1L))
+    val split = ScaleJoins.hotKeySplitJoin(left, right, "k", hot)
+    val got = split.select("k", "lv", "rv")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == plain && plain.nonEmpty)
+    // plan shape: the hot branch is a broadcast join (hot rows never
+    // shuffle); with no hot keys the call degrades to the plain join
+    val planStr = split.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), s"no broadcast branch:\n$planStr")
+    val degenerate = ScaleJoins.hotKeySplitJoin(left, right, "k", Nil)
+      .select("k", "lv", "rv").as[(Long, String, Int)].collect().sorted.toSeq
+    assert(degenerate == plain)
+  }
+
   test("AQE splits a skewed join partition at runtime (the moderate-skew path)") {
     // salting is the explicit fallback for PATHOLOGICAL keys known in
     // advance (saltedJoin above); for moderate skew the engine relies on

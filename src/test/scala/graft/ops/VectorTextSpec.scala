@@ -158,6 +158,25 @@ class VectorTextSpec extends SparkTestBase {
     assert(again.toSeq == kept.toSeq)
   }
 
+  test("groupSample keeps exactly min(k, |stratum|) rows, the k smallest draws") {
+    val docs = (0L until 300L).map(i => (i, if (i < 295) "big" else "small"))
+      .toDF("doc_id", "src")
+    val got = TextOps.groupSample(docs, "doc_id", "src", k = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got.count(_._1 == "big") == 10)
+    // a stratum smaller than k returns whole (all 5 rows)
+    assert(got.count(_._1 == "small") == 5)
+    // picks are the k smallest LCG draws of the stratum (window replay)
+    def lcg(id: Long) = ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+    val expectBig = (0L until 295L).map(i => (lcg(i), i)).sorted.take(10)
+      .map { case (d, i) => ("big", i, d) }.toSet
+    assert(got.filter(_._1 == "big").toSet == expectBig)
+    // partition-layout independent
+    val re = TextOps.groupSample(docs.repartition(13), "doc_id", "src", k = 10)
+      .as[(String, Long, Long)].collect().toSet
+    assert(re == got.toSet)
+  }
+
   test("stratifiedSample is exact for ids past the 2^53 double mantissa") {
     // Corpus-scale ids: the LCG must stay all-integer (no ANSI overflow,
     // no double rounding). Keep decision must equal the mod-2^31 reduction
