@@ -1724,9 +1724,50 @@ object PipelineQueries {
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name ORDER BY s_name"""))
 
+  /** Product-quantization ANN ([[Similarity.pqCodebooks]]/[[Similarity
+    * .pqEncode]]/[[Similarity.pqSearch]]): 32×-compressed byte codes,
+    * query-side ADC lookup tables, exact re-rank — declared at the
+    * rerankK=0 exactness point (every encoded candidate exactly
+    * re-ranked ⇒ equals brute-force cosine top-k whatever the fitted
+    * codebooks; q115's nProbe=nCells precedent), so the oracle is the
+    * same brute-force SQL while the query exercises the
+    * encode → ADC → re-rank path end to end. */
+  private val q122 = Q("q122_pq_ann",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      // deterministic codebooks (q53's fixedCodebook precedent, sliced
+      // per subspace): codebook QUALITY is irrelevant at the rerankK=0
+      // exactness point, and the k-means fit path is spec'd in PqSpec —
+      // the declared query pins encode → ADC → re-rank
+      val base = fixedCodebook(emb).map(_._2)
+      val sub = base.head.length / 4
+      val books = (0 until 4).map { j =>
+        base.zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.slice(j * sub, j * sub + sub)) }.toSeq
+      }
+      val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", books)
+      Similarity.pqSearch(qs, codes, corpus, "vec_id", "embedding", books,
+          k = 5, rerankK = 0)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

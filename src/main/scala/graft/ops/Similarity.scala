@@ -513,7 +513,17 @@ object Similarity {
           .select(col("query_id"), col("cand_id"))
       else rankTopK(approx, rerankK, "arnk")
         .select(col("query_id"), col("cand_id"))
-    // stage 2: exact cosine on the full-precision vectors, survivors only
+    exactCosineRerank(pool, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, cand_id) candidate pool: fetch
+    * full-precision vectors BY ID (the exchange carries the pool's id
+    * rows, never a store or the corpus), score, keep top `k`. Stage 2 of
+    * every two-stage ANN here ([[quantizedIvfSearchFromStore]],
+    * [[pqSearch]]). */
+  private def exactCosineRerank(pool: DataFrame, corpus: DataFrame,
+                                queries: DataFrame, idCol: String,
+                                vecCol: String, k: Int): DataFrame = {
     val cand = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
       VectorOps.norm(col(vecCol)).as("cn"))
     val scored = pool
@@ -524,6 +534,119 @@ object Similarity {
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rnk")
+  }
+
+  /** Fit product-quantization codebooks: the embedding splits into `m`
+    * contiguous subspaces of dim/m dimensions, each with its own
+    * `ksub`-centroid k-means codebook (fitted distributed via
+    * [[kmeansCodebook]], seeded per subspace). A vector then stores as m
+    * single-byte codes — 64 f32 dims become 8 bytes, a 32× compression,
+    * the memory layout that keeps a 100-TB embedding corpus probeable
+    * from RAM. Returned codebooks are m × ksub × (dim/m) doubles,
+    * driver-resident by the same contract as the IVF codebooks. */
+  def pqCodebooks(df: DataFrame, vecCol: String, m: Int, ksub: Int,
+                  seed: Long = 42L, maxIter: Int = 20): Seq[Seq[(Long, Seq[Double])]] = {
+    require(m > 0, "m must be positive")
+    require(ksub > 1 && ksub <= 128, "ksub must be in (1, 128] (codes are TINYINT)")
+    val dim = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("__d")).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCodebook(df.filter(col(vecCol).isNotNull)
+          .select(slice(col(vecCol), j * sub + 1, sub).as("__sub")),
+        "__sub", ksub, seed + j, maxIter)
+    }
+  }
+
+  private def pqShape(codebooks: Seq[Seq[(Long, Seq[Double])]]): (Int, Int, Int) = {
+    val m = codebooks.length
+    require(m > 0, "codebooks must be non-empty")
+    val ksub = codebooks.head.length
+    val sub = codebooks.head.head._2.length
+    codebooks.foreach { cb =>
+      require(cb.length == ksub && cb.forall(_._2.length == sub),
+        "all subspace codebooks must share (ksub, subdim)")
+      require(cb.map(_._1).sorted == (0L until ksub),
+        "codebook cell ids must be exactly 0..ksub-1")
+    }
+    (m, ksub, sub)
+  }
+
+  /** Encode vectors as PQ codes: per subspace, the argmin-L2 centroid id
+    * ([[nearestCell]] over the slice) — one narrow codegen map with the
+    * codebooks as literals, zero exchanges. Output (id,
+    * codes ARRAY<TINYINT> length m). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val (m, _, sub) = pqShape(codebooks)
+    df.select(col(idCol).as("id"),
+      array((0 until m).map(j =>
+        nearestCell(slice(col(vecCol), j * sub + 1, sub), codebooks(j))
+          .cast("tinyint")): _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) cosine scores of every query against every
+    * PQ-encoded candidate: the query precomputes ONE lookup table of
+    * m × ksub subspace dots (plus a query-independent literal table of
+    * centroid squared norms), so the per-pair work is 2m array lookups
+    * and adds — never a dim-length dot. Scores approximate cosine against
+    * the RECONSTRUCTED candidate (sum of its chosen centroids); with
+    * codebooks that reproduce every subvector exactly, ADC equals the
+    * exact cosine up to subspace summation order (spec'd at 1e-9). */
+  def pqAdcScores(queries: DataFrame, codes: DataFrame, idCol: String,
+                  vecCol: String,
+                  codebooks: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    val (m, ksub, sub) = pqShape(codebooks)
+    val ordered = codebooks.map(_.sortBy(_._1))
+    // query-side LUT: dots of each query slice with each centroid
+    val lut = array(ordered.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (_, c) =>
+        VectorOps.dot(slice(col("qv"), j * sub + 1, sub), typedLit(c)) }
+    }: _*)
+    // centroid squared norms: query-independent literal table
+    val nsqFlat = ordered.flatMap(_.map { case (_, c) => c.map(x => x * x).sum })
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VectorOps.norm(col(vecCol)).as("qn"))
+      .withColumn("lut", lut).drop("qv"))
+    val codeAt = (j: org.apache.spark.sql.Column) =>
+      element_at(col("codes").cast("array<int>"), j + 1)
+    val jSeq = sequence(lit(0), lit(m - 1))
+    q.crossJoin(codes.select(col("id").as("cand_id"), col("codes")))
+      .withColumn("__dot", aggregate(jSeq, lit(0.0), (acc, j) =>
+        acc + element_at(col("lut"), j * lit(ksub) + codeAt(j) + lit(1))))
+      .withColumn("__nsq", aggregate(jSeq, lit(0.0), (acc, j) =>
+        acc + element_at(typedLit(nsqFlat), j * lit(ksub) + codeAt(j) + lit(1))))
+      .select(col("query_id"), col("cand_id"),
+        VectorOps.cosineFromParts(col("__dot"), col("qn"),
+          sqrt(col("__nsq"))).as("sim"))
+  }
+
+  /** Two-stage PQ ANN: ADC-approximate rank over the byte codes keeps the
+    * top `rerankK` per query ([[rankTopK]] — bounded map-side aggregation,
+    * the scored product never shuffles), then [[exactCosineRerank]] on the
+    * survivors. The corpus pays m bytes per vector in stage 1 and
+    * full-precision fetches for ~rerankK ids per query in stage 2 — the
+    * memory-bound serving shape one step beyond [[writeQuantizedIvfStore]]
+    * (32× vs 4× compression).
+    *
+    * `rerankK <= 0` disables stage-1 truncation: every encoded candidate
+    * is exactly re-ranked, so the result EXACTLY equals brute-force
+    * [[cosineTopK]] whatever the codebooks — the declared-query contract
+    * (q122), the same exactness point as q115's nProbe = nCells. */
+  def pqSearch(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+               idCol: String, vecCol: String,
+               codebooks: Seq[Seq[(Long, Seq[Double])]],
+               k: Int, rerankK: Int): DataFrame = {
+    val approx = pqAdcScores(queries, codes, idCol, vecCol, codebooks)
+    val pool =
+      if (rerankK <= 0)
+        approx.filter(col("sim").isNotNull && !isnan(col("sim")))
+          .select(col("query_id"), col("cand_id"))
+      else rankTopK(approx, rerankK, "arnk")
+        .select(col("query_id"), col("cand_id"))
+    exactCosineRerank(pool, corpus, queries, idCol, vecCol, k)
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-search combiner for a

@@ -55,4 +55,39 @@ object Sketches {
       .agg(percentile_approx(valueCol, lit(probs.toArray), lit(accuracy))
         .as("approx_quantiles"))
   }
+
+  /** Persist one Apache-Datasketches HLL sketch per group for THIS batch
+    * (`path/batch=B` directories of (group, sketch-binary) rows) — the
+    * incremental-cardinality sibling of
+    * [[Layout.mergedShardManifest]]'s monoid manifest: distinct counts
+    * over a growing corpus without ever rescanning it. Each batch pays
+    * one KB-per-group sketch aggregation over ITS OWN rows; the corpus
+    * answer is [[mergedDistinct]] over the stored sketches. HLL union
+    * takes register maxima, so merging per-batch sketches yields the
+    * IDENTICAL sketch state (and therefore estimate) a one-shot
+    * aggregation of the union would build — not an approximation OF an
+    * approximation (spec'd). Overwrite per batch directory = the
+    * replay-idempotence contract of every store in this engine. */
+  def writeDistinctSketches(df: DataFrame, groupCol: String, valueCol: Column,
+                            path: String, batchId: Long,
+                            lgK: Int = 12): Unit =
+    df.groupBy(col(groupCol))
+      .agg(hll_sketch_agg(valueCol, lit(lgK)).as("sketch"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Fold every per-batch sketch directory into corpus-wide distinct
+    * estimates: (group, approx_distinct). Input is batches × groups
+    * KB-sized sketch rows — trivially small at any corpus size. */
+  def mergedDistinct(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .groupBy(col(keyOf(spark, path)))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+
+  // the group column is whatever non-(sketch, batch) column the store has
+  private def keyOf(spark: org.apache.spark.sql.SparkSession,
+                    path: String): String =
+    spark.read.option("basePath", path).parquet(path)
+      .columns.filterNot(c => c == "sketch" || c == "batch").head
 }

@@ -295,4 +295,38 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"manifest aggregate must partial-combine map-side:\n$p")
   }
+
+  test("group sample ranks via the bounded TopK aggregate, never a corpus window") {
+    val p = plan("q119_group_sample")
+    assert(!p.contains("Window"), s"groupSample must not plan a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the bounded TopK aggregate:\n$p")
+  }
+
+  test("z-order key is a narrow map over the scan plus a broadcast min/max") {
+    val p = plan("q120_zorder_key")
+    // the only corpus-sized exchange is the final orderBy's range
+    // partitioning — binning + interleave must not shuffle the corpus
+    // (the min/max aggregate's SinglePartition exchange carries one row)
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused") &&
+        !l.contains("Broadcast") && !l.contains("SinglePartition"))
+    assert(exchanges <= 1, s"z-key computation must stay narrow:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row min/max frame should broadcast:\n$p")
+  }
+
+  test("hot/cold split join plans a broadcast branch beside the shuffle join") {
+    val p = plan("q121_hot_split_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot branch must broadcast the right slice:\n$p")
+    assert(p.contains("Union"), s"expected the hot/cold union:\n$p")
+  }
+
+  test("PQ ADC ranks via the bounded TopK aggregate; codes never window") {
+    val p = plan("q122_pq_ann")
+    assert(!p.contains("Window"), s"PQ rank paths must not plan a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the bounded TopK aggregate:\n$p")
+  }
 }

@@ -85,4 +85,44 @@ class SketchSpec extends SparkTestBase {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("HLL sketch store: per-batch sketches merge to the one-shot answer") {
+    val dir = java.nio.file.Files.createTempDirectory("hll_store").toString
+    // 3 batches with overlapping user sets per group
+    val batches = Seq(
+      (0 until 4000).map(i => ("a", i.toLong)) ++
+        (0 until 500).map(i => ("b", i.toLong)),
+      (2000 until 6000).map(i => ("a", i.toLong)),              // 2000 overlap
+      (0 until 1000).map(i => ("b", i.toLong)))                 // 500 overlap
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      Sketches.writeDistinctSketches(rows.toDF("g", "u"), "g", col("u"),
+        dir, batchId = b.toLong)
+    }
+    val merged = Sketches.mergedDistinct(spark, dir)
+      .as[(String, Long)].collect().toMap
+
+    // merged == the one-shot sketch over the union (register maxima —
+    // identical estimate, not approximation-of-approximation)
+    val union = batches.flatten.toDF("g", "u")
+    val oneShot = union
+      .groupBy(col("g"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), lit(12)))
+        .as("approx_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == oneShot)
+
+    // ... and within the HLL error bound of the exact distinct
+    val exact = union.distinct().groupBy(col("g")).count()
+      .as[(String, Long)].collect().toMap
+    for ((g, ex) <- exact) {
+      val err = math.abs(merged(g) - ex).toDouble / ex
+      assert(err < 0.05, s"group $g: est ${merged(g)} vs exact $ex")
+    }
+
+    // replayed batch overwrites; the fold is unchanged
+    Sketches.writeDistinctSketches(batches(2).toDF("g", "u"), "g", col("u"),
+      dir, batchId = 2L)
+    assert(Sketches.mergedDistinct(spark, dir)
+      .as[(String, Long)].collect().toMap == merged)
+  }
 }
