@@ -1,5 +1,46 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Accumulates stage-level data-movement metrics so the bench artifact
+  * records not just WALL TIME but the data-movement profile behind it —
+  * the auditable form of every "no corpus-sized shuffle" claim in
+  * PLANS.md/OPERATORS.md. Stage events are aggregated task metrics; reads
+  * happen outside the timers, after a settle wait (the listener bus is
+  * async and its drain API is private), so instrumentation cost never
+  * lands in a timed window. */
+final class MovementListener extends SparkListener {
+  val inputBytes = new AtomicLong; val inputRecords = new AtomicLong
+  val shuffleWriteBytes = new AtomicLong; val shuffleWriteRecords = new AtomicLong
+  val spillDiskBytes = new AtomicLong
+  // stamp of the last event seen, for the settle wait
+  val lastEvent = new AtomicLong
+  def reset(): Unit =
+    Seq(inputBytes, inputRecords, shuffleWriteBytes, shuffleWriteRecords,
+      spillDiskBytes).foreach(_.set(0))
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    val m = ev.stageInfo.taskMetrics
+    if (m != null) {
+      inputBytes.addAndGet(m.inputMetrics.bytesRead)
+      inputRecords.addAndGet(m.inputMetrics.recordsRead)
+      shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shuffleWriteRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      spillDiskBytes.addAndGet(m.diskBytesSpilled)
+    }
+    lastEvent.set(System.nanoTime())
+  }
+  /** Wait until no stage event has arrived for `quietMs` (bounded). */
+  def settle(quietMs: Long = 200, maxMs: Long = 3000): Unit = {
+    val deadline = System.nanoTime() + maxMs * 1000000L
+    var quietSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+           System.nanoTime() - math.max(lastEvent.get(), quietSince) < quietMs * 1000000L) {
+      Thread.sleep(20)
+    }
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,18 +82,32 @@ object Bench {
     // is what any real consumer of the query pays.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
+    val movement = new MovementListener
+    spark.sparkContext.addSparkListener(movement)
+    val moved = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       try {
         run(fn(spark, sfDir)) // warm-up (JIT + codegen)
         // min of 2 timed runs: the host is shared, and a transient load
         // spike during a single timed run was measured to inflate one query
-        // 8x — min-of-k is the standard steady-state estimator for that
-        val t = (0 until 2).map { _ =>
+        // 8x — min-of-k is the standard steady-state estimator for that.
+        // Movement metrics are captured on the LAST run only (they are
+        // plan-deterministic, unlike wall time) and read after the timer
+        // stops, post listener settle.
+        val t = (0 until 2).map { i =>
           cleanup()
+          if (i == 1) { movement.settle(); movement.reset() }
           val t0 = System.nanoTime()
           run(fn(spark, sfDir))
           (System.nanoTime() - t0) / 1e9
         }.min
+        movement.settle()
+        moved(name) =
+          s"""{"input_mb":${movement.inputBytes.get / 1048576.0},""" +
+          s""""input_rows":${movement.inputRecords.get},""" +
+          s""""shuffle_mb":${movement.shuffleWriteBytes.get / 1048576.0},""" +
+          s""""shuffle_rows":${movement.shuffleWriteRecords.get},""" +
+          s""""spill_mb":${movement.spillDiskBytes.get / 1048576.0}}"""
         name -> t
       } catch {
         case e: Throwable =>
@@ -72,8 +127,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val mv = moved.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"movement":$mv,"sf":"$sfDir"}"""
     println(line)
     // the driver's artifact truncates long stdout tails, which has left the
     // per-query map unauditable in past rounds — persist the identical JSON
