@@ -1765,9 +1765,50 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Store deletion (takedown / right-to-be-forgotten at store level):
+    * build the bucketed IVF store, record two tombstone batches
+    * ([[Stores.addTombstones]] — O(deleted), the store is not rewritten),
+    * then serve through the standard probe path, which anti-joins the
+    * broadcast tombstone set out of the bucket-pruned candidate slice.
+    * Declared at the exactness point (nProbe = nCells ⇒ every surviving
+    * row is a candidate), so the oracle is brute-force cosine top-k over
+    * the corpus MINUS the deleted ids — deletion is verified end-to-end
+    * through the serving path, not by inspecting the store. Compaction
+    * equality (rewrite-minus-tombstones ≡ tombstoned reads) is spec'd in
+    * StoresSpec. */
+  private val q123 = Q("q123_store_delete",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val codebook = fixedCodebook(emb)
+      Similarity.writeIvfStore(corpus, "vec_id", "embedding", codebook,
+        "q123_store", numBuckets = codebook.size)
+      Stores.addTombstones(corpus.filter(col("vec_id") % 7 === 0),
+        "vec_id", "q123_store", batchId = 0L)
+      Stores.addTombstones(corpus.filter(col("vec_id") % 11 === 3),
+        "vec_id", "q123_store", batchId = 1L)
+      Similarity.ivfSearchFromStore(s, "q123_store", qs, "vec_id",
+          "embedding", codebook, nProbe = codebook.size, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              WHERE b.vec_id % 7 != 0 AND b.vec_id % 11 != 3
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

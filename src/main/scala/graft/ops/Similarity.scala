@@ -359,14 +359,10 @@ object Similarity {
     * cannot reclaim an untracked location (LOCATION_ALREADY_EXISTS), so
     * drop both the catalog entry and any stale directory before a rewrite
     * (safe under the stores' single-writer contract). */
-  private def dropStaleStore(spark: SparkSession, table: String): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    ()
-  }
+  // full-rewrite hygiene, including any tombstones recorded against the
+  // previous store version (a fresh store must not inherit dead ids)
+  private def dropStaleStore(spark: SparkSession, table: String): Unit =
+    Stores.dropStore(spark, table)
 
   /** IVF store, part 1: assign every corpus vector to its nearest-centroid
     * cell and write bucketed+sorted by cell id. The assignment pass (argmin
@@ -427,9 +423,12 @@ object Similarity {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // the candidate norm is computed in the scan projection — once per
-    // stored row read, no store schema change
-    val cand = spark.table(table)
-      .filter(col("cell").isin(probedCells: _*))
+    // stored row read, no store schema change. Tombstoned (deleted) ids
+    // are anti-joined out of the bucket-pruned slice (zero-cost when no
+    // delete was ever recorded — [[Stores.minusTombstones]]).
+    val cand = Stores.minusTombstones(
+        spark.table(table).filter(col("cell").isin(probedCells: _*)),
+        table, idName = "id")
       .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"),
         VectorOps.norm(col("vec")).as("cn"))
     val scored = cand.join(broadcast(probes), Seq("cell"))
@@ -497,9 +496,11 @@ object Similarity {
         explode(col("cells.cell")).as("cell"))
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // stage 1: dequantized cosine from the compact store (bucket-pruned scan)
-    val approx = spark.table(table)
-      .filter(col("cell").isin(probedCells: _*))
+    // stage 1: dequantized cosine from the compact store (bucket-pruned
+    // scan), tombstoned ids anti-joined out ([[Stores.minusTombstones]])
+    val approx = Stores.minusTombstones(
+        spark.table(table).filter(col("cell").isin(probedCells: _*)),
+        table, idName = "id")
       .select(col("cell"), col("id").as("cand_id"), col("scale"),
         col("codes").cast("array<double>").as("codes"))
       .join(broadcast(probes), Seq("cell"))

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tombstone-based deletion for the engine's standing bucketed stores
+  * (IVF / quantized-IVF vector stores, the ANN serving catalog) — the
+  * "remove these documents from the corpus AND from every derived store"
+  * path a production pipeline needs for takedowns / right-to-be-forgotten,
+  * designed so deletes never rewrite the store:
+  *
+  *  - [[addTombstones]] appends the deleted ids to a tiny side table
+  *    (`<table>_tombstones/batch=B` parquet, one id column) — O(deleted)
+  *    cost, the 10^8-row store is untouched.
+  *  - Every store reader ([[graft.ops.Similarity.ivfSearchFromStore]],
+  *    [[graft.ops.Similarity.quantizedIvfSearchFromStore]],
+  *    [[graft.serve.Recommend.recommendFromStore]]) anti-joins its
+  *    candidate rows against the broadcast tombstone set — the store scan
+  *    stays bucket-pruned and nothing corpus-sized shuffles, because the
+  *    anti-join runs AFTER cell filtering on the already-pruned candidate
+  *    slice. With no tombstones on disk the reader plan is bit-identical
+  *    to the pre-deletion plan (the side table's absence is checked at
+  *    plan time; zero overhead until the first delete).
+  *  - [[compactInto]] amortizes: rewrite the store minus tombstones into a
+  *    fresh bucketed table (the version-swap idiom — at 100 TB you write a
+  *    new table version and repoint consumers, never rewrite in place),
+  *    then drop the old table and its tombstones. Run it when
+  *    |tombstones| / |store| crosses the read-amplification budget.
+  *
+  * Batch directories follow the engine's replay-idempotence contract:
+  * re-running a delete batch overwrites `batch=B` with identical content.
+  * Sketch stores ([[Sketches.writeDistinctSketches]]) are deliberately NOT
+  * covered: HLL registers are monotone (union-only), so deletion there is
+  * a rebuild of the affected batches by contract.
+  *
+  * Reference analogue: the reference curates by dropping rows from the
+  * in-memory frame and re-deriving everything downstream
+  * (explicit_ratings/functions.py drop/filter steps); a standing store
+  * makes deletion a first-class operation instead of a full re-derive. */
+object Stores {
+
+  private def tombstonePath(spark: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table}_tombstones")
+
+  /** Record `ids` (any single-column projection of deleted ids) as deleted
+    * from `table`. O(deleted): writes one tiny parquet batch directory. */
+  def addTombstones(ids: DataFrame, idCol: String, table: String,
+                    batchId: Long): Unit = {
+    val dir = tombstonePath(ids.sparkSession, table)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+  }
+
+  /** The distinct deleted-id set for `table`, or None when no delete has
+    * ever been recorded (the zero-overhead fast path: readers skip the
+    * anti-join entirely). */
+  def tombstoneIds(spark: SparkSession, table: String): Option[DataFrame] = {
+    val dir = tombstonePath(spark, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else Some(spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      .select(col("id")).distinct())
+  }
+
+  /** Filter deleted rows out of a (candidate) frame keyed by `idName`.
+    * Broadcast left-anti: the tombstone set is bounded by the compaction
+    * cadence, so the big side never shuffles. Identity when no tombstones
+    * exist. */
+  def minusTombstones(cand: DataFrame, table: String, idName: String): DataFrame =
+    tombstoneIds(cand.sparkSession, table) match {
+      case None => cand
+      case Some(dead) =>
+        cand.join(broadcast(dead), cand(idName) === dead("id"), "left_anti")
+    }
+
+  /** Number of recorded deletions — the compaction trigger input
+    * (compact when this crosses a fraction of the store row count). */
+  def tombstoneCount(spark: SparkSession, table: String): Long =
+    tombstoneIds(spark, table).map(_.count()).getOrElse(0L)
+
+  /** Drop a bucketed store table AND its warehouse directory (a previous
+    * process can leave the location behind with no entry in this session's
+    * in-memory catalog), plus any tombstones. Safe under the stores'
+    * single-writer contract. */
+  def dropStore(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val ts = tombstonePath(spark, table)
+    if (fs.exists(ts)) fs.delete(ts, true)
+    ()
+  }
+
+  /** Amortized rewrite: materialize `table` minus its tombstones into
+    * `newTable` with the same cell bucketing (all engine stores bucket and
+    * sort by `cell`), then drop the old table and its tombstone set. One
+    * bucketed write of the surviving rows — the bucket-local sort is the
+    * only per-partition work; no shuffle beyond the bucketing exchange.
+    * Consumers repoint to `newTable` (version-swap, not in-place). */
+  def compactInto(spark: SparkSession, table: String, newTable: String,
+                  numBuckets: Int): Unit = {
+    require(newTable != table, "compaction writes a NEW table version")
+    dropStore(spark, newTable)
+    minusTombstones(spark.table(table), table, idName = "id")
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(newTable)
+    dropStore(spark, table)
+  }
+}

@@ -86,13 +86,10 @@ object Recommend {
     // a previous PROCESS can leave the table's warehouse location behind
     // with no entry in this session's in-memory catalog — overwrite mode
     // cannot reclaim an untracked location (LOCATION_ALREADY_EXISTS), so
-    // drop both the entry and any stale directory first (safe under the
-    // store's single-writer contract)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    // drop the entry, any stale directory AND any tombstones recorded
+    // against the previous store version (safe under the store's
+    // single-writer contract)
+    graft.ops.Stores.dropStore(spark, table)
     eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
       .select(col("id"), col("features").as("vec"), col("bias"),
         Similarity.nearestCell(col("features"), centroids).as("cell"))
@@ -146,8 +143,11 @@ object Recommend {
     // probed cell set gives the literal IN-list bucket pruning needs
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val scored = spark.table(table)
-      .filter(col("cell").isin(probedCells: _*))
+    // deleted (tombstoned) catalog items are anti-joined out of the
+    // bucket-pruned slice — zero-cost until the first recorded delete
+    val scored = graft.ops.Stores.minusTombstones(
+        spark.table(table).filter(col("cell").isin(probedCells: _*)),
+        table, idName = "id")
       .join(broadcast(probes), Seq("cell"))
       .withColumn("score", VectorOps.dot(col("u"), col("vec")) + lit(biasDamping) * col("bias"))
       .select(col("user_id"), col("id").as("item_id"), col("score"))

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StoresSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private val corpus = Seq(
+    (100L, vec(1.0, 0.05)), (101L, vec(0.95, 0.1)), (102L, vec(1.05, -0.05)),
+    (200L, vec(0.05, 1.0)), (201L, vec(0.1, 0.9)), (202L, vec(-0.02, 1.1)))
+    .toDF("vec_id", "embedding")
+  private val queries = Seq((1L, vec(0.9, 0.0)), (2L, vec(0.0, 0.8)))
+    .toDF("vec_id", "embedding")
+  private val centroids = Seq((100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0)))
+
+  private def search(table: String, k: Int = 10) =
+    Similarity.ivfSearchFromStore(spark, table, queries, "vec_id", "embedding",
+        centroids, nProbe = 2, k = k)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+
+  test("no tombstones: reader plan takes the identity fast path") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_none", numBuckets = 2)
+    try {
+      assert(Stores.tombstoneIds(spark, "st_none").isEmpty)
+      assert(Stores.tombstoneCount(spark, "st_none") == 0L)
+      // the probe plan must not contain an anti-join when nothing was deleted
+      val plan = Similarity.ivfSearchFromStore(spark, "st_none", queries,
+        "vec_id", "embedding", centroids, nProbe = 1, k = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("LeftAnti"), plan)
+    } finally Stores.dropStore(spark, "st_none")
+  }
+
+  test("tombstoned search equals a store rebuilt from the filtered corpus") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_del", numBuckets = 2)
+    Similarity.writeIvfStore(
+      corpus.filter(!col("vec_id").isin(101L, 200L)), "vec_id", "embedding",
+      centroids, "st_ref", numBuckets = 2)
+    try {
+      Stores.addTombstones(Seq(101L).toDF("vec_id"), "vec_id", "st_del", 0L)
+      Stores.addTombstones(Seq(200L, 999L).toDF("vec_id"), "vec_id", "st_del", 1L)
+      assert(Stores.tombstoneCount(spark, "st_del") == 3L) // unknown id kept, harmless
+      assert(search("st_del") == search("st_ref"))
+      val served = search("st_del").map(_._2)
+      assert(!served.contains(101L) && !served.contains(200L))
+    } finally { Stores.dropStore(spark, "st_del"); Stores.dropStore(spark, "st_ref") }
+  }
+
+  test("re-running a delete batch is replay-idempotent") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_replay", numBuckets = 2)
+    try {
+      Stores.addTombstones(Seq(101L).toDF("vec_id"), "vec_id", "st_replay", 0L)
+      Stores.addTombstones(Seq(101L).toDF("vec_id"), "vec_id", "st_replay", 0L)
+      assert(Stores.tombstoneCount(spark, "st_replay") == 1L)
+    } finally Stores.dropStore(spark, "st_replay")
+  }
+
+  test("compaction drops tombstoned rows, preserves results and bucketing") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_c1", numBuckets = 2)
+    try {
+      Stores.addTombstones(Seq(102L, 201L).toDF("vec_id"), "vec_id", "st_c1", 0L)
+      val before = search("st_c1")
+      Stores.compactInto(spark, "st_c1", "st_c2", numBuckets = 2)
+      // old table + tombstones gone; new table holds only survivors
+      assert(!spark.catalog.tableExists("st_c1"))
+      assert(Stores.tombstoneIds(spark, "st_c2").isEmpty)
+      assert(spark.table("st_c2").count() == 4L)
+      assert(search("st_c2") == before)
+      // compacted store still bucket-prunes
+      val plan = Similarity.ivfSearchFromStore(spark, "st_c2", queries,
+        "vec_id", "embedding", centroids, nProbe = 1, k = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally { Stores.dropStore(spark, "st_c1"); Stores.dropStore(spark, "st_c2") }
+  }
+
+  test("store rewrite clears tombstones recorded against the old version") {
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_rw", numBuckets = 2)
+    try {
+      Stores.addTombstones(Seq(100L).toDF("vec_id"), "vec_id", "st_rw", 0L)
+      assert(Stores.tombstoneCount(spark, "st_rw") == 1L)
+      Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+        "st_rw", numBuckets = 2)
+      assert(Stores.tombstoneIds(spark, "st_rw").isEmpty)
+      assert(search("st_rw").map(_._2).contains(100L))
+    } finally Stores.dropStore(spark, "st_rw")
+  }
+
+  test("catalog store serving excludes tombstoned items") {
+    val items = corpus.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("features"),
+      lit(0.0).as("bias"))
+    val counts = corpus.select(col("vec_id").as("id"), lit(100L).as("n_ratings"))
+    val users = queries.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("features"))
+    graft.serve.Recommend.writeCatalogStore(items, counts, centroids,
+      "st_cat", numBuckets = 2)
+    try {
+      Stores.addTombstones(Seq(100L, 202L).toDF("id"), "id", "st_cat", 0L)
+      val served = graft.serve.Recommend.recommendFromStore(spark, "st_cat",
+          users, centroids, nProbe = 2, k = 10)
+        .select($"item_id").as[Long].collect().toSet
+      assert(served == Set(101L, 102L, 200L, 201L))
+    } finally Stores.dropStore(spark, "st_cat")
+  }
+}
