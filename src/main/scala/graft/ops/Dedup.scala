@@ -239,7 +239,9 @@ object Dedup {
                     df: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3, numHashes: Int = 64,
                     bands: Int = 16, maxBucketSize: Int = 200): DataFrame =
-    lshProbeFrames(spark.table(table),
+    // tombstoned (taken-down) docs no longer suppress new near-dups of
+    // themselves; broadcast anti-join preserves the bucketed layout
+    lshProbeFrames(Stores.minusTombstones(spark.table(table), table, "id"),
       lshProbeBands(df, idCol, textCol, shingleLen, numHashes, bands),
       maxBucketSize)
 
@@ -312,7 +314,11 @@ object Dedup {
                                     table: String,
                                     maxBucketSize: Int = 200): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band_key"))
-    val pruned = spark.table(table)
+    // tombstones filter BEFORE the bucket-size guard (deleted rows must
+    // neither pair nor inflate bucket counts); the broadcast anti-join
+    // preserves the bucketed hashpartitioning, so the window and band
+    // self-join below stay exchange-free
+    val pruned = Stores.minusTombstones(spark.table(table), table, "id")
       .withColumn("bsz", count(lit(1)).over(w))
       .filter(col("bsz") > 1 && col("bsz") <= maxBucketSize)
     val a = pruned.select(col("band_key"), col("id").as("id_a"), col("sig").as("sig_a"))

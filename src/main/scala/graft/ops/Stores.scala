@@ -29,9 +29,16 @@ import org.apache.spark.sql.functions._
   *
   * Batch directories follow the engine's replay-idempotence contract:
   * re-running a delete batch overwrites `batch=B` with identical content.
-  * Sketch stores ([[Sketches.writeDistinctSketches]]) are deliberately NOT
-  * covered: HLL registers are monotone (union-only), so deletion there is
-  * a rebuild of the affected batches by contract.
+  * The LSH signature store is covered through the same mechanism (a
+  * taken-down document must stop suppressing future near-duplicates of
+  * itself — [[Dedup.lshProbeStore]] / [[Dedup.minHashLshCandidatesFromStore]]
+  * and the streaming curator's base-store probe all filter tombstones).
+  * Deliberately NOT covered: sketch stores
+  * ([[Sketches.writeDistinctSketches]] — HLL registers are monotone, so
+  * deletion there is a rebuild of the affected batches by contract) and
+  * path-based per-batch stores (the curator's hash/corpus/delta logs —
+  * their deletion unit IS the batch directory, already the replay
+  * contract).
   *
   * Reference analogue: the reference curates by dropping rows from the
   * in-memory frame and re-deriving everything downstream
@@ -102,13 +109,13 @@ object Stores {
     * only per-partition work; no shuffle beyond the bucketing exchange.
     * Consumers repoint to `newTable` (version-swap, not in-place). */
   def compactInto(spark: SparkSession, table: String, newTable: String,
-                  numBuckets: Int): Unit = {
+                  numBuckets: Int, bucketCol: String = "cell"): Unit = {
     require(newTable != table, "compaction writes a NEW table version")
     dropStore(spark, newTable)
     minusTombstones(spark.table(table), table, idName = "id")
       .write.mode("overwrite")
-      .bucketBy(numBuckets, "cell")
-      .sortBy("cell")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(newTable)
     dropStore(spark, table)

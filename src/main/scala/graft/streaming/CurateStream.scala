@@ -142,7 +142,11 @@ object CurateStream {
         val asStore = banded.select(col("probe_id").as("id"),
           col("probe_sig").as("sig"), col("band_key"))
         val base = stores.baseTable.filter(spark.catalog.tableExists)
-          .map(t => Dedup.lshProbeFrames(spark.table(t), banded, cfg.maxBucketSize))
+          .map(t => Dedup.lshProbeFrames(
+            // taken-down corpus docs (Stores tombstones) must not suppress
+            // new near-dups of themselves
+            graft.ops.Stores.minusTombstones(spark.table(t), t, "id"),
+            banded, cfg.maxBucketSize))
         val delta =
           if (hasBatchDirs(spark, stores.deltaPath))
             Some(Dedup.lshProbeFrames(

@@ -95,6 +95,35 @@ class StoresSpec extends SparkTestBase {
     } finally Stores.dropStore(spark, "st_rw")
   }
 
+  test("LSH store: tombstoned doc stops suppressing new near-dups; compaction by band_key") {
+    import org.apache.spark.sql.functions.col
+    val corpus0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more text"),
+      (2L, "completely different content about distributed query engines at scale"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and then some more text"))
+      .toDF("doc_id", "text")
+    Dedup.writeLshSignatureStore(corpus0, "doc_id", "text", "st_lsh", numBuckets = 4)
+    try {
+      def probeIds(table: String) =
+        Dedup.lshProbeStore(spark, table, probe, "doc_id", "text")
+          .select($"store_id").as[Long].collect().toSet
+      assert(probeIds("st_lsh") == Set(1L)) // suppressed while doc 1 lives
+      Stores.addTombstones(Seq(1L).toDF("doc_id"), "doc_id", "st_lsh", 0L)
+      assert(probeIds("st_lsh") == Set.empty[Long]) // takedown: no longer suppressed
+      // pair extraction over the store also excludes the dead doc
+      val pairs = Dedup.minHashLshCandidatesFromStore(spark, "st_lsh")
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L))
+      // compaction by the store's band_key bucket column preserves semantics
+      Stores.compactInto(spark, "st_lsh", "st_lsh2", numBuckets = 4,
+        bucketCol = "band_key")
+      assert(probeIds("st_lsh2") == Set.empty[Long])
+      assert(spark.table("st_lsh2").filter(col("id") === 1L).count() == 0L)
+    } finally { Stores.dropStore(spark, "st_lsh"); Stores.dropStore(spark, "st_lsh2") }
+  }
+
   test("catalog store serving excludes tombstoned items") {
     val items = corpus.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("features"),
