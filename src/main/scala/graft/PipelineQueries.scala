@@ -1806,9 +1806,61 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Gopher composite quality rules ([[TextOps.gopherRules]]): the
+    * standard LLM-corpus rule bundle as per-rule statistics + conjunctive
+    * keep, one codegen map over documents. The oracle replays every rule
+    * (token/line list ops in DuckDB); keep compares UNROUNDED ratios —
+    * identical IEEE expressions on both engines — while the exposed
+    * ratios round to 6 dp (the q46 contract). */
+  private val q124 = Q("q124_gopher_rules",
+    (s, d) => {
+      val g = TextOps.gopherRules(col("text"))
+      Layout.spread(documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          g.getField("n_words").as("n_words"),
+          round(g.getField("mean_word_len"), 6).as("mean_word_len"),
+          round(g.getField("symbol_ratio"), 6).as("symbol_ratio"),
+          round(g.getField("bullet_frac"), 6).as("bullet_frac"),
+          round(g.getField("ellipsis_frac"), 6).as("ellipsis_frac"),
+          round(g.getField("alpha_frac"), 6).as("alpha_frac"),
+          g.getField("n_stop").as("n_stop"),
+          g.getField("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+             |  regexp_split_to_array(trim(text), '\\s+') AS toks,
+             |  string_split(text, chr(10)) AS lines,
+             |  len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+             |  regexp_split_to_array($SqlNorm, '\\s+') AS ntoks
+             |  FROM documents),
+             |s AS (SELECT doc_id,
+             |  CAST(len(toks) AS INTEGER) AS n_words,
+             |  list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks) AS mean_word_len,
+             |  n_sym::DOUBLE / len(toks) AS symbol_ratio,
+             |  len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+             |    / len(lines) AS bullet_frac,
+             |  len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))::DOUBLE
+             |    / len(lines) AS ellipsis_frac,
+             |  len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+             |    / len(toks) AS alpha_frac,
+             |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+             |    sw -> list_contains(ntoks, sw))) AS INTEGER) AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+             |  round(symbol_ratio, 6) AS symbol_ratio,
+             |  round(bullet_frac, 6) AS bullet_frac,
+             |  round(ellipsis_frac, 6) AS ellipsis_frac,
+             |  round(alpha_frac, 6) AS alpha_frac, n_stop,
+             |  CASE WHEN n_words BETWEEN 50 AND 100000
+             |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             |    AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+             |    AND alpha_frac > 0.8 AND n_stop >= 2
+             |    THEN 1 ELSE 0 END AS keep
+             |FROM s ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

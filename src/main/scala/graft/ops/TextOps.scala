@@ -57,6 +57,54 @@ object TextOps {
     lit(1.0) - distinctN.cast("double") / total.cast("double")
   }
 
+  /** Gopher-style composite quality rules (Rae et al. 2021, App. A — the
+    * rule bundle most LLM corpus filters start from), as ONE struct of
+    * per-rule statistics plus the conjunctive keep flag, so a curation
+    * funnel can both gate on `keep` and report per-rule attrition:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio (# or ...) < 0.1
+    *   - < 90% of lines bullet-led, < 30% of lines ellipsis-terminated
+    *   - > 80% of words contain an alphabetic character
+    *   - >= 2 distinct Gopher stop words present (on normalized tokens,
+    *     so punctuation-attached forms still count)
+    *
+    * All built-in higher-order functions over the token/line arrays —
+    * narrow whole-stage-codegen map, zero shuffle, linear in corpus bytes.
+    * Ratios are plain IEEE divisions of exact integer counts, so an
+    * external engine replays the keep decision bit-for-bit. */
+  val GopherStopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks)
+    val meanLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
+      .cast("double") / n
+    val symbolRatio =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / n
+    val lines = split(text, "\n")
+    val nLines = size(lines)
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / n
+    val normToks = wsTokens(normalizeText(text))
+    val nStop = size(filter(typedLit(GopherStopWords),
+      sw => array_contains(normToks, sw)))
+    struct(
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"),
+      (n >= 50 && n <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio < 0.1 && bulletFrac < 0.9 && ellipsisFrac < 0.3 &&
+        alphaFrac > 0.8 && nStop >= 2).as("keep"))
+  }
+
   /** Context-window chunking: split each document into fixed-size token
     * windows — the sequence-splitting step a training pipeline runs before
     * tokenization/packing. One row per (doc, chunk) with the token span and

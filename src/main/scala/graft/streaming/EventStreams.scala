@@ -437,6 +437,24 @@ object EventStreams {
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
       }
 
+  /** Streaming takedown intake: consume a stream of deleted ids (a
+    * compliance/takedown feed) into per-batch tombstone files against a
+    * standing store ([[graft.ops.Stores.addTombstones]]) — every store
+    * reader (ANN probes, catalog serving, LSH near-dup probes) excludes
+    * the ids from the NEXT micro-batch on, with the store itself untouched
+    * (deletion is O(deleted ids) per batch). The per-batch tombstone
+    * directory is keyed by micro-batch id, so a failure-replayed batch
+    * overwrites its own directory with identical content — the same
+    * replay-idempotence recipe as every sink here. Compaction
+    * ([[graft.ops.Stores.compactInto]]) stays an offline owner op. */
+  def sinkTombstones(deletedIds: DataFrame, idCol: String,
+                     table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletedIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
+      }
+
   /** One micro-batch of the incremental near-dup pipeline — extracted from
     * [[sinkIncrementalLshDedup]] so the replay contract is directly
     * testable. For batch B of a document feed:

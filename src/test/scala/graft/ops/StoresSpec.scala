@@ -124,6 +124,27 @@ class StoresSpec extends SparkTestBase {
     } finally { Stores.dropStore(spark, "st_lsh"); Stores.dropStore(spark, "st_lsh2") }
   }
 
+  test("streaming takedown feed lands replay-idempotent tombstone batches") {
+    implicit val sqlCtx = spark.sqlContext
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "st_stream", numBuckets = 2)
+    val dir = java.nio.file.Files.createTempDirectory("tomb_ckpt").toString
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = graft.streaming.EventStreams.sinkTombstones(
+          in.toDF().toDF("vec_id"), "vec_id", "st_stream")
+        .option("checkpointLocation", dir).start()
+      in.addData(101L)
+      q.processAllAvailable()
+      in.addData(200L, 101L) // re-delete across batches stays one distinct id
+      q.processAllAvailable()
+      q.stop()
+      assert(Stores.tombstoneIds(spark, "st_stream").get
+        .as[Long].collect().toSet == Set(101L, 200L))
+      assert(!search("st_stream").map(_._2).exists(Set(101L, 200L)))
+    } finally Stores.dropStore(spark, "st_stream")
+  }
+
   test("catalog store serving excludes tombstoned items") {
     val items = corpus.select(col("vec_id").as("id"),
       col("embedding").cast("array<double>").as("features"),

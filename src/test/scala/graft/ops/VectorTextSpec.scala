@@ -353,6 +353,28 @@ class VectorTextSpec extends SparkTestBase {
     assert(pairs.forall(p => (p._1 % 2) == (p._2 % 2)))
   }
 
+  test("gopherRules: hand-computed per-rule statistics") {
+    def rules(text: String) = Seq(Tuple1(text)).toDF("text")
+      .select(TextOps.gopherRules(col("text")).as("g"))
+      .select(col("g.n_words"), col("g.mean_word_len"), col("g.symbol_ratio"),
+        col("g.bullet_frac"), col("g.ellipsis_frac"), col("g.alpha_frac"),
+        col("g.n_stop"), col("g.keep"))
+      .as[(Int, Double, Double, Double, Double, Double, Int, Boolean)]
+      .collect().head
+    val a = rules("the cat sat")
+    assert(a._1 == 3 && a._2 == 3.0 && a._3 == 0.0 && a._6 == 1.0)
+    assert(a._7 == 1 && !a._8) // only 'the'; too short to keep
+    val b = rules("- a\n* b\n• c\nplain")
+    assert(b._4 == 0.75) // 3 of 4 lines bullet-led
+    val c = rules("wait...\nok")
+    assert(c._5 == 0.5 && c._3 == 0.5) // 1 of 2 lines; 1 '...' over 2 words
+    val d = rules("The, cat of. dog")
+    assert(d._7 == 2) // punctuation-attached stopwords count via normalization
+    // a genuinely keepable doc: 50+ plain English words
+    val e = rules(Seq.fill(10)("the quick brown fox jumps over that lazy dog daily").mkString(" "))
+    assert(e._1 == 100 && e._8)
+  }
+
   test("shardAssign is deterministic, in-range, and fails loudly on a NULL id") {
     val df = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
     val shards = df.select(TextOps.shardAssign(col("doc_id"), 8).as("s"))
