@@ -892,13 +892,20 @@ object Queries {
     * id/brand rows, never raw lineitems); the part dimension broadcasts. */
   private val q95 = Q("q95_brand_affinity",
     (s, d) => {
-      val ob = lineitem(s, d)
+      // one wide exchange total: collect_set(brand) per order folds the
+      // dedup INTO the aggregation (no separate distinct exchange, no
+      // self-join shuffling the order-brand table twice more), then the
+      // C(brands,2) pairs explode map-side and aggregate over a key space
+      // bounded by brands² — at any corpus size the second exchange
+      // carries at most |brands|² × partitions rows (map-side combined),
+      // never order-pair rows
+      lineitem(s, d)
         .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-        .distinct()
-      val a = ob.select(col("okey"), col("brand").as("brand_a"))
-      val b = ob.select(col("okey").as("okey_b"), col("brand").as("brand_b"))
-      a.join(b, col("okey") === col("okey_b") && col("brand_a") < col("brand_b"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"))
+        .select(posexplode(col("brands")).as(Seq("pa", "brand_a")), col("brands"))
+        .select(col("brand_a"), col("pa"), posexplode(col("brands")).as(Seq("pb", "brand_b")))
+        .filter(col("pa") < col("pb"))
         .groupBy(col("brand_a"), col("brand_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
