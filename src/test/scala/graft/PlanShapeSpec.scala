@@ -329,4 +329,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"expected the bounded TopK aggregate:\n$p")
   }
+
+  test("brand-affinity pair mining: no self-join, pairs explode map-side") {
+    val p = plan("q95_brand_affinity")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"pair mining must not shuffle-join the order-brand table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("Generate")) >= 2,
+      s"expected the double posexplode pair generation:\n$p")
+  }
+
+  test("cross-source overlap: one gram-keyed aggregation, no join at all") {
+    val p = plan("q108_source_overlap")
+    assert(!p.contains("Join"), s"overlap matrix must not plan any join:\n$p")
+    // the only wide exchange carries gram digests; pair agg keys are
+    // bounded by sources^2 (both hashpartitioning exchanges present)
+    assert(p.contains("collect_set"), s"expected the per-gram source set:\n$p")
+  }
 }
