@@ -1858,9 +1858,48 @@ object PipelineQueries {
              |    THEN 1 ELSE 0 END AS keep
              |FROM s ORDER BY doc_id""".stripMargin))
 
+  /** Incremental quantile store ([[Sketches.writeValueHistograms]] /
+    * [[Sketches.mergedQuantiles]]): the corpus lands in four synthetic
+    * batches (l_orderkey mod 4 — deterministic), each writing its own
+    * (flag, quantity, count) histogram; discrete quantiles come from the
+    * MERGED bin counts without rescanning any batch. Declared at the
+    * identity-binning exactness point: l_quantity is integral-valued, so
+    * the merged type-1 quantile equals DuckDB `quantile_disc` over the
+    * whole table (rank = ceil(p·N) on both engines). */
+  private val q125 = Q("q125_quantile_store",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q125_hist")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true) // stale batches from prior runs
+      val li = lineitem(s, d)
+      (0L until 4L).foreach { b =>
+        Sketches.writeValueHistograms(
+          li.filter(pmod(col("l_orderkey"), lit(4L)) === b),
+          "l_returnflag", col("l_quantity"), dir.toString, b)
+      }
+      Sketches.mergedQuantiles(s, dir.toString, "l_returnflag",
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .orderBy(col("l_returnflag"), col("p"))
+    },
+    Some("""SELECT l_returnflag, p, q FROM (
+              SELECT l_returnflag, 0.25 AS p,
+                     quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS q
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 0.5, quantile_disc(CAST(l_quantity AS BIGINT), 0.5)
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 0.75, quantile_disc(CAST(l_quantity AS BIGINT), 0.75)
+              FROM lineitem GROUP BY 1
+              UNION ALL
+              SELECT l_returnflag, 0.9, quantile_disc(CAST(l_quantity AS BIGINT), 0.9)
+              FROM lineitem GROUP BY 1)
+            ORDER BY l_returnflag, p"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
-    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -90,4 +90,53 @@ object Sketches {
                     path: String): String =
     spark.read.option("basePath", path).parquet(path)
       .columns.filterNot(c => c == "sketch" || c == "batch").head
+
+  /** Incremental QUANTILES, the rank sibling of the HLL store: per-batch
+    * value histograms (`path/batch=B` of (group, bin, cnt) rows) whose
+    * bin counts form a monoid — merging batches is a plain count sum, so
+    * quantiles over a growing corpus never rescan it. For integral-valued
+    * columns the identity binning makes the merged answer EXACT (the
+    * declared-query contract); continuous columns pick a binning and get
+    * bin-width-bounded error, the standard trade. Each batch pays one
+    * (group, bin)-keyed aggregation over its own rows, map-side combined;
+    * the stored frame is groups × bins — corpus-size-independent.
+    * Overwrite per batch directory = the replay-idempotence contract of
+    * every store in this engine. */
+  def writeValueHistograms(df: DataFrame, groupCol: String, valueCol: Column,
+                           path: String, batchId: Long): Unit =
+    df.groupBy(col(groupCol), valueCol.cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Fold every per-batch histogram into corpus-wide bin counts:
+    * (group, bin, cnt). Input is batches × groups × bins rows — tiny. */
+  def mergedHistogram(spark: org.apache.spark.sql.SparkSession, path: String,
+                      groupCol: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Discrete (type-1 / percentile_disc) quantiles from the merged store:
+    * for each group and probability p, the smallest bin whose cumulative
+    * count reaches ceil(p·N) — exactly DuckDB/PostgreSQL
+    * `quantile_disc`/`percentile_disc` semantics, so the declared query
+    * replays bit-for-bit at the identity-binning exactness point. All
+    * windows/aggregates here run over the groups × bins histogram, never
+    * the corpus. */
+  def mergedQuantiles(spark: org.apache.spark.sql.SparkSession, path: String,
+                      groupCol: String, probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be within (0, 1]")
+    val h = mergedHistogram(spark, path, groupCol)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bin"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    h.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wTot))
+      .select(col(groupCol), col("bin"), col("cum"), col("n"),
+        explode(typedLit(probs)).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("bin")).as("q"))
+  }
 }

@@ -125,4 +125,41 @@ class SketchSpec extends SparkTestBase {
     assert(Sketches.mergedDistinct(spark, dir)
       .as[(String, Long)].collect().toMap == merged)
   }
+
+  test("histogram store: merged quantiles equal exact type-1 quantiles and replay stably") {
+    val dir = java.nio.file.Files.createTempDirectory("hist_store").toString
+    val rows = (0 until 300).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (g, (i * 37 % 23 + 1).toLong)
+    }
+    val batches = rows.grouped(100).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Sketches.writeValueHistograms(b.toDF("g", "v"), "g", col("v"),
+        dir, batchId = i.toLong)
+    }
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    val merged = Sketches.mergedQuantiles(spark, dir, "g", probs)
+      .as[(String, Double, Long)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap
+    // exact type-1 quantile: rank ceil(p*n), 1-indexed over the sorted multiset
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG; p <- probs) {
+      val expect = vs(math.ceil(p * vs.size).toInt - 1)
+      assert(merged((g, p)) == expect, s"group $g p=$p")
+    }
+    // bin counts are a monoid: merged == one-shot over the union
+    val oneDir = java.nio.file.Files.createTempDirectory("hist_one").toString
+    Sketches.writeValueHistograms(rows.toDF("g", "v"), "g", col("v"),
+      oneDir, batchId = 0L)
+    assert(Sketches.mergedQuantiles(spark, oneDir, "g", probs)
+      .as[(String, Double, Long)].collect().toSet ==
+      Sketches.mergedQuantiles(spark, dir, "g", probs)
+        .as[(String, Double, Long)].collect().toSet)
+    // replayed batch overwrites; the fold is unchanged
+    Sketches.writeValueHistograms(batches(1).toDF("g", "v"), "g", col("v"),
+      dir, batchId = 1L)
+    assert(Sketches.mergedQuantiles(spark, dir, "g", probs)
+      .as[(String, Double, Long)].collect()
+      .map { case (g, p, q) => (g, p) -> q }.toMap == merged)
+  }
 }
