@@ -192,7 +192,9 @@ object GraftFunctions {
     ("graft_simhash62", classOf[SimHash62], TextFunctions.buildSimHash62),
     ("graft_redact_pii", classOf[RedactPii], TextFunctions.buildRedactPii),
     ("graft_lang_quality_stats", classOf[LangQualityStats],
-      TextFunctions.buildLangQualityStats))
+      TextFunctions.buildLangQualityStats),
+    ("graft_gopher_stats", classOf[GopherStats],
+      TextFunctions.buildGopherStats))
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -118,6 +118,24 @@ case class LangQualityStats(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** Single-pass Gopher quality-rule statistics: STRUCT(n_words,
+  * sum_word_len, n_sym, n_lines, n_bullet, n_ellipsis, n_alpha_words,
+  * n_stop BIGINT) with exactly the built-in higher-order-function
+  * semantics (see [[TextKernels.gopherStats]]) at ~2 character passes
+  * instead of seven interpreted HOF scans with per-token regex. */
+case class GopherStats(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StructType(
+    Seq("n_words", "sum_word_len", "n_sym", "n_lines", "n_bullet",
+      "n_ellipsis", "n_alpha_words", "n_stop")
+      .map(StructField(_, LongType, nullable = false)))
+  override def prettyName: String = "graft_gopher_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.gopherStats(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"gopherStats($c)"
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
 /** 62-bit rolling-polynomial fingerprint of the normalized text. */
 case class TextHash62(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -144,6 +162,8 @@ object TextFunctions {
     GraftColumnBridge.column(RedactPii(GraftColumnBridge.expression(text)))
   def lang_quality_stats(text: Column): Column =
     GraftColumnBridge.column(LangQualityStats(GraftColumnBridge.expression(text)))
+  def gopher_stats(text: Column): Column =
+    GraftColumnBridge.column(GopherStats(GraftColumnBridge.expression(text)))
 
   /** SQL builders (FunctionRegistry / SparkSessionExtensions): the sketch
     * parameters (shingle n, signature k) must be INTEGER LITERALS — they
@@ -189,5 +209,10 @@ object TextFunctions {
     case Seq(t) => LangQualityStats(t)
     case e => throw new IllegalArgumentException(
       s"graft_lang_quality_stats requires exactly 1 argument, got ${e.length}")
+  }
+  private[functions] val buildGopherStats: Seq[Expression] => Expression = {
+    case Seq(t) => GopherStats(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_gopher_stats requires exactly 1 argument, got ${e.length}")
   }
 }

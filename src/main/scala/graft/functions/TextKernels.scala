@@ -397,4 +397,127 @@ object TextKernels extends Serializable {
     }
     out
   }
+
+  private val gopherStopWords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+  private val maxStopLen: Int = gopherStopWords.map(_.length).max
+
+  private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Single-pass Gopher quality statistics: STRUCT(n_words, sum_word_len,
+    * n_sym, n_lines, n_bullet, n_ellipsis, n_alpha_words, n_stop) — all
+    * BIGINT raw counts; the ratio algebra stays in Column space
+    * ([[graft.ops.TextOps.gopherRules]]) so the oracle-replayed IEEE
+    * divisions are unchanged. Semantics are EXACTLY the built-in
+    * higher-order formulation this replaces (cross-checked in
+    * VectorTextSpec on real corpus docs + adversarial edges):
+    *
+    *  - words = `split(trim(text), '\\s+')` fields of the space-trimmed
+    *    text (leading/trailing NON-SPACE whitespace yields empty edge
+    *    tokens, exactly like Java split with limit -1); lengths count
+    *    codepoints ([[org.apache.spark.sql.functions.length]] semantics);
+    *  - n_sym = non-overlapping matches of `#|\.\.\.` over the RAW text
+    *    (a run of d dots contributes d/3);
+    *  - lines = `split(text, '\n')`; a bullet line opens with optional
+    *    intra-line whitespace then -, * or •; an ellipsis line's last
+    *    non-whitespace characters are `...`;
+    *  - n_stop = how many of the 8 Gopher stop words occur among the
+    *    NORMALIZED tokens ([[normalize]] semantics: punctuation removed
+    *    without creating boundaries, so "The," still counts).
+    *
+    * ~2 character passes (raw + lowered) instead of seven interpreted
+    * higher-order-function scans with per-token/per-line regex matching. */
+  def gopherStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    // ---- pass 1: raw text ----
+    // space-trim bounds (Spark trim() removes 0x20 only)
+    var from = 0
+    var until = s.length
+    while (from < until && s.charAt(from) == ' ') from += 1
+    while (until > from && s.charAt(until - 1) == ' ') until -= 1
+    // token sweep over [from, until): fields between \s+ runs
+    var nWords = 1L
+    var sumLen = 0L
+    var nAlphaWords = 0L
+    var tokLen = 0L
+    var tokAlpha = false
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      if (cp < 128 && isJavaWs(cp.toChar)) {
+        // a ws RUN closes one field
+        sumLen += tokLen
+        if (tokAlpha) nAlphaWords += 1L
+        tokLen = 0L; tokAlpha = false
+        var j = i + 1
+        while (j < until && { val c = s.charAt(j); isJavaWs(c) }) j += 1
+        nWords += 1L
+        i = j
+      } else {
+        tokLen += 1L
+        if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) tokAlpha = true
+        i += Character.charCount(cp)
+      }
+    }
+    sumLen += tokLen
+    if (tokAlpha) nAlphaWords += 1L
+    // symbol + line sweep over the FULL raw text
+    var nSym = 0L
+    var nLines = 1L
+    var nBullet = 0L
+    var nEllipsis = 0L
+    var dotRun = 0
+    var atLineStart = true   // only intra-line \s seen since the line began
+    var lastNonWsEndsDots = 0 // dot count ending at the line's last non-ws char
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.') { dotRun += 1 } else { nSym += dotRun / 3; dotRun = 0 }
+      if (c == '#') nSym += 1L
+      if (c == '\n') {
+        if (lastNonWsEndsDots >= 3) nEllipsis += 1L
+        nLines += 1L; atLineStart = true; lastNonWsEndsDots = 0
+      } else {
+        val ws = isJavaWs(c)
+        if (!ws) {
+          if (atLineStart && (c == '-' || c == '*' || c == '•')) nBullet += 1L
+          atLineStart = false
+          lastNonWsEndsDots = if (c == '.') lastNonWsEndsDots + 1 else 0
+        }
+      }
+      i += 1
+    }
+    nSym += dotRun / 3
+    if (lastNonWsEndsDots >= 3) nEllipsis += 1L
+    // ---- pass 2: lowered text, normalized-token stop-word membership ----
+    val low = s.toLowerCase(java.util.Locale.ROOT)
+    var stopMask = 0
+    val buf = new java.lang.StringBuilder(maxStopLen + 1)
+    var dead = false
+    def closeTok(): Unit = {
+      if (!dead && buf.length > 0) {
+        val t = buf.toString
+        var k = 0
+        while (k < gopherStopWords.length) {
+          if (gopherStopWords(k) == t) stopMask |= (1 << k)
+          k += 1
+        }
+      }
+      buf.setLength(0); dead = false
+    }
+    i = 0
+    while (i < low.length) {
+      val c = low.charAt(i)
+      if (c == ' ') closeTok()
+      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (buf.length >= maxStopLen) dead = true else buf.append(c)
+      }
+      // any other char: removed by normalize() WITHOUT a boundary
+      i += 1
+    }
+    closeTok()
+    org.apache.spark.sql.catalyst.InternalRow(nWords, sumLen, nSym, nLines,
+      nBullet, nEllipsis, nAlphaWords, java.lang.Integer.bitCount(stopMask).toLong)
+  }
 }

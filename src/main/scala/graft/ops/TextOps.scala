@@ -70,30 +70,56 @@ object TextOps {
     *   - >= 2 distinct Gopher stop words present (on normalized tokens,
     *     so punctuation-attached forms still count)
     *
-    * All built-in higher-order functions over the token/line arrays —
-    * narrow whole-stage-codegen map, zero shuffle, linear in corpus bytes.
-    * Ratios are plain IEEE divisions of exact integer counts, so an
-    * external engine replays the keep decision bit-for-bit. */
+    * The raw counts come from the single-pass
+    * [[graft.functions.GopherStats]] codegen kernel (~2 character passes;
+    * the composed higher-order-function formulation paid seven
+    * interpreted scans with per-token/per-line regex matching —
+    * [[gopherRulesComposed]] keeps it as the cross-check reference). The
+    * ratio algebra stays in Column space: plain IEEE divisions of exact
+    * integer counts, so an external engine replays the keep decision
+    * bit-for-bit. */
   val GopherStopWords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   def gopherRules(text: Column): Column = {
+    val st = graft.functions.TextFunctions.gopher_stats(text)
+    gopherStruct(
+      n = st.getField("n_words").cast("int"),
+      sumLen = st.getField("sum_word_len"),
+      nSym = st.getField("n_sym"),
+      nLines = st.getField("n_lines").cast("int"),
+      nBullet = st.getField("n_bullet"),
+      nEllipsis = st.getField("n_ellipsis"),
+      nAlpha = st.getField("n_alpha_words"),
+      nStop = st.getField("n_stop").cast("int"))
+  }
+
+  /** The composed built-in formulation of [[gopherRules]] — semantically
+    * identical by contract (VectorTextSpec cross-checks both on real
+    * corpus docs and adversarial edges); kept as the executable
+    * specification of the kernel's semantics. */
+  def gopherRulesComposed(text: Column): Column = {
     val toks = wsTokens(text)
-    val n = size(toks)
-    val meanLen = aggregate(toks, lit(0L), (a, w) => a + length(w))
-      .cast("double") / n
-    val symbolRatio =
-      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("double") / n
     val lines = split(text, "\n")
-    val nLines = size(lines)
-    val bulletFrac =
-      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / nLines
-    val ellipsisFrac =
-      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") / nLines
-    val alphaFrac =
-      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / n
-    val normToks = wsTokens(normalizeText(text))
-    val nStop = size(filter(typedLit(GopherStopWords),
-      sw => array_contains(normToks, sw)))
+    gopherStruct(
+      n = size(toks),
+      sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w)),
+      nSym = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))),
+      nLines = size(lines),
+      nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))),
+      nEllipsis = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))),
+      nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))),
+      nStop = size(filter(typedLit(GopherStopWords),
+        sw => array_contains(wsTokens(normalizeText(text)), sw))))
+  }
+
+  private def gopherStruct(n: Column, sumLen: Column, nSym: Column,
+                           nLines: Column, nBullet: Column, nEllipsis: Column,
+                           nAlpha: Column, nStop: Column): Column = {
+    val meanLen = sumLen.cast("double") / n
+    val symbolRatio = nSym.cast("double") / n
+    val bulletFrac = nBullet.cast("double") / nLines
+    val ellipsisFrac = nEllipsis.cast("double") / nLines
+    val alphaFrac = nAlpha.cast("double") / n
     struct(
       n.as("n_words"), meanLen.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),

@@ -375,6 +375,28 @@ class VectorTextSpec extends SparkTestBase {
     assert(e._1 == 100 && e._8)
   }
 
+  test("gopherRules kernel == composed HOF formulation on corpus docs and edges") {
+    val edges = Seq(
+      "", " ", "   ", "\t", "a\tb", "\tleading tab", "trailing tab\t",
+      "the cat", "The, cat of. dog", "a # b ... c .... d .....",
+      "- a\n* b\n• c\nplain\n  - indented\n\t* tabbed",
+      "wait...\nok...  \ndots....x\n...",
+      "one\r\ntwo\r\n- crlf bullet\r\nend...\r",
+      "don't st-op the-and", "of of of of", "##", "...", "..", "#...#",
+      "multi  space   runs", "line\n\nempty\n\n\nlines",
+      "ab-cd joins", "THE AND THAT HAVE WITH BE TO OF")
+    val docs = graft.Tables.documents(spark, sf0001).select(col("text"))
+      .union(edges.map(Tuple1(_)).toDF("text"))
+    val both = docs.select(
+      TextOps.gopherRules(col("text")).as("k"),
+      TextOps.gopherRulesComposed(col("text")).as("c"))
+    val diff = both.filter(not(col("k") <=> col("c"))).count()
+    assert(diff == 0L, {
+      val ex = both.filter(not(col("k") <=> col("c"))).limit(3).collect()
+      s"kernel != composed on $diff rows, e.g. ${ex.mkString("; ")}"
+    })
+  }
+
   test("shardAssign is deterministic, in-range, and fails loudly on a NULL id") {
     val df = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
     val shards = df.select(TextOps.shardAssign(col("doc_id"), 8).as("s"))
