@@ -179,4 +179,29 @@ class PropertySpec extends SparkTestBase {
       assert(dist == ref, s"distributed path diverges, edges=$edges")
     }
   }
+
+  // characters chosen to stress every gopherStats rule boundary: all Java
+  // \s classes, bullet markers, dot runs, '#', token-fusing punctuation,
+  // stop words, and non-ASCII (• and é exercise codepoint vs char paths)
+  private val gopherChars: Gen[Char] = Gen.frequency(
+    (8, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.const('\t')),
+    (1, Gen.const('\n')), (1, Gen.const('\r')), (1, Gen.const('\u000B')),
+    (1, Gen.const('\f')), (2, Gen.const('.')), (1, Gen.const('#')),
+    (1, Gen.const('-')), (1, Gen.const('*')), (1, Gen.const('•')),
+    (1, Gen.const('\'')), (1, Gen.const(',')), (1, Gen.const('é')),
+    (2, Gen.oneOf(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(_.charAt(0)))))
+  private val gopherDocs: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.stringOf(gopherChars))
+
+  test("gopherStats kernel == composed HOFs on generated adversarial text") {
+    forAll(gopherDocs) { docs =>
+      val df = docs.map(Tuple1(_)).toDF("text")
+      val diff = df.select(TextOps.gopherRules(col("text")).as("k"),
+          TextOps.gopherRulesComposed(col("text")).as("c"))
+        .filter(not(col("k") <=> col("c")))
+      val bad = diff.limit(2).collect()
+      assert(bad.isEmpty, s"kernel != composed on e.g. ${bad.mkString("; ")}")
+    }
+  }
 }
