@@ -69,6 +69,32 @@ object Similarity {
     rankTopK(scored, k, "rank")
   }
 
+  /** Hard-negative mining for embedding-model training (contrastive /
+    * contriever-style): for each anchor, the k most-SIMILAR corpus vectors
+    * whose label differs — the negatives that actually move a contrastive
+    * loss, vs uniform negatives a trivial margin already separates. Same
+    * plan shape as [[cosineTopK]] (norms ride the join sides, bounded
+    * map-side TopK — no window, no pair materialization) with the
+    * label-disagreement predicate applied BEFORE scoring, so excluded
+    * same-label pairs never evaluate a dot product. The anchor set
+    * broadcasts by the cosineTopK contract; corpus-×-corpus mining runs
+    * the same shape batched over anchor slices, or goes through the IVF
+    * store ([[ivfSearchFromStore]]) when brute-force stops being the
+    * cheap option. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = broadcast(anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorOps.norm(col(vecCol)).as("qn"), col(labelCol).as("ql")))
+    val c = corpus.select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+      VectorOps.norm(col(vecCol)).as("cn"), col(labelCol).as("cl"))
+    val scored = q.crossJoin(c)
+      .filter(col("ql") =!= col("cl"))
+      .withColumn("sim", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .select(col("query_id"), col("cand_id"), col("sim"))
+    rankTopK(scored, k, "rank")
+  }
+
   /** Deterministic hyperplanes: seeded per-plane PRNG, components uniform in
     * [-0.5, 0.5). Materialized DRIVER-side (numPlanes × dim doubles) and
     * embedded as literal arrays, so the per-row work is `numPlanes` codegen'd

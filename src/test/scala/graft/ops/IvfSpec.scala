@@ -35,6 +35,27 @@ class IvfSpec extends SparkTestBase {
     assert(byQuery(2L) == Set(200L, 201L, 202L))
   }
 
+  test("hardNegatives: only cross-label pairs, equals cosineTopK when labels all differ") {
+    val anchors = queries.withColumn("label", lit(0))
+    val sameAndOther = corpus.withColumn("label",
+      when(col("vec_id") < 200L, 0).otherwise(1))
+    val negs = Similarity.hardNegatives(anchors, sameAndOther,
+        "vec_id", "embedding", "label", 10)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+    // label-0 corpus vectors (100..102) are never negatives for label-0 anchors
+    assert(negs.nonEmpty && negs.forall(_._2 >= 200L))
+    // with disjoint labels everywhere, mining IS brute-force top-k
+    val allOther = corpus.withColumn("label", lit(1))
+    val viaMine = Similarity.hardNegatives(anchors, allOther,
+        "vec_id", "embedding", "label", 3)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val viaTopK = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 3)
+      .select($"query_id", $"cand_id", $"cosine_sim", $"rank")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(viaMine == viaTopK)
+  }
+
   test("ivfSearch with nProbe = nCells equals brute-force cosine top-k") {
     val ivf = Similarity.ivfSearch(queries, corpus, "vec_id", "embedding",
         centroids, nProbe = 2, k = 3)
