@@ -1922,10 +1922,45 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rank
             FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""))
 
+  /** Leakage-safe split ([[Dedup.clusterSafeSplit]]): q54's near-dup
+    * clusters, split train/val at cluster granularity with the shared
+    * replayable LCG — a val doc can never have a near-dup in train. The
+    * oracle extends q54's recursive-CTE component labeling with the LCG
+    * split replay on the cluster label. */
+  private val q127 = Q("q127_cluster_safe_split",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq(col("lang"), floor(col("n_chars") / 50.0).cast("long")), 3, 0.1)
+      Dedup.clusterSafeSplit(docs, "doc_id", pairs, valPct = 20)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE
+             s AS (SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS blk,
+               list_distinct(list_transform(
+                 range(0, greatest(len(string_split($SqlNorm, ' ')) - 3, 0) + 1),
+                 i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 3], ' '))) AS sh
+             FROM documents),
+             p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM s a JOIN s b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+               WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       len(list_distinct(list_cat(a.sh, b.sh))), 6) >= 0.1),
+             e AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+             reach AS (
+               SELECT doc_id AS id, doc_id AS lbl FROM documents
+               UNION
+               SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id),
+             c AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+             SELECT doc_id, cluster_id,
+               CASE WHEN (((((cluster_id % 2147483648) * 1103515245 + 12345)
+                 % 2147483648) // 65536) % 100) < 20 THEN 'val' ELSE 'train' END AS split
+             FROM c ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126)
+    q126, q127)
 }

@@ -693,6 +693,25 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Leakage-safe train/validation split: every member of a near-dup
+    * cluster lands in the SAME split, so a validation document can never
+    * have a near-duplicate in train — the contamination whole-corpus
+    * random splits silently commit (a val doc whose near-copy was trained
+    * on scores as memorization, not generalization). The split decision
+    * draws once per CLUSTER via the engine's shared replayable LCG
+    * ([[TextOps.lcgState]] family — same constants every sampler oracle
+    * replays) on the cluster label; singletons draw on their own id
+    * (cluster_id == id). Output: (doc_id, cluster_id, split). Cost on top
+    * of [[duplicateClusters]]: one codegen map — nothing new shuffles. */
+  def clusterSafeSplit(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                       valPct: Int): DataFrame = {
+    require(valPct >= 0 && valPct <= 100, "valPct must be in [0, 100]")
+    duplicateClusters(nodes, idCol, pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        when(pmod(shiftright(TextOps.lcgState(col("cluster_id")), 16), lit(100L))
+          < valPct, "val").otherwise("train").as("split"))
+  }
+
   /** The dedup OUTPUT stage: one canonical representative per duplicate
     * cluster, chosen by QUALITY. [[duplicateClusters]]' min-id `keep` flag
     * answers "which rows form a cluster"; a curation pipeline then keeps

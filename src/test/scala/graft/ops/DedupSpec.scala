@@ -317,4 +317,26 @@ class DedupSpec extends SparkTestBase {
     assert(matrix(1000) == Map(
       ("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
   }
+
+  test("clusterSafeSplit: clusters never straddle the split; draw replays the shared LCG") {
+    import spark.implicits._
+    val nodes = (0L to 30L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterSafeSplit(nodes, "doc_id", pairs, valPct = 30)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 31)
+    // every cluster maps to exactly one split; linked docs share both
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1))
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(10L) == m(11L) && m(20L) == m(21L))
+    // both splits occur, and every decision replays the shared LCG on the
+    // cluster label (singletons: cluster_id == own id)
+    assert(out.map(_._3).toSet == Set("train", "val"))
+    out.foreach { case (_, cid, split) =>
+      val draw = ((((cid % 2147483648L) * 1103515245L + 12345L) % 2147483648L) >> 16) % 100L
+      assert((draw < 30) == (split == "val"), s"cluster $cid draw $draw split $split")
+    }
+  }
 }
