@@ -455,6 +455,34 @@ object EventStreams {
         graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
       }
 
+  /** Streaming leg of the mergeable-statistics stores: each micro-batch
+    * writes its own monoid summary keyed by batch id (HLL sketch per
+    * group / value histogram per group — [[graft.ops.Sketches]]), and the
+    * corpus-wide answer folds from the store with no rescan of any batch.
+    * Batch-id-keyed overwrite = replay-idempotent, the recipe of every
+    * sink here. Per-batch cost is one map-side-combined aggregation over
+    * that batch's rows; the store grows by groups × (KB sketch | bins)
+    * per batch regardless of batch size. */
+  def sinkDistinctSketches(df: DataFrame, groupCol: String, valueCol: String,
+                           path: String, lgK: Int = 12): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.writeDistinctSketches(batch, groupCol,
+          col(valueCol), path, batchId, lgK)
+      }
+
+  /** See [[sinkDistinctSketches]] — the quantile sibling
+    * ([[graft.ops.Sketches.writeValueHistograms]]). */
+  def sinkValueHistograms(df: DataFrame, groupCol: String, valueCol: String,
+                          path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.writeValueHistograms(batch, groupCol,
+          col(valueCol), path, batchId)
+      }
+
   /** One micro-batch of the incremental near-dup pipeline — extracted from
     * [[sinkIncrementalLshDedup]] so the replay contract is directly
     * testable. For batch B of a document feed:

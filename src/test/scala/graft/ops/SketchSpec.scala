@@ -126,6 +126,39 @@ class SketchSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap == merged)
   }
 
+  test("streaming sinks feed both monoid stores; merged equals one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    val hDir = java.nio.file.Files.createTempDirectory("s_hist").toString
+    val dDir = java.nio.file.Files.createTempDirectory("s_hll").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("s_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("s_ck2").toString
+    val rows = (0 until 200).map(i => (if (i % 2 == 0) "x" else "y", (i % 13).toLong))
+    val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q1 = graft.streaming.EventStreams.sinkValueHistograms(
+        in1.toDF().toDF("g", "v"), "g", "v", hDir)
+      .option("checkpointLocation", ck1).start()
+    in1.addData(rows.take(120): _*); q1.processAllAvailable()
+    in1.addData(rows.drop(120): _*); q1.processAllAvailable()
+    q1.stop()
+    val merged = Sketches.mergedQuantiles(spark, hDir, "g", Seq(0.5))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r._3).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- byG)
+      assert(merged(g) == vs(math.ceil(0.5 * vs.size).toInt - 1))
+
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    val q2 = graft.streaming.EventStreams.sinkDistinctSketches(
+        in2.toDF().toDF("g", "v"), "g", "v", dDir)
+      .option("checkpointLocation", ck2).start()
+    in2.addData(rows.take(120): _*); q2.processAllAvailable()
+    in2.addData(rows.drop(120): _*); q2.processAllAvailable()
+    q2.stop()
+    val est = Sketches.mergedDistinct(spark, dDir)
+      .as[(String, Long)].collect().toMap
+    for ((g, vs) <- byG) // 13 distinct values — HLL exact at this cardinality
+      assert(est(g) == vs.distinct.size.toLong, s"group $g")
+  }
+
   test("histogram store: merged quantiles equal exact type-1 quantiles and replay stably") {
     val dir = java.nio.file.Files.createTempDirectory("hist_store").toString
     val rows = (0 until 300).map { i =>
