@@ -1296,7 +1296,10 @@ object PipelineQueries {
          |    range(0, greatest(len(string_split($SqlNorm, ' ')) - 6, 0) + 1),
          |    i -> array_to_string(string_split($SqlNorm, ' ')[i + 1:i + 6], ' '))) AS s
          |  FROM documents)),
-         |g AS (SELECT DISTINCT source, md5(s) AS dg FROM base),
+         |g AS (SELECT DISTINCT source,
+         |        ${sqlPolyHash("s", 131, 7)} * 2147483648
+         |          + ${sqlPolyHash("s", 137, 11)} AS dg
+         |      FROM base),
          |ok AS (SELECT dg FROM g GROUP BY dg
          |       HAVING count(*) > 1 AND count(*) <= 1000),
          |p AS (SELECT g.source, g.dg FROM g JOIN ok USING (dg))

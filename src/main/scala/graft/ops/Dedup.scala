@@ -896,25 +896,33 @@ object Dedup {
     * ([[buildNgramBloom]]) answers per-DOC membership, this answers
     * source-pair mass). Output: (src_a, src_b, n_shared), src_a < src_b.
     *
-    * Scale shape: ONE wide exchange total. The per-gram source set folds
-    * the (source, digest) dedup INTO the aggregation (collect_set with
-    * map-side partial set-union — the partial is bounded by the source
-    * dimension, small by contract), `maxSourcesPerGram` guards the
-    * degenerate universal gram (present in half the sources it would
-    * contribute quadratically many pairs while carrying no pairwise
-    * signal — the same cap reasoning as LSH's `maxBucketSize`), and the
-    * C(sources,2) pairs explode MAP-SIDE on that aggregate's output, so
-    * the final exchange carries at most |sources|² × partitions
-    * map-side-combined rows — never gram-pair rows. (The previous
-    * self-join formulation shuffled the gram table three times: distinct,
-    * count-prune, then the join itself — measured 26.6 MB vs 9 MB shuffle
-    * at sf0.1 for identical output.) */
+    * Scale shape: ONE wide exchange total, keyed by the 8-BYTE 62-bit
+    * kernel shingle hash (the SQL-replayable [[graft.functions
+    * .ShingleHashSet]] family — a 32-byte md5 hex key was measured to put
+    * 106 MB on this exchange at ~sf1 where the long key carries ~a
+    * quarter of that; "distinct hashes" == "distinct shingles" absent
+    * 2^-62 collisions, q42's standing argument). The kernel emits each
+    * doc's DISTINCT hashes in the scan stage — no tokenizer window, no
+    * doc-id repartition. The per-gram source set folds the (source,
+    * digest) dedup INTO the aggregation (collect_set with map-side
+    * partial set-union — the partial is bounded by the source dimension,
+    * small by contract), `maxSourcesPerGram` guards the degenerate
+    * universal gram (present in half the sources it would contribute
+    * quadratically many pairs while carrying no pairwise signal — the
+    * same cap reasoning as LSH's `maxBucketSize`), and the C(sources,2)
+    * pairs explode MAP-SIDE on that aggregate's output, so the final
+    * exchange carries at most |sources|² × partitions map-side-combined
+    * rows — never gram-pair rows. (The original self-join formulation
+    * shuffled an md5 gram table three times: distinct, count-prune, then
+    * the join itself.) */
   def crossSourceNgramOverlap(df: DataFrame, idCol: String, textCol: String,
                               srcCol: String, n: Int = 6,
                               maxSourcesPerGram: Int = 1000): DataFrame =
-    shingleRows(df, idCol, textCol, n, passthrough = Seq(srcCol))
-      .groupBy(md5(col("shingle").cast("binary")).as("dg"))
-      .agg(sort_array(collect_set(col(srcCol))).as("srcs"))
+    Layout.spread(df, idCol)
+      .select(col(srcCol).as("src"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("dg"))
+      .groupBy(col("dg"))
+      .agg(sort_array(collect_set(col("src"))).as("srcs"))
       .filter(size(col("srcs")) > 1 && size(col("srcs")) <= maxSourcesPerGram)
       .select(posexplode(col("srcs")).as(Seq("pa", "src_a")), col("srcs"))
       .select(col("src_a"), col("pa"),
