@@ -1269,7 +1269,9 @@ object PipelineQueries {
         n = 2, minDocPct = 5)
       .orderBy(col("doc_id")),
     Some {
-      s"""WITH sh AS (SELECT DISTINCT doc_id, md5(s) AS dg
+      s"""WITH sh AS (SELECT DISTINCT doc_id,
+         |              ${sqlPolyHash("s", 131, 7)} * 2147483648
+         |                + ${sqlPolyHash("s", 137, 11)} AS dg
          |            FROM (${sqlShingleRows(2)})),
          |bp AS (SELECT dg FROM (SELECT dg, count(*) AS df FROM sh GROUP BY dg)
          |       WHERE df * 100 >= 5 * (SELECT count(DISTINCT doc_id) FROM sh)),

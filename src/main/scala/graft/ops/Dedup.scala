@@ -871,9 +871,15 @@ object Dedup {
   def boilerplateShingleRatio(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, minDocPct: Int = 25): DataFrame = {
     require(minDocPct >= 1 && minDocPct <= 100, "minDocPct must be in [1, 100]")
-    val sh = shingleRows(df, idCol, textCol, n)
-      .select(col("id"), md5(col("shingle").cast("binary")).as("dg"))
-      .distinct()
+    // per-doc DISTINCT 62-bit hashes straight from the scan-stage kernel:
+    // the previous tokenizer-window + md5 + distinct() formulation paid a
+    // doc-id repartition, a window sort AND a dedup exchange over 32-byte
+    // hex keys before any real work — the kernel's set is already
+    // per-doc-distinct and the key is one long (q108's rework, same
+    // collision argument)
+    val sh = Layout.spread(df, idCol)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.shingle_hashes(col(textCol), n)).as("dg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = sh.select(col("id")).distinct().count() // scalar, one job
     val boiler = sh.groupBy(col("dg")).agg(count(lit(1)).as("df"))
