@@ -858,16 +858,18 @@ object Dedup {
     * a curation funnel thresholds on. Output: (doc_id, n_shingles,
     * n_boiler, boiler_ratio).
     *
-    * Scale shape: one shingle pass ([[shingleRows]]); distinct
-    * (doc, md5-digest) rows shuffle on the DIGEST, never shingle text; doc
-    * frequency is a single count aggregation; the threshold compare is
-    * integer (df·100 ≥ pct·nDocs — no double knife-edge); the boilerplate
-    * set joins back on the digest and per-doc scoring is one doc-id
-    * aggregation. The distinct-shingle frame feeds two branches (DF count
-    * + join-back), so it persists — [[minHashLshCandidates]]'s cache
-    * contract (clearCache between corpora). Docs yielding no shingles
-    * (NULL/empty text) have no defined ratio and drop out, matching the
-    * shingle-kernel total-function contract. */
+    * Scale shape: per-doc DISTINCT 62-bit shingle hashes come straight
+    * from the scan-stage [[graft.functions.ShingleHashSet]] kernel (no
+    * tokenizer window, no dedup exchange, 8-byte keys); doc frequency is
+    * a single count aggregation over those longs; the threshold compare
+    * is integer (df·100 ≥ pct·nDocs — no double knife-edge); the (small
+    * by definition) boilerplate digest set broadcast-joins back and
+    * per-doc scoring is one doc-id aggregation. The hash frame feeds two
+    * branches (DF count + join-back), so it persists —
+    * [[minHashLshCandidates]]'s cache contract (clearCache between
+    * corpora). Docs yielding no shingles (NULL/empty text) have no
+    * defined ratio and drop out, matching the shingle-kernel
+    * total-function contract. */
   def boilerplateShingleRatio(df: DataFrame, idCol: String, textCol: String,
                               n: Int = 3, minDocPct: Int = 25): DataFrame = {
     require(minDocPct >= 1 && minDocPct <= 100, "minDocPct must be in [1, 100]")
