@@ -132,12 +132,17 @@ object Terms {
     * as the pair generators — `spark.catalog.clearCache()` between
     * corpora. */
   def bigramCondProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    // materialize the token array as an attribute FIRST: the zip_with
+    // lambda is CodegenFallback with no common-subexpression elimination,
+    // so referencing the normalize+split subtree three times (two slices
+    // + size) re-ran the regex pipeline three times per document
     val bigrams = Layout.spread(df, idCol)
       .select(col(idCol).as("doc_id"),
+        TextOps.wsTokens(TextOps.normalizeText(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
         explode(zip_with(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+          slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -175,21 +180,24 @@ object Terms {
     * documents with < 2 tokens have no bigrams and are absent. */
   def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
                        train: DataFrame, trainTextCol: String): DataFrame = {
-    def bg(tcol: String): Column = {
-      val toks = TextOps.wsTokens(TextOps.normalizeText(col(tcol)))
+    // two-step select so the tokenizer runs ONCE per row (see
+    // bigramCondProb — the lambda path has no CSE over the regex subtree)
+    def bgFrom(toks: Column): Column =
       explode(zip_with(
         slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
         slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg")
-    }
-    val trainBg = train.select(bg(trainTextCol))
+    def toks(tcol: String): Column =
+      TextOps.wsTokens(TextOps.normalizeText(col(tcol))).as("__toks")
+    val trainBg = train.select(toks(trainTextCol)).select(bgFrom(col("__toks")))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = trainBg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
     val vDf = train
       .select(explode(TextOps.wsTokens(TextOps.normalizeText(col(trainTextCol)))).as("w"))
       .agg(countDistinct(col("w")).as("__v"))
-    val scoreBg = docs.select(col(idCol).as("doc_id"), bg(textCol))
+    val scoreBg = docs.select(col(idCol).as("doc_id"), toks(textCol))
+      .select(col("doc_id"), bgFrom(col("__toks")))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val nll = scoreBg
       .join(c2, Seq("w1", "w2"), "left")
