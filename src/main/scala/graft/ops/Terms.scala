@@ -93,11 +93,13 @@ object Terms {
     * Ties break by pair text — total order, deterministic. */
   def bpePairCounts(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    // tokenizer materialized as an attribute first — the lambda path has
+    // no CSE, so three references re-ran the regex pipeline per doc
     Layout.spread(df, idCol)
+      .select(TextOps.wsTokens(TextOps.normalizeText(col(textCol))).as("__toks"))
       .select(explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b))).as("pair"))
       // no empty-pair filter needed: an empty/whitespace doc tokenizes to
       // the singleton [""], which yields zero pairs (size - 1 = 0)
@@ -246,9 +248,10 @@ object Terms {
   def bigramLmTrainCollect(train: DataFrame, textCol: String,
                            maxPairs: Int = 5000000): BigramLmModel = {
     val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
-    val bg = train.select(explode(zip_with(
-        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+    val bg = train.select(toks.as("__toks")) // tokenize ONCE (no lambda CSE)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - 1, lit(0))),
+        slice(col("__toks"), lit(2), greatest(size(col("__toks")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -423,22 +426,29 @@ object Terms {
     require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
       s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
     require(k >= 1, "k must be >= 1")
-    val toks = TextOps.wsTokens(TextOps.normalizeText(col(textCol)))
+    // tokenize ONCE per doc and derive BOTH branches (doc length + the
+    // query-term hits) from the same persisted frame — the two-branch
+    // formulation tokenized every document twice, and the hits prune
+    // happens on the token ARRAY (map-side) so only (doc, query-term)
+    // instances ever explode
     val docLen = Layout.spread(df, idCol)
       .select(col(idCol).as("doc_id"),
-        coalesce(size(filter(toks, t => t =!= "")), lit(0)).cast("long").as("dl"))
+        TextOps.wsTokens(TextOps.normalizeText(col(textCol))).as("__toks"))
+      .select(col("doc_id"),
+        coalesce(size(filter(col("__toks"), t => t =!= "")), lit(0))
+          .cast("long").as("dl"),
+        filter(col("__toks"), t => t.isin(terms: _*)).as("__hits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = docLen.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val tf = Layout.spread(df, idCol)
-      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
-      .filter(col("term").isin(terms: _*)) // prune BEFORE the aggregation
+    val tf = docLen
+      .select(col("doc_id"), explode(col("__hits")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
     tf.join(broadcast(dfreq), Seq("term"))
-      .join(docLen, Seq("doc_id"))
+      .join(docLen.select(col("doc_id"), col("dl")), Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
