@@ -1349,20 +1349,31 @@ object PipelineQueries {
     * equality), corpus-wide repeat mark, gaps-and-islands merge. Yields
     * CTEs t (doc_id, toks) and sp (doc_id, grp with per-window pos rows);
     * q110 and q113 close over them differently. */
-  private def sqlSpanChain(k: Int): String =
+  private def sqlSpanChain(k: Int, keepFirst: Boolean = false): String = {
+    val pClause =
+      if (!keepFirst)
+        s"""p AS (SELECT doc_id, pos FROM w
+           |      WHERE ws IN (SELECT ws FROM w GROUP BY ws HAVING count(*) >= 2)),""".stripMargin
+      else
+        s"""p AS (SELECT doc_id, pos FROM (
+           |        SELECT doc_id, pos,
+           |               count(*) OVER (PARTITION BY ws) AS occ,
+           |               row_number() OVER (PARTITION BY ws
+           |                 ORDER BY doc_id, pos) AS rn FROM w)
+           |      WHERE occ >= 2 AND rn > 1),""".stripMargin
     s"""t AS (SELECT doc_id, string_split($SqlNorm, ' ') AS toks FROM documents),
        |w AS (SELECT doc_id,
        |        unnest(range(0, len(toks) - $k + 1)) AS pos,
        |        unnest(list_transform(range(0, len(toks) - $k + 1),
        |          i -> array_to_string(toks[i + 1:i + $k], ' '))) AS ws
        |      FROM t WHERE len(toks) >= $k),
-       |p AS (SELECT doc_id, pos FROM w
-       |      WHERE ws IN (SELECT ws FROM w GROUP BY ws HAVING count(*) >= 2)),
+       |$pClause
        |b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
        |        PARTITION BY doc_id ORDER BY pos) <= $k THEN 0 ELSE 1 END AS brk
        |      FROM p),
        |sp AS (SELECT doc_id, pos, sum(brk) OVER (
        |        PARTITION BY doc_id ORDER BY pos) AS grp FROM b)""".stripMargin
+  }
 
   private val q110 = Q("q110_repeated_spans",
     (s, d) => Dedup.repeatedSpans(documents(s, d), "doc_id", "text", 8)
@@ -1445,24 +1456,28 @@ object PipelineQueries {
           Dedup.repeatedSpans(docs, "doc_id", "text", 8))
         .orderBy(col("doc_id"))
     },
-    Some {
-      s"""WITH ${sqlSpanChain(8)},
-         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 8 - 1 AS s1
-         |          FROM sp GROUP BY doc_id, grp),
-         |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
-         |               unnest(toks) AS w FROM t),
-         |cut AS (SELECT DISTINCT tok.doc_id, pos FROM tok
-         |        JOIN spans s ON tok.doc_id = s.doc_id
-         |                    AND pos >= s.s0 AND pos <= s.s1),
-         |kept AS (SELECT doc_id, pos, w FROM tok
-         |         ANTI JOIN cut USING (doc_id, pos)),
-         |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
-         |               count(*) AS n_kept FROM kept GROUP BY doc_id)
-         |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
-         |       coalesce(agg.n_kept, 0) AS n_kept,
-         |       len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut
-         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
-    })
+    Some(s"WITH ${sqlSpanChain(8)},\n${sqlCutTail(8)}"))
+
+  /** Replay of [[graft.ops.Dedup.cutSpans]] downstream of a span chain:
+    * expand spans to cut positions, anti-join, reassemble kept tokens in
+    * order. Shared by q113 and q128 (which differ only in the chain's
+    * p-clause). */
+  private def sqlCutTail(k: Int): String =
+    s"""spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + $k - 1 AS s1
+       |          FROM sp GROUP BY doc_id, grp),
+       |tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+       |               unnest(toks) AS w FROM t),
+       |cut AS (SELECT DISTINCT tok.doc_id, pos FROM tok
+       |        JOIN spans s ON tok.doc_id = s.doc_id
+       |                    AND pos >= s.s0 AND pos <= s.s1),
+       |kept AS (SELECT doc_id, pos, w FROM tok
+       |         ANTI JOIN cut USING (doc_id, pos)),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+       |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       |       coalesce(agg.n_kept, 0) AS n_kept,
+       |       len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut
+       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** L16 substitute (SURVEY §7.4): PCA projection of the embedding corpus to
     * 2-D — the visualization-prep step the reference runs through t-SNE
@@ -1962,10 +1977,71 @@ object PipelineQueries {
                  % 2147483648) // 65536) % 100) < 20 THEN 'val' ELSE 'train' END AS split
              FROM c ORDER BY doc_id"""))
 
+  /** Keep-one-copy exact-substring dedup
+    * ([[graft.ops.Dedup.repeatedSpansKeepFirst]] + cutSpans): the
+    * production form of Lee et al.'s span dedup — q113 cuts every
+    * occurrence of a repeated passage; here the (doc_id, pos)-canonical
+    * occurrence survives and only the later copies are excised. The
+    * oracle swaps the span chain's p-clause for the windowed
+    * occ/row_number form and replays the same cut. */
+  private val q128 = Q("q128_span_dedup_keep_first",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.cutSpans(docs, "doc_id", "text",
+          Dedup.repeatedSpansKeepFirst(docs, "doc_id", "text", 8))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"WITH ${sqlSpanChain(8, keepFirst = true)},\n${sqlCutTail(8)}"))
+
+  /** Fuzzy decontamination ([[graft.ops.Dedup.fuzzyDecontaminate]]):
+    * corpus docs (doc_id % 7 != 0) whose MinHash est_sim against ANY
+    * benchmark doc (doc_id % 7 == 0) clears 0.5 — the near-duplicate
+    * leakage the exact n-gram check (q59/q118) misses. The oracle replays
+    * the q43 signature/band pipeline with the corpus/bench split and the
+    * per-doc best-match argmax. */
+  private val q129 = Q("q129_fuzzy_decontaminate",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.fuzzyDecontaminate(docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val K = 64; val bands = 16; val rpb = 4
+      import graft.functions.TextKernels.{coefA, coefB}
+      val mins = (0 until K).map(j =>
+        s"min((${coefA(j)}::BIGINT * h1 + ${coefB(j)}::BIGINT * h2 + $j) % $P) AS s$j")
+        .mkString(", ")
+      def bandKey(b: Int): String =
+        (0 until rpb).foldLeft(s"${97 + b}::BIGINT") { (acc, r) =>
+          s"(($acc) * 1000003 + s${b * rpb + r}) % $P"
+        }
+      val bandList = (0 until bands).map(bandKey).mkString(", ")
+      val eqTerms = (0 until K)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (${sqlShingleRows(3)}),
+         |hs AS (SELECT doc_id, ${sqlPolyHash("s", 131, 7)} AS h1,
+         |              ${sqlPolyHash("s", 137, 11)} AS h2 FROM sh),
+         |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+         |banded AS (SELECT doc_id, unnest([$bandList]) AS band_key FROM sig),
+         |cand AS (SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+         |         FROM banded c JOIN banded b USING (band_key)
+         |         WHERE c.doc_id % 7 != 0 AND b.doc_id % 7 = 0),
+         |scored AS (SELECT cand.doc_id, cand.bench_id,
+         |             ($eqTerms) / $K.0 AS est_sim
+         |           FROM cand JOIN sig a ON a.doc_id = cand.doc_id
+         |                     JOIN sig b ON b.doc_id = cand.bench_id)
+         |SELECT doc_id, bench_id, est_sim FROM (
+         |  SELECT doc_id, bench_id, est_sim, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY est_sim DESC, bench_id) AS rn
+         |  FROM scored WHERE est_sim >= 0.5)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127)
+    q126, q127, q128, q129)
 }

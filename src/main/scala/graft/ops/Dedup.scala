@@ -812,6 +812,56 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of
+    * [[decontaminate]]: exact n-gram overlap misses paraphrased or
+    * lightly-edited benchmark leakage, so production pipelines
+    * (GPT-3 §C, Llama eval-decontamination) also drop corpus documents
+    * whose MinHash similarity to ANY benchmark item clears a threshold.
+    * Output is the contamination report (doc_id, bench_id, est_sim) —
+    * one row per flagged corpus doc with its best-matching benchmark item
+    * (ties broken toward the smallest bench id); consumers anti-join it.
+    *
+    * Scale shape: the benchmark side is eval-suite sized, so its banded
+    * signatures broadcast (same contract as [[decontaminate]]'s hash set).
+    * The corpus pays ONE narrow kernel scan (signatures are the
+    * shuffle-free [[minHashSignatures]] map), band keys explode map-side,
+    * and the broadcast band join filters to hits before anything
+    * shuffles — the only exchange carries candidate (doc, bench) pairs
+    * (a vanishing fraction), each a few hundred bytes of signature.
+    * Nothing corpus-sized ever crosses the wire. Hash family is the
+    * SQL-replayable TextKernels polynomial one, so est_sim is
+    * oracle-exact. */
+  def fuzzyDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, shingleLen: Int = 3,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val benchBands = minHashSignatures(bench, idCol, textCol, shingleLen, numHashes)
+      .select(col("id").as("bench_id"), col("sig").as("bench_sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    val corpusBands = minHashSignatures(corpus, idCol, textCol, shingleLen, numHashes)
+      .select(col("id").as("doc_id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    val simCol = (size(filter(zip_with(col("sig"), col("bench_sig"),
+      (x, y) => x === y), m => m)).cast("double") / numHashes).as("est_sim")
+    corpusBands
+      .join(broadcast(benchBands), Seq("band_key"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      // collapse the (pair × shared-band) multiplicity BEFORE scoring: the
+      // group keys are (doc, bench) and the signatures ride along via
+      // first() — only candidate pairs reach this exchange
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(first(col("sig")).as("sig"), first(col("bench_sig")).as("bench_sig"))
+      .select(col("doc_id"), col("bench_id"), simCol)
+      .filter(col("est_sim") >= threshold)
+      // best benchmark match per doc: max est_sim, then smallest bench_id
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("est_sim"), (-col("bench_id")).as("nb"))).as("best"))
+      .select(col("doc_id"), (-col("best.nb")).as("bench_id"),
+        col("best.est_sim").as("est_sim"))
+  }
+
   /** Corpus-wide duplicated-segment removal (the line/paragraph dedup step
     * of CCNet/RefinedWeb-style pipelines): drop every segment whose exact
     * text occurs >= `minDupCount` times across the WHOLE corpus (boilerplate
@@ -971,17 +1021,54 @@ object Dedup {
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
                     k: Int, minCount: Int = 2): DataFrame = {
     require(k >= 1 && minCount >= 2, "need k >= 1 and minCount >= 2")
+    mergeWindowSpans(dupWindowPositions(df, idCol, textCol, k, minCount,
+      keepFirst = false), k)
+  }
+
+  /** Canonical-owner variant of [[repeatedSpans]] — the other half of Lee
+    * et al.'s dedup: cutting EVERY occurrence of a repeated substring
+    * (q113) destroys the text; production dedup keeps ONE copy and cuts
+    * the rest. The canonical occurrence of each repeated k-window is the
+    * (doc_id, pos)-minimal one, so the doc that first utters a passage
+    * keeps it and later copies lose it; feed the result to [[cutSpans]].
+    * Keep-first at window granularity composes correctly across merges: in
+    * a non-canonical copy every window of the repeated region is
+    * non-first, so the whole region flags and merges, while the canonical
+    * copy flags nothing.
+    *
+    * Scale shape: identical to [[repeatedSpans]] — the ordered row_number
+    * rides the SAME gram-keyed exchange the occurrence count uses (one
+    * extra sort within partitions, no extra shuffle). */
+  def repeatedSpansKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 1 && minCount >= 2, "need k >= 1 and minCount >= 2")
+    mergeWindowSpans(dupWindowPositions(df, idCol, textCol, k, minCount,
+      keepFirst = true), k)
+  }
+
+  /** Shared front half of the span-dedup family: positional window hashes
+    * from the single codegen kernel scan, ONE narrow shuffle on the 8-byte
+    * gram hash, repeat-marking (and, for the keep-first form, canonical
+    * exclusion) on that same exchange. */
+  private def dupWindowPositions(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int, minCount: Int,
+                                 keepFirst: Boolean): DataFrame = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val w = df.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextFunctions.shingle_hash_seq(col(textCol), k)))
       .toDF("doc_id", "pos", "g")
       .repartition(n, col("g"))
     val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    val dupPos = w
-      .withColumn("__occ", count(lit(1)).over(wG))
-      .filter(col("__occ") >= minCount)
-      .select(col("doc_id"), col("pos"))
-    mergeWindowSpans(dupPos, k)
+    val marked = w.withColumn("__occ", count(lit(1)).over(wG))
+    val flagged =
+      if (!keepFirst) marked.filter(col("__occ") >= minCount)
+      else {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))
+        marked.withColumn("__rn", row_number().over(wOrd))
+          .filter(col("__occ") >= minCount && col("__rn") > 1)
+      }
+    flagged.select(col("doc_id"), col("pos"))
   }
 
   /** Gaps-and-islands merge of flagged window positions into maximal

@@ -34,7 +34,10 @@ import graft.ops.{Dedup, TextOps}
   *     best band-estimated similarity reaches `minEstSim`. Probing is
   *     batch × bucket-bounded; corpus text is never touched.
   *  4. decontamination: the broadcast benchmark shingle-hash set
-  *     ([[Dedup.decontaminate]]) — stateless per batch.
+  *     ([[Dedup.decontaminate]]), plus — when `fuzzyThreshold` is set —
+  *     the MinHash near-duplicate check ([[Dedup.fuzzyDecontaminate]])
+  *     that catches paraphrased leakage exact n-grams miss. Both legs
+  *     are stateless per batch (bench side broadcasts in each).
   *
   * Cross-batch dedup semantics are GREEDY FIRST-SEEN-WINS (a doc drops if
   * it duplicates anything seen by an earlier batch or an earlier id in
@@ -64,7 +67,11 @@ object CurateStream {
       maxBucketSize: Int = 200,
       minEstSim: Double = 0.5,
       decontamN: Int = 8,
-      minOverlap: Int = 1)
+      minOverlap: Int = 1,
+      // Some(t): ALSO drop docs whose MinHash est_sim vs any bench doc
+      // reaches t (fuzzy leg, paraphrased leakage). None = exact only —
+      // bit-identical to the pre-option pipeline.
+      fuzzyThreshold: Option[Double] = None)
 
   /** Paths of the three persistent stores the stream maintains.
     * `corpusPath/batch=B`: labeled batch output (all input docs +
@@ -164,10 +171,20 @@ object CurateStream {
           .select(col("probe_id").as(idCol)).distinct()
         val nearKept = exactKept.join(nearDropIds, Seq(idCol), "left_anti")
 
-        // -- stage 4: decontamination (broadcast bench shingle set)
-        val contamIds = Dedup.decontaminate(nearKept, bench, idCol, textCol,
+        // -- stage 4: decontamination (broadcast bench shingle set), with
+        // the optional MinHash fuzzy leg unioned in on the same id column
+        val exactContam = Dedup.decontaminate(nearKept, bench, idCol, textCol,
             cfg.decontamN, cfg.minOverlap)
           .select(col("doc_id").as(idCol))
+        val contamIds = cfg.fuzzyThreshold match {
+          case None => exactContam
+          case Some(t) =>
+            exactContam.unionByName(
+                Dedup.fuzzyDecontaminate(nearKept, bench, idCol, textCol,
+                    cfg.shingleLen, cfg.numHashes, cfg.bands, t)
+                  .select(col("doc_id").as(idCol)))
+              .distinct()
+        }
 
         // -- label + write (all per-batch overwrite => replay-idempotent)
         val labeled = flagged

@@ -228,6 +228,34 @@ class PlanShapeSpec extends SparkTestBase {
       s"document text must not cross the wire:\n$p")
   }
 
+  test("keep-first span detection shares the repeat marker's single gram exchange") {
+    val p = graft.ops.Dedup.repeatedSpansKeepFirst(
+      Tables.documents(spark, sf), "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    // the ordered row_number must ride the SAME gram-keyed exchange the
+    // occurrence count uses — still exactly two exchanges, no text
+    val exchanges = p.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("Reused")).toSeq
+    assert(exchanges.size == 2, s"want gram + doc_id exchanges only:\n$p")
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text must not cross the wire:\n$p")
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark bands; corpus shuffles only candidates") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val p = graft.ops.Dedup.fuzzyDecontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"bench side must broadcast:\n$p")
+    // every exchange sits ABOVE the broadcast join (candidate pairs), so
+    // none may carry the corpus text or its signature band explosion
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")),
+      s"corpus text must not cross the wire:\n$p")
+  }
+
   test("span cut is one keyed join, no explode of the corpus") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)

@@ -157,6 +157,36 @@ class DedupSpec extends SparkTestBase {
     assert(strict == Map(2L -> 2L))
   }
 
+  test("fuzzyDecontaminate flags near-duplicates of benchmark docs, best match first") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "the quick brown fox jumps over the lazy dog"), // duplicate bench item
+      (102L, "entirely separate benchmark question about planets and orbits"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // exact copy → sim 1.0
+      (2L, "the QUICK brown fox — jumps over the lazy dog"), // normalizes to a copy
+      (3L, "unrelated corpus text discussing spark shuffles and joins at length"))
+      .toDF("doc_id", "text")
+    val out = Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // docs 1 and 2 flagged against the SMALLER of the two tied bench ids
+    assert(out.map(r => (r._1, r._2)).toSeq == Seq((1L, 100L), (2L, 100L)))
+    assert(out.forall(_._3 == 1.0))
+  }
+
+  test("fuzzyDecontaminate: sub-threshold similarity does not flag") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares a couple of shingles only — banding may or may not collide,
+      // but est_sim stays far below 0.5 either way
+      (1L, "alpha beta gamma completely different continuation of words here"),
+      (2L, "no shared vocabulary at all in this document"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyDecontaminate(corpus, bench, "doc_id", "text",
+      threshold = 0.5).collect().isEmpty)
+  }
+
   test("decontaminateBloom equals exact decontamination (false positives die in verify)") {
     val docs = graft.Tables.documents(spark, sf0001)
     // every ~97th doc doubles as "benchmark" — same split q59/q80 use

@@ -115,6 +115,45 @@ class RepeatedSpansSpec extends SparkTestBase {
     assert(spans == Set((1L, 0L, 4L, 1L), (2L, 3L, 4L, 1L)))
   }
 
+  test("keepFirst: canonical occurrence unflagged, later copies flagged") {
+    val rep = "one two three four five six"
+    val d = df((1L, s"$rep tail a b"), (2L, s"head c $rep"))
+    val spans = Dedup.repeatedSpansKeepFirst(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1 owns the passage (smaller doc_id): only doc 2's copy flags
+    assert(spans == Set((2L, 2L, 6L, 3L)))
+    val cut = Dedup.cutSpans(d, "doc_id", "text", Dedup.repeatedSpansKeepFirst(
+        d, "doc_id", "text", 4))
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cut(1L) == ((1L, s"$rep tail a b", 9L, 0L))) // canonical keeps all
+    assert(cut(2L) == ((2L, "head c", 2L, 6L)))
+  }
+
+  test("keepFirst: within-doc repeat keeps the earlier position") {
+    val d = df((1L, "a b c d x1 x2 x3 x4 a b c d"))
+    val spans = Dedup.repeatedSpansKeepFirst(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 8L, 4L, 1L)))
+  }
+
+  test("keepFirst: canonical order is (doc_id, pos), doc_id first") {
+    // the repeat sits LATE in doc 1 and EARLY in doc 2 — doc 1 still owns it
+    val d = df((1L, "f1 f2 f3 f4 one two three four"),
+               (2L, "one two three four g1 g2 g3 g4"))
+    val spans = Dedup.repeatedSpansKeepFirst(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((2L, 0L, 4L, 1L)))
+  }
+
+  test("keepFirst: three-way repeat cuts all but the first copy") {
+    val rep = "alpha beta gamma delta"
+    val d = df((3L, s"$rep p1 p2 p3 p4"), (5L, s"q1 $rep q2 q3"),
+               (9L, s"r1 r2 r3 r4 $rep"))
+    val spans = Dedup.repeatedSpansKeepFirst(d, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((5L, 1L, 4L, 1L), (9L, 4L, 4L, 1L)))
+  }
+
   test("contaminatedSpans cuts exactly the benchmark quote, nothing else") {
     // doc 1 quotes a 5-token benchmark passage mid-document; doc 2 is
     // clean; doc 3 is shorter than the window and can never match

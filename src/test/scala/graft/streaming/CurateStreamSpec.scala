@@ -88,4 +88,26 @@ class CurateStreamSpec extends SparkTestBase {
       .filter(col("batch") === 2L).count()
     assert(deltaAfter == deltaBefore) // rewritten, not double-appended
   }
+
+  test("fuzzy decontamination leg catches paraphrased leakage exact n-grams miss") {
+    // bench text paraphrased every 8th word: no shared 8-gram (exact leg
+    // blind), MinHash est_sim 0.578 (probed deterministic value)
+    val benchLong = Seq((900L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu one two"))
+      .toDF("doc_id", "text")
+    val paraphrase = "alpha bravo charlie delta echo foxtrot golf hotelx india juliet kilo lima mike november oscar papax quebec romeo sierra tango uniform victor whiskey xrayx yankee zulu one two"
+    val batch = Seq((1L, paraphrase), (2L, tB)).toDF("doc_id", "text")
+    def runWith(cfg: CurateStream.Config): Map[Long, String] = {
+      val stores = CurateStream.Stores(
+        Files.createTempDirectory("cur_fz_corpus").toString,
+        Files.createTempDirectory("cur_fz_hash").toString,
+        Files.createTempDirectory("cur_fz_delta").toString)
+      CurateStream.processBatch(batch, 0L, "doc_id", "text", benchLong, cfg, stores)
+      labels(stores.corpusPath, 0L)
+    }
+    // exact-only config keeps the paraphrase (documented miss)
+    assert(runWith(CurateStream.Config()) == Map(1L -> "kept", 2L -> "kept"))
+    // fuzzy leg on: the paraphrase is contaminated, the clean doc unaffected
+    assert(runWith(CurateStream.Config(fuzzyThreshold = Some(0.5))) ==
+      Map(1L -> "contaminated", 2L -> "kept"))
+  }
 }
