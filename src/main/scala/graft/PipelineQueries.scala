@@ -2038,10 +2038,32 @@ object PipelineQueries {
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin
     })
 
+  /** Certified sketch-pass top-k ([[graft.ops.Sketches.exactTopKeys]]):
+    * the top-20 corpus terms via a freqItems candidate sweep + ONE
+    * candidate-bounded exact aggregation, with the k-th-count >
+    * support·N certificate that makes the result PROVABLY the full-
+    * shuffle top-k — so the oracle is simply the exact top-20 (q66's SQL
+    * shape). The full-shuffle q66 pays |vocabulary| exchange rows for
+    * the same answer; this pays |candidates|. */
+  private val q130 = Q("q130_heavy_hitters",
+    (s, d) => {
+      val toks = documents(s, d).select(
+        explode(TextOps.wsTokens(TextOps.normalizeText(col("text")))).as("term"))
+        .filter(col("term") =!= "")
+      Sketches.exactTopKeys(toks, "term", 20, support = 0.001)
+        .select(col("key").as("term"), col("cnt"), col("rank"))
+    },
+    Some(s"""WITH tok AS (SELECT unnest(string_split($SqlNorm, ' ')) AS term
+               FROM documents),
+             t AS (SELECT term, count(*) AS cnt FROM tok WHERE term <> '' GROUP BY 1)
+             SELECT term, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+             FROM t ORDER BY cnt DESC, term LIMIT 20"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129)
+    q126, q127, q128, q129, q130)
 }

@@ -45,6 +45,60 @@ object Sketches {
     df.stat.freqItems(cols.toArray, support)
   }
 
+  /** PROVABLY-EXACT top-k keys from the sketch pass — the exception to
+    * this object's approximate-only rule, and the 100-TB answer to "top
+    * 1000 domains/templates/terms" that q66's full-shuffle vocabulary
+    * pays |distinct keys| exchange rows for:
+    *
+    *  1. a [[frequentItems]] sweep (KSP counters, ≤1/support per
+    *     partition, associative merge — no corpus shuffle) proposes
+    *     candidates; its one-sided guarantee means every key with
+    *     frequency > support·N is proposed;
+    *  2. ONE exact aggregation whose groups are `key if candidate else
+    *     null` — the exchange is bounded by the candidate count, and the
+    *     null bucket's count closes the total N without a second job;
+    *  3. the top-k of the exact candidate counts (count desc, key asc) is
+    *     returned IFF the k-th count exceeds support·N — then every key
+    *     tied-or-above it was necessarily proposed in (1), so the result
+    *     provably equals the full-shuffle top-k. Below the bar the data
+    *     has no provable top-k at this support and the call throws
+    *     (lower `support` and retry) rather than silently approximating.
+    *
+    * Same two-bounded-passes pattern as [[ScaleJoins.detectHotKeys]],
+    * pointed at ranked top-k with an exactness certificate instead of a
+    * threshold key set. Null keys count toward N but never rank. Output
+    * (key STRING, cnt, rank) — the key stringifies for a stable schema
+    * across key types. */
+  def exactTopKeys(df: DataFrame, keyCol: String, k: Int,
+                   support: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(support > 1e-4 && support < 1.0, "support must be in (1e-4, 1)")
+    val keyed = df.select(col(keyCol).as("key"))
+    val cands = keyed.stat.freqItems(Array("key"), support)
+      .head().getSeq[Any](0).filter(_ != null)
+    // exact pass: candidate keys group individually, everything else —
+    // including true nulls — folds into the null bucket (rest count)
+    val counts = keyed
+      .groupBy(when(col("key").isin(cands: _*), col("key")).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.get(0)), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val ranked = counts.collect { case (Some(key), n) => (key, n) }
+      .sortBy { case (key, n) => (-n, String.valueOf(key)) }
+      .take(k)
+    if (ranked.size < k || ranked.last._2 <= support * total)
+      throw new IllegalStateException(
+        s"top-$k not provable at support=$support: " +
+          (if (ranked.size < k) s"only ${ranked.size} candidates"
+           else s"k-th count ${ranked.last._2} <= ${support * total}") +
+          "; lower support and retry")
+    val spark = df.sparkSession
+    import spark.implicits._
+    ranked.zipWithIndex
+      .map { case ((key, n), i) => (String.valueOf(key), n, (i + 1).toLong) }
+      .toSeq.toDF("key", "cnt", "rank")
+  }
+
   /** Approximate quantiles per group (Greenwald-Khanna, `accuracy` =
     * 1/relative-error; 10000 ≈ 1e-4 rank error). */
   def approxQuantiles(df: DataFrame, keyCols: Seq[Column], valueCol: Column,

@@ -58,6 +58,36 @@ class SketchSpec extends SparkTestBase {
     assert(all.subsetOf(items), s"missing heavy hitters: ${all -- items}")
   }
 
+  test("exactTopKeys equals the full-shuffle top-k, independent of partitioning") {
+    // planted Zipf-ish skew: key i appears 1000/i times for i in 1..40,
+    // plus a 2000-key long tail of singletons
+    val rows = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"k$i")) ++
+      (1 to 2000).map(i => s"tail$i")
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (k, n) => (-n, k) }.take(10)
+      .zipWithIndex.map { case ((k, n), i) => (k, n, (i + 1).toLong) }
+    for (nPart <- Seq(1, 7, 32)) {
+      val df = spark.sparkContext.parallelize(rows, nPart).toDF("key")
+      val got = Sketches.exactTopKeys(df, "key", 10, support = 0.01)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == exact, s"nPart=$nPart")
+    }
+  }
+
+  test("exactTopKeys refuses an uncertifiable top-k instead of approximating") {
+    // uniform keys: no key's count can exceed support*N at this support
+    val df = (1 to 1000).map(i => s"u${i % 200}").toDF("key")
+    val e = intercept[IllegalStateException] {
+      Sketches.exactTopKeys(df, "key", 5, support = 0.1)
+    }
+    assert(e.getMessage.contains("not provable"))
+    // nulls count toward N but never rank
+    val withNulls = (1 to 100).map(_ => Some("hot")) ++ (1 to 50).map(_ => None)
+    val got = Sketches.exactTopKeys(withNulls.toDF("key"), "key", 1, support = 0.2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("hot", 100L, 1L)))
+  }
+
   test("runtime bloom filter prunes the large join side when enabled") {
     val conf = spark.conf
     val keys = Seq(
