@@ -1537,33 +1537,38 @@ object PipelineQueries {
     * search. Rational (log-free) Robertson idf per the engine's
     * bit-replayability contract; ranking on the 6-dp rounded score with
     * doc_id tie-break, so the DuckDB oracle replays the exact order. */
+  /** Full BM25 top-k replay (q116's oracle, shared verbatim by q131 —
+    * the store path must be score-identical to the live path). */
+  private def sqlBm25Top(terms: Seq[String], k: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+       |             FROM documents),
+       |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
+       |dl AS (SELECT d.doc_id, count(t.term) AS dl
+       |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, count(*) AS n_hit,
+       |    round(sum(((st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * tf.tf::DOUBLE * 2.2
+       |      / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))), 6)
+       |      AS bm25
+       |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+       |       CROSS JOIN st
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit, bm25,
+       |       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+       |FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT $k)
+       |ORDER BY rnk""".stripMargin
+  }
+
   private val q116 = Q("q116_bm25_search",
     (s, d) => Terms.bm25Search(documents(s, d), "doc_id", "text",
         Seq("vector", "join", "filter"), k = 20)
       .orderBy(col("bm25").desc, col("doc_id")),
-    Some {
-      s"""WITH tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
-         |             FROM documents),
-         |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
-         |dl AS (SELECT d.doc_id, count(t.term) AS dl
-         |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
-         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
-         |       WHERE term IN ('vector', 'join', 'filter') GROUP BY 1, 2),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id, count(*) AS n_hit,
-         |    round(sum(((st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-         |      * tf.tf::DOUBLE * 2.2
-         |      / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))), 6)
-         |      AS bm25
-         |  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id
-         |       CROSS JOIN st
-         |  GROUP BY 1)
-         |SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit, bm25,
-         |       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
-         |FROM (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20)
-         |ORDER BY rnk""".stripMargin
-    })
+    Some(sqlBm25Top(Seq("vector", "join", "filter"), 20)))
 
   /** Hybrid search: reciprocal-rank fusion ([[Similarity.rrfFuse]]) of the
     * q116 BM25 keyword ranking with a vector-similarity ranking for query
@@ -2060,10 +2065,27 @@ object PipelineQueries {
                CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
              FROM t ORDER BY cnt DESC, term LIMIT 20"""))
 
+  /** Persistent BM25 index ([[graft.ops.Terms.writeBm25Store]] /
+    * [[graft.ops.Terms.bm25SearchFromStore]]): postings (term, doc_id,
+    * tf, dl) bucketed by TERM with dl denormalized in, so a query
+    * bucket-prunes to its terms' postings and scores with no doc-length
+    * join — q116's answer at postings-probe cost instead of two corpus
+    * scans. Score-identical to the live path by construction (shared
+    * scoring tail), so the oracle is q116's SQL with a different term
+    * set. */
+  private val q131 = Q("q131_bm25_store",
+    (s, d) => {
+      Terms.writeBm25Store(documents(s, d), "doc_id", "text", "q131_store")
+      Terms.bm25SearchFromStore(s, "q131_store",
+          Seq("stream", "query", "data"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+    Some(sqlBm25Top(Seq("stream", "query", "data"), 20)))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130)
+    q126, q127, q128, q129, q130, q131)
 }

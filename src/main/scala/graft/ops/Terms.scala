@@ -444,11 +444,24 @@ object Terms {
       .select(col("doc_id"), explode(col("__hits")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreAndRankBm25(
+      tf.join(docLen.select(col("doc_id"), col("dl")), Seq("doc_id")),
+      dfreq, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring/ranking tail: `hits` carries one row per
+    * (doc_id, term, tf, dl) query-term instance; `dfreq` the per-term
+    * document frequencies; `stats` the 1-row (n_docs, avgdl). Used by both
+    * [[bm25Search]] (computed live) and [[bm25SearchFromStore]] (read from
+    * the postings store) so the two paths are score-identical by
+    * construction. */
+  private def scoreAndRankBm25(hits: DataFrame, dfreq: DataFrame,
+                               stats: DataFrame, k: Int,
+                               k1: Double, b: Double): DataFrame = {
     val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    tf.join(broadcast(dfreq), Seq("term"))
-      .join(docLen.select(col("doc_id"), col("dl")), Seq("doc_id"))
+    hits.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
@@ -460,6 +473,63 @@ object Terms {
       // only the k retained rows, so the single-partition sort is bounded
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("bm25").desc, col("doc_id").asc)).cast("long"))
+  }
+
+  /** Build the persistent BM25 index — the index-once-query-many shape a
+    * search platform actually serves from, vs [[bm25Search]]'s two live
+    * corpus scans per query. The postings table (term, doc_id, tf, dl) is
+    * bucketed+sorted by TERM, so a query's `isin` probe bucket-prunes the
+    * scan to the query terms' buckets; `dl` is denormalized into each
+    * posting so scoring needs NO doc-length join at query time (one long
+    * per posting buys away a corpus-sized shuffle per query). Corpus
+    * stats (n_docs, avgdl) land as a 1-row side table. Build cost: one
+    * tokenize scan + the per-(doc, term) count aggregation + the term
+    * bucket shuffle — index-sized, paid once (the
+    * [[graft.ops.Dedup.writeLshSignatureStore]] amortization argument). */
+  def writeBm25Store(df: DataFrame, idCol: String, textCol: String,
+                     table: String, numBuckets: Int = 32): Unit = {
+    // a previous process can leave the warehouse locations behind with no
+    // entry in this session's catalog (LOCATION_ALREADY_EXISTS) — the
+    // Stores.dropStore contract
+    Stores.dropStore(df.sparkSession, table)
+    Stores.dropStore(df.sparkSession, s"${table}_stats")
+    val toks = Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        filter(TextOps.wsTokens(TextOps.normalizeText(col(textCol))),
+          t => t =!= "").as("__toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
+        col("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+    toks.unpersist()
+  }
+
+  /** Query the [[writeBm25Store]] index: read ONLY the query terms'
+    * postings (bucket-pruned `isin` scan), derive their document
+    * frequencies from the probed rows themselves (exact — a term's
+    * postings ARE its document list), and score through the shared
+    * [[scoreAndRankBm25]] tail. Identical output to [[bm25Search]] on the
+    * indexed corpus for any query; per-query cost is postings-of-terms
+    * sized, never corpus sized. */
+  def bm25SearchFromStore(spark: org.apache.spark.sql.SparkSession,
+                          table: String, terms: Seq[String], k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(k >= 1, "k must be >= 1")
+    val post = spark.table(table).filter(col("term").isin(terms: _*))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreAndRankBm25(post, dfreq, spark.table(s"${table}_stats"), k, k1, b)
   }
 
   /** Corpus mixture planning — the sizing step of data curation: given a

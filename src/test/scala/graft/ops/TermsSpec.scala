@@ -213,6 +213,31 @@ class TermsSpec extends SparkTestBase {
     assert(e.getMessage.contains("normalized"))
   }
 
+  test("bm25 store path equals the live path and bucket-prunes the postings scan") {
+    val docs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS tst_bm25")
+    spark.sql("DROP TABLE IF EXISTS tst_bm25_stats")
+    Terms.writeBm25Store(docs, "doc_id", "text", "tst_bm25", numBuckets = 8)
+    for (q <- Seq(Seq("vector", "join", "filter"), Seq("apple"), Seq("zzz"))) {
+      val live = Terms.bm25Search(docs, "doc_id", "text", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val stored = Terms.bm25SearchFromStore(spark, "tst_bm25", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(stored == live, s"terms=$q")
+    }
+    // the isin probe prunes the bucketed scan to the query terms' buckets
+    val p = Terms.bm25SearchFromStore(spark, "tst_bm25", Seq("apple"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
+    spark.sql("DROP TABLE tst_bm25")
+    spark.sql("DROP TABLE tst_bm25_stats")
+  }
+
   test("bpeTrain stops early when no pairs remain and guards the vocab collect") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // only one distinct word "ab": first merge (a,b) consumes the only
