@@ -501,7 +501,10 @@ object Terms {
         coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
         col("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // stats live in MONOID form (count, sum) so incremental appends merge
+    // exactly; avgdl is derived at read as sum/count — the same IEEE
+    // division Spark's avg() performs, so scores match the live path
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
     toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -529,7 +532,50 @@ object Terms {
     require(k >= 1, "k must be >= 1")
     val post = spark.table(table).filter(col("term").isin(terms: _*))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    scoreAndRankBm25(post, dfreq, spark.table(s"${table}_stats"), k, k1, b)
+    val stats = spark.table(s"${table}_stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    scoreAndRankBm25(post, dfreq, stats, k, k1, b)
+  }
+
+  /** Append a NEW batch of documents into an existing [[writeBm25Store]]
+    * index: the batch pays its own tokenize scan + per-(doc, term) count
+    * + one bucket-aligned write into the postings layout — the existing
+    * postings are untouched (no re-index, no re-shuffle), and the monoid
+    * stats fold in exactly, so post-append scores EQUAL a full rebuild
+    * over old ∪ new (spec'd). Caller contract (the
+    * [[graft.ops.Dedup.appendToLshSignatureStore]] one): batch doc ids
+    * are new — re-appending a doc id double-counts it, exactly as
+    * re-inserting into any postings index would. */
+  def appendToBm25Store(df: DataFrame, idCol: String, textCol: String,
+                        table: String, numBuckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val toks = Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        filter(TextOps.wsTokens(TextOps.normalizeText(col(textCol))),
+          t => t =!= "").as("__toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
+        col("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(nNew, dlNew) = toks
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val prev = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+    toks.unpersist()
+    import spark.implicits._
+    Seq((prev.getLong(0) + nNew, prev.getLong(1) + dlNew))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
   }
 
   /** Corpus mixture planning — the sizing step of data curation: given a

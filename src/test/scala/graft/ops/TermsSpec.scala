@@ -238,6 +238,33 @@ class TermsSpec extends SparkTestBase {
     spark.sql("DROP TABLE tst_bm25_stats")
   }
 
+  test("bm25 store append equals a full rebuild over old union new") {
+    val oldDocs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (3L, "apple banana cherry"),
+      (5L, "filter apple vector cherry words")).toDF("doc_id", "text")
+    for (t <- Seq("tst_bm25_inc", "tst_bm25_inc_stats",
+                  "tst_bm25_all", "tst_bm25_all_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    Terms.writeBm25Store(oldDocs, "doc_id", "text", "tst_bm25_inc", numBuckets = 8)
+    Terms.appendToBm25Store(newDocs, "doc_id", "text", "tst_bm25_inc", numBuckets = 8)
+    Terms.writeBm25Store(oldDocs.unionByName(newDocs), "doc_id", "text",
+      "tst_bm25_all", numBuckets = 8)
+    for (q <- Seq(Seq("vector", "filter"), Seq("apple"), Seq("cherry"))) {
+      val inc = Terms.bm25SearchFromStore(spark, "tst_bm25_inc", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val reb = Terms.bm25SearchFromStore(spark, "tst_bm25_all", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      assert(inc == reb, s"terms=$q")
+    }
+    for (t <- Seq("tst_bm25_inc", "tst_bm25_inc_stats",
+                  "tst_bm25_all", "tst_bm25_all_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("bpeTrain stops early when no pairs remain and guards the vocab collect") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // only one distinct word "ab": first merge (a,b) consumes the only
