@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
@@ -395,10 +395,10 @@ object Similarity {
     * of squared L2 over the codebook) is paid once at write time. */
   def writeIvfStore(df: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[(Long, Seq[Double])], table: String,
-                    numBuckets: Int): Unit = {
+                    numBuckets: Int, metaCols: Seq[String] = Nil): Unit = {
     dropStaleStore(df.sparkSession, table)
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell"))
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -419,9 +419,9 @@ object Similarity {
     * duplicates its row, inflating that cell until a rewrite). */
   def appendToIvfStore(df: DataFrame, idCol: String, vecCol: String,
                        centroids: Seq[(Long, Seq[Double])], table: String,
-                       numBuckets: Int): Unit =
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell"))
+                       numBuckets: Int, metaCols: Seq[String] = Nil): Unit =
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
       .write.mode("append")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -434,10 +434,19 @@ object Similarity {
     * in the scan — asserted in IvfSpec): a probe touches ~nProbe/nCells of
     * the corpus bytes, the whole point of IVF at 100 TB. Results are
     * identical to [[ivfSearch]] on the same corpus/codebook. */
+  /** `candidateFilter`: FILTERED ANN — a predicate over the store's
+    * metadata columns ([[writeIvfStore]] `metaCols`) applied to the
+    * bucket-pruned slice BEFORE norms or dot products, so excluded
+    * vectors never pay any scoring work and the predicate reaches the
+    * parquet scan (PushedFilters — row groups of non-matching metadata
+    * are skipped on disk). Semantics: top-k among vectors satisfying the
+    * predicate — at nProbe = nCells this provably equals brute-force
+    * cosine top-k over the filtered corpus. */
   def ivfSearchFromStore(spark: SparkSession, table: String, queries: DataFrame,
                          idCol: String, vecCol: String,
                          centroids: Seq[(Long, Seq[Double])],
-                         nProbe: Int, k: Int): DataFrame = {
+                         nProbe: Int, k: Int,
+                         candidateFilter: Option[Column] = None): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"),
@@ -452,9 +461,10 @@ object Similarity {
     // stored row read, no store schema change. Tombstoned (deleted) ids
     // are anti-joined out of the bucket-pruned slice (zero-cost when no
     // delete was ever recorded — [[Stores.minusTombstones]]).
-    val cand = Stores.minusTombstones(
+    val pruned = Stores.minusTombstones(
         spark.table(table).filter(col("cell").isin(probedCells: _*)),
         table, idName = "id")
+    val cand = candidateFilter.fold(pruned)(pruned.filter)
       .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"),
         VectorOps.norm(col("vec")).as("cn"))
     val scored = cand.join(broadcast(probes), Seq("cell"))

@@ -91,6 +91,33 @@ class IvfSpec extends SparkTestBase {
     }
   }
 
+  test("filtered ANN: predicate-restricted top-k equals brute force, pushes to the scan") {
+    val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+    Similarity.writeIvfStore(labeled, "vec_id", "embedding", centroids,
+      "ivf_store_flt", numBuckets = 4, metaCols = Seq("label"))
+    try {
+      val fromStore = Similarity.ivfSearchFromStore(spark, "ivf_store_flt",
+        queries, "vec_id", "embedding", centroids,
+        nProbe = centroids.size, k = 10,
+        candidateFilter = Some(col("label") === 1))
+      // at nProbe = nCells the filtered search equals brute force over the
+      // filtered corpus
+      val brute = Similarity.cosineTopK(queries,
+          labeled.filter(col("label") === 1), "vec_id", "embedding", 10)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val stored = fromStore.as[(Long, Long, Double, Long)].collect().toSet
+      assert(stored == brute)
+      assert(stored.nonEmpty && stored.forall(r => r._2 % 2 == 1))
+      // the label predicate reaches the parquet scan as a pushed filter
+      val plan = fromStore.queryExecution.executedPlan.toString
+      val scan = plan.linesIterator.find(l =>
+        l.contains("PushedFilters") && l.contains("label"))
+      assert(scan.isDefined, s"label predicate must push to the scan:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_store_flt")
+    }
+  }
+
   test("IVF store append: new vectors probe-visible, equal to a full rewrite") {
     // base store holds the corpus; a refresh appends new vectors under the
     // SAME codebook at O(new) cost — probes must see old ∪ new exactly as
