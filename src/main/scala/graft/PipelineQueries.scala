@@ -2117,10 +2117,42 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Global-statistic gate driven by the mergeable histogram store: each
+    * document is kept iff its length clears ITS LANGUAGE's corpus p25 —
+    * the threshold comes from [[graft.ops.Sketches.mergedQuantiles]] over
+    * q125-style per-batch histograms (no corpus rescan, no corpus sort to
+    * find a percentile), and the gate itself is one broadcast join of the
+    * groups×1 threshold frame. Identity binning on the integral n_chars ⇒
+    * the threshold is EXACTLY DuckDB quantile_disc, so the whole
+    * flag column replays. */
+  private val q133 = Q("q133_quantile_gate",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q133_hist")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true) // stale batches from prior runs
+      val docs = documents(s, d)
+      (0L until 4L).foreach { b =>
+        Sketches.writeValueHistograms(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === b),
+          "lang", col("n_chars"), dir.toString, b)
+      }
+      val thr = Sketches.mergedQuantiles(s, dir.toString, "lang", Seq(0.25))
+        .select(col("lang"), col("q").as("q25"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("q25"),
+          (col("n_chars") >= col("q25")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH thr AS (SELECT lang, quantile_disc(CAST(n_chars AS BIGINT), 0.25) AS q25
+              FROM documents GROUP BY 1)
+            SELECT doc_id, lang, n_chars, q25, n_chars >= q25 AS keep
+            FROM documents JOIN thr USING (lang) ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132)
+    q126, q127, q128, q129, q130, q131, q132, q133)
 }

@@ -23,6 +23,13 @@ class QueriesSpec extends SparkTestBase {
       try {
         val df = fn(spark, sf0001)
         assert(df.schema.nonEmpty)
+        // systemic plan invariant: no query may fall into a non-broadcast
+        // cartesian product (the one join shape that cannot survive any
+        // scale-up; 1-row stats cross joins plan as BroadcastNestedLoop
+        // and are fine)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$plan")
         df.count()
         None
       } catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
