@@ -204,4 +204,31 @@ class PropertySpec extends SparkTestBase {
       assert(bad.isEmpty, s"kernel != composed on e.g. ${bad.mkString("; ")}")
     }
   }
+
+  test("exactTopKeys: certified answers equal the exact top-k; refusals are honest") {
+    // Zipf-ish multisets: key i drawn with weight ~ 1/i over a 30-key
+    // universe plus occasional tail singletons — some draws certify at the
+    // chosen support, some must refuse; both outcomes are checked
+    val keyGen = Gen.frequency(
+      (1 to 30).map(i => (900 / i, Gen.const(s"k$i"))) :+
+        (10 -> Gen.chooseNum(0, 10000).map(n => s"t$n")): _*)
+    val multisets = Gen.listOfN(400, keyGen)
+    forAll(multisets) { keys =>
+      val df = keys.toDF("key")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (k, n) => (-n, k) }.take(8)
+        .zipWithIndex.map { case ((k, n), i) => (k, n, (i + 1).toLong) }
+      try {
+        val got = Sketches.exactTopKeys(df, "key", 8, support = 0.02)
+          .as[(String, Long, Long)].collect().toSeq
+        assert(got == exact) // certificate held => provably the true top-k
+      } catch {
+        case e: IllegalStateException =>
+          // refusal must be honest: the 8th count really is under the bar
+          assert(e.getMessage.contains("not provable"))
+          assert(exact.size < 8 || exact.last._2 <= 0.02 * keys.size,
+            s"refused a certifiable top-8: ${exact.last}")
+      }
+    }
+  }
 }
