@@ -2149,10 +2149,53 @@ object PipelineQueries {
             SELECT doc_id, lang, n_chars, q25, n_chars >= q25 AS keep
             FROM documents JOIN thr USING (lang) ORDER BY doc_id"""))
 
+  /** Mixture EXECUTION — q68 plans the target mixture, this runs it: the
+    * plan's per-stratum keep_rates (a strata-bounded collect, the
+    * [[graft.ops.Terms.mixturePlan]] output contract) become integer
+    * percents driving the replayable-LCG [[graft.ops.TextOps
+    * .stratifiedSample]], and the output is the ACHIEVED mixture (kept
+    * docs + kept tokens per stratum) a curation run reports against its
+    * targets. Percent resolution is the declared contract (the LCG draw
+    * is mod 100). The oracle chains q68's plan SQL into q58's LCG replay
+    * and rolls up. */
+  private val q134 = Q("q134_mixture_rebalance",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = TextOps.wsTokenCount(col("text")).cast("long")
+      val rates = Terms.mixturePlan(docs, "source", toks,
+          Map("src0" -> 0.2, "src1" -> 0.1), defaultWeight = 0.035,
+          budgetTokens = 1000000L)
+        .select(col("stratum"), floor(col("keep_rate") * 100).cast("int").as("pct"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      TextOps.stratifiedSample(docs, "doc_id", "source", rates, defaultPct = 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(toks).as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH t AS (SELECT source AS stratum,
+              CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                AS tokens
+              FROM documents GROUP BY source),
+            p AS (SELECT stratum,
+              CAST(floor(100 * least(1.0::DOUBLE,
+                coalesce((CASE WHEN stratum = 'src0' THEN 0.2::DOUBLE
+                               WHEN stratum = 'src1' THEN 0.1::DOUBLE
+                               ELSE 0.035::DOUBLE END * 1000000) /
+                  nullif(tokens::DOUBLE, 0.0), 1.0::DOUBLE))) AS INT) AS pct
+              FROM t),
+            kept AS (SELECT d.source, d.doc_id,
+              CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS tok
+              FROM documents d JOIN p ON p.stratum = d.source
+              WHERE (((((d.doc_id % 2147483648) * 1103515245 + 12345)
+                       % 2147483648) // 65536) % 100) < p.pct)
+            SELECT source, count(*) AS kept_docs,
+              CAST(sum(tok) AS BIGINT) AS kept_tokens
+            FROM kept GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134)
 }
