@@ -493,22 +493,14 @@ object Terms {
     // Stores.dropStore contract
     Stores.dropStore(df.sparkSession, table)
     Stores.dropStore(df.sparkSession, s"${table}_stats")
-    val toks = Layout.spread(df, idCol)
-      .select(col(idCol).as("doc_id"),
-        filter(TextOps.wsTokens(TextOps.normalizeText(col(textCol))),
-          t => t =!= "").as("__toks"))
-      .select(col("doc_id"),
-        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
-        col("__toks"))
+    val toks = bm25Toks(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stats live in MONOID form (count, sum) so incremental appends merge
     // exactly; avgdl is derived at read as sum/count — the same IEEE
     // division Spark's avg() performs, so scores match the live path
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
-    toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    bm25Postings(toks)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -550,22 +542,14 @@ object Terms {
   def appendToBm25Store(df: DataFrame, idCol: String, textCol: String,
                         table: String, numBuckets: Int = 32): Unit = {
     val spark = df.sparkSession
-    val toks = Layout.spread(df, idCol)
-      .select(col(idCol).as("doc_id"),
-        filter(TextOps.wsTokens(TextOps.normalizeText(col(textCol))),
-          t => t =!= "").as("__toks"))
-      .select(col("doc_id"),
-        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
-        col("__toks"))
+    val toks = bm25Toks(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Array(nNew, dlNew) = toks
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val prev = spark.table(s"${table}_stats")
       .select(col("n_docs"), col("sum_dl")).head()
-    toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    bm25Postings(toks)
       .write.mode("append")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -576,6 +560,139 @@ object Terms {
     Seq((prev.getLong(0) + nNew, prev.getLong(1) + dlNew))
       .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Shared batch tokenization for the BM25 family: (doc_id, dl, __toks)
+    * with empty tokens filtered, null text → dl 0. */
+  private def bm25Toks(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Layout.spread(df, idCol)
+      .select(col(idCol).as("doc_id"),
+        filter(TextOps.wsTokens(TextOps.normalizeText(col(textCol))),
+          t => t =!= "").as("__toks"))
+      .select(col("doc_id"),
+        coalesce(size(col("__toks")), lit(0)).cast("long").as("dl"),
+        col("__toks"))
+
+  private def bm25Postings(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** STREAMING-grade BM25 maintenance, part 1: land ONE micro-batch's
+    * postings and stats as `deltaPath/post/batch=B` + `stats/batch=B`
+    * (per-batch OVERWRITE = the engine's replay-idempotence contract —
+    * a failure-replayed batch rewrites byte-identical content, unlike
+    * [[appendToBm25Store]] whose bucketed append would double-count).
+    * Search unions base + deltas ([[bm25SearchWithDeltas]]); the LSM
+    * fold into the bucketed base is [[compactBm25Delta]]. */
+  def writeBm25DeltaBatch(df: DataFrame, idCol: String, textCol: String,
+                          deltaPath: String, batchId: Long): Unit = {
+    val toks = bm25Toks(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bm25Postings(toks)
+      .write.mode("overwrite").parquet(s"$deltaPath/post/batch=$batchId")
+    toks.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$deltaPath/stats/batch=$batchId")
+    toks.unpersist()
+    ()
+  }
+
+  private def hasBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+  }
+
+  /** Query the base index PLUS the uncompacted delta log: base postings
+    * stay bucket-pruned; delta postings (small by the LSM contract —
+    * recent batches only) filter on the term without pruning; the monoid
+    * stats fold base + per-batch rows. Scores are EXACTLY those of a
+    * full rebuild over base ∪ deltas: the score depends only on the
+    * postings multiset and (n_docs, sum_dl), and the union preserves
+    * both (spec'd). */
+  def bm25SearchWithDeltas(spark: org.apache.spark.sql.SparkSession,
+                           table: String, deltaPath: String,
+                           terms: Seq[String], k: Int,
+                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(k >= 1, "k must be >= 1")
+    val base = spark.table(table).filter(col("term").isin(terms: _*))
+    val post =
+      if (!hasBatchDirs(spark, s"$deltaPath/post")) base
+      else base.unionByName(
+        spark.read.option("basePath", s"$deltaPath/post")
+          .parquet(s"$deltaPath/post")
+          .filter(col("term").isin(terms: _*))
+          .select(col("term"), col("doc_id"), col("dl"), col("tf")))
+    val statsBase = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("sum_dl"))
+    val statsAll =
+      if (!hasBatchDirs(spark, s"$deltaPath/stats")) statsBase
+      else statsBase.unionByName(
+        spark.read.option("basePath", s"$deltaPath/stats")
+          .parquet(s"$deltaPath/stats").select(col("n_docs"), col("sum_dl")))
+    val stats = statsAll
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    scoreAndRankBm25(post, dfreq, stats, k, k1, b)
+  }
+
+  /** LSM compaction of the BM25 delta log: append COMMITTED batches'
+    * postings into the bucketed base (O(delta) — the existing index is
+    * never rewritten), fold their stats into the monoid stats table, and
+    * delete the folded directories so base ∪ delta stays duplicate-free.
+    * `maxBatchExclusive` has no default for the same reason
+    * [[graft.ops.Dedup.compactLshDelta]]'s doesn't: only the stream's
+    * checkpoint knows which batches are committed, and folding an
+    * uncommitted batch would let its own replay double itself. Returns
+    * batches folded. Single-owner offline op; a crash between the append
+    * and the delete re-appends those batches on re-run, which — unlike
+    * the LSH store — corrupts tf/df counts, so the repair is a full
+    * [[writeBm25Store]] rebuild (documented trade: the happy path never
+    * rewrites the index). */
+  def compactBm25Delta(spark: org.apache.spark.sql.SparkSession,
+                       table: String, deltaPath: String, numBuckets: Int,
+                       maxBatchExclusive: Long): Int = {
+    import spark.implicits._
+    if (!hasBatchDirs(spark, s"$deltaPath/post")) return 0
+    val post = spark.read.option("basePath", s"$deltaPath/post")
+      .parquet(s"$deltaPath/post").filter(col("batch") < maxBatchExclusive)
+    val batches = post.select(col("batch").cast("long")).distinct()
+      .as[Long].collect().sorted
+    if (batches.isEmpty) return 0
+    post.filter(col("batch").isin(batches: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(table)
+    val deltaStats = spark.read.option("basePath", s"$deltaPath/stats")
+      .parquet(s"$deltaPath/stats")
+      .filter(col("batch").isin(batches: _*))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("s"))
+      .head()
+    val prev = spark.table(s"${table}_stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    Seq((prev.getLong(0) + deltaStats.getLong(0),
+        prev.getLong(1) + deltaStats.getLong(1)))
+      .toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
+    batches.foreach { bId =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/post/batch=$bId"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/stats/batch=$bId"), true)
+    }
+    batches.length
   }
 
   /** Corpus mixture planning — the sizing step of data curation: given a

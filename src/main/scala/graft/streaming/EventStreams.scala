@@ -483,6 +483,22 @@ object EventStreams {
           col(valueCol), path, batchId)
       }
 
+  /** Streaming BM25 index maintenance: each micro-batch of documents lands
+    * as its own postings + stats delta
+    * ([[graft.ops.Terms.writeBm25DeltaBatch]] — per-batch overwrite,
+    * replay-idempotent); queries see base ∪ deltas through
+    * [[graft.ops.Terms.bm25SearchWithDeltas]] with scores exactly equal to
+    * a full rebuild, and [[graft.ops.Terms.compactBm25Delta]] folds
+    * committed batches into the bucketed base offline. */
+  def sinkBm25Delta(docs: DataFrame, idCol: String, textCol: String,
+                    deltaPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Terms.writeBm25DeltaBatch(batch, idCol, textCol,
+          deltaPath, batchId)
+      }
+
   /** One micro-batch of the incremental near-dup pipeline — extracted from
     * [[sinkIncrementalLshDedup]] so the replay contract is directly
     * testable. For batch B of a document feed:

@@ -265,6 +265,87 @@ class TermsSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("bm25 delta log: base+deltas equals rebuild; replay idempotent; compaction folds") {
+    val base = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val b0 = Seq((3L, "apple banana cherry")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "filter apple vector cherry words")).toDF("doc_id", "text")
+    val delta = java.nio.file.Files.createTempDirectory("bm25_delta").toString
+    for (t <- Seq("tst_bm25_lsm", "tst_bm25_lsm_stats",
+                  "tst_bm25_reb", "tst_bm25_reb_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    Terms.writeBm25Store(base, "doc_id", "text", "tst_bm25_lsm", numBuckets = 8)
+    Terms.writeBm25DeltaBatch(b0, "doc_id", "text", delta, 0L)
+    Terms.writeBm25DeltaBatch(b1, "doc_id", "text", delta, 1L)
+    Terms.writeBm25Store(base.unionByName(b0).unionByName(b1), "doc_id", "text",
+      "tst_bm25_reb", numBuckets = 8)
+    def lsm(q: Seq[String]) =
+      Terms.bm25SearchWithDeltas(spark, "tst_bm25_lsm", delta, q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    def reb(q: Seq[String]) =
+      Terms.bm25SearchFromStore(spark, "tst_bm25_reb", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val queriesToCheck = Seq(Seq("vector", "filter"), Seq("cherry"), Seq("zzz"))
+    for (q <- queriesToCheck) assert(lsm(q) == reb(q), s"terms=$q")
+    // replay of the latest batch rewrites identical content (overwrite)
+    Terms.writeBm25DeltaBatch(b1, "doc_id", "text", delta, 1L)
+    for (q <- queriesToCheck) assert(lsm(q) == reb(q), s"replay terms=$q")
+    // compaction folds committed batches into the base and clears the log
+    assert(Terms.compactBm25Delta(spark, "tst_bm25_lsm", delta,
+      numBuckets = 8, maxBatchExclusive = 2L) == 2)
+    for (q <- queriesToCheck) {
+      assert(lsm(q) == reb(q), s"post-compaction terms=$q")
+      assert(Terms.bm25SearchFromStore(spark, "tst_bm25_lsm", q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq == reb(q),
+        s"compacted base alone terms=$q")
+    }
+    // nothing left to fold
+    assert(Terms.compactBm25Delta(spark, "tst_bm25_lsm", delta,
+      numBuckets = 8, maxBatchExclusive = 10L) == 0)
+    for (t <- Seq("tst_bm25_lsm", "tst_bm25_lsm_stats",
+                  "tst_bm25_reb", "tst_bm25_reb_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("streaming BM25 delta sink feeds the index; queries equal a rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Seq((1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana")).toDF("doc_id", "text")
+    val delta = java.nio.file.Files.createTempDirectory("bm25_sink").toString
+    for (t <- Seq("tst_bm25_str", "tst_bm25_str_stats",
+                  "tst_bm25_str_reb", "tst_bm25_str_reb_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    Terms.writeBm25Store(base, "doc_id", "text", "tst_bm25_str", numBuckets = 8)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.sinkBm25Delta(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", delta)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bm25_ckpt").toString)
+      .start()
+    in.addData((3L, "apple banana cherry"))
+    q.processAllAvailable()
+    in.addData((5L, "filter apple vector cherry words"))
+    q.processAllAvailable()
+    q.stop()
+    Terms.writeBm25Store(
+      base.unionByName(Seq((3L, "apple banana cherry"),
+        (5L, "filter apple vector cherry words")).toDF("doc_id", "text")),
+      "doc_id", "text", "tst_bm25_str_reb", numBuckets = 8)
+    for (qs <- Seq(Seq("vector", "filter"), Seq("cherry"))) {
+      val streamed = Terms.bm25SearchWithDeltas(spark, "tst_bm25_str", delta,
+        qs, k = 10).as[(Long, Long, Double, Long)].collect().toSeq
+      val rebuilt = Terms.bm25SearchFromStore(spark, "tst_bm25_str_reb",
+        qs, k = 10).as[(Long, Long, Double, Long)].collect().toSeq
+      assert(streamed == rebuilt, s"terms=$qs")
+    }
+    for (t <- Seq("tst_bm25_str", "tst_bm25_str_stats",
+                  "tst_bm25_str_reb", "tst_bm25_str_reb_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("bpeTrain stops early when no pairs remain and guards the vocab collect") {
     val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
     // only one distinct word "ab": first merge (a,b) consumes the only
