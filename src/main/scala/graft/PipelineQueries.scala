@@ -2192,10 +2192,55 @@ object PipelineQueries {
               CAST(sum(tok) AS BIGINT) AS kept_tokens
             FROM kept GROUP BY source ORDER BY source"""))
 
+  /** Batched multi-query BM25 serving
+    * ([[graft.ops.Terms.bm25BatchSearchFromStore]]): a 3-query workload
+    * scored against the postings store in ONE pass — union-of-terms
+    * bucket-pruned probe, broadcast workload join, bounded per-query TopK
+    * (no window over candidates). The oracle replays the q116 scoring
+    * chain with the workload as a VALUES join instead of a fixed
+    * IN-list. */
+  private val q135 = Q("q135_bm25_batch",
+    (s, d) => {
+      Terms.writeBm25Store(documents(s, d), "doc_id", "text", "q135_store")
+      import s.implicits._
+      val workload = Seq(
+        (0L, "vector"), (0L, "join"),
+        (1L, "data"), (1L, "stream"), (1L, "filter"),
+        (2L, "query")).toDF("query_id", "term")
+      Terms.bm25BatchSearchFromStore(s, "q135_store", workload, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some {
+      s"""WITH qt AS (SELECT * FROM (VALUES (0, 'vector'), (0, 'join'),
+         |    (1, 'data'), (1, 'stream'), (1, 'filter'),
+         |    (2, 'query')) AS v(query_id, term)),
+         |tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+         |        FROM documents),
+         |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
+         |dl AS (SELECT d.doc_id, count(t.term) AS dl
+         |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
+         |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         |       WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    round(sum(((st.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * tf.tf::DOUBLE * 2.2
+         |      / (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))), 6)
+         |      AS bm25
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+         |  GROUP BY 1, 2)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, bm25,
+         |       CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+         |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
 }

@@ -578,6 +578,53 @@ object Terms {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
 
+  /** Batched multi-query retrieval — the serving-throughput shape: score a
+    * whole QUERY WORKLOAD (query_id, term) against the postings store in
+    * ONE pass instead of one job per query. The union of workload terms
+    * (driver-sized by the serving contract, like
+    * [[graft.ops.Similarity.ivfSearchFromStore]]'s probe set) becomes the
+    * bucket-pruning IN-list; the workload broadcasts onto the probed
+    * postings; per-(query, doc) scores aggregate map-side-combined; and
+    * per-query top-k uses the bounded [[graft.ops.Aggregators.TopK]] — at
+    * most k rows per (query, partition) cross the wire, never a window
+    * over the candidate set. Ranking is on the 6-dp ROUNDED score with
+    * doc_id tie-break — the same order [[bm25SearchFromStore]] returns, so
+    * per-query slices match the single-query path (the summation-order
+    * freedom inside sum(w) is absorbed by the round, the q109 argument).
+    * Output: (query_id, doc_id, bm25, rnk); n_hit is not carried through
+    * the top-k buffer. */
+  def bm25BatchSearchFromStore(spark: org.apache.spark.sql.SparkSession,
+                               table: String, queries: DataFrame, k: Int,
+                               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val workload = queries.select(col("query_id"), col("term")).distinct()
+    val terms = workload.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(terms.nonEmpty, "query workload must carry at least one term")
+    val post = spark.table(table).filter(col("term").isin(terms: _*))
+    val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = spark.table(s"${table}_stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = post
+      .join(broadcast(workload), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(w), 6).as("bm25"))
+    val topk = udaf(new Aggregators.TopK(k))
+    scored.groupBy(col("query_id"))
+      .agg(topk(col("bm25"), col("doc_id").cast("long")).as("recs"))
+      .select(col("query_id"), posexplode(col("recs")))
+      .select(col("query_id"), col("col._2").as("doc_id"),
+        col("col._1").as("bm25"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** STREAMING-grade BM25 maintenance, part 1: land ONE micro-batch's
     * postings and stats as `deltaPath/post/batch=B` + `stats/batch=B`
     * (per-batch OVERWRITE = the engine's replay-idempotence contract —

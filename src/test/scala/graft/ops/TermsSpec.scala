@@ -265,6 +265,33 @@ class TermsSpec extends SparkTestBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("bm25 batch search equals the single-query store path per query") {
+    val docs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry"),
+      (4L, "")).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS tst_bm25_b")
+    spark.sql("DROP TABLE IF EXISTS tst_bm25_b_stats")
+    Terms.writeBm25Store(docs, "doc_id", "text", "tst_bm25_b", numBuckets = 8)
+    val sets = Map(0L -> Seq("vector", "join", "filter"),
+      1L -> Seq("apple"), 2L -> Seq("zzz"), 3L -> Seq("cherry", "banana"))
+    val workload = sets.toSeq
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val batch = Terms.bm25BatchSearchFromStore(spark, "tst_bm25_b", workload, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._3)).toMap
+    for ((qid, ts) <- sets) {
+      val single = Terms.bm25SearchFromStore(spark, "tst_bm25_b", ts, k = 10)
+        .as[(Long, Long, Double, Long)].collect()
+        .map(r => (r._1, r._3, r._4)).sortBy(_._3).toSeq
+      assert(batch.get(qid).map(_.toSeq).getOrElse(Seq.empty) == single,
+        s"query $qid")
+    }
+    spark.sql("DROP TABLE tst_bm25_b")
+    spark.sql("DROP TABLE tst_bm25_b_stats")
+  }
+
   test("bm25 delta log: base+deltas equals rebuild; replay idempotent; compaction folds") {
     val base = Seq(
       (1L, "Vector JOIN filter vector!"),
