@@ -378,10 +378,7 @@ object Terms {
     * empty result. */
   def searchDocs(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct.size == terms.size, "terms must be distinct")
-    require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
-      s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
+    requireNormalizedTerms(terms)
     df.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextOps.wsTokens(TextOps.normalizeText(col(textCol))))).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -421,10 +418,7 @@ object Terms {
   def bm25Search(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k: Int, k1: Double = 1.2,
                  b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct.size == terms.size, "terms must be distinct")
-    require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
-      s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
+    requireNormalizedTerms(terms)
     require(k >= 1, "k must be >= 1")
     // tokenize ONCE per doc and derive BOTH branches (doc length + the
     // query-term hits) from the same persisted frame — the two-branch
@@ -519,8 +513,7 @@ object Terms {
   def bm25SearchFromStore(spark: org.apache.spark.sql.SparkSession,
                           table: String, terms: Seq[String], k: Int,
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct.size == terms.size, "terms must be distinct")
+    requireNormalizedTerms(terms)
     require(k >= 1, "k must be >= 1")
     val post = spark.table(table).filter(col("term").isin(terms: _*))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -560,6 +553,17 @@ object Terms {
     Seq((prev.getLong(0) + nNew, prev.getLong(1) + dlNew))
       .toDF("n_docs", "sum_dl")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+  }
+
+  /** Query-term contract shared by every search entry point (live, store,
+    * delta, batch workload): non-empty, distinct, normalized lowercase
+    * alphanumerics — an un-normalized term would silently match nothing
+    * against the normalized token stream, so it is rejected loudly. */
+  private def requireNormalizedTerms(terms: Seq[String]): Unit = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, "terms must be distinct")
+    require(terms.forall(t => t.nonEmpty && t.matches("[a-z0-9]+")),
+      s"terms must be normalized lowercase alphanumerics, got: ${terms.mkString(",")}")
   }
 
   /** Shared batch tokenization for the BM25 family: (doc_id, dl, __toks)
@@ -665,8 +669,7 @@ object Terms {
                            table: String, deltaPath: String,
                            terms: Seq[String], k: Int,
                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct.size == terms.size, "terms must be distinct")
+    requireNormalizedTerms(terms)
     require(k >= 1, "k must be >= 1")
     val base = spark.table(table).filter(col("term").isin(terms: _*))
     val post =
