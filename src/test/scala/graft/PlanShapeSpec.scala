@@ -228,6 +228,24 @@ class PlanShapeSpec extends SparkTestBase {
       s"document text must not cross the wire:\n$p")
   }
 
+  test("batched BM25 probes bucket-pruned postings and ranks without a window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ops.Terms.writeBm25Store(Tables.documents(spark, sf), "doc_id",
+      "text", "psspec_bm25", numBuckets = 8)
+    try {
+      val workload = Seq((0L, "vector"), (1L, "data")).toDF("query_id", "term")
+      val p = graft.ops.Terms.bm25BatchSearchFromStore(spark, "psspec_bm25",
+        workload, k = 5).queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"postings scan must bucket-prune:\n$p")
+      assert(!p.contains("Window"), s"per-query top-k must be the bounded TopK:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS psspec_bm25")
+      spark.sql("DROP TABLE IF EXISTS psspec_bm25_stats")
+    }
+  }
+
   test("keep-first span detection shares the repeat marker's single gram exchange") {
     val p = graft.ops.Dedup.repeatedSpansKeepFirst(
       Tables.documents(spark, sf), "doc_id", "text", 8)
