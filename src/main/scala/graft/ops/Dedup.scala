@@ -845,9 +845,13 @@ object Dedup {
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
     val simCol = (size(filter(zip_with(col("sig"), col("bench_sig"),
       (x, y) => x === y), m => m)).cast("double") / numHashes).as("est_sim")
+    // NO doc_id =!= bench_id filter here: corpus and bench are independent
+    // frames whose id spaces may overlap (an external benchmark passed to
+    // the curator), and a contaminated doc that happens to share an id with
+    // a bench item must still be flagged — the exact [[decontaminate]] leg
+    // applies no id filter either, so the two legs stay consistent
     corpusBands
       .join(broadcast(benchBands), Seq("band_key"))
-      .filter(col("doc_id") =!= col("bench_id"))
       // collapse the (pair × shared-band) multiplicity BEFORE scoring: the
       // group keys are (doc, bench) and the signatures ride along via
       // first() — only candidate pairs reach this exchange

@@ -158,7 +158,13 @@ object Sketches {
     * every store in this engine. */
   def writeValueHistograms(df: DataFrame, groupCol: String, valueCol: Column,
                            path: String, batchId: Long): Unit =
-    df.groupBy(col(groupCol), valueCol.cast("long").as("bin"))
+    // NULL values are EXCLUDED (quantile_disc/percentile_disc semantics —
+    // the contract [[mergedQuantiles]] documents): a NULL bin would sort
+    // first in the cumulative window and count into N, skewing every
+    // quantile relative to the oracle
+    df.select(col(groupCol), valueCol.cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
@@ -173,8 +179,11 @@ object Sketches {
   /** Discrete (type-1 / percentile_disc) quantiles from the merged store:
     * for each group and probability p, the smallest bin whose cumulative
     * count reaches ceil(p·N) — exactly DuckDB/PostgreSQL
-    * `quantile_disc`/`percentile_disc` semantics, so the declared query
-    * replays bit-for-bit at the identity-binning exactness point. All
+    * `quantile_disc`/`percentile_disc` semantics (NULL values never enter
+    * the store — [[writeValueHistograms]] drops them — so N counts only
+    * non-NULL rows, matching those functions' NULL handling), so the
+    * declared query replays bit-for-bit at the identity-binning exactness
+    * point. All
     * windows/aggregates here run over the groups × bins histogram, never
     * the corpus. */
   def mergedQuantiles(spark: org.apache.spark.sql.SparkSession, path: String,

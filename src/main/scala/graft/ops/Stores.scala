@@ -55,7 +55,16 @@ object Stores {
   def addTombstones(ids: DataFrame, idCol: String, table: String,
                     batchId: Long): Unit = {
     val dir = tombstonePath(ids.sparkSession, table)
-    ids.select(col(idCol).cast("long").as("id")).distinct()
+    ids.select(col(idCol).as("__raw"))
+      // in-flight assert (the shardAssign pattern): a non-numeric string id
+      // would cast to NULL, never match in [[minusTombstones]], and the
+      // takedown would silently no-op — fail the delete job loudly instead
+      .select(when(
+        assert_true(col("__raw").isNotNull && col("__raw").cast("long").isNotNull,
+          concat(lit(s"addTombstones: id in '$idCol' NULL or not castable to long: "),
+            coalesce(col("__raw").cast("string"), lit("NULL")))).isNull,
+        col("__raw").cast("long")).as("id"))
+      .distinct()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/batch=$batchId")
   }

@@ -604,7 +604,10 @@ object Terms {
     val workload = queries.select(col("query_id"), col("term")).distinct()
     val terms = workload.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    require(terms.nonEmpty, "query workload must carry at least one term")
+    // the shared query-term contract applies to the workload union too: an
+    // un-normalized term would silently match nothing against the
+    // normalized token stream
+    requireNormalizedTerms(terms)
     val post = spark.table(table).filter(col("term").isin(terms: _*))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = spark.table(s"${table}_stats")
