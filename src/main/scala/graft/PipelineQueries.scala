@@ -1479,24 +1479,88 @@ object PipelineQueries {
        |       len(t.toks) - coalesce(agg.n_kept, 0) AS n_cut
        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id""".stripMargin
 
-  /** L16 substitute (SURVEY §7.4): PCA projection of the embedding corpus to
-    * 2-D — the visualization-prep step the reference runs through t-SNE
+  /** L16 substitute (SURVEY §7.4): PCA of the embedding corpus — the
+    * visualization-prep step the reference runs through t-SNE
     * (tSNE_and_conv_plot.py:107-108). Fit is one map-side-combining
     * aggregation (count + Σv + Σvvᵀ), eigen driver-side on the 64×64
     * covariance, projection a narrow literal-dot map
-    * ([[graft.ops.Projection]]). No SQL oracle — a 64-dim eigenproblem is
-    * not expressible in DuckDB — so the driver records the rows-only check;
-    * value-level correctness is pinned by ProjectionSpec (golden 2-D eigen,
-    * ml.feature.PCA agreement, orthonormality/variance/sign properties). */
+    * ([[graft.ops.Projection]]).
+    *
+    * Declared in the driver-VERIFIABLE split (a 64-dim eigenproblem is not
+    * expressible in DuckDB, but everything around it is): the output is a
+    * (stat, value) frame where
+    *  - `mean_ii` / `cov_ii_jj` (first 8 dims) and `trace` (all 64 dims)
+    *    audit the FIT STAGE value-for-value — plain sum/count algebra the
+    *    oracle replays from the raw embeddings
+    *    ([[graft.ops.Projection.covarianceStats]]);
+    *  - the eigen/projection stage is audited through invariants whose
+    *    exact values the oracle knows as constants and which hold ONLY if
+    *    the decomposition is correct: component orthonormality
+    *    (w·w = 1, w1·w2 = 0), projected-coordinate centering
+    *    (mean x = mean y = 0), decorrelation (sample cov(x,y) = 0 — the
+    *    projected cross-covariance is λ₂·w1·w2), and variance ordering
+    *    (var x ≥ var y). The centering/decorrelation rows aggregate the
+    *    ACTUAL projected coordinates distributedly, so the projection map
+    *    itself is exercised, not just the model.
+    * Full 2-D coordinate values remain pinned by ProjectionSpec (golden
+    * 2-D eigen, ml.feature.PCA agreement, sign/orthonormality properties). */
   private val q114 = Q("q114_pca_project",
     (s, d) => {
-      val emb = embeddings(s, d)
-      Projection.pcaProject2d(emb.select(col("vec_id"), col("embedding")),
-          "embedding", dim = 64)
-        .select(col("vec_id"), round(col("x"), 6).as("x"), round(col("y"), 6).as("y"))
-        .orderBy(col("vec_id"))
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val (_, mean, cov) = Projection.covarianceStats(emb, "embedding", 64)
+      val slice = 8
+      val meanRows = (0 until slice).map(i => (f"mean_$i%02d", mean(i)))
+      val covRows = for { i <- 0 until slice; j <- i until slice }
+        yield (f"cov_$i%02d_$j%02d", cov(i)(j))
+      val trace = (0 until 64).map(i => cov(i)(i)).sum
+      val model = Projection.pcaFromStats(mean, cov.map(_.clone), k = 2)
+      val w1 = model.components(0); val w2 = model.components(1)
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val pr = Projection.projectPca(emb, "embedding", model, Seq("x", "y"))
+        .agg(avg(col("x")), avg(col("y")), covar_samp(col("x"), col("y")),
+          var_samp(col("x")), var_samp(col("y")))
+        .head()
+      val rows = meanRows ++ covRows ++ Seq(
+        ("trace", trace),
+        ("w1_dot_w1", dot(w1, w1)), ("w1_dot_w2", dot(w1, w2)),
+        ("w2_dot_w2", dot(w2, w2)),
+        ("proj_mean_x", pr.getDouble(0)), ("proj_mean_y", pr.getDouble(1)),
+        ("proj_cov_xy", pr.getDouble(2)),
+        ("var_order", if (pr.getDouble(3) >= pr.getDouble(4)) 1.0 else 0.0))
+      import s.implicits._
+      // + 0.0 canonicalizes IEEE -0.0 → +0.0 after the round
+      rows.toDF("stat", "value")
+        .select(col("stat"), (round(col("value"), 6) + lit(0.0)).as("value"))
+        .orderBy(col("stat"))
     },
-    None)
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+         |         CAST(unnest(range(len(embedding))) AS BIGINT) AS i
+         |       FROM embeddings WHERE embedding IS NOT NULL),
+         |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+         |        WHERE embedding IS NOT NULL),
+         |m AS (SELECT i, sum(v) AS s, sum(v * v) AS ss FROM ex GROUP BY i),
+         |means AS (SELECT printf('mean_%02d', i) AS stat, s / n AS value
+         |          FROM m, cnt WHERE i < 8),
+         |pair AS (SELECT a.i AS ai, b.i AS bi, sum(a.v * b.v) AS sp
+         |         FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |         WHERE a.i < 8 AND b.i < 8 GROUP BY 1, 2),
+         |covs AS (SELECT printf('cov_%02d_%02d', pair.ai, pair.bi) AS stat,
+         |           (sp - n * (ma.s / n) * (mb.s / n)) / (n - 1) AS value
+         |         FROM pair
+         |         JOIN m ma ON ma.i = pair.ai JOIN m mb ON mb.i = pair.bi
+         |         CROSS JOIN cnt),
+         |tr AS (SELECT 'trace' AS stat,
+         |         sum((ss - s * s / n) / (n - 1)) AS value FROM m CROSS JOIN cnt),
+         |inv AS (SELECT * FROM (VALUES ('w1_dot_w1', 1.0), ('w1_dot_w2', 0.0),
+         |          ('w2_dot_w2', 1.0), ('proj_mean_x', 0.0),
+         |          ('proj_mean_y', 0.0), ('proj_cov_xy', 0.0),
+         |          ('var_order', 1.0)) AS t(stat, value))
+         |SELECT stat, CAST(round(value, 6) + 0.0 AS DOUBLE) AS value FROM
+         |  (SELECT * FROM means UNION ALL SELECT * FROM covs
+         |   UNION ALL SELECT * FROM tr
+         |   UNION ALL SELECT stat, CAST(value AS DOUBLE) AS value FROM inv)
+         |ORDER BY stat""".stripMargin))
 
   /** Quantized IVF ANN (verdict r6 item 8 — the q53 × q67 composite): int8
     * codes + per-vector scale in the cell-bucketed store, candidates ranked

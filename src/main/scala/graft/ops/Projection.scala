@@ -101,12 +101,14 @@ object Projection {
     if (w(best) < 0) w.map(-_) else w
   }
 
-  /** Fit a k-component PCA on `vecCol` (ARRAY<FLOAT/DOUBLE>, width `dim`).
-    * One aggregation job; NULL vectors are excluded from the fit (the
-    * projection maps them to NULL coordinates). Sample covariance (n−1
-    * denominator); requires n ≥ 2. */
-  def fitPca(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
-    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+  /** The SQL-expressible fit stage of PCA: (n, mean, sample covariance) of
+    * the non-NULL vectors in `vecCol`, from ONE map-side-combining
+    * aggregation (count + Σv + Σvvᵀ). Every entry is plain sum/count
+    * algebra — mean_i = Σv_i/n, cov_ij = (Σv_iv_j − n·μ_iμ_j)/(n−1) — so an
+    * external SQL engine can replay it value-for-value, which is exactly
+    * how q114's oracle audits the fit. Requires n ≥ 2. */
+  def covarianceStats(df: DataFrame, vecCol: String,
+                      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
     val vecSum = udaf(new Aggregators.VectorSum(dim))
     val gramSum = udaf(new Aggregators.GramianSum(dim))
     val row = df.filter(col(vecCol).isNotNull)
@@ -121,10 +123,29 @@ object Projection {
     val mean = s.map(_ / n).toArray
     // sample covariance: (Σvvᵀ − n·μμᵀ) / (n−1)
     val cov = Array.tabulate(dim, dim)((i, j) => (g(i)(j) - n * mean(i) * mean(j)) / (n - 1))
+    (n, mean, cov)
+  }
+
+  /** Driver-side eigen stage: top-k model from already-aggregated fit
+    * statistics. `cov` is consumed (mutated) by the Jacobi sweep. */
+  def pcaFromStats(mean: Array[Double], cov: Array[Array[Double]],
+                   k: Int): PcaModel = {
+    val dim = mean.length
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
     val (eigVals, eigVecs) = symmetricEigen(cov)
     PcaModel(mean.toSeq,
       (0 until k).map(j => fixSign(eigVecs(j)).toSeq),
       eigVals.take(k).toSeq)
+  }
+
+  /** Fit a k-component PCA on `vecCol` (ARRAY<FLOAT/DOUBLE>, width `dim`).
+    * One aggregation job ([[covarianceStats]]); NULL vectors are excluded
+    * from the fit (the projection maps them to NULL coordinates). Sample
+    * covariance (n−1 denominator); requires n ≥ 2. */
+  def fitPca(df: DataFrame, vecCol: String, dim: Int, k: Int): PcaModel = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim], got $k")
+    val (_, mean, cov) = covarianceStats(df, vecCol, dim)
+    pcaFromStats(mean, cov, k)
   }
 
   /** Project `vecCol` onto the model's components: output row =
