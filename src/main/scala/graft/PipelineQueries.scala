@@ -1601,15 +1601,20 @@ object PipelineQueries {
     * search. Rational (log-free) Robertson idf per the engine's
     * bit-replayability contract; ranking on the 6-dp rounded score with
     * doc_id tie-break, so the DuckDB oracle replays the exact order. */
-  /** Full BM25 top-k replay (q116's oracle, shared verbatim by q131 —
-    * the store path must be score-identical to the live path). */
-  private def sqlBm25Top(terms: Seq[String], k: Int): String = {
+  /** Full BM25 top-k replay (q116's oracle, shared verbatim by q131 — the
+    * store path must be score-identical to the live path — and, with a
+    * `where` clause, by q136: post-deletion scores must equal a rebuild
+    * over the surviving corpus). */
+  private def sqlBm25Top(terms: Seq[String], k: Int,
+                         where: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
-       |             FROM documents),
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    s"""WITH docs0 AS (SELECT * FROM documents$w),
+       |tnz AS (SELECT doc_id, unnest(string_split($SqlNorm, ' ')) AS term
+       |             FROM docs0),
        |tok AS (SELECT doc_id, term FROM tnz WHERE term <> ''),
        |dl AS (SELECT d.doc_id, count(t.term) AS dl
-       |       FROM documents d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
+       |       FROM docs0 d LEFT JOIN tok t USING (doc_id) GROUP BY 1),
        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
        |       WHERE term IN ($inList) GROUP BY 1, 2),
@@ -2301,10 +2306,36 @@ object PipelineQueries {
          |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
     })
 
+  /** Index deletion ([[graft.ops.Terms.tombstoneBm25Docs]]): a taken-down
+    * document must leave the search index without an index rewrite. Two
+    * OVERLAPPING delete batches (doc_id % 7 == 3, then doc_id % 3 == 0 —
+    * they intersect at multiples of 21, exercising the already-tombstoned
+    * exclusion that keeps the stats adjustment exact) tombstone docs from
+    * the q131 postings store; the subsequent search anti-joins the
+    * candidates and folds the negative stats adjustments, so scores
+    * provably equal a rebuild over the surviving corpus — which is the
+    * oracle: q116's SQL with the survivors' WHERE clause. */
+  private val q136 = Q("q136_bm25_delete",
+    (s, d) => {
+      val docs = documents(s, d)
+      Terms.writeBm25Store(docs, "doc_id", "text", "q136_store")
+      Terms.tombstoneBm25Docs(s, "q136_store",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        "doc_id", batchId = 1L)
+      Terms.tombstoneBm25Docs(s, "q136_store",
+        docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+        "doc_id", batchId = 2L)
+      Terms.bm25SearchFromStore(s, "q136_store",
+          Seq("vector", "join", "filter"), k = 20)
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+    Some(sqlBm25Top(Seq("vector", "join", "filter"), 20,
+      where = "doc_id % 7 != 3 AND doc_id % 3 != 0")))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136)
 }

@@ -80,6 +80,27 @@ object Stores {
       .select(col("id")).distinct())
   }
 
+  /** The distinct deleted-id set EXCLUDING one batch — what a delete
+    * batch's own recompute must see so its artifacts stay a pure function
+    * of prior, frozen state under replay ([[graft.ops.Terms.tombstoneBm25Docs]]).
+    * None when no OTHER batch exists. */
+  def tombstoneBatches(spark: SparkSession, table: String,
+                       exceptBatch: Long): Option[DataFrame] = {
+    val dir = tombstonePath(spark, table)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val others = spark.read.option("basePath", dir.toString)
+        .parquet(dir.toString)
+        .filter(col("batch") =!= exceptBatch)
+        .select(col("id")).distinct()
+      if (fs.listStatus(dir).count(s =>
+            s.getPath.getName.startsWith("batch=") &&
+            s.getPath.getName != s"batch=$exceptBatch") == 0) None
+      else Some(others)
+    }
+  }
+
   /** Filter deleted rows out of a (candidate) frame keyed by `idName`.
     * Broadcast left-anti: the tombstone set is bounded by the compaction
     * cadence, so the big side never shuffles. Identity when no tombstones

@@ -471,30 +471,41 @@ object Terms {
 
   /** Build the persistent BM25 index — the index-once-query-many shape a
     * search platform actually serves from, vs [[bm25Search]]'s two live
-    * corpus scans per query. The postings table (term, doc_id, tf, dl) is
-    * bucketed+sorted by TERM, so a query's `isin` probe bucket-prunes the
-    * scan to the query terms' buckets; `dl` is denormalized into each
-    * posting so scoring needs NO doc-length join at query time (one long
-    * per posting buys away a corpus-sized shuffle per query). Corpus
-    * stats (n_docs, avgdl) land as a 1-row side table. Build cost: one
-    * tokenize scan + the per-(doc, term) count aggregation + the term
-    * bucket shuffle — index-sized, paid once (the
+    * corpus scans per query. The postings table (term, doc_id, tf, dl,
+    * src) is bucketed+sorted by TERM, so a query's `isin` probe
+    * bucket-prunes the scan to the query terms' buckets; `dl` is
+    * denormalized into each posting so scoring needs NO doc-length join
+    * at query time (one long per posting buys away a corpus-sized shuffle
+    * per query). Two side tables land with it:
+    *  - `<table>_stats` — the 1-row monoid (n_docs, sum_dl); avgdl is
+    *    derived at read as sum/count, the same IEEE division Spark's
+    *    avg() performs, so scores match the live path.
+    *  - `<table>_docs` — (doc_id, dl, src), one row per indexed document
+    *    INCLUDING zero-token ones (which have no postings). This is the
+    *    index's document registry: deletion reads it for presence + dl
+    *    ([[tombstoneBm25Docs]]), and stats are exactly recomputable from
+    *    it (count/sum), which is what makes compaction idempotent.
+    * `src` is a provenance column (−1 for the initial build, the delta
+    * batch id for compacted batches): constant per file, so parquet RLE
+    * stores it in a few bytes and row-group min/max stats let provenance
+    * probes skip every file of other batches. Its job: an append's commit
+    * IS the fold marker — [[compactBm25Delta]] re-checks it on replay, so
+    * a crashed compaction can never double-count (no marker files, no
+    * marker-vs-append crash window).
+    * Build cost: one tokenize scan + the per-(doc, term) count
+    * aggregation + the term bucket shuffle — index-sized, paid once (the
     * [[graft.ops.Dedup.writeLshSignatureStore]] amortization argument). */
   def writeBm25Store(df: DataFrame, idCol: String, textCol: String,
                      table: String, numBuckets: Int = 32): Unit = {
-    // a previous process can leave the warehouse locations behind with no
-    // entry in this session's catalog (LOCATION_ALREADY_EXISTS) — the
-    // Stores.dropStore contract
-    Stores.dropStore(df.sparkSession, table)
-    Stores.dropStore(df.sparkSession, s"${table}_stats")
+    dropBm25Store(df.sparkSession, table)
     val toks = bm25Toks(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // stats live in MONOID form (count, sum) so incremental appends merge
-    // exactly; avgdl is derived at read as sum/count — the same IEEE
-    // division Spark's avg() performs, so scores match the live path
-    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    toks.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
-    bm25Postings(toks)
+    toks.select(col("doc_id"), col("dl"), lit(-1L).as("src"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_docs")
+    bm25Postings(toks).withColumn("src", lit(-1L))
       .write.mode("overwrite")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -503,24 +514,160 @@ object Terms {
     toks.unpersist()
   }
 
+  /** Drop every table/directory of a [[writeBm25Store]] index: postings,
+    * stats, docs registry, tombstones, and stats adjustments. The
+    * [[Stores.dropStore]] contract (a previous process can leave warehouse
+    * locations behind with no entry in this session's catalog). */
+  def dropBm25Store(spark: org.apache.spark.sql.SparkSession,
+                    table: String): Unit = {
+    Stores.dropStore(spark, table)
+    Stores.dropStore(spark, s"${table}_stats")
+    Stores.dropStore(spark, s"${table}_docs")
+    val adj = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table}_stats_tomb")
+    val fs = adj.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(adj)) fs.delete(adj, true)
+    ()
+  }
+
+  private def statsTombPath(spark: org.apache.spark.sql.SparkSession,
+                            table: String): String =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table}_stats_tomb").toString
+
+  /** The index's effective (n_docs, avgdl) — base monoid stats, minus the
+    * per-delete-batch adjustments [[tombstoneBm25Docs]] recorded, plus any
+    * extra monoid rows the caller unions in (the delta-log path). With no
+    * deletions on disk this reads exactly the base stats row (zero
+    * overhead until the first delete, the [[Stores]] contract). */
+  private def bm25Stats(spark: org.apache.spark.sql.SparkSession,
+                        table: String,
+                        extra: Option[DataFrame] = None): DataFrame = {
+    val base = spark.table(s"${table}_stats").select(col("n_docs"), col("sum_dl"))
+    val tombPath = statsTombPath(spark, table)
+    val withTomb =
+      if (!hasBatchDirs(spark, tombPath)) base
+      else base.unionByName(
+        spark.read.option("basePath", tombPath).parquet(tombPath)
+          .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl")))
+    val all = extra match {
+      case None    => withTomb
+      case Some(e) => withTomb.unionByName(e.select(col("n_docs"), col("sum_dl")))
+    }
+    all.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+  }
+
   /** Query the [[writeBm25Store]] index: read ONLY the query terms'
-    * postings (bucket-pruned `isin` scan), derive their document
-    * frequencies from the probed rows themselves (exact — a term's
-    * postings ARE its document list), and score through the shared
-    * [[scoreAndRankBm25]] tail. Identical output to [[bm25Search]] on the
-    * indexed corpus for any query; per-query cost is postings-of-terms
-    * sized, never corpus sized. */
+    * postings (bucket-pruned `isin` scan), drop tombstoned documents
+    * (broadcast anti-join on the candidate slice, AFTER pruning — nothing
+    * corpus-sized shuffles, and the plan is bit-identical to pre-deletion
+    * when no tombstones exist), derive document frequencies from the
+    * surviving probed rows (exact — a term's live postings ARE its live
+    * document list), and score through the shared [[scoreAndRankBm25]]
+    * tail with tombstone-adjusted stats. Identical output to
+    * [[bm25Search]] on the surviving corpus for any query — deletion
+    * changes postings, df, n_docs and sum_dl exactly as a rebuild would
+    * (spec'd). Per-query cost is postings-of-terms sized, never corpus
+    * sized. */
   def bm25SearchFromStore(spark: org.apache.spark.sql.SparkSession,
                           table: String, terms: Seq[String], k: Int,
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     requireNormalizedTerms(terms)
     require(k >= 1, "k must be >= 1")
-    val post = spark.table(table).filter(col("term").isin(terms: _*))
+    val post = Stores.minusTombstones(
+      spark.table(table).filter(col("term").isin(terms: _*)), table, "doc_id")
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = spark.table(s"${table}_stats")
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    scoreAndRankBm25(post, dfreq, stats, k, k1, b)
+    scoreAndRankBm25(post, dfreq, bm25Stats(spark, table), k, k1, b)
+  }
+
+  /** Delete documents from a [[writeBm25Store]] index WITHOUT rewriting it
+    * — the takedown / right-to-be-forgotten path, O(deleted) like every
+    * [[Stores]] deletion. Records two tiny per-batch artifacts:
+    *  - the tombstone ids ([[Stores.addTombstones]]) every reader
+    *    anti-joins on its candidate slice;
+    *  - a 1-row stats adjustment `<table>_stats_tomb/batch=B` holding the
+    *    deleted docs' (count, Σdl), which [[bm25Stats]] subtracts from the
+    *    monoid stats — so n_docs/avgdl are EXACTLY those of a rebuild over
+    *    the surviving corpus, and therefore so is every score.
+    * Presence and dl come from the `<table>_docs` registry (zero-token
+    * docs included), so deleting a doc with no postings still decrements
+    * n_docs. Ids never indexed are ignored; ids tombstoned by an EARLIER
+    * batch are excluded from this batch's adjustment, which keeps the
+    * batch's content a pure function of prior state — re-running a failed
+    * delete batch overwrites byte-identical artifacts (the engine's
+    * replay-idempotence contract). Distinct batch ids per delete request;
+    * returns the number of newly deleted documents.
+    * When the index also has an uncompacted delta log
+    * ([[writeBm25DeltaBatch]]), pass it so docs living only in deltas are
+    * deletable too; their adjustment rows fold the same way. */
+  def tombstoneBm25Docs(spark: org.apache.spark.sql.SparkSession,
+                        table: String, ids: DataFrame, idCol: String,
+                        batchId: Long,
+                        deltaPath: Option[String] = None): Long = {
+    val baseDocs = spark.table(s"${table}_docs").select(col("doc_id"), col("dl"))
+    val docs = deltaPath match {
+      case Some(p) if hasBatchDirs(spark, s"$p/docs") =>
+        baseDocs.unionByName(
+          spark.read.option("basePath", s"$p/docs").parquet(s"$p/docs")
+            .select(col("doc_id"), col("dl")))
+      case _ => baseDocs
+    }
+    val want = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // candidate-sized from here on: the registry scan is narrow (2 longs)
+    // and the broadcast inner join keeps only ids that are actually indexed
+    val present = docs.join(broadcast(want), Seq("doc_id"))
+      .dropDuplicates("doc_id")
+    // exclude ids already tombstoned by EARLIER batches so this batch's
+    // artifacts are deterministic under replay (earlier batches are frozen;
+    // this batch's own previous attempt is invisible to the recompute)
+    val tombPath = statsTombPath(spark, table)
+    val priorTombs = Stores.tombstoneBatches(spark, table, exceptBatch = batchId)
+    val fresh = priorTombs match {
+      case None       => present
+      case Some(dead) =>
+        present.join(broadcast(dead), present("doc_id") === dead("id"), "left_anti")
+    }
+    val frozen = fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val row = frozen.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    Stores.addTombstones(frozen, "doc_id", table, batchId)
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1))).toDF("n_docs", "sum_dl")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tombPath/batch=$batchId")
+    frozen.unpersist()
+    row.getLong(0)
+  }
+
+  /** Amortized full rewrite of a tombstone-carrying index (the
+    * [[Stores.compactInto]] version-swap, term-bucketed): materialize
+    * postings and the docs registry minus tombstones into `newTable`'s
+    * tables, recompute the monoid stats from the surviving registry, then
+    * drop the old generation and all its tombstone state. Run it when
+    * tombstoneCount / n_docs crosses the read-amplification budget;
+    * consumers repoint (version-swap, never in-place). */
+  def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
+                       table: String, newTable: String,
+                       numBuckets: Int = 32): Unit = {
+    require(newTable != table, "compaction writes a NEW table version")
+    dropBm25Store(spark, newTable)
+    Stores.minusTombstones(spark.table(s"${table}_docs"), table, "doc_id")
+      .select(col("doc_id"), col("dl"), lit(-1L).as("src"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${newTable}_docs")
+    spark.table(s"${newTable}_docs")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${newTable}_stats")
+    Stores.minusTombstones(spark.table(table), table, "doc_id")
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"), lit(-1L).as("src"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "term")
+      .sortBy("term")
+      .format("parquet")
+      .saveAsTable(newTable)
+    dropBm25Store(spark, table)
   }
 
   /** Append a NEW batch of documents into an existing [[writeBm25Store]]
@@ -531,7 +678,17 @@ object Terms {
     * over old ∪ new (spec'd). Caller contract (the
     * [[graft.ops.Dedup.appendToLshSignatureStore]] one): batch doc ids
     * are new — re-appending a doc id double-counts it, exactly as
-    * re-inserting into any postings index would. */
+    * re-inserting into any postings index would.
+    * Crash window (documented, like [[compactBm25Delta]]'s recovery):
+    * the postings append, docs append and stats overwrite are three
+    * jobs; a failure between them leaves the index internally stale
+    * (e.g. postings without registry rows). The stats table is always
+    * recomputable from the registry (count/Σdl), and the registry is
+    * append-only, so the repair for a torn append is: re-run the SAME
+    * batch through the delta path ([[writeBm25DeltaBatch]] +
+    * [[compactBm25Delta]], which is exactly-once) or rebuild
+    * ([[writeBm25Store]]). Streams should prefer the delta path; this
+    * entry point is for trusted one-shot batch loads. */
   def appendToBm25Store(df: DataFrame, idCol: String, textCol: String,
                         table: String, numBuckets: Int = 32): Unit = {
     val spark = df.sparkSession
@@ -542,12 +699,14 @@ object Terms {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val prev = spark.table(s"${table}_stats")
       .select(col("n_docs"), col("sum_dl")).head()
-    bm25Postings(toks)
+    bm25Postings(toks).withColumn("src", lit(-2L))
       .write.mode("append")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
       .format("parquet")
       .saveAsTable(table)
+    toks.select(col("doc_id"), col("dl"), lit(-2L).as("src"))
+      .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
     toks.unpersist()
     import spark.implicits._
     Seq((prev.getLong(0) + nNew, prev.getLong(1) + dlNew))
@@ -608,11 +767,10 @@ object Terms {
     // un-normalized term would silently match nothing against the
     // normalized token stream
     requireNormalizedTerms(terms)
-    val post = spark.table(table).filter(col("term").isin(terms: _*))
+    val post = Stores.minusTombstones(
+      spark.table(table).filter(col("term").isin(terms: _*)), table, "doc_id")
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = spark.table(s"${table}_stats")
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val stats = bm25Stats(spark, table)
     val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
@@ -633,7 +791,8 @@ object Terms {
   }
 
   /** STREAMING-grade BM25 maintenance, part 1: land ONE micro-batch's
-    * postings and stats as `deltaPath/post/batch=B` + `stats/batch=B`
+    * postings, registry rows and stats as `deltaPath/post/batch=B` +
+    * `docs/batch=B` + `stats/batch=B`
     * (per-batch OVERWRITE = the engine's replay-idempotence contract —
     * a failure-replayed batch rewrites byte-identical content, unlike
     * [[appendToBm25Store]] whose bucketed append would double-count).
@@ -645,6 +804,8 @@ object Terms {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bm25Postings(toks)
       .write.mode("overwrite").parquet(s"$deltaPath/post/batch=$batchId")
+    toks.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$deltaPath/docs/batch=$batchId")
     toks.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").parquet(s"$deltaPath/stats/batch=$batchId")
@@ -664,10 +825,12 @@ object Terms {
   /** Query the base index PLUS the uncompacted delta log: base postings
     * stay bucket-pruned; delta postings (small by the LSM contract —
     * recent batches only) filter on the term without pruning; the monoid
-    * stats fold base + per-batch rows. Scores are EXACTLY those of a
-    * full rebuild over base ∪ deltas: the score depends only on the
-    * postings multiset and (n_docs, sum_dl), and the union preserves
-    * both (spec'd). */
+    * stats fold base + per-batch rows minus any tombstone adjustments;
+    * tombstoned docs drop out of the unioned candidate slice (anti-join
+    * after pruning, [[bm25SearchFromStore]]'s shape). Scores are EXACTLY
+    * those of a full rebuild over (base ∪ deltas) − deleted: the score
+    * depends only on the postings multiset and (n_docs, sum_dl), and the
+    * union/filter preserves both (spec'd). */
   def bm25SearchWithDeltas(spark: org.apache.spark.sql.SparkSession,
                            table: String, deltaPath: String,
                            terms: Seq[String], k: Int,
@@ -675,74 +838,118 @@ object Terms {
     requireNormalizedTerms(terms)
     require(k >= 1, "k must be >= 1")
     val base = spark.table(table).filter(col("term").isin(terms: _*))
-    val post =
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val unioned =
       if (!hasBatchDirs(spark, s"$deltaPath/post")) base
       else base.unionByName(
         spark.read.option("basePath", s"$deltaPath/post")
           .parquet(s"$deltaPath/post")
           .filter(col("term").isin(terms: _*))
           .select(col("term"), col("doc_id"), col("dl"), col("tf")))
-    val statsBase = spark.table(s"${table}_stats")
-      .select(col("n_docs"), col("sum_dl"))
-    val statsAll =
-      if (!hasBatchDirs(spark, s"$deltaPath/stats")) statsBase
-      else statsBase.unionByName(
-        spark.read.option("basePath", s"$deltaPath/stats")
-          .parquet(s"$deltaPath/stats").select(col("n_docs"), col("sum_dl")))
-    val stats = statsAll
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val post = Stores.minusTombstones(unioned, table, "doc_id")
+    val deltaStats =
+      if (!hasBatchDirs(spark, s"$deltaPath/stats")) None
+      else Some(spark.read.option("basePath", s"$deltaPath/stats")
+        .parquet(s"$deltaPath/stats").select(col("n_docs"), col("sum_dl")))
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    scoreAndRankBm25(post, dfreq, stats, k, k1, b)
+    scoreAndRankBm25(post, dfreq, bm25Stats(spark, table, deltaStats), k, k1, b)
   }
 
   /** LSM compaction of the BM25 delta log: append COMMITTED batches'
-    * postings into the bucketed base (O(delta) — the existing index is
-    * never rewritten), fold their stats into the monoid stats table, and
+    * postings and registry rows into the bucketed base (O(delta) — the
+    * existing index is never rewritten), recompute the monoid stats, and
     * delete the folded directories so base ∪ delta stays duplicate-free.
     * `maxBatchExclusive` has no default for the same reason
     * [[graft.ops.Dedup.compactLshDelta]]'s doesn't: only the stream's
     * checkpoint knows which batches are committed, and folding an
-    * uncommitted batch would let its own replay double itself. Returns
-    * batches folded. Single-owner offline op; a crash between the append
-    * and the delete re-appends those batches on re-run, which — unlike
-    * the LSH store — corrupts tf/df counts, so the repair is a full
-    * [[writeBm25Store]] rebuild (documented trade: the happy path never
-    * rewrites the index). */
+    * uncommitted batch would let its own replay double itself.
+    *
+    * EXACTLY-ONCE under crash/replay — every step is independently
+    * idempotent, so re-running after a failure at ANY point converges
+    * with no double- or under-count (spec'd by a kill-between-steps
+    * simulation):
+    *  1. postings append carries `src` = the delta batch id, and the
+    *     append is skipped for any batch whose `src` already appears in
+    *     the base table — the append's own job commit is the fold marker
+    *     (atomic at job granularity under Spark's file-commit protocol;
+    *     row-group min/max stats on the constant `src` column make the
+    *     provenance probe a footer-only scan);
+    *  2. the docs-registry append is guarded the same way by the
+    *     registry's `src` column;
+    *  3. stats are RECOMPUTED from the registry (count, Σdl) rather than
+    *     incremented — idempotent by derivation, and tombstone
+    *     adjustments stay separate so deletion state survives;
+    *  4. deleting the folded batch directories is trivially idempotent.
+    * Returns the number of batches folded. Single-owner offline op. */
   def compactBm25Delta(spark: org.apache.spark.sql.SparkSession,
                        table: String, deltaPath: String, numBuckets: Int,
-                       maxBatchExclusive: Long): Int = {
+                       maxBatchExclusive: Long): Int =
+    compactBm25DeltaImpl(spark, table, deltaPath, numBuckets,
+      maxBatchExclusive, crashAfterStep = Int.MaxValue)
+
+  /** [[compactBm25Delta]] body with a test-only crash injection point:
+    * throws after step `crashAfterStep` so the kill-between-steps spec can
+    * exercise every recovery path of the exactly-once protocol. */
+  private[ops] def compactBm25DeltaImpl(spark: org.apache.spark.sql.SparkSession,
+                                        table: String, deltaPath: String,
+                                        numBuckets: Int, maxBatchExclusive: Long,
+                                        crashAfterStep: Int): Int = {
     import spark.implicits._
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step)
+        throw new RuntimeException(s"simulated crash after compaction step $step")
     if (!hasBatchDirs(spark, s"$deltaPath/post")) return 0
+    // batch ids from the DIRECTORY listing, not the row values: a zero-row
+    // batch (an empty micro-batch) has a dir but no rows, and must still
+    // be swept
+    val fsList = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
+    val batches = fsList
+      .listStatus(new org.apache.hadoop.fs.Path(s"$deltaPath/post"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ < maxBatchExclusive).sorted.toSeq
+    if (batches.isEmpty) return 0
     val post = spark.read.option("basePath", s"$deltaPath/post")
       .parquet(s"$deltaPath/post").filter(col("batch") < maxBatchExclusive)
-    val batches = post.select(col("batch").cast("long")).distinct()
-      .as[Long].collect().sorted
-    if (batches.isEmpty) return 0
-    post.filter(col("batch").isin(batches: _*))
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-      .write.mode("append")
-      .bucketBy(numBuckets, "term")
-      .sortBy("term")
-      .format("parquet")
-      .saveAsTable(table)
-    val deltaStats = spark.read.option("basePath", s"$deltaPath/stats")
-      .parquet(s"$deltaPath/stats")
-      .filter(col("batch").isin(batches: _*))
-      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"),
-        coalesce(sum(col("sum_dl")), lit(0L)).as("s"))
-      .head()
-    val prev = spark.table(s"${table}_stats")
-      .select(col("n_docs"), col("sum_dl")).head()
-    Seq((prev.getLong(0) + deltaStats.getLong(0),
-        prev.getLong(1) + deltaStats.getLong(1)))
-      .toDF("n_docs", "sum_dl")
+    // step 1: postings append, guarded by base-table src provenance
+    val postDone = spark.table(table).select(col("src"))
+      .filter(col("src").isin(batches: _*)).distinct().as[Long].collect().toSet
+    val postPending = batches.filterNot(postDone)
+    if (postPending.nonEmpty)
+      post.filter(col("batch").isin(postPending: _*))
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+          col("batch").cast("long").as("src"))
+        .write.mode("append")
+        .bucketBy(numBuckets, "term")
+        .sortBy("term")
+        .format("parquet")
+        .saveAsTable(table)
+    crash(1)
+    // step 2: docs-registry append, guarded by registry src provenance
+    val docsDone = spark.table(s"${table}_docs").select(col("src"))
+      .filter(col("src").isin(batches: _*)).distinct().as[Long].collect().toSet
+    val docsPending = batches.filterNot(docsDone)
+    if (docsPending.nonEmpty)
+      spark.read.option("basePath", s"$deltaPath/docs")
+        .parquet(s"$deltaPath/docs")
+        .filter(col("batch").isin(docsPending: _*))
+        .select(col("doc_id"), col("dl"), col("batch").cast("long").as("src"))
+        .write.mode("append").format("parquet").saveAsTable(s"${table}_docs")
+    crash(2)
+    // step 3: stats recomputed from the registry — idempotent by
+    // derivation; tombstone adjustments live in their own side files
+    spark.table(s"${table}_docs")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
+    crash(3)
+    // step 4: idempotent cleanup of the folded directories
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
     batches.foreach { bId =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/post/batch=$bId"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/docs/batch=$bId"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/stats/batch=$bId"), true)
     }
     batches.length

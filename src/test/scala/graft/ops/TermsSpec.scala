@@ -383,4 +383,188 @@ class TermsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("maxWords"))
   }
+
+  private def searchRows(table: String, q: Seq[String]): Seq[(Long, Long, Double, Long)] =
+    Terms.bm25SearchFromStore(spark, table, q, k = 10)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+
+  test("bm25 tombstone deletion equals a rebuild over the surviving corpus") {
+    val docs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry"),
+      (4L, ""),                 // zero-token doc: no postings, still in n_docs
+      (5L, "filter apple vector cherry words"),
+      (6L, "banana words vector")).toDF("doc_id", "text")
+    Terms.dropBm25Store(spark, "tst_bm25_del")
+    Terms.dropBm25Store(spark, "tst_bm25_del_reb")
+    Terms.writeBm25Store(docs, "doc_id", "text", "tst_bm25_del", numBuckets = 8)
+    // batch 1: a content doc, the zero-token doc, and a never-indexed id
+    // (ignored); batch 2 OVERLAPS batch 1 on doc 2 — the already-tombstoned
+    // exclusion must keep the stats adjustment exact
+    assert(Terms.tombstoneBm25Docs(spark, "tst_bm25_del",
+      Seq(2L, 4L, 99L).toDF("doc_id"), "doc_id", batchId = 1L) == 2L)
+    assert(Terms.tombstoneBm25Docs(spark, "tst_bm25_del",
+      Seq(2L, 6L).toDF("doc_id"), "doc_id", batchId = 2L) == 1L)
+    Terms.writeBm25Store(docs.filter(!col("doc_id").isin(2L, 4L, 6L)),
+      "doc_id", "text", "tst_bm25_del_reb", numBuckets = 8)
+    val qs = Seq(Seq("vector", "filter"), Seq("apple"), Seq("banana"), Seq("zzz"))
+    for (q <- qs)
+      assert(searchRows("tst_bm25_del", q) == searchRows("tst_bm25_del_reb", q),
+        s"terms=$q")
+    // batch serving path sees the same deletions
+    val workload = Seq((0L, "vector"), (0L, "filter"), (1L, "banana"))
+      .toDF("query_id", "term")
+    val batch = Terms.bm25BatchSearchFromStore(spark, "tst_bm25_del", workload, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    for ((qid, ts) <- Seq(0L -> Seq("vector", "filter"), 1L -> Seq("banana")))
+      assert(batch(qid) ==
+        searchRows("tst_bm25_del_reb", ts).map(r => (r._1, r._3, r._4)),
+        s"batch query $qid")
+    // replaying delete batch 2 rewrites identical artifacts — no double-subtract
+    assert(Terms.tombstoneBm25Docs(spark, "tst_bm25_del",
+      Seq(2L, 6L).toDF("doc_id"), "doc_id", batchId = 2L) == 1L)
+    for (q <- qs)
+      assert(searchRows("tst_bm25_del", q) == searchRows("tst_bm25_del_reb", q),
+        s"post-replay terms=$q")
+    // full compaction rewrites the survivors and clears deletion state
+    Terms.compactBm25Store(spark, "tst_bm25_del", "tst_bm25_del_v2", numBuckets = 8)
+    for (q <- qs)
+      assert(searchRows("tst_bm25_del_v2", q) == searchRows("tst_bm25_del_reb", q),
+        s"post-compaction terms=$q")
+    assert(graft.ops.Stores.tombstoneCount(spark, "tst_bm25_del_v2") == 0L)
+    Terms.dropBm25Store(spark, "tst_bm25_del_v2")
+    Terms.dropBm25Store(spark, "tst_bm25_del_reb")
+  }
+
+  test("bm25 tombstones reach docs living only in the uncompacted delta log") {
+    val base = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana")).toDF("doc_id", "text")
+    val b0 = Seq((3L, "apple banana cherry")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "filter apple vector cherry words")).toDF("doc_id", "text")
+    val delta = java.nio.file.Files.createTempDirectory("bm25_deltadel").toString
+    Terms.dropBm25Store(spark, "tst_bm25_dd")
+    Terms.dropBm25Store(spark, "tst_bm25_dd_reb")
+    Terms.writeBm25Store(base, "doc_id", "text", "tst_bm25_dd", numBuckets = 8)
+    Terms.writeBm25DeltaBatch(b0, "doc_id", "text", delta, 0L)
+    Terms.writeBm25DeltaBatch(b1, "doc_id", "text", delta, 1L)
+    // doc 3 exists ONLY in delta batch 0; doc 2 in the base
+    assert(Terms.tombstoneBm25Docs(spark, "tst_bm25_dd",
+      Seq(3L, 2L).toDF("doc_id"), "doc_id", batchId = 1L,
+      deltaPath = Some(delta)) == 2L)
+    Terms.writeBm25Store(base.filter(col("doc_id") =!= 2L).unionByName(b1),
+      "doc_id", "text", "tst_bm25_dd_reb", numBuckets = 8)
+    def lsm(q: Seq[String]) =
+      Terms.bm25SearchWithDeltas(spark, "tst_bm25_dd", delta, q, k = 10)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+    val qs = Seq(Seq("vector", "filter"), Seq("cherry"), Seq("apple"))
+    for (q <- qs) assert(lsm(q) == searchRows("tst_bm25_dd_reb", q), s"terms=$q")
+    // compaction folds the tombstoned doc's postings in; the tombstone
+    // still hides it, so scores are unchanged
+    assert(Terms.compactBm25Delta(spark, "tst_bm25_dd", delta,
+      numBuckets = 8, maxBatchExclusive = 2L) == 2)
+    for (q <- qs)
+      assert(searchRows("tst_bm25_dd", q) == searchRows("tst_bm25_dd_reb", q),
+        s"post-fold terms=$q")
+    Terms.dropBm25Store(spark, "tst_bm25_dd")
+    Terms.dropBm25Store(spark, "tst_bm25_dd_reb")
+  }
+
+  test("bm25 compaction folds exactly once under a crash at every step boundary") {
+    val base = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val b0 = Seq((3L, "apple banana cherry")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "filter apple vector cherry words")).toDF("doc_id", "text")
+    Terms.dropBm25Store(spark, "tst_bm25_crr")
+    Terms.writeBm25Store(base.unionByName(b0).unionByName(b1),
+      "doc_id", "text", "tst_bm25_crr", numBuckets = 8)
+    val qs = Seq(Seq("vector", "filter"), Seq("cherry"), Seq("apple"))
+    for (step <- 1 to 3) {
+      val t = s"tst_bm25_cr$step"
+      val delta = java.nio.file.Files.createTempDirectory(s"bm25_crash$step").toString
+      Terms.dropBm25Store(spark, t)
+      Terms.writeBm25Store(base, "doc_id", "text", t, numBuckets = 8)
+      Terms.writeBm25DeltaBatch(b0, "doc_id", "text", delta, 0L)
+      Terms.writeBm25DeltaBatch(b1, "doc_id", "text", delta, 1L)
+      val e = intercept[RuntimeException] {
+        Terms.compactBm25DeltaImpl(spark, t, delta, numBuckets = 8,
+          maxBatchExclusive = 2L, crashAfterStep = step)
+      }
+      assert(e.getMessage.contains(s"step $step"))
+      // recovery is a plain re-run: every step is idempotent, so the fold
+      // lands exactly once — scores equal the one-shot rebuild
+      assert(Terms.compactBm25Delta(spark, t, delta,
+        numBuckets = 8, maxBatchExclusive = 2L) == 2)
+      for (q <- qs)
+        assert(searchRows(t, q) == searchRows("tst_bm25_crr", q),
+          s"step=$step terms=$q")
+      // the registry/stats agree with a rebuild too (no silent drift)
+      assert(spark.table(s"${t}_stats").as[(Long, Long)].head() ==
+        spark.table("tst_bm25_crr_stats").as[(Long, Long)].head(), s"step=$step")
+      assert(Terms.compactBm25Delta(spark, t, delta,
+        numBuckets = 8, maxBatchExclusive = 10L) == 0, s"step=$step residue")
+      Terms.dropBm25Store(spark, t)
+    }
+    Terms.dropBm25Store(spark, "tst_bm25_crr")
+  }
+
+  test("bm25 append/delta equivalence holds under adversarial batches") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val shared = Vector("vector", "join", "filter", "apple", "banana", "cherry")
+    // adversarial shapes: empty batch, all-new-vocabulary batch, batch
+    // whose terms all land in one bucket (single repeated term), plus
+    // generated mixtures of shared/fresh vocabulary and empty docs
+    val word: Gen[String] =
+      Gen.frequency(4 -> Gen.oneOf(shared), 1 -> Gen.identifier.map("w" + _.take(6)))
+    val doc: Gen[String] =
+      Gen.frequency(6 -> Gen.nonEmptyListOf(word).map(_.mkString(" ")),
+        1 -> Gen.const(""))
+    val batchGen: Gen[List[String]] = Gen.listOfN(4, doc)
+    val fixed = Seq(
+      Seq.empty[String],                       // empty batch
+      Seq("zzz qqq xxx", "qqq nnn"),           // all-new vocabulary
+      Seq("vector vector vector", "vector"))   // single term -> one bucket
+    val generated = (0 until 4).map(i =>
+      batchGen.pureApply(Gen.Parameters.default.withSize(30), Seed(77L + i)).toSeq)
+    val baseDocs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val qs = Seq(Seq("vector", "filter"), Seq("zzz"), Seq("apple", "banana"))
+    for ((texts, i) <- (fixed ++ generated).zipWithIndex) {
+      val batch = texts.zipWithIndex
+        .map { case (t, j) => (100L + j, t) }.toDF("doc_id", "text")
+      val all = baseDocs.unionByName(batch)
+      Terms.dropBm25Store(spark, "tst_bm25_adv")
+      Terms.dropBm25Store(spark, "tst_bm25_adv_reb")
+      Terms.writeBm25Store(baseDocs, "doc_id", "text", "tst_bm25_adv", numBuckets = 8)
+      Terms.writeBm25Store(all, "doc_id", "text", "tst_bm25_adv_reb", numBuckets = 8)
+      // append path
+      Terms.appendToBm25Store(batch, "doc_id", "text", "tst_bm25_adv", numBuckets = 8)
+      for (q <- qs)
+        assert(searchRows("tst_bm25_adv", q) == searchRows("tst_bm25_adv_reb", q),
+          s"append case=$i terms=$q")
+      // delta + compaction path on a fresh store
+      Terms.dropBm25Store(spark, "tst_bm25_adv")
+      Terms.writeBm25Store(baseDocs, "doc_id", "text", "tst_bm25_adv", numBuckets = 8)
+      val delta = java.nio.file.Files.createTempDirectory(s"bm25_adv$i").toString
+      Terms.writeBm25DeltaBatch(batch, "doc_id", "text", delta, 0L)
+      for (q <- qs)
+        assert(Terms.bm25SearchWithDeltas(spark, "tst_bm25_adv", delta, q, k = 10)
+          .as[(Long, Long, Double, Long)].collect().toSeq ==
+          searchRows("tst_bm25_adv_reb", q), s"delta case=$i terms=$q")
+      Terms.compactBm25Delta(spark, "tst_bm25_adv", delta,
+        numBuckets = 8, maxBatchExclusive = 1L)
+      for (q <- qs)
+        assert(searchRows("tst_bm25_adv", q) == searchRows("tst_bm25_adv_reb", q),
+          s"compacted case=$i terms=$q")
+    }
+    Terms.dropBm25Store(spark, "tst_bm25_adv")
+    Terms.dropBm25Store(spark, "tst_bm25_adv_reb")
+  }
 }
