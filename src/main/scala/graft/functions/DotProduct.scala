@@ -185,6 +185,7 @@ object GraftFunctions {
   private[functions] val sqlFunctions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
     ("graft_dot", classOf[DotProduct], buildDot),
     ("graft_l2sq", classOf[L2Sq], buildL2Sq),
+    ("graft_normalize_text", classOf[NormalizeText], TextFunctions.buildNormalizeText),
     ("graft_text_hash62", classOf[TextHash62], TextFunctions.buildTextHash62),
     ("graft_shingle_hashes", classOf[ShingleHashSet], TextFunctions.buildShingleHashes),
     ("graft_shingle_hash_seq", classOf[ShingleHashSeq], TextFunctions.buildShingleHashSeq),

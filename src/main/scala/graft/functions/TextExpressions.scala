@@ -136,6 +136,20 @@ case class GopherStats(child: Expression) extends TextKernelExpression {
     copy(child = newChild)
 }
 
+/** Normalized text (TextOps.normalizeText semantics) as a single-pass
+  * kernel: ASCII lowercase, keep [a-z0-9 ], collapse runs, trim. For hot
+  * paths that need the normalized STRING itself (md5 fingerprinting) —
+  * the hash-producing kernels below already normalize internally. */
+case class NormalizeText(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize_text"
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.normalizeUtf8(input.asInstanceOf[UTF8String])
+  override protected def kernelCall(c: String): String = s"normalizeUtf8($c)"
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** 62-bit rolling-polynomial fingerprint of the normalized text. */
 case class TextHash62(child: Expression) extends TextKernelExpression {
   override def dataType: DataType = LongType
@@ -148,6 +162,8 @@ case class TextHash62(child: Expression) extends TextKernelExpression {
 }
 
 object TextFunctions {
+  def normalize_text(text: Column): Column =
+    GraftColumnBridge.column(NormalizeText(GraftColumnBridge.expression(text)))
   def text_hash62(text: Column): Column =
     GraftColumnBridge.column(TextHash62(GraftColumnBridge.expression(text)))
   def shingle_hashes(text: Column, n: Int): Column =
@@ -199,6 +215,11 @@ object TextFunctions {
     case Seq(t) => SimHash62(t)
     case e => throw new IllegalArgumentException(
       s"graft_simhash62 requires exactly 1 argument, got ${e.length}")
+  }
+  private[functions] val buildNormalizeText: Seq[Expression] => Expression = {
+    case Seq(t) => NormalizeText(t)
+    case e => throw new IllegalArgumentException(
+      s"graft_normalize_text requires exactly 1 argument, got ${e.length}")
   }
   private[functions] val buildRedactPii: Seq[Expression] => Expression = {
     case Seq(t) => RedactPii(t)

@@ -81,6 +81,13 @@ object TextKernels extends Serializable {
     sb.toString // trailing space never appended -> trimmed
   }
 
+  /** [[normalize]] over the engine's native string type — the kernel form
+    * of TextOps.normalizeText for hot per-row paths (q41's fingerprint):
+    * one character pass instead of lower + two regexp_replace + trim
+    * (four interpreted scans and three intermediate strings per row). */
+  def normalizeUtf8(text: UTF8String): UTF8String =
+    UTF8String.fromString(normalize(text.toString))
+
   /** Token start offsets within a normalized string (single-space
     * separated). Empty string yields one empty token, matching
     * split(trim(""), "\\s+") == Seq(""). */

@@ -484,14 +484,14 @@ object Similarity {
     * [[writeIvfStore]] contract: probe IN-lists become bucket-pruned scans. */
   def writeQuantizedIvfStore(df: DataFrame, idCol: String, vecCol: String,
                              centroids: Seq[(Long, Seq[Double])], table: String,
-                             numBuckets: Int): Unit = {
+                             numBuckets: Int, metaCols: Seq[String] = Nil): Unit = {
     dropStaleStore(df.sparkSession, table)
-    df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-        nearestCell(col(vecCol), centroids).as("cell"))
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("__v"),
+        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
       .withColumn("scale", VectorOps.int8Scale(col("__v")))
-      .select(col("id"), col("cell"), col("scale"),
+      .select(Seq(col("id"), col("cell"), col("scale"),
         VectorOps.quantizeInt8(col("__v"), col("scale"))
-          .cast("array<tinyint>").as("codes"))
+          .cast("array<tinyint>").as("codes")) ++ metaCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -519,11 +519,18 @@ object Similarity {
     * the result EXACTLY equal to brute-force [[cosineTopK]] — the
     * declared-query contract — because stage 1 then only routes ids and
     * quantization error cannot change the final ranking. */
+  /** `candidateFilter`: FILTERED quantized ANN — the predicate over the
+    * store's `metaCols` applies to the bucket-pruned slice BEFORE any
+    * dequantized scoring and reaches the parquet scan (PushedFilters —
+    * the [[ivfSearchFromStore]] contract); stage 2 inherits it through
+    * the candidate pool, so the result is top-k among vectors satisfying
+    * the predicate. */
   def quantizedIvfSearchFromStore(spark: SparkSession, table: String,
                                   corpus: DataFrame, queries: DataFrame,
                                   idCol: String, vecCol: String,
                                   centroids: Seq[(Long, Seq[Double])],
-                                  nProbe: Int, k: Int, rerankK: Int): DataFrame = {
+                                  nProbe: Int, k: Int, rerankK: Int,
+                                  candidateFilter: Option[Column] = None): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"),
@@ -533,10 +540,12 @@ object Similarity {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     // stage 1: dequantized cosine from the compact store (bucket-pruned
-    // scan), tombstoned ids anti-joined out ([[Stores.minusTombstones]])
-    val approx = Stores.minusTombstones(
+    // scan), tombstoned ids anti-joined out ([[Stores.minusTombstones]]),
+    // metadata predicate applied before any scoring work
+    val pruned = Stores.minusTombstones(
         spark.table(table).filter(col("cell").isin(probedCells: _*)),
         table, idName = "id")
+    val approx = candidateFilter.fold(pruned)(pruned.filter)
       .select(col("cell"), col("id").as("cand_id"), col("scale"),
         col("codes").cast("array<double>").as("codes"))
       .join(broadcast(probes), Seq("cell"))

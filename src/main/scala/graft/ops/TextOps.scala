@@ -30,8 +30,15 @@ object TextOps {
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
   /** Document fingerprint: md5 of the normalized text. Equal fingerprints ⇒
-    * near-identical documents module case/punctuation/whitespace. */
-  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+    * near-identical documents modulo case/punctuation/whitespace.
+    * Normalization runs through the single-pass codegen kernel
+    * ([[graft.functions.NormalizeText]]) rather than the composed
+    * lower/regexp/trim column — one character scan instead of four
+    * interpreted regex passes per document, which dominated the heaviest
+    * linear scan of the suite at scale (semantics identical, pinned by
+    * TextKernelsSpec). */
+  def fingerprint(text: Column): Column =
+    md5(graft.functions.TextFunctions.normalize_text(text).cast("binary"))
 
   def nonAlnumCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))

@@ -31,6 +31,24 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("NormalizeText expression equals the composed column, NULL-safe") {
+    val both = docs.select($"doc_id",
+        TextFunctions.normalize_text($"text").as("k"),
+        TextOps.normalizeText($"text").as("c"))
+      .as[(Long, String, String)].collect()
+    both.foreach { case (id, k, c) => assert(k == c, s"doc $id") }
+    // NULL in -> NULL out, like every null-intolerant string expression
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextFunctions.normalize_text($"text")).collect()
+    assert(n.head.isNullAt(0))
+    // fingerprint (md5 over the kernel) equals md5 over the composed column
+    val fp = docs.select($"doc_id",
+        TextOps.fingerprint($"text").as("k"),
+        md5(TextOps.normalizeText($"text").cast("binary")).as("c"))
+      .as[(Long, String, String)].collect()
+    fp.foreach { case (id, k, c) => assert(k == c, s"fingerprint doc $id") }
+  }
+
   test("shingle hash sets reproduce string-shingle distinct sets and jaccard") {
     val strSets = Dedup.shingleRows(docs, "doc_id", "text", 3)
       .groupBy("id").agg(collect_set($"shingle").as("s"))

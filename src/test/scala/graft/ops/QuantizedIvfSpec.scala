@@ -92,4 +92,33 @@ class QuantizedIvfSpec extends SparkTestBase {
       assert(recall >= 0.95, s"recall@5 $recall")
     } finally spark.sql("DROP TABLE IF EXISTS qivf_real")
   }
+
+  test("filtered batch serving: metadata predicate pushes down, equals filtered brute force") {
+    val labeled = corpus.withColumn("label",
+      (col("vec_id") % 2 === 0).cast("int"))   // 100,102,200,202 -> label 1... (even ids)
+    Similarity.writeQuantizedIvfStore(labeled, "vec_id", "embedding", centroids,
+      "qivf_filt", numBuckets = 4, metaCols = Seq("label"))
+    try {
+      val out = Similarity.quantizedIvfSearchFromStore(spark, "qivf_filt",
+        labeled, queries, "vec_id", "embedding", centroids,
+        nProbe = 2, k = 3, rerankK = 0,
+        candidateFilter = Some(col("label") === 1))
+      // the predicate reaches the parquet scan of the quantized store
+      val plan = out.queryExecution.executedPlan.toString
+      val scan = plan.linesIterator.find(l =>
+        l.contains("PushedFilters") && l.contains("label"))
+      assert(scan.isDefined, plan)
+      // exactness point: equals brute force over the label-filtered corpus
+      val got = out.select($"query_id", $"cand_id", $"cosine_sim", $"rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      val brute = Similarity.cosineTopK(queries,
+          labeled.filter($"label" === 1), "vec_id", "embedding", 3)
+        .select($"query_id", $"cand_id", $"cosine_sim", $"rank")
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got == brute)
+      assert(got.nonEmpty)
+      // every served candidate satisfies the predicate
+      assert(got.forall(_._2 % 2 == 0))
+    } finally spark.sql("DROP TABLE IF EXISTS qivf_filt")
+  }
 }
