@@ -2379,4 +2379,161 @@ object PipelineQueries {
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+
+  // ------------------------------------------------- phase decompositions
+
+  type Phase = (org.apache.spark.sql.SparkSession, String) =>
+    Option[org.apache.spark.sql.DataFrame]
+
+  /** Identity with an expected type, so phase lambdas infer their params. */
+  private def ph(f: Phase): Phase = f
+
+  private def histBatches(s: org.apache.spark.sql.SparkSession, d: String,
+                          dirName: String, src: org.apache.spark.sql.DataFrame,
+                          keyCol: String, groupCol: String,
+                          valueCol: org.apache.spark.sql.Column): String = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), dirName)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    (0L until 4L).foreach { b =>
+      Sketches.writeValueHistograms(
+        src.filter(pmod(col(keyCol), lit(4L)) === b),
+        groupCol, valueCol, dir.toString, b)
+    }
+    dir.toString
+  }
+
+  /** Per-phase decomposition of the store-backed declared queries. The
+    * declared query's headline bench time conflates the ONE-TIME index
+    * build with per-query serving cost; the serving argument rests on the
+    * probe-only number, so the bench times each phase separately and
+    * emits a `phases` map (build / delete / probe) next to the headline
+    * timings. Bodies mirror the declared queries exactly (same store
+    * names, parameters and oracles apply); the last phase returns the
+    * frame the bench noop-sinks. */
+  val phases: Map[String, Seq[(String, Phase)]] = Map(
+    "q115_quantized_ivf" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        Similarity.writeQuantizedIvfStore(emb.filter(col("vec_id") >= 20),
+          "vec_id", "embedding", fixedCodebook(emb), "q115_store",
+          numBuckets = fixedCodebook(emb).size)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        Some(Similarity.quantizedIvfSearchFromStore(s, "q115_store",
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", codebook, nProbe = codebook.size, k = 5,
+          rerankK = 0))
+      }),
+    "q123_store_delete" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        Similarity.writeIvfStore(emb.filter(col("vec_id") >= 20), "vec_id",
+          "embedding", fixedCodebook(emb), "q123_store",
+          numBuckets = fixedCodebook(emb).size)
+        None
+      },
+      "delete" -> ph { (s, d) =>
+        val corpus = embeddings(s, d).filter(col("vec_id") >= 20)
+        Stores.addTombstones(corpus.filter(col("vec_id") % 7 === 0),
+          "vec_id", "q123_store", batchId = 0L)
+        Stores.addTombstones(corpus.filter(col("vec_id") % 11 === 3),
+          "vec_id", "q123_store", batchId = 1L)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        Some(Similarity.ivfSearchFromStore(s, "q123_store",
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", codebook,
+          nProbe = codebook.size, k = 5))
+      }),
+    "q125_quantile_store" -> Seq(
+      "build" -> ph { (s, d) =>
+        histBatches(s, d, "q125_hist", lineitem(s, d), "l_orderkey",
+          "l_returnflag", col("l_quantity"))
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q125_hist").toString
+        Some(Sketches.mergedQuantiles(s, dir, "l_returnflag",
+          Seq(0.25, 0.5, 0.75, 0.9)))
+      }),
+    "q131_bm25_store" -> Seq(
+      "build" -> ph { (s, d) =>
+        Terms.writeBm25Store(documents(s, d), "doc_id", "text", "q131_store")
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        Some(Terms.bm25SearchFromStore(s, "q131_store",
+          Seq("stream", "query", "data"), k = 20))
+      }),
+    "q133_quantile_gate" -> Seq(
+      "build" -> ph { (s, d) =>
+        histBatches(s, d, "q133_hist", documents(s, d), "doc_id",
+          "lang", col("n_chars"))
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q133_hist").toString
+        val thr = Sketches.mergedQuantiles(s, dir, "lang", Seq(0.25))
+          .select(col("lang"), col("q").as("q25"))
+        Some(documents(s, d).join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("q25"),
+            (col("n_chars") >= col("q25")).as("keep")))
+      }),
+    "q135_bm25_batch" -> Seq(
+      "build" -> ph { (s, d) =>
+        Terms.writeBm25Store(documents(s, d), "doc_id", "text", "q135_store")
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        import s.implicits._
+        val workload = Seq(
+          (0L, "vector"), (0L, "join"),
+          (1L, "data"), (1L, "stream"), (1L, "filter"),
+          (2L, "query")).toDF("query_id", "term")
+        Some(Terms.bm25BatchSearchFromStore(s, "q135_store", workload, k = 10))
+      }),
+    "q136_bm25_delete" -> Seq(
+      "build" -> ph { (s, d) =>
+        Terms.writeBm25Store(documents(s, d), "doc_id", "text", "q136_store")
+        None
+      },
+      "delete" -> ph { (s, d) =>
+        val docs = documents(s, d)
+        Terms.tombstoneBm25Docs(s, "q136_store",
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+          "doc_id", batchId = 1L)
+        Terms.tombstoneBm25Docs(s, "q136_store",
+          docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id", batchId = 2L)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        Some(Terms.bm25SearchFromStore(s, "q136_store",
+          Seq("vector", "join", "filter"), k = 20))
+      }),
+    "q137_ann_batch" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        Similarity.writeQuantizedIvfStore(emb.filter(col("vec_id") >= 20),
+          "vec_id", "embedding", fixedCodebook(emb), "q137_store",
+          numBuckets = fixedCodebook(emb).size, metaCols = Seq("label"))
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        Some(Similarity.quantizedIvfSearchFromStore(s, "q137_store",
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", codebook, nProbe = codebook.size, k = 5,
+          rerankK = 0, candidateFilter = Some(col("label").isin(2, 5))))
+      }))
 }

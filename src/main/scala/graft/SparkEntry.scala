@@ -36,4 +36,10 @@ object SparkEntry {
     * sketches) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+
+  /** Phase decomposition (build / delete / probe) of the store-backed
+    * queries, for the bench's per-phase timings — see
+    * [[PipelineQueries.phases]]. */
+  def queryPhases: Map[String, Seq[(String, PipelineQueries.Phase)]] =
+    PipelineQueries.phases
 }
