@@ -2373,12 +2373,42 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Batched workload over base ∪ delta log
+    * ([[graft.ops.Terms.bm25BatchSearchWithDeltas]]) — the serving matrix
+    * closed: the q135 multi-query plan shape over a q131-style base index
+    * PLUS an uncompacted streaming delta batch. Base indexes 4/5 of the
+    * corpus, the delta batch lands the rest, so base ∪ delta is EXACTLY
+    * the full corpus and the q135 oracle applies verbatim — which is the
+    * point: delta reads are score-identical to a rebuild. */
+  private val q138 = Q("q138_bm25_batch_delta",
+    (s, d) => {
+      val docs = documents(s, d)
+      val deltaDir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q138_delta")
+      val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(deltaDir)) fs.delete(deltaDir, true) // stale prior runs
+      Terms.writeBm25Store(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", "q138_store")
+      Terms.writeBm25DeltaBatch(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", deltaDir.toString, batchId = 0L)
+      import s.implicits._
+      val workload = Seq(
+        (0L, "vector"), (0L, "join"),
+        (1L, "data"), (1L, "stream"), (1L, "filter"),
+        (2L, "query")).toDF("query_id", "term")
+      Terms.bm25BatchSearchWithDeltas(s, "q138_store", deltaDir.toString,
+          workload, k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    q135.oracle)
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
-    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
+    q138)
 
   // ------------------------------------------------- phase decompositions
 

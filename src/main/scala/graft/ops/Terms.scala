@@ -759,7 +759,43 @@ object Terms {
   def bm25BatchSearchFromStore(spark: org.apache.spark.sql.SparkSession,
                                table: String, queries: DataFrame, k: Int,
                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+    val (workload, terms) = bm25Workload(queries)
+    val post = Stores.minusTombstones(
+      spark.table(table).filter(col("term").isin(terms: _*)), table, "doc_id")
+    bm25BatchScore(post, bm25Stats(spark, table), workload, k, k1, b)
+  }
+
+  /** Batched workload over base PLUS the uncompacted delta log — the
+    * serving matrix completed: {single, workload} × {store, store∪deltas}
+    * all share the same scoring arithmetic, so every combination is
+    * score-identical to a rebuild (the [[bm25SearchWithDeltas]] argument
+    * applied to the [[bm25BatchSearchFromStore]] plan shape). */
+  def bm25BatchSearchWithDeltas(spark: org.apache.spark.sql.SparkSession,
+                                table: String, deltaPath: String,
+                                queries: DataFrame, k: Int,
+                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (workload, terms) = bm25Workload(queries)
+    val base = spark.table(table).filter(col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    val unioned =
+      if (!hasBatchDirs(spark, s"$deltaPath/post")) base
+      else base.unionByName(
+        spark.read.option("basePath", s"$deltaPath/post")
+          .parquet(s"$deltaPath/post")
+          .filter(col("term").isin(terms: _*))
+          .select(col("term"), col("doc_id"), col("dl"), col("tf")))
+    val post = Stores.minusTombstones(unioned, table, "doc_id")
+    val deltaStats =
+      if (!hasBatchDirs(spark, s"$deltaPath/stats")) None
+      else Some(spark.read.option("basePath", s"$deltaPath/stats")
+        .parquet(s"$deltaPath/stats").select(col("n_docs"), col("sum_dl")))
+    bm25BatchScore(post, bm25Stats(spark, table, deltaStats), workload, k, k1, b)
+  }
+
+  /** Workload prep shared by the batch entry points: distinct
+    * (query_id, term) pairs + the driver-collected term union under the
+    * shared normalized-terms contract. */
+  private def bm25Workload(queries: DataFrame): (DataFrame, Seq[String]) = {
     val workload = queries.select(col("query_id"), col("term")).distinct()
     val terms = workload.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -767,10 +803,17 @@ object Terms {
     // un-normalized term would silently match nothing against the
     // normalized token stream
     requireNormalizedTerms(terms)
-    val post = Stores.minusTombstones(
-      spark.table(table).filter(col("term").isin(terms: _*)), table, "doc_id")
+    (workload, terms)
+  }
+
+  /** Shared batch scoring tail over assembled (postings, stats): broadcast
+    * workload join, per-(query, doc) map-side-combined aggregation,
+    * bounded per-query TopK — the q135 plan shape. */
+  private def bm25BatchScore(post: DataFrame, stats: DataFrame,
+                             workload: DataFrame, k: Int,
+                             k1: Double, b: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     val dfreq = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = bm25Stats(spark, table)
     val w = col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))

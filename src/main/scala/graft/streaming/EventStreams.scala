@@ -455,6 +455,25 @@ object EventStreams {
         graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
       }
 
+  /** Streaming takedowns for the BM25 SEARCH index: each micro-batch of
+    * deleted ids goes through [[graft.ops.Terms.tombstoneBm25Docs]], so a
+    * taken-down document leaves search results (and the scoring
+    * statistics, exactly) within one micro-batch — no index rewrite.
+    * Replay-idempotent like every sink here: the per-batch tombstone dir
+    * and stats adjustment are pure functions of prior-batch state, so a
+    * failure-replayed micro-batch rewrites identical artifacts. Pass the
+    * index's delta log path when one exists so docs still living only in
+    * uncompacted deltas are deletable too. */
+  def sinkBm25Tombstones(deletedIds: DataFrame, idCol: String, table: String,
+                         deltaPath: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deletedIds.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Terms.tombstoneBm25Docs(batch.sparkSession, table, batch,
+          idCol, batchId, deltaPath)
+        ()
+      }
+
   /** Streaming leg of the mergeable-statistics stores: each micro-batch
     * writes its own monoid summary keyed by batch id (HLL sketch per
     * group / value histogram per group — [[graft.ops.Sketches]]), and the

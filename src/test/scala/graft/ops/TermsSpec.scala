@@ -428,6 +428,12 @@ class TermsSpec extends SparkTestBase {
     for (q <- qs)
       assert(searchRows("tst_bm25_del", q) == searchRows("tst_bm25_del_reb", q),
         s"post-replay terms=$q")
+    // the tombstone anti-join must not break bucket pruning: the isin
+    // probe sits below the join, so the postings scan stays pruned
+    val plan = Terms.bm25SearchFromStore(spark, "tst_bm25_del",
+      Seq("banana"), k = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"post-delete probe must stay bucket-pruned:\n$plan")
     // full compaction rewrites the survivors and clears deletion state
     Terms.compactBm25Store(spark, "tst_bm25_del", "tst_bm25_del_v2", numBuckets = 8)
     for (q <- qs)
@@ -510,6 +516,70 @@ class TermsSpec extends SparkTestBase {
       Terms.dropBm25Store(spark, t)
     }
     Terms.dropBm25Store(spark, "tst_bm25_crr")
+  }
+
+  test("bm25 batch workload over base+deltas equals the single-query delta path") {
+    val base = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (4L, "")).toDF("doc_id", "text")
+    val b0 = Seq((3L, "apple banana cherry")).toDF("doc_id", "text")
+    val delta = java.nio.file.Files.createTempDirectory("bm25_bd").toString
+    Terms.dropBm25Store(spark, "tst_bm25_bd")
+    Terms.writeBm25Store(base, "doc_id", "text", "tst_bm25_bd", numBuckets = 8)
+    Terms.writeBm25DeltaBatch(b0, "doc_id", "text", delta, 0L)
+    // also delete a doc so the batch+delta path sees tombstones
+    assert(Terms.tombstoneBm25Docs(spark, "tst_bm25_bd",
+      Seq(2L).toDF("doc_id"), "doc_id", batchId = 0L,
+      deltaPath = Some(delta)) == 1L)
+    val sets = Map(0L -> Seq("vector", "filter"), 1L -> Seq("apple"),
+      2L -> Seq("cherry", "banana"))
+    val workload = sets.toSeq
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val batch = Terms.bm25BatchSearchWithDeltas(spark, "tst_bm25_bd", delta,
+        workload, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq).toMap
+    for ((qid, ts) <- sets) {
+      val single = Terms.bm25SearchWithDeltas(spark, "tst_bm25_bd", delta,
+          ts, k = 10)
+        .as[(Long, Long, Double, Long)].collect()
+        .map(r => (r._1, r._3, r._4)).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single, s"query $qid")
+    }
+    Terms.dropBm25Store(spark, "tst_bm25_bd")
+  }
+
+  test("streaming BM25 takedown sink removes docs from search within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      (1L, "Vector JOIN filter vector!"),
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry"),
+      (5L, "filter apple vector cherry words")).toDF("doc_id", "text")
+    Terms.dropBm25Store(spark, "tst_bm25_sdel")
+    Terms.dropBm25Store(spark, "tst_bm25_sdel_reb")
+    Terms.writeBm25Store(docs, "doc_id", "text", "tst_bm25_sdel", numBuckets = 8)
+    val in = MemoryStream[Long]
+    val q = graft.streaming.EventStreams.sinkBm25Tombstones(
+        in.toDF().toDF("doc_id"), "doc_id", "tst_bm25_sdel")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bm25_sdel_ckpt").toString)
+      .start()
+    in.addData(2L)
+    q.processAllAvailable()
+    in.addData(5L)
+    q.processAllAvailable()
+    q.stop()
+    Terms.writeBm25Store(docs.filter(!col("doc_id").isin(2L, 5L)),
+      "doc_id", "text", "tst_bm25_sdel_reb", numBuckets = 8)
+    for (ts <- Seq(Seq("vector", "filter"), Seq("apple"), Seq("cherry")))
+      assert(searchRows("tst_bm25_sdel", ts) == searchRows("tst_bm25_sdel_reb", ts),
+        s"terms=$ts")
+    Terms.dropBm25Store(spark, "tst_bm25_sdel")
+    Terms.dropBm25Store(spark, "tst_bm25_sdel_reb")
   }
 
   test("bm25 append/delta equivalence holds under adversarial batches") {
