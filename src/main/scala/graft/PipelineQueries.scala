@@ -2402,13 +2402,56 @@ object PipelineQueries {
     },
     q135.oracle)
 
+  /** IVF delta-log serving ([[graft.ops.Similarity.writeIvfDeltaBatch]] /
+    * [[graft.ops.Similarity.ivfSearchFromStoreWithDeltas]]): the ANN twin
+    * of q138 — the bucketed base indexes 2/3 of the corpus, one delta
+    * batch lands the rest, and the probe unions the log into the
+    * bucket-pruned candidate slice. Each vector sits in exactly one cell
+    * under the shared codebook, so base ∪ delta scores EXACTLY as a
+    * rebuilt store; declared at the nProbe = nCells exactness point where
+    * that store equals brute-force cosine top-k — the standard oracle.
+    * The exactly-once fold (src provenance, kill-between-steps spec) is
+    * [[graft.ops.Similarity.compactIvfDelta]]. */
+  private val q139 = Q("q139_ann_delta",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val codebook = fixedCodebook(emb)
+      val deltaDir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q139_delta")
+      val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(deltaDir)) fs.delete(deltaDir, true) // stale prior runs
+      Similarity.writeIvfStore(corpus.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", codebook, "q139_store",
+        numBuckets = codebook.size)
+      Similarity.writeIvfDeltaBatch(corpus.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", codebook, deltaDir.toString, batchId = 0L)
+      Similarity.ivfSearchFromStoreWithDeltas(s, "q139_store",
+          deltaDir.toString, qs, "vec_id", "embedding", codebook,
+          nProbe = codebook.size, k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138)
+    q138, q139)
 
   // ------------------------------------------------- phase decompositions
 
@@ -2549,6 +2592,55 @@ object PipelineQueries {
       "probe" -> ph { (s, d) =>
         Some(Terms.bm25SearchFromStore(s, "q136_store",
           Seq("vector", "join", "filter"), k = 20))
+      }),
+    "q138_bm25_batch_delta" -> Seq(
+      "build" -> ph { (s, d) =>
+        val docs = documents(s, d)
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q138_delta")
+        val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+        Terms.writeBm25Store(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", "q138_store")
+        Terms.writeBm25DeltaBatch(docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", deltaDir.toString, batchId = 0L)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        import s.implicits._
+        val workload = Seq(
+          (0L, "vector"), (0L, "join"),
+          (1L, "data"), (1L, "stream"), (1L, "filter"),
+          (2L, "query")).toDF("query_id", "term")
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q138_delta").toString
+        Some(Terms.bm25BatchSearchWithDeltas(s, "q138_store", deltaDir,
+          workload, k = 10))
+      }),
+    "q139_ann_delta" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        val corpus = emb.filter(col("vec_id") >= 20)
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q139_delta")
+        val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+        Similarity.writeIvfStore(corpus.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", codebook, "q139_store",
+          numBuckets = codebook.size)
+        Similarity.writeIvfDeltaBatch(corpus.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", codebook, deltaDir.toString, batchId = 0L)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q139_delta").toString
+        Some(Similarity.ivfSearchFromStoreWithDeltas(s, "q139_store",
+          deltaDir, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+          codebook, nProbe = codebook.size, k = 5))
       }),
     "q137_ann_batch" -> Seq(
       "build" -> ph { (s, d) =>

@@ -397,8 +397,13 @@ object Similarity {
                     centroids: Seq[(Long, Seq[Double])], table: String,
                     numBuckets: Int, metaCols: Seq[String] = Nil): Unit = {
     dropStaleStore(df.sparkSession, table)
+    // src is the fold-provenance column of the delta machinery
+    // ([[compactIvfDelta]]): −1 = initial build, −2 = trusted batch
+    // append, batch id = folded delta batch. Constant per file ⇒ RLE'd
+    // to bytes and probed footer-only via row-group stats.
     df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
+        nearestCell(col(vecCol), centroids).as("cell"),
+        lit(-1L).as("src")) ++ metaCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -421,12 +426,31 @@ object Similarity {
                        centroids: Seq[(Long, Seq[Double])], table: String,
                        numBuckets: Int, metaCols: Seq[String] = Nil): Unit =
     df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
+        nearestCell(col(vecCol), centroids).as("cell"),
+        lit(-2L).as("src")) ++ metaCols.map(col): _*)
       .write.mode("append")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
       .format("parquet")
       .saveAsTable(table)
+
+  /** STREAMING-grade IVF maintenance, part 1: land ONE micro-batch's
+    * cell-assigned rows as `deltaPath/rows/batch=B` (per-batch OVERWRITE —
+    * a failure-replayed batch rewrites byte-identical content, the
+    * engine's replay-idempotence contract; contrast [[appendToIvfStore]],
+    * whose bucketed append would duplicate rows under replay). The
+    * codebook must be the store's codebook, as for every append. Probing
+    * unions the log in ([[ivfSearchFromStoreWithDeltas]]); the exactly-once
+    * LSM fold into the bucketed base is [[compactIvfDelta]]. */
+  def writeIvfDeltaBatch(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[(Long, Seq[Double])],
+                         deltaPath: String, batchId: Long,
+                         metaCols: Seq[String] = Nil): Unit = {
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+        nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$deltaPath/rows/batch=$batchId")
+    ()
+  }
 
   /** IVF store, part 2: ANN probe over the bucketed store. The probed cell
     * ids become an IN-list literal, which Spark's bucket pruning turns into
@@ -446,7 +470,38 @@ object Similarity {
                          idCol: String, vecCol: String,
                          centroids: Seq[(Long, Seq[Double])],
                          nProbe: Int, k: Int,
-                         candidateFilter: Option[Column] = None): DataFrame = {
+                         candidateFilter: Option[Column] = None): DataFrame =
+    ivfProbeScore(spark, table, None, queries, idCol, vecCol, centroids,
+      nProbe, k, candidateFilter)
+
+  /** Probe base PLUS the uncompacted [[writeIvfDeltaBatch]] log: base
+    * candidates stay bucket-pruned; delta rows (small by the LSM
+    * contract — recent batches only) filter on the probed cell set
+    * without pruning; tombstones and the metadata predicate apply to the
+    * union. Results are EXACTLY those of a store rebuilt over
+    * base ∪ deltas — each vector sits in exactly one cell under the
+    * shared codebook, so the union changes only which file a candidate
+    * is read from, never the scored set. */
+  def ivfSearchFromStoreWithDeltas(spark: SparkSession, table: String,
+                                   deltaPath: String, queries: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   centroids: Seq[(Long, Seq[Double])],
+                                   nProbe: Int, k: Int,
+                                   candidateFilter: Option[Column] = None): DataFrame = {
+    val delta =
+      if (!Stores.hasBatchDirs(spark, s"$deltaPath/rows")) None
+      else Some(spark.read.option("basePath", s"$deltaPath/rows")
+        .parquet(s"$deltaPath/rows").drop("batch"))
+    ivfProbeScore(spark, table, delta, queries, idCol, vecCol, centroids,
+      nProbe, k, candidateFilter)
+  }
+
+  private def ivfProbeScore(spark: SparkSession, table: String,
+                            deltaRows: Option[DataFrame], queries: DataFrame,
+                            idCol: String, vecCol: String,
+                            centroids: Seq[(Long, Seq[Double])],
+                            nProbe: Int, k: Int,
+                            candidateFilter: Option[Column]): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"),
@@ -457,13 +512,17 @@ object Similarity {
     // set gives the literal IN-list bucket pruning needs
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
+    val base = spark.table(table).filter(col("cell").isin(probedCells: _*))
+    // delta rows have no src column yet (the fold stamps it) — by-name
+    // union with missing columns keeps the base scan's pruned shape
+    val unioned = deltaRows.fold(base)(dr =>
+      base.unionByName(dr.filter(col("cell").isin(probedCells: _*)),
+        allowMissingColumns = true))
     // the candidate norm is computed in the scan projection — once per
     // stored row read, no store schema change. Tombstoned (deleted) ids
     // are anti-joined out of the bucket-pruned slice (zero-cost when no
     // delete was ever recorded — [[Stores.minusTombstones]]).
-    val pruned = Stores.minusTombstones(
-        spark.table(table).filter(col("cell").isin(probedCells: _*)),
-        table, idName = "id")
+    val pruned = Stores.minusTombstones(unioned, table, idName = "id")
     val cand = candidateFilter.fold(pruned)(pruned.filter)
       .select(col("cell"), col("id").as("cand_id"), col("vec").as("cv"),
         VectorOps.norm(col("vec")).as("cn"))
@@ -472,6 +531,72 @@ object Similarity {
         VectorOps.dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .select(col("query_id"), col("cand_id"), col("sim"))
     rankTopK(scored, k, "rnk")
+  }
+
+  /** EXACTLY-ONCE LSM fold of the IVF delta log into the bucketed base.
+    * Unlike the LSH signature store (where a replayed row is harmless —
+    * candidate pairs dedupe) a double-appended vector would be a
+    * DUPLICATE CANDIDATE served twice per probe, so the fold runs the
+    * [[graft.ops.Terms.compactBm25Delta]] provenance protocol: folded
+    * rows carry `src` = their delta batch id, the append is skipped for
+    * any batch whose `src` already appears in the base (the append's own
+    * job commit is the fold marker; the probe is footer-only via
+    * row-group stats on the constant column), and the folded directories
+    * are swept last — every step independently idempotent, so a re-run
+    * after a crash at any point converges with no duplicate and no loss
+    * (spec'd by the same kill-between-steps simulation). Batch ids come
+    * from the directory listing so zero-row batches sweep.
+    * `maxBatchExclusive`: only the stream's checkpoint knows which
+    * batches are committed — no unsafe default. */
+  def compactIvfDelta(spark: SparkSession, table: String, deltaPath: String,
+                      numBuckets: Int, maxBatchExclusive: Long): Int =
+    compactIvfDeltaImpl(spark, table, deltaPath, numBuckets,
+      maxBatchExclusive, crashAfterStep = Int.MaxValue)
+
+  private[ops] def compactIvfDeltaImpl(spark: SparkSession, table: String,
+                                       deltaPath: String, numBuckets: Int,
+                                       maxBatchExclusive: Long,
+                                       crashAfterStep: Int): Int = {
+    import spark.implicits._
+    def crash(step: Int): Unit =
+      if (crashAfterStep == step)
+        throw new RuntimeException(s"simulated crash after compaction step $step")
+    if (!Stores.hasBatchDirs(spark, s"$deltaPath/rows")) return 0
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(deltaPath), spark.sparkContext.hadoopConfiguration)
+    val batches = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$deltaPath/rows"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong)
+      .filter(_ < maxBatchExclusive).sorted.toSeq
+    if (batches.isEmpty) return 0
+    // step 1: append pending batches, guarded by base src provenance
+    val done = spark.table(table).select(col("src"))
+      .filter(col("src").isin(batches: _*)).distinct().as[Long].collect().toSet
+    val pending = batches.filterNot(done)
+    if (pending.nonEmpty) {
+      // project into the base table's exact column order, stamping src
+      val cols = spark.table(table).columns.toSeq.map {
+        case "src" => col("batch").cast("long").as("src")
+        case c     => col(c)
+      }
+      spark.read.option("basePath", s"$deltaPath/rows")
+        .parquet(s"$deltaPath/rows")
+        .filter(col("batch").isin(pending: _*))
+        .select(cols: _*)
+        .write.mode("append")
+        .bucketBy(numBuckets, "cell")
+        .sortBy("cell")
+        .format("parquet")
+        .saveAsTable(table)
+    }
+    crash(1)
+    // step 2: idempotent sweep of the folded directories
+    batches.foreach { bId =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$deltaPath/rows/batch=$bId"), true)
+    }
+    crash(2)
+    batches.length
   }
 
   /** Quantized IVF store (the q53 IVF bucketing × q67 int8 quantization

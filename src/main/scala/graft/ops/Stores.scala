@@ -80,6 +80,17 @@ object Stores {
       .select(col("id")).distinct())
   }
 
+  /** True iff `path` exists and holds at least one `batch=` directory —
+    * the probe every delta-log reader uses for its zero-overhead
+    * no-deltas fast path. */
+  private[ops] def hasBatchDirs(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
+  }
+
   /** The distinct deleted-id set EXCLUDING one batch — what a delete
     * batch's own recompute must see so its artifacts stay a pure function
     * of prior, frozen state under replay ([[graft.ops.Terms.tombstoneBm25Docs]]).

@@ -455,6 +455,23 @@ object EventStreams {
         graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
       }
 
+  /** Streaming leg of the IVF vector index: each micro-batch of new
+    * vectors lands as a cell-assigned delta batch
+    * ([[graft.ops.Similarity.writeIvfDeltaBatch]] — per-batch overwrite,
+    * replay-idempotent, unlike the bucketed append which would duplicate
+    * candidates under replay). Probes union the log in
+    * ([[graft.ops.Similarity.ivfSearchFromStoreWithDeltas]]);
+    * [[graft.ops.Similarity.compactIvfDelta]] is the exactly-once fold. */
+  def sinkIvfDelta(vectors: DataFrame, idCol: String, vecCol: String,
+                   centroids: Seq[(Long, Seq[Double])],
+                   deltaPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity.writeIvfDeltaBatch(batch, idCol, vecCol,
+          centroids, deltaPath, batchId)
+      }
+
   /** Streaming takedowns for the BM25 SEARCH index: each micro-batch of
     * deleted ids goes through [[graft.ops.Terms.tombstoneBm25Docs]], so a
     * taken-down document leaves search results (and the scoring

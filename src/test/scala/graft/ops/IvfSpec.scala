@@ -288,4 +288,56 @@ class IvfSpec extends SparkTestBase {
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
     assert(sampled.length == 28 * 16)
   }
+
+  private def probeRows(table: String, delta: Option[String] = None): Set[(Long, Long, Double, Long)] = {
+    val out = delta match {
+      case Some(p) => Similarity.ivfSearchFromStoreWithDeltas(spark, table, p,
+        queries, "vec_id", "embedding", centroids, nProbe = 2, k = 10)
+      case None => Similarity.ivfSearchFromStore(spark, table, queries,
+        "vec_id", "embedding", centroids, nProbe = 2, k = 10)
+    }
+    out.select($"query_id", $"cand_id", $"cosine_sim", $"rnk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+  }
+
+  test("IVF delta log: base+deltas equals a rebuilt store; fold is exactly-once under crash") {
+    val base = corpus.filter($"vec_id" % 2 === 0)   // 100, 102, 200, 202
+    val d0 = corpus.filter($"vec_id" === 101L)
+    val d1 = corpus.filter($"vec_id" === 201L)
+    Similarity.writeIvfStore(corpus, "vec_id", "embedding", centroids,
+      "ivf_delta_reb", numBuckets = 4)
+    val rebuilt = probeRows("ivf_delta_reb")
+    for (step <- Seq(1, 2)) {
+      val delta = java.nio.file.Files.createTempDirectory(s"ivf_delta$step").toString
+      Similarity.writeIvfStore(base, "vec_id", "embedding", centroids,
+        "ivf_delta_t", numBuckets = 4)
+      Similarity.writeIvfDeltaBatch(d0, "vec_id", "embedding", centroids, delta, 0L)
+      Similarity.writeIvfDeltaBatch(d1, "vec_id", "embedding", centroids, delta, 1L)
+      // delta-union reads equal the one-shot rebuild
+      assert(probeRows("ivf_delta_t", Some(delta)) == rebuilt, s"step=$step union")
+      // crash the fold at each step boundary, then recover by re-running:
+      // the provenance guard must yield NO duplicate candidates and NO loss
+      val e = intercept[RuntimeException] {
+        Similarity.compactIvfDeltaImpl(spark, "ivf_delta_t", delta,
+          numBuckets = 4, maxBatchExclusive = 2L, crashAfterStep = step)
+      }
+      assert(e.getMessage.contains(s"step $step"))
+      // a crash after the sweep leaves nothing to fold on re-run (0);
+      // a crash after the append re-runs to a pure cleanup pass (2)
+      assert(Similarity.compactIvfDelta(spark, "ivf_delta_t", delta,
+        numBuckets = 4, maxBatchExclusive = 2L) == (if (step == 1) 2 else 0))
+      val folded = probeRows("ivf_delta_t")
+      assert(folded == rebuilt, s"step=$step folded")
+      // duplicate-candidate check, independent of the equality above
+      val perQuery = folded.toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      perQuery.foreach { case (q, cands) =>
+        assert(cands.distinct.size == cands.size, s"step=$step dup for query $q")
+      }
+      assert(Similarity.compactIvfDelta(spark, "ivf_delta_t", delta,
+        numBuckets = 4, maxBatchExclusive = 10L) == 0, s"step=$step residue")
+      spark.sql("DROP TABLE IF EXISTS ivf_delta_t")
+    }
+    spark.sql("DROP TABLE IF EXISTS ivf_delta_reb")
+  }
 }
