@@ -143,6 +143,67 @@ object Stores {
     ()
   }
 
+  private def versionDir(spark: SparkSession, alias: String) =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${alias}__versions")
+
+  /** Atomic version publication — the version-swap idiom made
+    * first-class. A compaction writes generation G+1 as a NEW table,
+    * PUBLISHES it under the stable alias, and only then drops generation
+    * G; consumers address the alias ([[resolve]]) and never a concrete
+    * generation. Pointer records are IMMUTABLE files
+    * `<alias>__versions/v<N>` (content = the table name) created via
+    * tmp + rename-to-a-fresh-name — atomic on posix and HDFS — and the
+    * current version is the highest N, so there is no torn-pointer
+    * state: a crash before the rename leaves the alias on the old,
+    * still-existing generation; a crash after it leaves both
+    * generations on disk with readers already resolving the new one.
+    * Returns the published version number. Single-publisher contract
+    * (the same owner that runs compaction). */
+  def publishVersion(spark: SparkSession, alias: String, table: String): Long = {
+    val dir = versionDir(spark, alias)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val next = currentVersion(spark, alias).map(_._1 + 1).getOrElse(1L)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".v$next.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(table.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, s"v$next")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"publishVersion: concurrent publish detected for alias '$alias' v$next")
+    next
+  }
+
+  /** The alias's current (version, table), or None when never published. */
+  def currentVersion(spark: SparkSession, alias: String): Option[(Long, String)] = {
+    val dir = versionDir(spark, alias)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+        .map(_.drop(1).toLong)
+      if (vs.isEmpty) None
+      else {
+        val n = vs.max
+        val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"v$n"))
+        val table = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some((n, table))
+      }
+    }
+  }
+
+  /** The concrete table the alias currently points at — what every
+    * consumer should address instead of a generation name. Throws loudly
+    * on an unpublished alias (a silent fallback would read a stale or
+    * wrong table). */
+  def resolve(spark: SparkSession, alias: String): String =
+    currentVersion(spark, alias).map(_._2).getOrElse(
+      throw new IllegalStateException(
+        s"resolve: alias '$alias' has no published version"))
+
   /** Amortized rewrite: materialize `table` minus its tombstones into
     * `newTable` with the same cell bucketing (all engine stores bucket and
     * sort by `cell`), then drop the old table and its tombstone set. One
@@ -150,7 +211,8 @@ object Stores {
     * only per-partition work; no shuffle beyond the bucketing exchange.
     * Consumers repoint to `newTable` (version-swap, not in-place). */
   def compactInto(spark: SparkSession, table: String, newTable: String,
-                  numBuckets: Int, bucketCol: String = "cell"): Unit = {
+                  numBuckets: Int, bucketCol: String = "cell",
+                  publishAlias: Option[String] = None): Unit = {
     require(newTable != table, "compaction writes a NEW table version")
     dropStore(spark, newTable)
     minusTombstones(spark.table(table), table, idName = "id")
@@ -159,6 +221,10 @@ object Stores {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(newTable)
+    // publish BEFORE dropping the old generation: a crash in between
+    // leaves both generations with readers already on the new one; a
+    // crash before the publish leaves the alias on the intact old one
+    publishAlias.foreach(a => publishVersion(spark, a, newTable))
     dropStore(spark, table)
   }
 }

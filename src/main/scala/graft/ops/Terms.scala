@@ -650,7 +650,8 @@ object Terms {
     * consumers repoint (version-swap, never in-place). */
   def compactBm25Store(spark: org.apache.spark.sql.SparkSession,
                        table: String, newTable: String,
-                       numBuckets: Int = 32): Unit = {
+                       numBuckets: Int = 32,
+                       publishAlias: Option[String] = None): Unit = {
     require(newTable != table, "compaction writes a NEW table version")
     dropBm25Store(spark, newTable)
     Stores.minusTombstones(spark.table(s"${table}_docs"), table, "doc_id")
@@ -667,6 +668,8 @@ object Terms {
       .sortBy("term")
       .format("parquet")
       .saveAsTable(newTable)
+    // the Stores.compactInto ordering argument: publish first, drop last
+    publishAlias.foreach(a => Stores.publishVersion(spark, a, newTable))
     dropBm25Store(spark, table)
   }
 

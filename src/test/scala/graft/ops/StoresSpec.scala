@@ -162,4 +162,63 @@ class StoresSpec extends SparkTestBase {
       assert(served == Set(101L, 102L, 200L, 201L))
     } finally Stores.dropStore(spark, "st_cat")
   }
+
+  test("version manifest: atomic publish, alias resolution, compaction swap") {
+    val alias = "st_alias"
+    // unpublished alias fails loudly, never silently falls back
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${alias}__versions")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    intercept[IllegalStateException] { Stores.resolve(spark, alias) }
+    // publish v1 and read through the alias
+    val rows = Seq((1L, 10L, "a"), (2L, 10L, "b"), (3L, 20L, "c"))
+      .toDF("id", "cell", "payload")
+    Stores.dropStore(spark, "st_gen1"); Stores.dropStore(spark, "st_gen2")
+    rows.write.bucketBy(2, "cell").sortBy("cell")
+      .format("parquet").saveAsTable("st_gen1")
+    assert(Stores.publishVersion(spark, alias, "st_gen1") == 1L)
+    assert(Stores.resolve(spark, alias) == "st_gen1")
+    assert(spark.table(Stores.resolve(spark, alias)).count() == 3)
+    // delete + compact under the alias: the swap publishes BEFORE the old
+    // generation drops, so the alias is valid at every instant
+    Stores.addTombstones(Seq(2L).toDF("id"), "id", "st_gen1", 0L)
+    Stores.compactInto(spark, "st_gen1", "st_gen2", numBuckets = 2,
+      publishAlias = Some(alias))
+    assert(Stores.resolve(spark, alias) == "st_gen2")
+    assert(spark.table(Stores.resolve(spark, alias))
+      .select($"id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(!spark.catalog.tableExists("st_gen1"))
+    // version numbers are monotone; history remains inspectable
+    assert(Stores.currentVersion(spark, alias).map(_._1).contains(2L))
+    Stores.dropStore(spark, "st_gen2")
+    fs.delete(dir, true)
+  }
+
+  test("BM25 compaction publishes the new generation under an alias") {
+    import graft.ops.Terms
+    val docs = Seq(
+      (1L, "vector join filter"),
+      (2L, "vector apple banana"),
+      (3L, "apple banana cherry")).toDF("doc_id", "text")
+    val alias = "st_bm25_alias"
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${alias}__versions")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    Terms.dropBm25Store(spark, "st_bm25_g1"); Terms.dropBm25Store(spark, "st_bm25_g2")
+    Terms.writeBm25Store(docs, "doc_id", "text", "st_bm25_g1", numBuckets = 4)
+    Stores.publishVersion(spark, alias, "st_bm25_g1")
+    Terms.tombstoneBm25Docs(spark, "st_bm25_g1", Seq(2L).toDF("doc_id"),
+      "doc_id", batchId = 0L)
+    Terms.compactBm25Store(spark, "st_bm25_g1", "st_bm25_g2",
+      numBuckets = 4, publishAlias = Some(alias))
+    val current = Stores.resolve(spark, alias)
+    assert(current == "st_bm25_g2")
+    val got = Terms.bm25SearchFromStore(spark, current, Seq("apple"), k = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(3L))
+    Terms.dropBm25Store(spark, "st_bm25_g2")
+    fs.delete(dir, true)
+  }
 }
