@@ -2445,13 +2445,57 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** The full serving composite: QUANTIZED store + DELTA log + metadata
+    * FILTER + batched workload, in one declared query — int8 base over
+    * 2/3 of the corpus, one quantized delta batch over the rest
+    * ([[graft.ops.Similarity.writeQuantizedIvfDeltaBatch]]), label
+    * IN-predicate applied to the unioned bucket-pruned slice before any
+    * dequantized scoring, full re-rank. At nProbe = nCells, rerankK = 0
+    * the answer provably equals brute-force cosine top-k over the
+    * label-filtered corpus — the q137 oracle with a different label set. */
+  private val q140 = Q("q140_quantized_delta",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val codebook = fixedCodebook(emb)
+      val deltaDir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q140_delta")
+      val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(deltaDir)) fs.delete(deltaDir, true) // stale prior runs
+      Similarity.writeQuantizedIvfStore(corpus.filter(col("vec_id") % 3 =!= 0),
+        "vec_id", "embedding", codebook, "q140_store",
+        numBuckets = codebook.size, metaCols = Seq("label"))
+      Similarity.writeQuantizedIvfDeltaBatch(corpus.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", codebook, deltaDir.toString, batchId = 0L,
+        metaCols = Seq("label"))
+      Similarity.quantizedIvfSearchFromStoreWithDeltas(s, "q140_store",
+          deltaDir.toString, corpus, qs, "vec_id", "embedding", codebook,
+          nProbe = codebook.size, k = 5, rerankK = 0,
+          candidateFilter = Some(col("label").isin(1, 4)))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some("""WITH ex AS (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v,
+              CAST(unnest(range(len(embedding))) AS BIGINT) AS i FROM embeddings),
+            n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+            dots AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id, sum(a.v * b.v) AS dp
+              FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 20 AND b.vec_id >= 20
+                AND b.label IN (1, 4)
+              GROUP BY a.vec_id, b.vec_id),
+            sims AS (SELECT query_id, cand_id, dp / (na.nrm * nb.nrm) AS sim
+              FROM dots JOIN n na ON na.vec_id = query_id JOIN n nb ON nb.vec_id = cand_id),
+            ranked AS (SELECT query_id, cand_id, sim, CAST(row_number() OVER
+              (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rnk FROM sims)
+            SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
+            FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139)
+    q138, q139, q140)
 
   // ------------------------------------------------- phase decompositions
 

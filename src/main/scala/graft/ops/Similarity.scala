@@ -533,7 +533,11 @@ object Similarity {
     rankTopK(scored, k, "rnk")
   }
 
-  /** EXACTLY-ONCE LSM fold of the IVF delta log into the bucketed base.
+  /** EXACTLY-ONCE LSM fold of an IVF-family delta log into its bucketed
+    * base — serves BOTH the full-precision ([[writeIvfDeltaBatch]]) and
+    * quantized ([[writeQuantizedIvfDeltaBatch]]) stores: each buckets by
+    * `cell`, carries `src` provenance, and the fold projects the delta
+    * rows into the target table's own column order.
     * Unlike the LSH signature store (where a replayed row is harmless —
     * candidate pairs dedupe) a double-appended vector would be a
     * DUPLICATE CANDIDATE served twice per probe, so the fold runs the
@@ -611,17 +615,39 @@ object Similarity {
                              centroids: Seq[(Long, Seq[Double])], table: String,
                              numBuckets: Int, metaCols: Seq[String] = Nil): Unit = {
     dropStaleStore(df.sparkSession, table)
+    quantizedRows(df, idCol, vecCol, centroids, metaCols)
+      .withColumn("src", lit(-1L))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell")
+      .sortBy("cell")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Shared quantization projection: (id, cell, scale, codes, meta…). */
+  private def quantizedRows(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: Seq[(Long, Seq[Double])],
+                            metaCols: Seq[String]): DataFrame =
     df.select(Seq(col(idCol).as("id"), col(vecCol).as("__v"),
         nearestCell(col(vecCol), centroids).as("cell")) ++ metaCols.map(col): _*)
       .withColumn("scale", VectorOps.int8Scale(col("__v")))
       .select(Seq(col("id"), col("cell"), col("scale"),
         VectorOps.quantizeInt8(col("__v"), col("scale"))
           .cast("array<tinyint>").as("codes")) ++ metaCols.map(col): _*)
-      .write.mode("overwrite")
-      .bucketBy(numBuckets, "cell")
-      .sortBy("cell")
-      .format("parquet")
-      .saveAsTable(table)
+
+  /** Delta-log leg of the quantized store — identical contract to
+    * [[writeIvfDeltaBatch]] (per-batch overwrite, store's codebook), rows
+    * already quantized so the fold is a pure file move. The exactly-once
+    * fold is the SAME [[compactIvfDelta]]: both IVF families bucket by
+    * `cell` and carry `src` provenance, and the fold projects into the
+    * target table's own column order. */
+  def writeQuantizedIvfDeltaBatch(df: DataFrame, idCol: String, vecCol: String,
+                                  centroids: Seq[(Long, Seq[Double])],
+                                  deltaPath: String, batchId: Long,
+                                  metaCols: Seq[String] = Nil): Unit = {
+    quantizedRows(df, idCol, vecCol, centroids, metaCols)
+      .write.mode("overwrite").parquet(s"$deltaPath/rows/batch=$batchId")
+    ()
   }
 
   /** Two-stage ANN probe over a [[writeQuantizedIvfStore]] table:
@@ -655,7 +681,37 @@ object Similarity {
                                   idCol: String, vecCol: String,
                                   centroids: Seq[(Long, Seq[Double])],
                                   nProbe: Int, k: Int, rerankK: Int,
-                                  candidateFilter: Option[Column] = None): DataFrame = {
+                                  candidateFilter: Option[Column] = None): DataFrame =
+    quantizedProbeScore(spark, table, None, corpus, queries, idCol, vecCol,
+      centroids, nProbe, k, rerankK, candidateFilter)
+
+  /** Probe the quantized base PLUS the uncompacted
+    * [[writeQuantizedIvfDeltaBatch]] log — the [[ivfSearchFromStoreWithDeltas]]
+    * argument verbatim: the union changes which file a candidate is read
+    * from, never the scored set, so results EXACTLY equal a store rebuilt
+    * over base ∪ deltas. */
+  def quantizedIvfSearchFromStoreWithDeltas(spark: SparkSession, table: String,
+                                            deltaPath: String,
+                                            corpus: DataFrame, queries: DataFrame,
+                                            idCol: String, vecCol: String,
+                                            centroids: Seq[(Long, Seq[Double])],
+                                            nProbe: Int, k: Int, rerankK: Int,
+                                            candidateFilter: Option[Column] = None): DataFrame = {
+    val delta =
+      if (!Stores.hasBatchDirs(spark, s"$deltaPath/rows")) None
+      else Some(spark.read.option("basePath", s"$deltaPath/rows")
+        .parquet(s"$deltaPath/rows").drop("batch"))
+    quantizedProbeScore(spark, table, delta, corpus, queries, idCol, vecCol,
+      centroids, nProbe, k, rerankK, candidateFilter)
+  }
+
+  private def quantizedProbeScore(spark: SparkSession, table: String,
+                                  deltaRows: Option[DataFrame],
+                                  corpus: DataFrame, queries: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  centroids: Seq[(Long, Seq[Double])],
+                                  nProbe: Int, k: Int, rerankK: Int,
+                                  candidateFilter: Option[Column]): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VectorOps.norm(col(vecCol)).as("qn"),
@@ -666,10 +722,13 @@ object Similarity {
       .collect().map(_.getLong(0)).sorted
     // stage 1: dequantized cosine from the compact store (bucket-pruned
     // scan), tombstoned ids anti-joined out ([[Stores.minusTombstones]]),
-    // metadata predicate applied before any scoring work
-    val pruned = Stores.minusTombstones(
-        spark.table(table).filter(col("cell").isin(probedCells: _*)),
-        table, idName = "id")
+    // metadata predicate applied before any scoring work; delta rows
+    // union in on the probed cell set (no src yet — the fold stamps it)
+    val baseSlice = spark.table(table).filter(col("cell").isin(probedCells: _*))
+    val unioned = deltaRows.fold(baseSlice)(dr =>
+      baseSlice.unionByName(dr.filter(col("cell").isin(probedCells: _*)),
+        allowMissingColumns = true))
+    val pruned = Stores.minusTombstones(unioned, table, idName = "id")
     val approx = candidateFilter.fold(pruned)(pruned.filter)
       .select(col("cell"), col("id").as("cand_id"), col("scale"),
         col("codes").cast("array<double>").as("codes"))

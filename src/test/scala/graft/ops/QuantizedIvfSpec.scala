@@ -121,4 +121,44 @@ class QuantizedIvfSpec extends SparkTestBase {
       assert(got.forall(_._2 % 2 == 0))
     } finally spark.sql("DROP TABLE IF EXISTS qivf_filt")
   }
+
+  test("quantized delta log: base+deltas equals a rebuild; shared fold is exactly-once") {
+    def probe(table: String, delta: Option[String]) = {
+      val out = delta match {
+        case Some(p) => Similarity.quantizedIvfSearchFromStoreWithDeltas(spark,
+          table, p, corpus, queries, "vec_id", "embedding", centroids,
+          nProbe = 2, k = 10, rerankK = 0)
+        case None => Similarity.quantizedIvfSearchFromStore(spark, table,
+          corpus, queries, "vec_id", "embedding", centroids,
+          nProbe = 2, k = 10, rerankK = 0)
+      }
+      out.select($"query_id", $"cand_id", $"cosine_sim", $"rnk")
+        .as[(Long, Long, Double, Long)].collect().toSet
+    }
+    Similarity.writeQuantizedIvfStore(corpus, "vec_id", "embedding", centroids,
+      "qivf_dreb", numBuckets = 4)
+    val rebuilt = probe("qivf_dreb", None)
+    val delta = java.nio.file.Files.createTempDirectory("qivf_delta").toString
+    Similarity.writeQuantizedIvfStore(corpus.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", centroids, "qivf_d", numBuckets = 4)
+    Similarity.writeQuantizedIvfDeltaBatch(corpus.filter($"vec_id" % 2 === 1),
+      "vec_id", "embedding", centroids, delta, 0L)
+    assert(probe("qivf_d", Some(delta)) == rebuilt)
+    // the SHARED fold (compactIvfDelta) handles the quantized layout too,
+    // exactly-once under a crash between append and sweep
+    val e = intercept[RuntimeException] {
+      Similarity.compactIvfDeltaImpl(spark, "qivf_d", delta,
+        numBuckets = 4, maxBatchExclusive = 1L, crashAfterStep = 1)
+    }
+    assert(e.getMessage.contains("step 1"))
+    assert(Similarity.compactIvfDelta(spark, "qivf_d", delta,
+      numBuckets = 4, maxBatchExclusive = 1L) == 1)
+    val folded = probe("qivf_d", None)
+    assert(folded == rebuilt)
+    folded.toSeq.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).distinct.size == rs.size, s"dup candidate for query $q")
+    }
+    spark.sql("DROP TABLE IF EXISTS qivf_d")
+    spark.sql("DROP TABLE IF EXISTS qivf_dreb")
+  }
 }
