@@ -2686,6 +2686,34 @@ object PipelineQueries {
           deltaDir, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
           codebook, nProbe = codebook.size, k = 5))
       }),
+    "q140_quantized_delta" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        val corpus = emb.filter(col("vec_id") >= 20)
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q140_delta")
+        val fs = deltaDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(deltaDir)) fs.delete(deltaDir, true)
+        Similarity.writeQuantizedIvfStore(corpus.filter(col("vec_id") % 3 =!= 0),
+          "vec_id", "embedding", codebook, "q140_store",
+          numBuckets = codebook.size, metaCols = Seq("label"))
+        Similarity.writeQuantizedIvfDeltaBatch(corpus.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", codebook, deltaDir.toString, batchId = 0L,
+          metaCols = Seq("label"))
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val codebook = fixedCodebook(emb)
+        val deltaDir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q140_delta").toString
+        Some(Similarity.quantizedIvfSearchFromStoreWithDeltas(s, "q140_store",
+          deltaDir, emb.filter(col("vec_id") >= 20),
+          emb.filter(col("vec_id") < 20), "vec_id", "embedding", codebook,
+          nProbe = codebook.size, k = 5, rerankK = 0,
+          candidateFilter = Some(col("label").isin(1, 4))))
+      }),
     "q137_ann_batch" -> Seq(
       "build" -> ph { (s, d) =>
         val emb = embeddings(s, d)
