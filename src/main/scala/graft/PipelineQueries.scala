@@ -1504,35 +1504,46 @@ object PipelineQueries {
     *    itself is exercised, not just the model.
     * Full 2-D coordinate values remain pinned by ProjectionSpec (golden
     * 2-D eigen, ml.feature.PCA agreement, sign/orthonormality properties). */
+  /** The (stat, value) verification frame of the q114 contract from
+    * already-aggregated fit statistics — shared by the one-shot path
+    * (q114) and the mergeable moment-store path (q141), which must agree
+    * with the same oracle by the monoid-fold argument. */
+  private def pcaStatRows(s: org.apache.spark.sql.SparkSession,
+                          emb: org.apache.spark.sql.DataFrame,
+                          mean: Array[Double],
+                          cov: Array[Array[Double]]): org.apache.spark.sql.DataFrame = {
+    val slice = 8
+    val meanRows = (0 until slice).map(i => (f"mean_$i%02d", mean(i)))
+    val covRows = for { i <- 0 until slice; j <- i until slice }
+      yield (f"cov_$i%02d_$j%02d", cov(i)(j))
+    val trace = (0 until 64).map(i => cov(i)(i)).sum
+    val model = Projection.pcaFromStats(mean, cov.map(_.clone), k = 2)
+    val w1 = model.components(0); val w2 = model.components(1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val pr = Projection.projectPca(emb, "embedding", model, Seq("x", "y"))
+      .agg(avg(col("x")), avg(col("y")), covar_samp(col("x"), col("y")),
+        var_samp(col("x")), var_samp(col("y")))
+      .head()
+    val rows = meanRows ++ covRows ++ Seq(
+      ("trace", trace),
+      ("w1_dot_w1", dot(w1, w1)), ("w1_dot_w2", dot(w1, w2)),
+      ("w2_dot_w2", dot(w2, w2)),
+      ("proj_mean_x", pr.getDouble(0)), ("proj_mean_y", pr.getDouble(1)),
+      ("proj_cov_xy", pr.getDouble(2)),
+      ("var_order", if (pr.getDouble(3) >= pr.getDouble(4)) 1.0 else 0.0))
+    import s.implicits._
+    // + 0.0 canonicalizes IEEE -0.0 → +0.0 after the round
+    rows.toDF("stat", "value")
+      .select(col("stat"), (round(col("value"), 6) + lit(0.0)).as("value"))
+      .orderBy(col("stat"))
+  }
+
   private val q114 = Q("q114_pca_project",
     (s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
       val (_, mean, cov) = Projection.covarianceStats(emb, "embedding", 64)
-      val slice = 8
-      val meanRows = (0 until slice).map(i => (f"mean_$i%02d", mean(i)))
-      val covRows = for { i <- 0 until slice; j <- i until slice }
-        yield (f"cov_$i%02d_$j%02d", cov(i)(j))
-      val trace = (0 until 64).map(i => cov(i)(i)).sum
-      val model = Projection.pcaFromStats(mean, cov.map(_.clone), k = 2)
-      val w1 = model.components(0); val w2 = model.components(1)
-      def dot(a: Seq[Double], b: Seq[Double]): Double =
-        a.zip(b).map { case (x, y) => x * y }.sum
-      val pr = Projection.projectPca(emb, "embedding", model, Seq("x", "y"))
-        .agg(avg(col("x")), avg(col("y")), covar_samp(col("x"), col("y")),
-          var_samp(col("x")), var_samp(col("y")))
-        .head()
-      val rows = meanRows ++ covRows ++ Seq(
-        ("trace", trace),
-        ("w1_dot_w1", dot(w1, w1)), ("w1_dot_w2", dot(w1, w2)),
-        ("w2_dot_w2", dot(w2, w2)),
-        ("proj_mean_x", pr.getDouble(0)), ("proj_mean_y", pr.getDouble(1)),
-        ("proj_cov_xy", pr.getDouble(2)),
-        ("var_order", if (pr.getDouble(3) >= pr.getDouble(4)) 1.0 else 0.0))
-      import s.implicits._
-      // + 0.0 canonicalizes IEEE -0.0 → +0.0 after the round
-      rows.toDF("stat", "value")
-        .select(col("stat"), (round(col("value"), 6) + lit(0.0)).as("value"))
-        .orderBy(col("stat"))
+      pcaStatRows(s, emb, mean, cov)
     },
     Some("""WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
          |         CAST(unnest(range(len(embedding))) AS BIGINT) AS i
@@ -2489,13 +2500,40 @@ object PipelineQueries {
             SELECT query_id, cand_id, round(sim, 6) AS cosine_sim, rnk
             FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk"""))
 
+  /** Mergeable PCA fit ([[graft.ops.Projection.writeFitBatch]] /
+    * [[graft.ops.Projection.covarianceStatsFromStore]]): the model-fitting
+    * leg of the incremental-statistics family — four per-batch moment
+    * summaries (count, Σv, Σvvᵀ; one 1-row parquet each,
+    * corpus-size-independent) fold into the corpus covariance with NO
+    * rescan of any batch, and the folded fit must answer the SAME q114
+    * verification contract with the SAME oracle: the moments are a
+    * monoid, so fold == one-shot exactly (last-ulp wiggle absorbed by the
+    * 6-dp round, as for every distributed double sum). A growing
+    * embedding corpus keeps its PCA refreshable at O(batches) cost. */
+  private val q141 = Q("q141_pca_store",
+    (s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q141_moments")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true) // stale batches from prior runs
+      (0L until 4L).foreach { b =>
+        Projection.writeFitBatch(
+          emb.filter(pmod(col("vec_id"), lit(4L)) === b),
+          "embedding", dim = 64, dir.toString, b)
+      }
+      val (_, mean, cov) = Projection.covarianceStatsFromStore(s, dir.toString, 64)
+      pcaStatRows(s, emb, mean, cov)
+    },
+    q114.oracle)
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140)
+    q138, q139, q140, q141)
 
   // ------------------------------------------------- phase decompositions
 

@@ -126,6 +126,68 @@ object Projection {
     (n, mean, cov)
   }
 
+  /** Incremental leg of the PCA fit — the mergeable-store recipe
+    * ([[Sketches]]) applied to MODEL FITTING: land one batch's moment
+    * statistics (count, Σv, packed Σvvᵀ) as a 1-row parquet summary
+    * `path/batch=B` (per-batch OVERWRITE = replay-idempotent). The
+    * moments are a monoid, so the corpus-wide fit folds from the store
+    * with NO rescan of any batch — a growing embedding corpus keeps its
+    * PCA (and any covariance consumer: whitening, drift monitors)
+    * refreshable at O(batches) driver cost. Storage per batch is
+    * d + d(d+1)/2 + 1 doubles, corpus-size-independent. */
+  def writeFitBatch(df: DataFrame, vecCol: String, dim: Int,
+                    path: String, batchId: Long): Unit = {
+    val vecSum = udaf(new Aggregators.VectorSum(dim))
+    val gramSum = udaf(new Aggregators.GramianSum(dim))
+    df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .agg(count(lit(1)).as("n"), vecSum(col("v")).as("s"), gramSum(col("v")).as("g"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** Fold the moment store into (n, mean, sample covariance) — the same
+    * statistics [[covarianceStats]] computes in one shot. Equality is
+    * exact sum algebra (the partial sums merge in a different order, so
+    * last-ulp wiggle is absorbed by consumers' rounding, as for every
+    * distributed double sum here). The fold reads one 1-row summary per
+    * batch and adds driver-side; requires a total of n ≥ 2 vectors. */
+  def covarianceStatsFromStore(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    val rows = spark.read.option("basePath", path).parquet(path)
+      .select(col("n"), col("s"), col("g")).collect()
+    require(rows.nonEmpty, s"covarianceStatsFromStore: no batches under $path")
+    var n = 0L
+    val s = new Array[Double](dim)
+    val g = new Array[Double](dim * (dim + 1) / 2)
+    // an empty batch (all-NULL vectors) contributes n = 0 and possibly
+    // NULL sums — skip it rather than NPE
+    rows.filter(_.getAs[Long]("n") > 0L).foreach { r =>
+      n += r.getAs[Long]("n")
+      val bs = r.getAs[scala.collection.Seq[Double]]("s")
+      val bg = r.getAs[scala.collection.Seq[Double]]("g")
+      require(bs.length == dim && bg.length == g.length,
+        s"covarianceStatsFromStore: batch dim ${bs.length} != $dim")
+      var i = 0
+      while (i < dim) { s(i) += bs(i); i += 1 }
+      i = 0
+      while (i < g.length) { g(i) += bg(i); i += 1 }
+    }
+    require(n >= 2, s"PCA fit needs at least 2 non-null vectors, got $n")
+    val gm = graft.linalg.Linalg.unpackSymmetric(g.toSeq, dim)
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => (gm(i)(j) - n * mean(i) * mean(j)) / (n - 1))
+    (n, mean, cov)
+  }
+
+  /** Fit the k-component model straight from the moment store. */
+  def fitPcaFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      dim: Int, k: Int): PcaModel = {
+    val (_, mean, cov) = covarianceStatsFromStore(spark, path, dim)
+    pcaFromStats(mean, cov, k)
+  }
+
   /** Driver-side eigen stage: top-k model from already-aggregated fit
     * statistics. `cov` is consumed (mutated) by the Jacobi sweep. */
   def pcaFromStats(mean: Array[Double], cov: Array[Array[Double]],

@@ -455,6 +455,20 @@ object EventStreams {
         graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
       }
 
+  /** Streaming leg of the mergeable PCA fit
+    * ([[graft.ops.Projection.writeFitBatch]]): each micro-batch of
+    * vectors lands its 1-row moment summary keyed by batch id, and the
+    * corpus covariance/PCA folds from the store with no rescan
+    * ([[graft.ops.Projection.fitPcaFromStore]]). Batch-id-keyed
+    * overwrite = replay-idempotent, the recipe of every sink here. */
+  def sinkFitMoments(vectors: DataFrame, vecCol: String, dim: Int,
+                     path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Projection.writeFitBatch(batch, vecCol, dim, path, batchId)
+      }
+
   /** Streaming leg of the IVF vector index: each micro-batch of new
     * vectors lands as a cell-assigned delta batch
     * ([[graft.ops.Similarity.writeIvfDeltaBatch]] — per-batch overwrite,

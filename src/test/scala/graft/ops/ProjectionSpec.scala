@@ -86,4 +86,53 @@ class ProjectionSpec extends SparkTestBase {
       .orderBy($"vec_id").select($"x").as[Option[Double]].collect()
     assert(out(0).isDefined && out(1).isDefined && out(2).isEmpty)
   }
+
+  test("moment store fold equals the one-shot fit; streaming sink feeds it") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding")
+    val (n1, m1, c1) = Projection.covarianceStats(emb, "embedding", 64)
+    // batched store: four disjoint batches cover the corpus
+    val dir = java.nio.file.Files.createTempDirectory("pca_moments").toString
+    (0L until 4L).foreach { b =>
+      Projection.writeFitBatch(emb.filter(pmod($"vec_id", lit(4L)) === b),
+        "embedding", 64, dir, b)
+    }
+    val (n2, m2, c2) = Projection.covarianceStatsFromStore(spark, dir, 64)
+    assert(n1 == n2)
+    (0 until 64).foreach { i =>
+      assert(math.abs(m1(i) - m2(i)) < 1e-9, s"mean $i")
+      (0 until 64).foreach { j =>
+        assert(math.abs(c1(i)(j) - c2(i)(j)) < 1e-9, s"cov $i $j") }
+    }
+    // the folded model agrees with the one-shot model
+    val a = Projection.fitPcaFromStore(spark, dir, 64, 2)
+    val b = Projection.fitPca(emb, "embedding", 64, 2)
+    a.components.zip(b.components).foreach { case (wa, wb) =>
+      wa.zip(wb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-8) } }
+    // an all-NULL batch is ignored, not an NPE
+    Projection.writeFitBatch(
+      emb.limit(3).select($"vec_id",
+        org.apache.spark.sql.functions.lit(null)
+          .cast("array<double>").as("embedding")),
+      "embedding", 64, dir, 9L)
+    assert(Projection.covarianceStatsFromStore(spark, dir, 64)._1 == n1)
+    // streaming: micro-batches land the same monoid rows
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sdir = java.nio.file.Files.createTempDirectory("pca_moments_s").toString
+    val rows = emb.as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStreams.sinkFitMoments(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", 64, sdir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pca_ckpt").toString)
+      .start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val (n3, m3, _) = Projection.covarianceStatsFromStore(spark, sdir, 64)
+    assert(n3 == n1)
+    (0 until 64).foreach(i => assert(math.abs(m3(i) - m1(i)) < 1e-9))
+  }
 }
