@@ -2527,13 +2527,134 @@ object PipelineQueries {
     },
     q114.oracle)
 
+  // ------------------------------------------- exactly-replayable k-means
+
+  /** Shared DuckDB prelude for the k-means family: quantize (floor(v·1e4)
+    * as BIGINT), seed with the 8 lowest-id vectors, then one unrolled
+    * Lloyd sweep — every value integer-exact, so the oracle replays
+    * [[Cluster]] bit-for-bit (tie-breaks ORDER BY dist, cell on both
+    * sides; centroid update floor(Σq/n) on both sides). */
+  private val SqlKmeansSweep1 =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT) AS v,
+      |         CAST(unnest(range(len(embedding))) AS BIGINT) AS i
+      |  FROM embeddings),
+      |seed AS (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT 8),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, vec_id FROM seed),
+      |cent0 AS (SELECT c0.cell, q.i, q.v AS c FROM c0 JOIN q USING (vec_id)),
+      |d1 AS (SELECT q.vec_id, cent0.cell, sum((q.v - cent0.c) * (q.v - cent0.c)) AS dist
+      |       FROM q JOIN cent0 ON q.i = cent0.i GROUP BY q.vec_id, cent0.cell),
+      |a1 AS (SELECT vec_id, cell FROM
+      |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d1)
+      |       WHERE rn = 1)""".stripMargin
+
+  /** Second unrolled sweep on top of [[SqlKmeansSweep1]]. */
+  private val SqlKmeansSweep2 =
+    """cent1 AS (SELECT a1.cell, q.i,
+      |            CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+      |          FROM a1 JOIN q USING (vec_id) GROUP BY a1.cell, q.i),
+      |d2 AS (SELECT q.vec_id, cent1.cell, sum((q.v - cent1.c) * (q.v - cent1.c)) AS dist
+      |       FROM q JOIN cent1 ON q.i = cent1.i GROUP BY q.vec_id, cent1.cell),
+      |a2 AS (SELECT vec_id, cell FROM
+      |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2)
+      |       WHERE rn = 1)""".stripMargin
+
+  /** Distributed Lloyd's k-means, value-exact against the oracle: two
+    * sweeps from the lowest-id seed codebook over integer-quantized
+    * embeddings ([[Cluster.fit]] — the oracle-checkable twin of the MLlib
+    * path behind [[Similarity.kmeansCodebook]]). Output = the full fitted
+    * state: every centroid coordinate (quantized units) + final cell
+    * sizes. Per sweep: one narrow scan, map-side LongVectorSum partials,
+    * k×(d+1) longs to the driver — no corpus-sized collect anywhere. */
+  private val q142 = Q("q142_kmeans_fit",
+    (s, d) => {
+      val fitted = Cluster.fit(embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 2, scale = 10000L)
+      Cluster.fitStats(s, fitted).orderBy(col("cell"), col("dim"))
+    },
+    Some(s"""$SqlKmeansSweep1,
+            |$SqlKmeansSweep2,
+            |cent2 AS (SELECT a2.cell, q.i,
+            |            CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+            |            CAST(count(*) AS BIGINT) AS n
+            |          FROM a2 JOIN q USING (vec_id) GROUP BY a2.cell, q.i)
+            |SELECT cell, i AS dim, c AS centroid_q, n AS n_assigned
+            |FROM cent2 ORDER BY cell, dim""".stripMargin))
+
+  /** Cluster-balanced subsample: assign every vector under the q142 fit,
+    * then keep ceil(sqrt(n_cell)) per cell — the curation move that caps
+    * dominant semantic clusters while keeping the tail. Deterministic
+    * draw order (vec_id) for the oracle; production passes a seeded hash.
+    * Plans as a rank-limit window over the assignment — no extra scan of
+    * the corpus beyond q142's sweeps. */
+  private val q143 = Q("q143_cluster_sample",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val fitted = Cluster.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 2, scale = 10000L)
+      val assigned = Cluster.assign(emb, "vec_id", "embedding", fitted)
+      Cluster.balancedSample(assigned, "cell", col("id"),
+          ceil(sqrt(col("n_cell"))).cast("long"))
+        .select(col("cell"), col("id").as("vec_id"))
+        .orderBy(col("cell"), col("vec_id"))
+    },
+    Some(s"""$SqlKmeansSweep1,
+            |$SqlKmeansSweep2,
+            |cent2 AS (SELECT a2.cell, q.i,
+            |            CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS c
+            |          FROM a2 JOIN q USING (vec_id) GROUP BY a2.cell, q.i),
+            |d3 AS (SELECT q.vec_id, cent2.cell, sum((q.v - cent2.c) * (q.v - cent2.c)) AS dist
+            |       FROM q JOIN cent2 ON q.i = cent2.i GROUP BY q.vec_id, cent2.cell),
+            |a3 AS (SELECT vec_id, cell FROM
+            |        (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d3)
+            |       WHERE rn = 1),
+            |n3 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a3 GROUP BY cell),
+            |sel AS (SELECT a3.vec_id, a3.cell,
+            |         row_number() OVER (PARTITION BY a3.cell ORDER BY a3.vec_id) AS rn, n3.n
+            |        FROM a3 JOIN n3 USING (cell))
+            |SELECT cell, vec_id FROM sel WHERE rn <= CAST(ceil(sqrt(n)) AS BIGINT)
+            |ORDER BY cell, vec_id""".stripMargin))
+
+  /** Mergeable k-means moment store: four disjoint batches each write
+    * per-cell (n, Σq) moments against the FIXED seed codebook; the fold
+    * ([[Cluster.centroidsFromMoments]]) reads k rows per batch and must
+    * equal the one-shot sweep bit-for-bit (long sums are order-free).
+    * The centroid-refresh shape: new data lands as a moment batch, the
+    * codebook refreshes without rescanning old data. Oracle = the single
+    * unrolled sweep over the union. */
+  private val q144 = Q("q144_kmeans_moments",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val seedCents = Cluster.initCentroids(emb, "vec_id", "embedding",
+        k = 8, scale = 10000L)
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q144_moments")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true) // stale batches from prior runs
+      (0L until 4L).foreach { b =>
+        Cluster.writeMomentBatch(
+          emb.filter(pmod(col("vec_id"), lit(4L)) === b),
+          "vec_id", "embedding", seedCents, 10000L, dir.toString, b)
+      }
+      val folded = Cluster.centroidsFromMoments(s, dir.toString, 10000L)
+      Cluster.fitStats(s, folded).orderBy(col("cell"), col("dim"))
+    },
+    Some(s"""$SqlKmeansSweep1,
+            |cent1n AS (SELECT a1.cell, q.i,
+            |            CAST(floor(CAST(sum(q.v) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+            |            CAST(count(*) AS BIGINT) AS n
+            |          FROM a1 JOIN q USING (vec_id) GROUP BY a1.cell, q.i)
+            |SELECT cell, i AS dim, c AS centroid_q, n AS n_assigned
+            |FROM cent1n ORDER BY cell, dim""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141)
+    q138, q139, q140, q141, q142, q143, q144)
 
   // ------------------------------------------------- phase decompositions
 

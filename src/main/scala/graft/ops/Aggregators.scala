@@ -31,6 +31,25 @@ object Aggregators {
     def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Elementwise sum of long arrays (Σ q) — the integer twin of
+    * [[VectorSum]] for quantized-vector accumulation ([[Cluster]]): long
+    * addition is associative and overflow-free while
+    * n·max|q| < 2⁶³, so grouped sums are bit-identical under ANY
+    * partitioning or merge order — the property the exactly-replayable
+    * k-means oracle rests on. */
+  class LongVectorSum(dim: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = new Array[Long](dim)
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      var i = 0; while (i < dim) { b(i) += a(i); i += 1 }; b
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < dim) { x(i) += y(i); i += 1 }; x
+    }
+    def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Upper-triangle Gramian accumulation: Σ v·vᵀ packed row-major as
     * d(d+1)/2 doubles. */
   class GramianSum(dim: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {

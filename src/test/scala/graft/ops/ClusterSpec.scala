@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  // 2-d toy corpus in two clear clusters around (1,0) and (0,1); ids chosen
+  // so the lowest-id seed picks one point from EACH cluster (1 and 2).
+  private val corpus = Seq(
+    (1L, vec(1.0, 0.05)), (2L, vec(0.05, 1.0)), (3L, vec(0.95, 0.1)),
+    (4L, vec(1.05, -0.05)), (5L, vec(0.1, 0.9)), (6L, vec(-0.02, 1.1)))
+    .toDF("vec_id", "embedding")
+
+  test("fit: hand-computed two-point seed converges to the two cluster means") {
+    val fitted = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    // quantized: floor(v*100): c1 = {(100,5),(95,10),(104,-6)} wait: floor
+    // on exact float-widened doubles — verified against the brute force
+    // below; here assert the structural contract.
+    assert(fitted.centroids.map(_._1) == Seq(0L, 1L))
+    assert(fitted.counts == Map(0L -> 3L, 1L -> 3L))
+    // cluster 0 (seeded from id 1) holds ids {1,3,4}: mean near (100, 3)
+    val c0 = fitted.centroids.head._2
+    assert(math.abs(c0.head - 99.0) <= 2.0 && math.abs(c0(1) - 2.0) <= 3.0)
+  }
+
+  test("fit matches a driver-side brute-force replay of the same spec") {
+    val fitted = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    // brute force, integer arithmetic throughout
+    val pts = corpus.collect().map { r =>
+      (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 100).toLong))
+    }.sortBy(_._1)
+    var cents: Seq[(Long, Seq[Long])] =
+      pts.take(2).zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
+    var counts = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val assigned = pts.map { case (id, q) =>
+        val best = cents.map { case (c, cv) =>
+          (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+        }.min
+        (best._2, q)
+      }
+      val byCell = assigned.groupBy(_._1)
+      cents = byCell.toSeq.sortBy(_._1).map { case (c, rows) =>
+        val n = rows.length
+        val dim = rows.head._2.length
+        (c, (0 until dim).map(i =>
+          Math.floorDiv(rows.map(_._2(i)).sum, n.toLong)))
+      }
+      counts = byCell.view.mapValues(_.length.toLong).toMap
+    }
+    assert(fitted.centroids.map { case (c, v) => (c, v.map(_.toLong)) } == cents)
+    assert(fitted.counts == counts)
+  }
+
+  test("fit is bit-identical under different partitionings") {
+    val a = Cluster.fit(corpus.repartition(7), "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    val b = Cluster.fit(corpus.repartition(2), "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    assert(a.centroids == b.centroids)
+    assert(a.counts == b.counts)
+  }
+
+  test("empty cells are dropped from the codebook") {
+    // two seed points inside ONE tight cluster plus a far outlier: after
+    // sweep 1 every point is closer to seed 1's updated mean region —
+    // construct directly: all points identical, so cell 1 gets nothing
+    // (ties break toward cell 0).
+    val flat = Seq((1L, vec(1.0, 1.0)), (2L, vec(1.0, 1.0)),
+      (3L, vec(1.0, 1.0))).toDF("vec_id", "embedding")
+    val fitted = Cluster.fit(flat, "vec_id", "embedding",
+      k = 2, iters = 1, scale = 100L)
+    assert(fitted.centroids.map(_._1) == Seq(0L))
+    assert(fitted.counts == Map(0L -> 3L))
+  }
+
+  test("assign reproduces the final sweep's cells") {
+    val fitted = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    val cells = Cluster.assign(corpus, "vec_id", "embedding", fitted)
+      .as[(Long, Long)].collect().toMap
+    assert(cells(1L) == cells(3L) && cells(3L) == cells(4L))
+    assert(cells(2L) == cells(5L) && cells(5L) == cells(6L))
+    assert(cells(1L) != cells(2L))
+  }
+
+  test("balancedSample keeps exactly min(n, ceil(sqrt(n))) per cell in order") {
+    val assigned = Seq.tabulate(12)(i => (i.toLong, i.toLong % 2))
+      .toDF("id", "cell")
+    val out = Cluster.balancedSample(assigned, "cell", col("id"),
+        ceil(sqrt(col("n_cell"))).cast("long"))
+      .as[(Long, Long)].collect().toSet
+    // 6 per cell -> ceil(sqrt(6)) = 3: lowest three ids of each parity
+    assert(out == Set((0L, 0L), (2L, 0L), (4L, 0L), (1L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("moment-store fold equals the one-shot sweep bit-for-bit") {
+    val seedCents = Cluster.initCentroids(corpus, "vec_id", "embedding",
+      k = 2, scale = 100L)
+    val dir = java.nio.file.Files.createTempDirectory("kmeans_moments").toString
+    (0L until 3L).foreach { b =>
+      Cluster.writeMomentBatch(
+        corpus.filter(pmod(col("vec_id"), lit(3L)) === b),
+        "vec_id", "embedding", seedCents, 100L, dir, b)
+    }
+    val folded = Cluster.centroidsFromMoments(spark, dir, 100L)
+    val oneShot = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 1, scale = 100L)
+    assert(folded.centroids == oneShot.centroids)
+    assert(folded.counts == oneShot.counts)
+  }
+}
