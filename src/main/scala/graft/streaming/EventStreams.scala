@@ -469,6 +469,24 @@ object EventStreams {
         graft.ops.Projection.writeFitBatch(batch, vecCol, dim, path, batchId)
       }
 
+  /** Streaming leg of the mergeable k-means moment store
+    * ([[graft.ops.Cluster.writeMomentBatch]]): each micro-batch of
+    * vectors lands its per-cell (n, Σq) moments against the fixed
+    * codebook, and the refreshed centroids fold from the store at
+    * O(k · batches) driver cost with no rescan
+    * ([[graft.ops.Cluster.centroidsFromMoments]] — bit-equal to the
+    * one-shot sweep, long sums being order-free). Batch-id-keyed
+    * overwrite = replay-idempotent, the recipe of every sink here. */
+  def sinkKmeansMoments(vectors: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[(Long, Seq[Double])], scale: Long,
+                        path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Cluster.writeMomentBatch(batch, idCol, vecCol,
+          centroids, scale, path, batchId)
+      }
+
   /** Streaming leg of the IVF vector index: each micro-batch of new
     * vectors lands as a cell-assigned delta batch
     * ([[graft.ops.Similarity.writeIvfDeltaBatch]] — per-batch overwrite,

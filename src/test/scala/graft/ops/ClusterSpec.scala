@@ -116,4 +116,29 @@ class ClusterSpec extends SparkTestBase {
     assert(folded.centroids == oneShot.centroids)
     assert(folded.counts == oneShot.counts)
   }
+
+  test("streaming moment sink: micro-batches fold to the one-shot sweep") {
+    val seedCents = Cluster.initCentroids(corpus, "vec_id", "embedding",
+      k = 2, scale = 100L)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sdir = java.nio.file.Files.createTempDirectory("km_moments_s").toString
+    val rows = corpus.as[(Long, Seq[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.EventStreams.sinkKmeansMoments(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        seedCents, 100L, sdir)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("km_ckpt").toString)
+      .start()
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val folded = Cluster.centroidsFromMoments(spark, sdir, 100L)
+    val oneShot = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 1, scale = 100L)
+    assert(folded.centroids == oneShot.centroids)
+    assert(folded.counts == oneShot.counts)
+  }
 }
