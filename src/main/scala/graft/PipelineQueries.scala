@@ -2888,5 +2888,27 @@ object PipelineQueries {
           emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
           "vec_id", "embedding", codebook, nProbe = codebook.size, k = 5,
           rerankK = 0, candidateFilter = Some(col("label").isin(2, 5))))
+      }),
+    "q144_kmeans_moments" -> Seq(
+      "build" -> ph { (s, d) =>
+        val emb = embeddings(s, d)
+        val seedCents = Cluster.initCentroids(emb, "vec_id", "embedding",
+          k = 8, scale = 10000L)
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q144_moments")
+        val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) fs.delete(dir, true)
+        (0L until 4L).foreach { b =>
+          Cluster.writeMomentBatch(
+            emb.filter(pmod(col("vec_id"), lit(4L)) === b),
+            "vec_id", "embedding", seedCents, 10000L, dir.toString, b)
+        }
+        None
+      },
+      "fold" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q144_moments")
+        val folded = Cluster.centroidsFromMoments(s, dir.toString, 10000L)
+        Some(Cluster.fitStats(s, folded).orderBy(col("cell"), col("dim")))
       }))
 }
