@@ -2648,13 +2648,44 @@ object PipelineQueries {
             |SELECT cell, i AS dim, c AS centroid_q, n AS n_assigned
             |FROM cent1n ORDER BY cell, dim""".stripMargin))
 
+  /** Greedy sequence packing into 256-token training blocks, 4 shards
+    * ([[Packing.greedyPack]]): the per-document (shard, block, offset)
+    * assignment — an honest sequential recurrence per shard (a
+    * cumsum/floor bucketing would mis-split straddling docs), so the
+    * oracle replays it with a recursive CTE and the engine with a
+    * per-partition O(1)-memory fold after one shuffle on shard. The
+    * training-batch construction step: blocks are context windows, fill
+    * rate is token waste at trainer time. */
+  private val q145 = Q("q145_seq_pack",
+    (s, d) => Packing.greedyPack(documents(s, d), "doc_id",
+        pmod(col("doc_id"), lit(4L)), col("doc_id"),
+        TextOps.wsTokenCount(col("text")), budget = 256L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH RECURSIVE w AS (
+           |  SELECT doc_id, doc_id % 4 AS shard,
+           |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+           |         CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS BIGINT) AS rn
+           |  FROM documents),
+           |r AS (
+           |  SELECT shard, doc_id, n_tok, rn, 0::BIGINT AS block, 0::BIGINT AS off, n_tok AS fill
+           |  FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT w.shard, w.doc_id, w.n_tok, w.rn,
+           |         CASE WHEN r.fill + w.n_tok > 256 THEN r.block + 1 ELSE r.block END,
+           |         CASE WHEN r.fill + w.n_tok > 256 THEN 0::BIGINT ELSE r.fill END,
+           |         CASE WHEN r.fill + w.n_tok > 256 THEN w.n_tok ELSE r.fill + w.n_tok END
+           |  FROM w JOIN r ON w.shard = r.shard AND w.rn = r.rn + 1)
+           |SELECT doc_id, shard, block, off, n_tok
+           |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144)
+    q138, q139, q140, q141, q142, q143, q144, q145)
 
   // ------------------------------------------------- phase decompositions
 
