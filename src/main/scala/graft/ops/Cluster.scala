@@ -69,9 +69,12 @@ object Cluster {
   def initCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
                     scale: Long): Seq[(Long, Seq[Double])] = {
     require(k > 0, "k must be positive")
-    quantizedInput(df, idCol, vecCol, scale)
+    require(scale > 0, "scale must be positive")
+    val rows = quantizedInput(df, idCol, vecCol, scale)
       .orderBy(col("id")).limit(k).collect()
-      .zipWithIndex
+    require(rows.nonEmpty,
+      "k-means seed: input has no non-NULL vectors — nothing to cluster")
+    rows.zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1).map(_.toDouble)) }
       .toSeq
   }

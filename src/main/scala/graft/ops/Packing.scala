@@ -43,9 +43,17 @@ object Packing {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL or negative token counts would silently corrupt every later
+    // block boundary in the shard — reject them in-flight, loudly (the
+    // addTombstones pattern), instead of coercing.
     val prepared = df.select(
         shardCol.cast("long").as("shard"), orderCol.cast("long").as("ord"),
         col(idCol).cast("long").as("id"), tokCol.cast("long").as("n_tok"))
+      .withColumn("n_tok",
+        when(col("n_tok").isNull || col("n_tok") < 0L,
+          raise_error(concat(lit("greedyPack: NULL or negative token count for id "),
+            col("id").cast("string"))))
+          .otherwise(col("n_tok")))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
       .as[(Long, Long, Long, Long)]

@@ -117,6 +117,14 @@ class ClusterSpec extends SparkTestBase {
     assert(folded.counts == oneShot.counts)
   }
 
+  test("fit on an empty / all-NULL input fails loudly") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Cluster.fit(empty, "vec_id", "embedding", k = 2, iters = 1, scale = 100L)
+    }
+    assert(ex.getMessage.contains("no non-NULL vectors"))
+  }
+
   test("streaming moment sink: micro-batches fold to the one-shot sweep") {
     val seedCents = Cluster.initCentroids(corpus, "vec_id", "embedding",
       k = 2, scale = 100L)

@@ -53,6 +53,16 @@ class PackingSpec extends SparkTestBase {
       (0L, 3L, 2L, 9L, 1L), (0L, 4L, 1L, 2L, 8L)))
   }
 
+  test("NULL token count fails loudly, not by corrupting block boundaries") {
+    val bad = Seq((1L, Some(4L)), (2L, None), (3L, Some(2L)))
+      .toDF("id", "tok")
+    val ex = intercept[Exception] {
+      Packing.greedyPack(bad, "id", lit(0L), col("id"), col("tok"),
+        budget = 10L).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("every block obeys the budget unless it is a single oversize doc") {
     val sharded = docs.withColumn("shard", pmod(col("id"), lit(3L)))
     val stats = Packing.packStats(
