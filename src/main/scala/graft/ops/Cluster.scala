@@ -70,8 +70,11 @@ object Cluster {
                     scale: Long): Seq[(Long, Seq[Double])] = {
     require(k > 0, "k must be positive")
     require(scale > 0, "scale must be positive")
-    val rows = quantizedInput(df, idCol, vecCol, scale)
-      .orderBy(col("id")).limit(k).collect()
+    seedFromQuantized(quantizedInput(df, idCol, vecCol, scale), k)
+  }
+
+  private def seedFromQuantized(q: DataFrame, k: Int): Seq[(Long, Seq[Double])] = {
+    val rows = q.orderBy(col("id")).limit(k).collect()
     require(rows.nonEmpty,
       "k-means seed: input has no non-NULL vectors — nothing to cluster")
     rows.zipWithIndex
@@ -104,9 +107,11 @@ object Cluster {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
           scale: Long = 10000L): KmeansFit = {
     require(iters >= 1, "need at least one sweep (init alone has no counts)")
+    require(k > 0, "k must be positive")
+    require(scale > 0, "scale must be positive")
     val q = quantizedInput(df, idCol, vecCol, scale).persist()
     try {
-      var cents = initCentroids(df, idCol, vecCol, k, scale)
+      var cents = seedFromQuantized(q, k) // seeds read the cached input
       val dim = cents.head._2.length
       var counts = Map.empty[Long, Long]
       var it = 0

@@ -73,4 +73,39 @@ class PackingSpec extends SparkTestBase {
       assert(fill <= 10L || nDocs == 1L)
     }
   }
+
+  test("property: random corpora equal a driver-side greedy replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val corpus: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        shard <- Gen.choose(0L, 3L)
+        tok <- Gen.frequency(8 -> Gen.choose(1L, 12L), // normal
+          1 -> Gen.const(0L),                          // zero-token doc
+          1 -> Gen.choose(13L, 30L))                   // oversize
+      } yield (shard, tok))
+    } yield rows.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+    for (seedNo <- 0 until 6) {
+      val rows = corpus
+        .pureApply(org.scalacheck.Gen.Parameters.default.withSize(40),
+          Seed(31L + seedNo))
+      val df = rows.toDF("id", "shard", "tok")
+      val got = Packing.greedyPack(df, "id", col("shard"), col("id"),
+          col("tok"), budget = 10L)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      // driver replay of the documented walk
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (shard, rs) =>
+        var block = -1L; var fill = Long.MaxValue
+        rs.sortBy(_._1).map { case (id, _, tok) =>
+          if (fill + tok > 10L || fill == Long.MaxValue) {
+            block += 1L; fill = 0L
+          }
+          val off = fill; fill += tok
+          (id, shard, block, off, tok)
+        }
+      }.sortBy(_._1)
+      assert(got == expected, s"seed $seedNo")
+    }
+  }
 }
