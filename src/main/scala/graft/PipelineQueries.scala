@@ -2679,13 +2679,38 @@ object PipelineQueries {
            |SELECT doc_id, shard, block, off, n_tok
            |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** Standing exact-dedup digest store ([[Dedup.writeDigestStore]]): the
+    * corpus's distinct md5 digests persist bucketed by hash; a new crawl
+    * batch dedups against ALL history by probing the store — batch-sized
+    * work, the corpus never rescanned (the incremental production shape of
+    * q40). Output: every batch doc with its corpus-dup flag and canonical
+    * keep verdict. */
+  private val q146 = Q("q146_digest_store",
+    (s, d) => {
+      val docs = documents(s, d)
+      Stores.dropStore(s, "q146_store")
+      Dedup.writeDigestStore(docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        "doc_id", "text", "q146_store")
+      Dedup.dedupAgainstStore(s, "q146_store",
+          docs.filter(pmod(col("doc_id"), lit(5L)) === 0L), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+           |b AS (SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id % 5 = 0),
+           |j AS (SELECT b.doc_id, b.text_hash, (ch.h IS NOT NULL) AS dup_of_corpus,
+           |        row_number() OVER (PARTITION BY b.text_hash ORDER BY b.doc_id) AS rn
+           |      FROM b LEFT JOIN ch ON ch.h = b.text_hash)
+           |SELECT doc_id, text_hash, dup_of_corpus,
+           |       (NOT dup_of_corpus AND rn = 1) AS keep
+           |FROM j ORDER BY doc_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146)
 
   // ------------------------------------------------- phase decompositions
 
@@ -2941,5 +2966,19 @@ object PipelineQueries {
           s.conf.get("spark.sql.warehouse.dir"), "q144_moments")
         val folded = Cluster.centroidsFromMoments(s, dir.toString, 10000L)
         Some(Cluster.fitStats(s, folded).orderBy(col("cell"), col("dim")))
+      }),
+    "q146_digest_store" -> Seq(
+      "build" -> ph { (s, d) =>
+        Stores.dropStore(s, "q146_store")
+        Dedup.writeDigestStore(
+          documents(s, d).filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+          "doc_id", "text", "q146_store")
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        Some(Dedup.dedupAgainstStore(s, "q146_store",
+            documents(s, d).filter(pmod(col("doc_id"), lit(5L)) === 0L),
+            "doc_id", "text")
+          .orderBy(col("doc_id")))
       }))
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, designed
@@ -28,6 +28,91 @@ object Dedup {
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------- standing digest store
+
+  /** Standing EXACT-dedup digest store — the incremental production shape
+    * [[exactDupGroups]] lacks: the corpus's distinct text digests persist
+    * once, bucketed by hash, and each new crawl batch dedups against the
+    * whole history by probing the store — the corpus is never rescanned.
+    * One (text_hash, first_id) row per distinct text; 16-byte keys, so the
+    * store is distinct-texts-sized, not corpus-sized.
+    *
+    * Deletion semantics, decided and documented: a taken-down document's
+    * digest STAYS in the store — content removed for compliance must keep
+    * suppressing (flagging) identical re-uploads; the digest is a
+    * fingerprint, not the content. (Contrast the ANN/BM25 stores, where
+    * deletion must remove the item from RESULTS — here the store's output
+    * is a keep/duplicate verdict, and "this content was already seen" stays
+    * true after a takedown.) */
+  def writeDigestStore(df: DataFrame, idCol: String, textCol: String,
+                       table: String, numBuckets: Int = 32): Unit =
+    exactDupGroups(df, idCol, textCol)
+      .select(col("text_hash"), col("keep_id").as("first_id"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "text_hash")
+      .sortBy("text_hash")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Dedup a new batch against the standing store: every batch row
+    * annotated with `dup_of_corpus` (digest already in the store) and
+    * `keep` (not in the corpus AND the batch's canonical — lowest-id —
+    * occurrence of its text). The batch pays one hash shuffle of itself;
+    * the store side reads its bucketed layout exchange-free and the probe
+    * join is batch-sized. */
+  def dedupAgainstStore(spark: SparkSession, table: String, batch: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("text_hash"))
+    // distinct per hash so a replay-duplicated append can never fan the
+    // probe join out; the aggregation rides the store's bucketed layout
+    // exchange-free (grouping key == bucket key)
+    val store = spark.table(table).select(col("text_hash").as("h"))
+      .groupBy(col("h")).agg(first(col("h")).as("__dup")).select(col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    b.join(store, b("text_hash") === store("h"), "left")
+      .select(col("doc_id"), col("text_hash"),
+        col("h").isNotNull.as("dup_of_corpus"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("text_hash"), col("dup_of_corpus"),
+        (!col("dup_of_corpus") && col("rn") === 1).as("keep"))
+  }
+
+  /** Fold a batch's kept (novel) digests into the store. Replay-idempotent
+    * BY DERIVATION, not by marker: the append re-computes the keep set
+    * against the CURRENT store, so a failure-replayed batch finds its own
+    * hashes already present (keep = false end to end) and appends nothing.
+    * Even a torn half-append only strengthens membership (the store is
+    * read as a set — [[dedupAgainstStore]] distincts it before probing);
+    * `compactDigestStore` is the size repair if duplicate rows ever
+    * accumulate. `numBuckets` must match the store's write (Spark rejects
+    * a mismatched bucket spec). */
+  def appendDigests(spark: SparkSession, table: String, batch: DataFrame,
+                    idCol: String, textCol: String,
+                    numBuckets: Int = 32): Unit = {
+    val verdicts = dedupAgainstStore(spark, table, batch, idCol, textCol)
+    verdicts.filter(col("keep"))
+      .select(col("text_hash"), col("doc_id").as("first_id"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "text_hash")
+      .sortBy("text_hash")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Version-swap rewrite collapsing any replay-duplicated digest rows
+    * back to one row per hash (min first_id). */
+  def compactDigestStore(spark: SparkSession, table: String, into: String,
+                         numBuckets: Int = 32): Unit =
+    spark.table(table)
+      .groupBy(col("text_hash")).agg(min(col("first_id")).as("first_id"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "text_hash")
+      .sortBy("text_hash")
+      .format("parquet")
+      .saveAsTable(into)
 
   /** Word shingles of length n over normalized text, as an ARRAY column.
     *
