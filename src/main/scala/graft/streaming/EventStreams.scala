@@ -469,6 +469,23 @@ object EventStreams {
         graft.ops.Projection.writeFitBatch(batch, vecCol, dim, path, batchId)
       }
 
+  /** Streaming leg of the standing digest store
+    * ([[graft.ops.Dedup.appendDigests]]): each micro-batch of new
+    * documents folds its NOVEL digests into the store, so the next batch
+    * (and every batch-mode probe) dedups against all history. No marker
+    * protocol: the append is replay-idempotent BY DERIVATION — a
+    * failure-replayed batch finds its own hashes already in the store and
+    * appends nothing. */
+  def sinkDigests(docs: DataFrame, idCol: String, textCol: String,
+                  table: String,
+                  numBuckets: Int = 32): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.appendDigests(batch.sparkSession, table, batch,
+          idCol, textCol, numBuckets)
+      }
+
   /** Streaming leg of the mergeable k-means moment store
     * ([[graft.ops.Cluster.writeMomentBatch]]): each micro-batch of
     * vectors lands its per-cell (n, Σq) moments against the fixed

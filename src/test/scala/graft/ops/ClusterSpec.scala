@@ -28,19 +28,16 @@ class ClusterSpec extends SparkTestBase {
     assert(math.abs(c0.head - 99.0) <= 2.0 && math.abs(c0(1) - 2.0) <= 3.0)
   }
 
-  test("fit matches a driver-side brute-force replay of the same spec") {
-    val fitted = Cluster.fit(corpus, "vec_id", "embedding",
-      k = 2, iters = 2, scale = 100L)
-    // brute force, integer arithmetic throughout
-    val pts = corpus.collect().map { r =>
-      (r.getLong(0),
-        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 100).toLong))
-    }.sortBy(_._1)
+  /** Driver brute-force replay of the documented spec: quantize, lowest-id
+    * seed, (dist, cell)-min assignment, floorDiv update, empty cells drop. */
+  private def replay(pts: Seq[(Long, Seq[Long])], k: Int,
+                     iters: Int): (Seq[(Long, Seq[Long])], Map[Long, Long]) = {
+    val sorted = pts.sortBy(_._1)
     var cents: Seq[(Long, Seq[Long])] =
-      pts.take(2).zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
+      sorted.take(k).zipWithIndex.map { case ((_, q), i) => (i.toLong, q) }
     var counts = Map.empty[Long, Long]
-    for (_ <- 1 to 2) {
-      val assigned = pts.map { case (id, q) =>
+    for (_ <- 1 to iters) {
+      val assigned = sorted.map { case (_, q) =>
         val best = cents.map { case (c, cv) =>
           (cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, c)
         }.min
@@ -55,8 +52,45 @@ class ClusterSpec extends SparkTestBase {
       }
       counts = byCell.view.mapValues(_.length.toLong).toMap
     }
+    (cents, counts)
+  }
+
+  test("fit matches a driver-side brute-force replay of the same spec") {
+    val fitted = Cluster.fit(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 100L)
+    val pts = corpus.collect().map { r =>
+      (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 100).toLong))
+    }.toSeq
+    val (cents, counts) = replay(pts, k = 2, iters = 2)
     assert(fitted.centroids.map { case (c, v) => (c, v.map(_.toLong)) } == cents)
     assert(fitted.counts == counts)
+  }
+
+  test("property: random tie-heavy corpora match the brute-force replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // coordinates from a coarse grid (multiples of 0.25, scale 4 -> small
+    // ints) so equidistant centroids and duplicate points are COMMON —
+    // the tie-break and empty-cell paths get exercised, not dodged
+    val corpusGen: Gen[List[(Long, Seq[Float])]] = for {
+      n <- Gen.choose(4, 24)
+      rows <- Gen.listOfN(n,
+        Gen.listOfN(3, Gen.choose(-4, 4).map(_ * 0.25f)).map(_.toSeq))
+    } yield rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    for (seedNo <- 0 until 6) {
+      val rows = corpusGen
+        .pureApply(Gen.Parameters.default.withSize(30), Seed(911L + seedNo))
+      val df = rows.toDF("vec_id", "embedding")
+      val fitted = Cluster.fit(df, "vec_id", "embedding",
+        k = 3, iters = 2, scale = 4L)
+      val pts = rows.map { case (id, v) =>
+        (id, v.map(x => math.floor(x.toDouble * 4).toLong)) }
+      val (cents, counts) = replay(pts, k = 3, iters = 2)
+      assert(fitted.centroids.map { case (c, v) => (c, v.map(_.toLong)) } == cents,
+        s"seed $seedNo centroids")
+      assert(fitted.counts == counts, s"seed $seedNo counts")
+    }
   }
 
   test("fit is bit-identical under different partitionings") {

@@ -66,4 +66,31 @@ class DigestStoreSpec extends SparkTestBase {
     Stores.dropStore(spark, "tst_digest_d")
     Stores.dropStore(spark, "tst_digest_c")
   }
+
+  test("streaming digest sink: batches fold novel digests; later batches dedup against earlier") {
+    Stores.dropStore(spark, "tst_digest_s")
+    Dedup.writeDigestStore(corpus, "doc_id", "text", "tst_digest_s", numBuckets = 4)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.sinkDigests(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "tst_digest_s",
+        numBuckets = 4)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dg_ckpt").toString)
+      .start()
+    in.addData(Seq((10L, "hello world"), (11L, "fresh content")))
+    q.processAllAvailable()
+    // second batch: one repeat of batch 1's novel text, one new
+    in.addData(Seq((20L, "fresh content"), (21L, "entirely new")))
+    q.processAllAvailable()
+    q.stop()
+    // 2 corpus + "fresh content" + "entirely new" — the repeat folded nothing
+    assert(spark.table("tst_digest_s").count() == 4L)
+    val v = Dedup.dedupAgainstStore(spark, "tst_digest_s",
+        Seq((30L, "fresh content")).toDF("doc_id", "text"), "doc_id", "text")
+      .select($"dup_of_corpus").as[Boolean].collect()
+    assert(v.toSeq == Seq(true))
+    Stores.dropStore(spark, "tst_digest_s")
+  }
 }
