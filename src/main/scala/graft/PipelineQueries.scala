@@ -2704,13 +2704,51 @@ object PipelineQueries {
            |       (NOT dup_of_corpus AND rn = 1) AS keep
            |FROM j ORDER BY doc_id""".stripMargin))
 
+  /** End-to-end training-prep composition: curation gate (Gopher-style
+    * token window, 12–80 — drops ~22% of this corpus) → greedy packing of
+    * the SURVIVORS into 256-token blocks → block-level fill/waste
+    * accounting. Declares that the operators COMPOSE: the packer's walk
+    * order is the post-filter document order, so the oracle must thread
+    * the same survivor set through its recursion — any divergence in the
+    * gate surfaces as a packing mismatch downstream. One narrow filter +
+    * q145's one-shuffle pack + a block-local aggregate. */
+  private val q147 = Q("q147_curated_pack",
+    (s, d) => {
+      val nTok = TextOps.wsTokenCount(col("text")).cast("long")
+      val kept = documents(s, d).filter(nTok.between(12L, 80L))
+      val packed = Packing.greedyPack(kept, "doc_id",
+        pmod(col("doc_id"), lit(4L)), col("doc_id"), nTok, budget = 256L)
+      Packing.packStats(packed, budget = 256L)
+        .orderBy(col("shard"), col("block"))
+    },
+    Some("""WITH RECURSIVE kept AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+           |  FROM documents
+           |  WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 12 AND 80),
+           |w AS MATERIALIZED (SELECT doc_id, doc_id % 4 AS shard, n_tok,
+           |        CAST(row_number() OVER (PARTITION BY doc_id % 4 ORDER BY doc_id) AS BIGINT) AS rn
+           |      FROM kept),
+           |r AS (
+           |  SELECT shard, doc_id, n_tok, rn, 0::BIGINT AS block, n_tok AS fill
+           |  FROM w WHERE rn = 1
+           |  UNION ALL
+           |  SELECT w.shard, w.doc_id, w.n_tok, w.rn,
+           |         CASE WHEN r.fill + w.n_tok > 256 THEN r.block + 1 ELSE r.block END,
+           |         CASE WHEN r.fill + w.n_tok > 256 THEN w.n_tok ELSE r.fill + w.n_tok END
+           |  FROM w JOIN r ON w.shard = r.shard AND w.rn = r.rn + 1)
+           |SELECT shard, block, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_tok) AS BIGINT) AS fill,
+           |       greatest(256 - CAST(sum(n_tok) AS BIGINT), 0) AS waste
+           |FROM r GROUP BY shard, block ORDER BY shard, block""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
 
   // ------------------------------------------------- phase decompositions
 
