@@ -392,4 +392,51 @@ class PlanShapeSpec extends SparkTestBase {
     // bounded by sources^2 (both hashpartitioning exchanges present)
     assert(p.contains("collect_set"), s"expected the per-gram source set:\n$p")
   }
+
+  test("greedy packing shuffles 4 longs per doc on shard, never text") {
+    val p = plan("q145_seq_pack")
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.forall(_.contains("shard")),
+      s"the one hash exchange must be the shard repartition:\n${hashExchanges.mkString("\n")}")
+    assert(!hashExchanges.exists(_.contains("text#")),
+      s"document text must be projected away before the shuffle:\n${hashExchanges.mkString("\n")}")
+  }
+
+  test("k-means sweep: map-side partial vector sums, one exchange on cell") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = graft.ops.Cluster.initCentroids(emb, "vec_id", "embedding",
+      k = 4, scale = 10000L)
+    val vecSum = org.apache.spark.sql.functions.udaf(
+      new graft.ops.Aggregators.LongVectorSum(cents.head._2.length))
+    val sweep = emb
+      .select(col("vec_id"),
+        graft.ops.Cluster.quantized(col("embedding"), 10000L).as("qv"))
+      .withColumn("cell", graft.ops.Similarity.nearestCell(
+        col("qv").cast("array<double>"), cents))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("s"))
+    val p = sweep.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("cell")),
+      s"the only exchange is the k-row cell merge:\n${exchanges.mkString("\n")}")
+    // partial aggregation BEFORE the exchange — the shuffle carries one
+    // k x (d+1) buffer set per partition, not one row per vector
+    assert(p.contains("partial_longvectorsum") ||
+      p.toLowerCase.contains("partial"), s"expected map-side partials:\n$p")
+  }
+
+  test("digest-store probe: store side distincts on its bucket layout, no store exchange") {
+    val q = "q146_digest_store"
+    val p = plan(q) // builds the store, returns the probe
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // batch-side exchanges key on text_hash/doc_id; a store-side exchange
+    // would key on the renamed column h
+    assert(!hashExchanges.exists(_.contains("(h#")),
+      s"store-side distinct must ride the bucketed layout:\n${hashExchanges.mkString("\n")}")
+    assert(!hashExchanges.exists(_.contains("text#")),
+      s"raw text never shuffles:\n${hashExchanges.mkString("\n")}")
+  }
 }
