@@ -108,6 +108,14 @@ object Cluster {
           scale: Long = 10000L): KmeansFit = {
     require(iters >= 1, "need at least one sweep (init alone has no counts)")
     require(k > 0, "k must be positive")
+    // centroids enter the plan as literal arrays (the IVF-family
+    // contract): k x d literals. Past ~4096 cells the expression tree
+    // itself becomes the bottleneck — at that size clustering IS the IVF
+    // store build: fit a codebook with Similarity.kmeansCodebook /
+    // autoCodebook and partition through writeIvfStore instead.
+    require(k <= 4096,
+      s"k=$k exceeds the literal-codebook plan bound (4096); use " +
+        "Similarity.kmeansCodebook/autoCodebook + writeIvfStore at this scale")
     require(scale > 0, "scale must be positive")
     val q = quantizedInput(df, idCol, vecCol, scale).persist()
     try {

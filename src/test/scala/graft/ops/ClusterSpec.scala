@@ -125,6 +125,28 @@ class ClusterSpec extends SparkTestBase {
     assert(cells(1L) != cells(2L))
   }
 
+  test("balancedSample production draw: seeded-hash order, quota-exact, repartition-stable") {
+    val assigned = Seq.tabulate(20)(i => (i.toLong, i.toLong % 2))
+      .toDF("id", "cell")
+    def draw(parts: Int) = Cluster.balancedSample(
+        assigned.repartition(parts), "cell",
+        xxhash64(col("id"), lit(7L)), ceil(sqrt(col("n_cell"))).cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val a = draw(7)
+    assert(a == draw(3)) // the draw is a pure function of the data
+    // quota-exact per cell: 10 per cell -> ceil(sqrt(10)) = 4
+    assert(a.count(_._2 == 0L) == 4 && a.count(_._2 == 1L) == 4)
+    // and it is NOT the lowest-id prefix — the hash order actually mixes
+    assert(a.map(_._1) != (0L until 8L).toSet)
+  }
+
+  test("fit rejects k beyond the literal-codebook plan bound with advice") {
+    val ex = intercept[IllegalArgumentException] {
+      Cluster.fit(corpus, "vec_id", "embedding", k = 5000, iters = 1)
+    }
+    assert(ex.getMessage.contains("kmeansCodebook"))
+  }
+
   test("balancedSample keeps exactly min(n, ceil(sqrt(n))) per cell in order") {
     val assigned = Seq.tabulate(12)(i => (i.toLong, i.toLong % 2))
       .toDF("id", "cell")
