@@ -1035,8 +1035,8 @@ object PipelineQueries {
     })
 
   /** Conjunctive term search (see Terms.searchDocs): docs containing all
-    * three query terms; the corpus-side isin prune keeps the shuffle at
-    * matching rows only. */
+    * three query terms; a pure narrow scan (single-pass normalize kernel +
+    * k array_contains probes) — no explode, no exchange. */
   private val q89 = Q("q89_term_search",
     (s, d) => Terms.searchDocs(documents(s, d), "doc_id", "text",
         Seq("vector", "join", "filter"))

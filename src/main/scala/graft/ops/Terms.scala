@@ -379,12 +379,19 @@ object Terms {
   def searchDocs(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String]): DataFrame = {
     requireNormalizedTerms(terms)
-    df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(TextOps.wsTokens(TextOps.normalizeText(col(textCol))))).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matched"))
-      .filter(col("n_matched") === terms.size)
-      .select(col("doc_id"))
+    // pure narrow conjunction: single-pass normalize KERNEL (bit-equal to
+    // the composed regex chain — TextKernelsSpec; the chain's 4
+    // interpreted regex passes dominated this scan, q41's lesson), split
+    // once per row, then k array_contains probes — NO explode, NO
+    // exchange. The filter stays in the scan stage, so at cluster scale
+    // this is file-split parallel with zero data movement.
+    val matchAll = df
+      .select(col(idCol).as("doc_id"),
+        TextOps.wsTokens(
+          graft.functions.TextFunctions.normalize_text(col(textCol))).as("__toks"))
+      .filter(terms.map(t => array_contains(col("__toks"), t))
+        .reduceOption(_ && _).getOrElse(lit(false)))
+    matchAll.select(col("doc_id"))
   }
 
   /** BM25 ranked retrieval over the corpus — [[searchDocs]]' boolean
