@@ -2742,13 +2742,103 @@ object PipelineQueries {
            |       greatest(256 - CAST(sum(n_tok) AS BIGINT), 0) AS waste
            |FROM r GROUP BY shard, block ORDER BY shard, block""".stripMargin))
 
+  // --------------------------------------------- keyed CDC store (q148-149)
+
+  /** Shared CDC history for the q148/q149 pair, derived deterministically
+    * from `orders`: batch 0 loads the dimension, batch 1 upserts a price
+    * adjustment (+10.0 — exact in IEEE double, so the oracle replays it
+    * bit-for-bit), batch 2 takes down every 11≡3 key, batch 3 re-prices a
+    * 13≡1 slice (including keys batch 2 deleted — exercising
+    * delete-then-reinsert). */
+  private def buildOrdersCdc(s: org.apache.spark.sql.SparkSession, d: String,
+                             store: String): String = {
+    val path = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), store).toString
+    KeyedStore.dropKeyedStore(s, path)
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderstatus"))
+    KeyedStore.writeKeyedBatch(ord, "o_orderkey", path, 0L)
+    KeyedStore.writeKeyedBatch(
+      ord.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+        .withColumn("o_orderstatus", lit("U")),
+      "o_orderkey", path, 1L)
+    KeyedStore.deleteKeyedBatch(
+      ord.filter(col("o_orderkey") % 11 === 3).select(col("o_orderkey")),
+      "o_orderkey", path, 2L)
+    KeyedStore.writeKeyedBatch(
+      ord.filter(col("o_orderkey") % 13 === 1)
+        .withColumn("o_totalprice", lit(0.0))
+        .withColumn("o_orderstatus", lit("Z")),
+      "o_orderkey", path, 3L)
+    path
+  }
+
+  /** The q148/q149 oracle: replay the CDC batches as SQL unions and take
+    * the highest batch ≤ `asOf` per key (latest-wins), dropping keys whose
+    * winner is a delete. */
+  private def sqlOrdersCdcLatest(asOf: Int): String =
+    s"""WITH log AS (
+       |  SELECT o_orderkey AS id, 0 AS batch, 'u' AS op, o_custkey,
+       |         o_totalprice, o_orderstatus FROM orders
+       |  UNION ALL
+       |  SELECT o_orderkey, 1, 'u', o_custkey, o_totalprice + 10.0, 'U'
+       |  FROM orders WHERE o_orderkey % 7 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, 2, 'd', NULL, NULL, NULL
+       |  FROM orders WHERE o_orderkey % 11 = 3
+       |  UNION ALL
+       |  SELECT o_orderkey, 3, 'u', o_custkey, 0.0, 'Z'
+       |  FROM orders WHERE o_orderkey % 13 = 1),
+       |latest AS (SELECT *, row_number() OVER
+       |    (PARTITION BY id ORDER BY batch DESC) AS rn
+       |  FROM log WHERE batch <= $asOf)
+       |SELECT id, CAST(batch AS BIGINT) AS last_batch, o_custkey,
+       |       round(o_totalprice, 4) AS price, o_orderstatus AS status
+       |FROM latest WHERE rn = 1 AND op = 'u' ORDER BY id""".stripMargin
+
+  /** Keyed CDC store, current state ([[graft.ops.KeyedStore]]): four
+    * upsert/delete batches over the orders dimension, compacted at
+    * horizon 1, read merge-on-read. The read plan is the scale story:
+    * the compacted base is anti-joined against the BROADCAST set of
+    * log-touched ids and never shuffles (KeyedStoreSpec pins the plan);
+    * merge cost is O(live log), zero when the log is empty. */
+  private val q148 = Q("q148_keyed_upsert",
+    (s, d) => {
+      val path = buildOrdersCdc(s, d, "q148_store")
+      KeyedStore.compactKeyedStore(s, path, upTo = 1L)
+      KeyedStore.readLatest(s, path)
+        .select(col("id"), col("batch").as("last_batch"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("price"),
+          col("o_orderstatus").as("status"))
+        .orderBy(col("id"))
+    },
+    Some(sqlOrdersCdcLatest(asOf = 3)))
+
+  /** Snapshot ("time travel") read of the same CDC history at batch 2 —
+    * after the takedown, before the batch-3 re-insert — served from
+    * base(≤1) ∪ log batch 2 only. The horizon contract is loud: asOf
+    * below the compaction horizon throws instead of answering from
+    * trimmed history (KeyedStoreSpec). */
+  private val q149 = Q("q149_time_travel",
+    (s, d) => {
+      val path = buildOrdersCdc(s, d, "q149_store")
+      KeyedStore.compactKeyedStore(s, path, upTo = 1L)
+      KeyedStore.readLatest(s, path, asOf = Some(2L))
+        .select(col("id"), col("batch").as("last_batch"), col("o_custkey"),
+          round(col("o_totalprice"), 4).as("price"),
+          col("o_orderstatus").as("status"))
+        .orderBy(col("id"))
+    },
+    Some(sqlOrdersCdcLatest(asOf = 2)))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 
   // ------------------------------------------------- phase decompositions
 
@@ -3018,5 +3108,22 @@ object PipelineQueries {
             documents(s, d).filter(pmod(col("doc_id"), lit(5L)) === 0L),
             "doc_id", "text")
           .orderBy(col("doc_id")))
+      }),
+    "q148_keyed_upsert" -> Seq(
+      "build" -> ph { (s, d) => buildOrdersCdc(s, d, "q148_store"); None },
+      "compact" -> ph { (s, d) =>
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q148_store").toString
+        KeyedStore.compactKeyedStore(s, path, upTo = 1L)
+        None
+      },
+      "probe" -> ph { (s, d) =>
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q148_store").toString
+        Some(KeyedStore.readLatest(s, path)
+          .select(col("id"), col("batch").as("last_batch"), col("o_custkey"),
+            round(col("o_totalprice"), 4).as("price"),
+            col("o_orderstatus").as("status"))
+          .orderBy(col("id")))
       }))
 }
