@@ -2832,13 +2832,91 @@ object PipelineQueries {
     },
     Some(sqlOrdersCdcLatest(asOf = 2)))
 
+  // ------------------------------------- behavioral analytics (q150-152)
+
+  /** Preference-pair mining ([[graft.ops.Behavior.preferencePairs]]): per
+    * user the argmax-value event against the argmin, gap ≥ 100 — the
+    * (u, i⁺, i⁻) construction a BPR/DPO trainer consumes. One exchange on
+    * user_id; argmax/argmin are struct min/max with map-side combine and
+    * replayable tie-breaks (equal values → smallest event_id, both sides). */
+  private val q150 = Q("q150_pref_pairs",
+    (s, d) => Behavior.preferencePairs(events(s, d), "user_id", "event_id",
+        col("value"), minGap = 100.0)
+      .orderBy(col("user_id")),
+    Some("""WITH r AS (SELECT user_id, event_id, value,
+           |  row_number() OVER (PARTITION BY user_id
+           |    ORDER BY value DESC, event_id) AS rhi,
+           |  row_number() OVER (PARTITION BY user_id
+           |    ORDER BY value ASC, event_id) AS rlo
+           |  FROM events),
+           |hi AS (SELECT user_id, event_id AS chosen_id, value AS vhi
+           |       FROM r WHERE rhi = 1),
+           |lo AS (SELECT user_id, event_id AS rejected_id, value AS vlo
+           |       FROM r WHERE rlo = 1),
+           |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+           |      FROM events GROUP BY 1)
+           |SELECT user_id, chosen_id, rejected_id,
+           |       round(vhi - vlo, 6) AS gap, n_events
+           |FROM hi JOIN lo USING (user_id) JOIN n USING (user_id)
+           |WHERE vhi - vlo >= 100.0 ORDER BY user_id""".stripMargin))
+
+  /** Strictly-ordered conversion funnel
+    * ([[graft.ops.Behavior.orderedFunnel]]): view → click → purchase,
+    * each stage counting only strictly after the previous stage's first
+    * hit. k−1 co-keyed (entity, ts)-only joins; no windows, no
+    * collect_list — hot users carry O(1) state. */
+  private val q151 = Q("q151_event_funnel",
+    (s, d) => {
+      val f = Behavior.orderedFunnel(events(s, d), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+      f.select(col("user_id"), col("stage_reached"),
+          date_format(col("t_1"), "yyyy-MM-dd HH:mm:ss").as("t1"),
+          date_format(col("t_2"), "yyyy-MM-dd HH:mm:ss").as("t2"),
+          date_format(col("t_3"), "yyyy-MM-dd HH:mm:ss").as("t3"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS ta FROM events
+           |            WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS tb FROM events e
+           |       JOIN s1 ON e.user_id = s1.user_id
+           |       WHERE e.event_type = 'click' AND e.ts > s1.ta GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+           |       JOIN s2 ON e.user_id = s2.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts > s2.tb GROUP BY 1)
+           |SELECT s1.user_id,
+           |  1 + CAST(tb IS NOT NULL AS INT) + CAST(tc IS NOT NULL AS INT)
+           |    AS stage_reached,
+           |  strftime(ta, '%Y-%m-%d %H:%M:%S') AS t1,
+           |  strftime(tb, '%Y-%m-%d %H:%M:%S') AS t2,
+           |  strftime(tc, '%Y-%m-%d %H:%M:%S') AS t3
+           |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+           |ORDER BY s1.user_id""".stripMargin))
+
+  /** Daily cohort retention ([[graft.ops.Behavior.cohortRetention]]):
+    * users bucketed by first-event day, activity counted per day offset.
+    * Exact integer day arithmetic replays on both engines; the
+    * (user, day) distinct collapses activity BEFORE the join. */
+  private val q152 = Q("q152_cohort_retention",
+    (s, d) => Behavior.cohortRetention(events(s, d), "user_id", "ts", 86400L)
+      .orderBy(col("cohort"), col("k")),
+    Some("""WITH f AS (SELECT user_id,
+           |    CAST(floor(epoch_us(min(ts)) / 86400000000.0) AS BIGINT) AS cohort
+           |  FROM events GROUP BY 1),
+           |a AS (SELECT DISTINCT user_id,
+           |    CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS period
+           |  FROM events)
+           |SELECT cohort, period - cohort AS k, CAST(count(*) AS BIGINT) AS n_active
+           |FROM a JOIN f USING (user_id)
+           |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
     q102, q103, q104, q105, q106, q107, q108, q109, q110, q111, q112, q113,
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
-    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
+    q150, q151, q152)
 
   // ------------------------------------------------- phase decompositions
 

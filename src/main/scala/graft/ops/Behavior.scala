@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics over an interaction log — the query family
+  * a recommender's upstream event pipeline runs before any model sees the
+  * data: preference-pair mining (the DPO/BPR training-pair construction),
+  * ordered conversion funnels, and cohort retention. The reference works
+  * from an already-flattened ratings table (`explicit_ratings/main.py`
+  * load step) and mines implicit preference pairs inside the BPR sampler
+  * (`implicit_bpr/functions.py`); these operators produce those inputs
+  * FROM the raw event log, distributedly.
+  *
+  * Scale shapes (shared by all three): everything keys on the entity
+  * column — one hash exchange each, partial aggregation map-side, no
+  * windows, no driver state. Per-entity state is O(1) (min/max structs,
+  * stage timestamps), so a hot entity cannot skew a partition the way a
+  * collect_list-based sessionizer would. */
+object Behavior {
+
+  /** Training preference pairs from an interaction log: per entity, the
+    * argmax-value interaction (chosen) against the argmin (rejected),
+    * kept when the preference gap is decisive (`minGap`). Deterministic
+    * tie-breaks — equal values resolve to the SMALLEST interaction id on
+    * both sides — make the draw replayable on any engine. One hash
+    * exchange on `entityCol`; the argmax/argmin fold is a pair of struct
+    * min/max aggregates with map-side combine, so per-group state is two
+    * structs regardless of entity fan-in.
+    *
+    * Output: (entity, chosen_id, rejected_id, gap, n_events), gap rounded
+    * 6dp — the (u, i⁺, i⁻) triple feeding a BPR/DPO-style trainer
+    * (reference: implicit_bpr/functions.py's per-user positive/negative
+    * draw, here value-extremal and exact instead of sampled). */
+  def preferencePairs(events: DataFrame, entityCol: String, idCol: String,
+                      valueCol: Column, minGap: Double): DataFrame = {
+    require(minGap > 0.0, "minGap must be > 0 (a zero gap pairs a row with itself)")
+    events
+      .groupBy(col(entityCol))
+      .agg(
+        // argmax by (value, then smallest id): -id inverts the id order
+        max(struct(valueCol.as("v"), (-col(idCol)).as("ni"))).as("hi"),
+        min(struct(valueCol.as("v"), col(idCol).as("i"))).as("lo"),
+        count(lit(1)).as("n_events"))
+      .filter(col("hi.v") - col("lo.v") >= minGap)
+      .select(col(entityCol), (-col("hi.ni")).as("chosen_id"),
+        col("lo.i").as("rejected_id"),
+        round(col("hi.v") - col("lo.v"), 6).as("gap"), col("n_events"))
+  }
+
+  /** Strictly-ordered conversion funnel: for every entity that entered
+    * stage 1, the earliest timestamp of each stage REACHED IN ORDER —
+    * stage i+1 counts only strictly after the entity's stage-i time (the
+    * standard ordered-funnel semantics; simultaneous timestamps do not
+    * advance the funnel). Returns
+    * (entity, stage_reached, t_1 … t_k) with unreached stages NULL.
+    *
+    * Shape: one filtered min-aggregate plus one entity-keyed join per
+    * stage — k−1 co-keyed shuffles over (entity, timestamp) rows only,
+    * never the event payload; funnels are 3–5 stages, so the chain is
+    * short and every exchange hashes the same key (AQE coalesces the
+    * tiny tails). Per-entity state is one timestamp per stage — hot
+    * users cost nothing extra. */
+  def orderedFunnel(events: DataFrame, entityCol: String, typeCol: String,
+                    tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    val ent = col(entityCol)
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(ent).agg(min(col(tsCol)).as("t_1"))
+    stages.zipWithIndex.drop(1).foreach { case (stage, i) =>
+      val hit = events.filter(col(typeCol) === stage)
+        .select(ent, col(tsCol))
+        .join(acc.select(ent, col(s"t_$i")), Seq(entityCol))
+        .filter(col(tsCol) > col(s"t_$i"))
+        .groupBy(ent).agg(min(col(tsCol)).as(s"t_${i + 1}"))
+      acc = acc.join(hit, Seq(entityCol), "left")
+    }
+    val reached = stages.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1)
+      .otherwise(0)).reduce(_ + _)
+    acc.select(ent +: reached.as("stage_reached") +:
+      stages.indices.map(i => col(s"t_${i + 1}")): _*)
+  }
+
+  /** Cohort retention: entities bucketed by the period of their first
+    * event (integer periods of `periodSeconds` since the epoch — exact
+    * long arithmetic, engine-replayable); for every (cohort, k) the
+    * number of entities active k periods after their cohort period.
+    * k = 0 is the cohort size itself.
+    *
+    * Shape: a first-seen min-aggregate, a distinct over (entity, period)
+    * — both one exchange on the entity — then an entity-keyed join and a
+    * final tiny (cohort, k) count. The distinct collapses within-period
+    * activity BEFORE the join, so the joined frame is bounded by
+    * entities × active periods, not by raw events. */
+  def cohortRetention(events: DataFrame, entityCol: String, tsCol: String,
+                      periodSeconds: Long): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be > 0")
+    val period = (floor(unix_micros(col(tsCol)) /
+      lit(periodSeconds * 1000000.0))).cast("long").as("period")
+    val first = events.groupBy(col(entityCol))
+      .agg(min(col(tsCol)).as("first_ts"))
+      .select(col(entityCol),
+        floor(unix_micros(col("first_ts")) / lit(periodSeconds * 1000000.0))
+          .cast("long").as("cohort"))
+    val active = events.select(col(entityCol), period).distinct()
+    active.join(first, Seq(entityCol))
+      .select(col("cohort"), (col("period") - col("cohort")).as("k"))
+      .groupBy(col("cohort"), col("k"))
+      // (entity, period) is distinct and cohort is a function of the
+      // entity, so plain count == distinct entities
+      .agg(count(lit(1)).as("n_active"))
+  }
+}
