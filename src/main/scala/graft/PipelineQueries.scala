@@ -2909,6 +2909,29 @@ object PipelineQueries {
            |FROM a JOIN f USING (user_id)
            |GROUP BY 1, 2 ORDER BY cohort, k""".stripMargin))
 
+  /** Ordered session digests ([[graft.ops.Behavior.sessionDigest]]):
+    * 30-minute gap sessions reduced to (count, exact duration, md5 path
+    * fingerprint) — session-shape analytics over a 32-char key. The
+    * group order is pinned by sorting (ts, id, type) structs, never by
+    * collect arrival order, so the fingerprint is partitioning-proof
+    * (and the oracle's ORDER BY inside string_agg replays it). */
+  private val q153 = Q("q153_session_digest",
+    (s, d) => Behavior.sessionDigest(events(s, d), "user_id", "ts",
+        "event_id", "event_type", gapSeconds = 1800.0)
+      .orderBy(col("user_id"), col("session_id")),
+    Some("""WITH g AS (SELECT user_id, event_id, event_type, ts,
+           |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+           |      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+           |    THEN 1 ELSE 0 END AS ns FROM events),
+           |s AS (SELECT user_id, event_id, event_type, ts,
+           |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS session_id FROM g)
+           |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+           |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS fp
+           |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -2916,7 +2939,7 @@ object PipelineQueries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152)
+    q150, q151, q152, q153)
 
   // ------------------------------------------------- phase decompositions
 

@@ -82,6 +82,37 @@ object Behavior {
       stages.indices.map(i => col(s"t_${i + 1}")): _*)
   }
 
+  /** Per-session behavioral digest: gap-sessionize the log
+    * ([[Relational.sessionize]]), then reduce each session to scalars —
+    * event count, exact duration in integer microseconds, and an ORDERED
+    * path fingerprint (md5 of the '|'-joined event types in (ts, id)
+    * order). The fingerprint makes session-shape analytics (top
+    * conversion paths, anomalous-path detection) a plain groupBy over a
+    * 32-char key instead of an array-valued column.
+    *
+    * Determinism: the in-group order is pinned by sorting the collected
+    * (ts, id, type) structs — never by collect_list's arrival order,
+    * which is partitioning-dependent. Per-session state is the session's
+    * own events (sessions are gap-bounded and human-scale; this is NOT
+    * for unbounded keys — the contract every collect-based reducer in
+    * the engine documents). One window pass for session ids (the
+    * sessionize exchange) and one hash aggregation. */
+  def sessionDigest(events: DataFrame, entityCol: String, tsCol: String,
+                    idCol: String, typeCol: String,
+                    gapSeconds: Double): DataFrame = {
+    val sess = Relational.sessionize(events, entityCol, tsCol, idCol, gapSeconds)
+    sess.groupBy(col(entityCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
+          .as("duration_us"),
+        md5(concat_ws("|",
+          transform(
+            array_sort(collect_list(struct(col(tsCol).as("t"),
+              col(idCol).as("i"), col(typeCol).as("y")))),
+            x => x.getField("y")))).as("fp"))
+  }
+
   /** Cohort retention: entities bucketed by the period of their first
     * event (integer periods of `periodSeconds` since the epoch — exact
     * long arithmetic, engine-replayable); for every (cohort, k) the

@@ -220,7 +220,12 @@ object KeyedStore {
     val bd = baseDir(path)
     val f = fs(spark, bd)
     val gen = prev.map(_._1 + 1).getOrElse(1L)
-    folded.write.mode("overwrite")
+    // range-sort the generation by id: parquet row-group min/max stats then
+    // prune point lookups and id-range scans to one file / few row groups,
+    // so a readLatest(...).filter(id = k) serve path touches O(1) of the
+    // corpus-sized base (KeyedStoreSpec pins the pushed filter)
+    folded.repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .write.mode("overwrite")
       .parquet(new org.apache.hadoop.fs.Path(bd, s"gen=$gen").toString)
     // publish: immutable pointer, tmp + rename (atomic on posix/HDFS)
     val next = {

@@ -88,6 +88,39 @@ class BehaviorSpec extends SparkTestBase {
     assert(row.isNullAt(2))
   }
 
+  // -------------------------------------------------------- sessionDigest
+
+  test("sessionDigest: ordered fingerprint is partitioning-proof") {
+    val ev = Seq(
+      // user 1, session 0: view(10:00) -> click(10:05); session 1 after
+      // the 30-min gap: purchase(11:00)
+      (1L, 100L, "view", ts("2024-01-01 10:00:00")),
+      (1L, 101L, "click", ts("2024-01-01 10:05:00")),
+      (1L, 102L, "purchase", ts("2024-01-01 11:00:00")),
+      // user 2: same path shape as user 1 session 0 -> same fingerprint
+      (2L, 200L, "view", ts("2024-01-02 09:00:00")),
+      (2L, 201L, "click", ts("2024-01-02 09:20:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Behavior.sessionDigest(df, "user_id", "ts", "event_id", "event_type", 1800.0)
+        .select($"user_id", $"session_id", $"n_events", $"duration_us", $"fp")
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+    val got = digest(ev)
+    val u1s0 = got.find(r => r._1 == 1L && r._2 == 0L).get
+    val u2s0 = got.find(r => r._1 == 2L && r._2 == 0L).get
+    assert(u1s0._3 == 2L && u1s0._4 == 300000000L)
+    assert(got.find(r => r._1 == 1L && r._2 == 1L).get._3 == 1L)
+    // same ordered path => same fingerprint, regardless of duration
+    assert(u1s0._5 == u2s0._5)
+    // fingerprint must be order-sensitive and partitioning-invariant
+    assert(digest(ev.repartition(7)) == got)
+    val swapped = Seq(
+      (1L, 100L, "click", ts("2024-01-01 10:00:00")),
+      (1L, 101L, "view", ts("2024-01-01 10:05:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    assert(digest(swapped).head._5 != u1s0._5)
+  }
+
   // ------------------------------------------------------ cohortRetention
 
   test("cohortRetention: first-period cohorts, distinct per-period activity") {

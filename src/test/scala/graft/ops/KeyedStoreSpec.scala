@@ -138,6 +138,17 @@ class KeyedStoreSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$plan")
   }
 
+  test("point lookups push the id predicate into the base scan") {
+    val p = storePath("ks_lookup")
+    build(p)
+    KeyedStore.compactKeyedStore(spark, p, upTo = 1L)
+    val df = KeyedStore.readLatest(spark, p).filter($"id" === 3L)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,3)]"),
+      s"expected id pushdown into the parquet scan:\n$scan")
+    assert(df.select($"name").as[String].collect().toSeq == Seq("c"))
+  }
+
   test("base-only read after compaction is a bare scan of the generation") {
     val p = storePath("ks_bare")
     build(p)
