@@ -346,6 +346,77 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"), col("sum_value"))
 
+  final case class FunnelState(stageTsMicros: Array[Long])
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+                                 ts: java.sql.Timestamp)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.ops.Behavior.orderedFunnel]]: per user, an append-mode
+    * `(user_id, stage, ts)` row fires the moment the user FIRST advances
+    * to each stage, where stage i+1 only counts strictly after the
+    * user's stage-i time (the batch operator's strict-order semantics).
+    * `max(stage)` per user downstream equals the batch `stage_reached`.
+    *
+    * State is one `Array[Long]` of stage timestamps per ACTIVE user —
+    * O(k) regardless of event volume — and is evicted by an event-time
+    * timeout once the watermark passes the user's last advance by
+    * `stateHorizon` (a user who returns later re-enters the funnel from
+    * stage 1: the bounded-state trade every stateful op in this file
+    * documents, explicit here because funnels are usually
+    * session-scoped anyway).
+    *
+    * Ordering contract (same as [[enrichLatest]]): within a micro-batch
+    * rows are processed in (ts, event_id) order, so an in-order feed
+    * reproduces the batch funnel exactly; a stage event arriving in a
+    * LATER micro-batch than a higher-stage event it precedes in event
+    * time cannot retroactively lower the chain — advances already
+    * emitted are immutable facts. */
+  def funnelProgress(events: DataFrame, stages: Seq[String],
+                     watermark: String = "2 hours",
+                     stateHorizon: String = "4 hours"): Dataset[FunnelAdvance] = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val typed = events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long"), col("event_type"),
+        col("event_id").cast("long"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long, java.sql.Timestamp, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp, Long)],
+         state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption
+              .getOrElse(FunnelState(Array.fill(stages.size)(Long.MinValue)))
+            val t = st.stageTsMicros.clone()
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+            // event-time order within the batch pins the in-order contract
+            rows.toSeq.sortBy(r => (r._5, r._3)).foreach { case (_, ty, _, tsv, tsUs) =>
+              val i = stageIdx(ty)
+              val prevOk = i == 0 || t(i - 1) != Long.MinValue
+              val strictlyAfter = i == 0 || tsUs > t(i - 1)
+              if (t(i) == Long.MinValue && prevOk && strictlyAfter) {
+                t(i) = tsUs
+                out += FunnelAdvance(user, i + 1, tsv)
+              }
+            }
+            state.update(FunnelState(t))
+            // evict once the watermark passes the last advance by the
+            // horizon; the base must sit above the current watermark
+            val lastAdvance = t.filter(_ != Long.MinValue)
+              .reduceOption((a: Long, b: Long) => math.max(a, b)).getOrElse(0L)
+            state.setTimeoutTimestamp(math.max(lastAdvance / 1000L,
+              state.getCurrentWatermarkMs() + 1L), stateHorizon)
+            out.iterator
+          }
+        })
+  }
+
   /** Exactly-once partitioned parquet sink for FINALIZED append-mode
     * output: each micro-batch's rows land via dynamic partition overwrite
     * ([[graft.ops.Layout.overwritePartitions]]), so a REPLAYED batch
