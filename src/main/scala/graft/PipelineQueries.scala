@@ -2774,22 +2774,27 @@ object PipelineQueries {
     path
   }
 
+  /** The SQL replay of [[buildOrdersCdc]]'s batch log, shared by the
+    * latest/snapshot/history oracles. */
+  private val sqlOrdersCdcLog: String =
+    """SELECT o_orderkey AS id, 0 AS batch, 'u' AS op, o_custkey,
+      |       o_totalprice, o_orderstatus FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 1, 'u', o_custkey, o_totalprice + 10.0, 'U'
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT o_orderkey, 2, 'd', NULL, NULL, NULL
+      |FROM orders WHERE o_orderkey % 11 = 3
+      |UNION ALL
+      |SELECT o_orderkey, 3, 'u', o_custkey, 0.0, 'Z'
+      |FROM orders WHERE o_orderkey % 13 = 1""".stripMargin
+
   /** The q148/q149 oracle: replay the CDC batches as SQL unions and take
     * the highest batch ≤ `asOf` per key (latest-wins), dropping keys whose
     * winner is a delete. */
   private def sqlOrdersCdcLatest(asOf: Int): String =
     s"""WITH log AS (
-       |  SELECT o_orderkey AS id, 0 AS batch, 'u' AS op, o_custkey,
-       |         o_totalprice, o_orderstatus FROM orders
-       |  UNION ALL
-       |  SELECT o_orderkey, 1, 'u', o_custkey, o_totalprice + 10.0, 'U'
-       |  FROM orders WHERE o_orderkey % 7 = 0
-       |  UNION ALL
-       |  SELECT o_orderkey, 2, 'd', NULL, NULL, NULL
-       |  FROM orders WHERE o_orderkey % 11 = 3
-       |  UNION ALL
-       |  SELECT o_orderkey, 3, 'u', o_custkey, 0.0, 'Z'
-       |  FROM orders WHERE o_orderkey % 13 = 1),
+       |$sqlOrdersCdcLog),
        |latest AS (SELECT *, row_number() OVER
        |    (PARTITION BY id ORDER BY batch DESC) AS rn
        |  FROM log WHERE batch <= $asOf)
@@ -2932,6 +2937,187 @@ object PipelineQueries {
            |  md5(string_agg(event_type, '|' ORDER BY ts, event_id)) AS fp
            |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin))
 
+  /** SCD-type-2 history of the CDC store
+    * ([[graft.ops.KeyedStore.history]]): every version of every key with
+    * its validity interval — deletes close intervals, re-inserts open
+    * fresh ones, the current version has valid_to NULL. One id-keyed
+    * window over versions (the honest minimum for interval construction);
+    * run at compaction cadence, not per-serve. */
+  private val q154 = Q("q154_scd2_history",
+    (s, d) => {
+      val path = buildOrdersCdc(s, d, "q154_store")
+      KeyedStore.history(s, path)
+        .select(col("id"), col("valid_from"), col("valid_to"),
+          col("o_custkey"), round(col("o_totalprice"), 4).as("price"),
+          col("o_orderstatus").as("status"))
+        .orderBy(col("id"), col("valid_from"))
+    },
+    Some(s"""WITH log AS (
+            |$sqlOrdersCdcLog),
+            |h AS (SELECT *, lead(batch) OVER
+            |    (PARTITION BY id ORDER BY batch) AS nxt FROM log)
+            |SELECT id, CAST(batch AS BIGINT) AS valid_from,
+            |       CAST(nxt AS BIGINT) AS valid_to, o_custkey,
+            |       round(o_totalprice, 4) AS price, o_orderstatus AS status
+            |FROM h WHERE op = 'u' ORDER BY id, valid_from""".stripMargin))
+
+  /** Stratified k-fold CV assignment ([[graft.ops.Relational.kFoldAssign]]):
+    * exact round-robin folds per language stratum (balance ±1) alongside
+    * the window-free LCG fold for corpus-scale assignment — both columns
+    * engine-replayable, the oracle replays the glibc constants. */
+  private val q155 = Q("q155_grouped_kfold",
+    (s, d) => Relational.kFoldAssign(documents(s, d), Seq(col("lang")),
+        col("doc_id"), col("doc_id"), k = 5)
+      .select(col("doc_id"), col("lang"), col("fold"), col("fold_hash"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang,
+           |  CAST((row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+           |    % 5 AS BIGINT) AS fold,
+           |  CAST(((((doc_id % 2147483648) * 1103515245 + 12345)
+           |    % 2147483648) // 65536) % 5 AS BIGINT) AS fold_hash
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------- OLAP reshape surface (q156-159)
+
+  /** Hierarchical subtotals via ROLLUP — (status, priority) revenue with
+    * per-status subtotals and a grand total in ONE aggregation pass
+    * (Spark plans rollup as a single Expand + hash aggregate, not three
+    * scans). Subtotal keys are coalesced to 'ALL' so the output is
+    * engine-agnostic (no NULL-ordering knife edges) and collision-free
+    * (no real key is 'ALL'). */
+  private val q156 = Q("q156_rollup_revenue",
+    (s, d) => orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("revenue"))
+      .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           |       coalesce(o_orderpriority, 'ALL') AS priority,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(o_totalprice), 4) AS revenue
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+           |ORDER BY status, priority""".stripMargin))
+
+  /** Long-to-wide PIVOT: per-user event-type counts as columns — the
+    * feature-table reshape a trainer consumes. Pivot values are PINNED
+    * (never inferred — inference is a second scan AND nondeterministic
+    * column order); absent combinations coalesce to 0. One hash
+    * aggregate on user_id. */
+  private val q157 = Q("q157_pivot_counts",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+           |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+           |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+           |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+           |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+           |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** Wide-to-long UNPIVOT (melt): lineitem rate metrics to (key, metric,
+    * value) rows — the reshape feeding any per-metric distribution
+    * profile. Spark's native unpivot is a zero-shuffle Expand (3 output
+    * rows per input row in the scan stage). */
+  private val q158 = Q("q158_unpivot_metrics",
+    (s, d) => lineitem(s, d)
+      .filter(col("l_orderkey") % 50 === 0)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""WITH src AS (SELECT * FROM lineitem WHERE l_orderkey % 50 = 0)
+           |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           |       round(l_quantity, 4) AS value FROM src
+           |UNION ALL
+           |SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 4)
+           |FROM src
+           |UNION ALL
+           |SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 4) FROM src
+           |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin))
+
+  /** First-order behavioral transition matrix: per-user consecutive
+    * event-type pairs in (ts, id) order, counted and normalized into the
+    * Markov transition probabilities a session simulator samples from
+    * (reference analogue: the A/B simulator's behavior draws,
+    * user_simulation/functions.py). One user-keyed window for the lag,
+    * one tiny (from, to) aggregate; probabilities are exact ratios of
+    * counts, rounded 6dp on both engines. */
+  private val q159 = Q("q159_transition_matrix",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      pairs
+        .withColumn("p", round(col("n") / sum(col("n")).over(totals), 6))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""WITH t AS (SELECT user_id, event_type, lag(event_type) OVER
+           |    (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |  FROM events),
+           |c AS (SELECT from_type, event_type AS to_type,
+           |        CAST(count(*) AS BIGINT) AS n
+           |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, n,
+           |       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+           |FROM c ORDER BY from_type, to_type""".stripMargin))
+
+  /** Graph random-walk recommendations ([[graft.ops.GraphCF.p3alphaRecs]]):
+    * top-10 P3alpha items per user over the customer-supplier interaction
+    * graph (orders ⋈ lineitem), transitions quantized to integer
+    * fixed-point so the whole 3-hop walk is order-free long arithmetic —
+    * bit-identical under any partitioning and in the oracle. The
+    * item-item walk matrix broadcasts (catalog-side small-matrix
+    * contract, guarded); seen items leave via anti-join. */
+  private val q160 = Q("q160_p3alpha_recs",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      GraphCF.p3alphaRecs(inter, "cust", "supp", k = 10)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+           |        FROM e JOIN du USING (u)),
+           |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+           |        FROM e JOIN di USING (i)),
+           |ss AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.p * b.p) AS BIGINT) AS q
+           |       FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+           |sc AS (SELECT pui.u, ss.s2, CAST(sum(pui.p * ss.q) AS BIGINT) AS score
+           |       FROM pui JOIN ss ON pui.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, s2 AS supp, score, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -2939,7 +3125,7 @@ object PipelineQueries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 
   // ------------------------------------------------- phase decompositions
 

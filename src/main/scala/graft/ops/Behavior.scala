@@ -55,6 +55,15 @@ object Behavior {
     * advance the funnel). Returns
     * (entity, stage_reached, t_1 … t_k) with unreached stages NULL.
     *
+    * Distinct from [[Relational.funnelSteps]], which is SESSION-scoped
+    * and requires the FIRST occurrences of every step to be monotone
+    * (an early stray click permanently fails that session's funnel);
+    * this operator finds the earliest VALID chain per entity across its
+    * whole history — a later re-click after the first view still
+    * advances. Both are standard funnel definitions; use funnelSteps
+    * for per-session rollups, this for per-entity progression (its
+    * streaming twin is [[graft.streaming.EventStreams.funnelProgress]]).
+    *
     * Shape: one filtered min-aggregate plus one entity-keyed join per
     * stage — k−1 co-keyed shuffles over (entity, timestamp) rows only,
     * never the event payload; funnels are 3–5 stages, so the chain is

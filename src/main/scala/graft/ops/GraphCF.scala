@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-based collaborative filtering over a user-item interaction log —
+  * the random-walk baseline family (P3alpha): rank items for a user by
+  * the 3-hop walk user → item → user' → item', transition probabilities
+  * row-normalized from interaction counts. The strongest classical
+  * baseline next to the reference's factorization models
+  * (explicit_ratings / implicit_bpr) and a standard production first-pass
+  * ranker; here it is EXACTLY replayable: transition probabilities are
+  * quantized to integer fixed-point up front (`floor(scale·w/deg)` — the
+  * engine's k-means quantize idiom), so every downstream sum is order-free
+  * long arithmetic and the result is bit-identical under any partitioning
+  * (and in the DuckDB oracle).
+  *
+  * Scale shape: the item-item walk matrix S(s,s') = Σ_u P(s→u)·P(u→s') is
+  * |items|² and BROADCAST into the final scoring join — the catalog-side
+  * small-matrix contract every neighborhood recommender at scale uses
+  * (items ≤ ~10⁴; guarded loudly, see `maxItems`). The user-keyed legs are
+  * one hash exchange each (edge aggregation, the u-keyed hop join, the
+  * final (user, item') aggregation); already-seen items leave via an
+  * anti-join on the edge frame itself. Quantization bounds: with
+  * scale = 10⁴, each product term ≤ 10⁸·scoreQ and the final Σ stays well
+  * under 2⁶³ for catalogs within the guard (documented overflow budget:
+  * scale³·|items| ≤ 10¹⁶). */
+object GraphCF {
+
+  /** Top-`k` P3alpha recommendations per user from an interaction frame.
+    * Returns (user, item, score, rnk) with `score` the exact integer
+    * fixed-point walk mass (scale³ ≈ probability·10¹²), ties broken by
+    * smallest item id; already-interacted items excluded; zero-mass
+    * candidates dropped. Persists the aggregated edge frame (five legs of
+    * the plan reuse it) — the engine's documented cache contract applies
+    * (clear between corpora). */
+  def p3alphaRecs(interactions: DataFrame, userCol: String, itemCol: String,
+                  k: Int, scale: Long = 10000L,
+                  maxItems: Long = 10000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(scale >= 10L, "scale < 10 quantizes transitions to noise")
+    val e = interactions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = e.select(col("i")).distinct().count()
+    if (nItems > maxItems) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"p3alphaRecs: $nItems items exceeds maxItems=$maxItems — the " +
+          "item-item walk matrix is |items|^2 and broadcast; prune the " +
+          "catalog (co-occurrence threshold) or shard by item segment")
+    }
+    // row-normalized transitions, quantized to integer fixed-point:
+    // floor(scale*w/deg) — exact in IEEE doubles (operands < 2^53) and
+    // exactly DuckDB's integer `//` on the same longs
+    val du = e.groupBy(col("u")).agg(sum(col("w")).as("du"))
+    val di = e.groupBy(col("i")).agg(sum(col("w")).as("di"))
+    val pUi = e.join(du, "u")
+      .select(col("u"), col("i"),
+        floor(col("w") * lit(scale) / col("du")).cast("long").as("p"))
+    val pIu = e.join(broadcast(di), "i")
+      .select(col("i"), col("u"),
+        floor(col("w") * lit(scale) / col("di")).cast("long").as("p"))
+    // item-item hop: S(s,s') = sum_u' P(s->u')*P(u'->s') — u'-keyed join,
+    // output |items|^2, small by the guard
+    val ss = pIu.select(col("i").as("s1"), col("u"), col("p").as("p1"))
+      .join(pUi.select(col("u"), col("i").as("s2"), col("p").as("p2")), "u")
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("p1") * col("p2")).as("q"))
+    // final hop: score(u, s') = sum_s P(u->s)*S(s,s') — ss broadcasts, the
+    // user-side frame never shuffles for the join
+    val scores = pUi.select(col("u"), col("i").as("s1"), col("p"))
+      .join(broadcast(ss), "s1")
+      .groupBy(col("u"), col("s2"))
+      .agg(sum(col("p") * col("q")).as("score"))
+      .filter(col("score") > 0L)
+    // e stays persisted: it feeds five legs of the lazy result plan
+    // (du/di/pUi/pIu/anti-join) — the documented cache contract (USAGE.md:
+    // clearCache between corpora); unpersisting here would silently
+    // recompute the edge aggregation once per leg at action time
+    val unseen = scores.join(
+      e.select(col("u"), col("i").as("s2")),
+      Seq("u", "s2"), "left_anti")
+    Relational.topKPerGroup(unseen, Seq(col("u")),
+        Seq(col("score").desc, col("s2")), k, rankName = "rnk")
+      .select(col("u").as(userCol), col("s2").as(itemCol),
+        col("score"), col("rnk"))
+  }
+}

@@ -205,6 +205,44 @@ object KeyedStore {
     }
   }
 
+  /** SCD-type-2 materialization of the store's history: one row per
+    * VERSION of each id with its validity interval —
+    * `(id, valid_from, valid_to, payload…)`, `valid_to` the batch that
+    * superseded the version (exclusive) or NULL while current. A delete
+    * closes the prior interval and contributes no row; a re-insert opens
+    * a fresh one. History older than the compaction horizon is trimmed
+    * (the [[readLatest]] contract): the base's rows enter as intervals
+    * opening at their recorded batch.
+    *
+    * Shape: ONE window (lead over (id, batch)) — an id-keyed exchange
+    * over versions, which is the honest minimum for interval
+    * construction; this is the batch materialization you run at
+    * compaction cadence to feed as-of auditing, not a serving read. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val base = currentBase(spark, path)
+    val horizon = base.map(_._2).getOrElse(Long.MinValue)
+    val baseDf = base.map { case (gen, _) =>
+      spark.read.parquet(
+        new org.apache.hadoop.fs.Path(baseDir(path), s"gen=$gen").toString)
+        .withColumn("op", lit("u"))
+    }
+    val rows = (baseDf, liveLog(spark, path, horizon, asOf = None)) match {
+      case (None, None) =>
+        throw new IllegalStateException(s"history: no store at $path")
+      case (Some(b), None) => b
+      case (None, Some(l)) => l
+      case (Some(b), Some(l)) => b.select(l.columns.map(col): _*).unionByName(l)
+    }
+    val payload = rows.columns.filterNot(Seq("id", "op", "batch").contains)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("batch"))
+    rows
+      .withColumn("valid_to", lead(col("batch"), 1).over(w))
+      .filter(col("op") === "u")
+      .select(col("id") +: col("batch").as("valid_from") +:
+        col("valid_to") +: payload.map(col): _*)
+  }
+
   /** Fold every batch ≤ `upTo` (plus any previous base) into a new base
     * generation, publish it, then reclaim the folded batch dirs. Crash
     * windows are all safe: before the pointer rename readers stay on the

@@ -332,6 +332,33 @@ object Relational {
       }: _*)
   }
 
+  /** Deterministic k-fold assignment for cross-validation, stratified:
+    * within each stratum, rows ordered by `orderCol` get folds
+    * round-robin — EXACT balance (fold sizes differ by ≤ 1 per stratum)
+    * and replayable on any engine (`(row_number − 1) mod k`). The
+    * returned frame also carries `fold_hash`, the order-free scale path:
+    * the engine's standard LCG over the id (the [[graft.ops.TextOps]]
+    * sampling generator), which needs NO window — approximate balance,
+    * one narrow map. Use `fold` when exact balance matters and the
+    * strata are window-sized; `fold_hash` for corpus-scale assignment
+    * where a per-stratum sort is not worth it.
+    *
+    * Shape: one window partitioned by the strata (the exact path's
+    * honest cost — a hash exchange + in-partition sort); the hash path
+    * adds zero exchanges. Leakage caveat: k-fold assigns IDs, not
+    * near-duplicate groups — on a deduplicated corpus compose with
+    * [[graft.ops.Dedup.clusterSafeSplit]] semantics first. */
+  def kFoldAssign(df: DataFrame, strataCols: Seq[Column], orderCol: Column,
+                  idCol: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val w = Window.partitionBy(strataCols: _*).orderBy(orderCol)
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("long"))
+      // the shared replayable LCG draw (TextOps.lcgState — the SQL
+      // oracles replay these exact constants)
+      .withColumn("fold_hash",
+        pmod(shiftright(TextOps.lcgState(idCol), 16), lit(k.toLong)))
+  }
+
   /** Per-group winsorization: clamp a value column to its group's
     * [pLo, pHi] exact percentiles — the outlier-capping step run on
     * quality scores / feature columns before thresholding, where dropping

@@ -121,6 +121,29 @@ class BehaviorSpec extends SparkTestBase {
     assert(digest(swapped).head._5 != u1s0._5)
   }
 
+  // ---------------------------------------------------------- kFoldAssign
+
+  test("kFoldAssign: exact per-stratum balance and replayable hash fold") {
+    val df = (0L until 23L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val got = Relational.kFoldAssign(df, Seq(col("lang")), col("doc_id"),
+      col("doc_id"), k = 4)
+    // exact balance: fold sizes within each stratum differ by <= 1
+    val sizes = got.groupBy($"lang", $"fold").count()
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3))
+    sizes.foreach { case (_, ns) => assert(ns.max - ns.min <= 1) }
+    // round-robin is order-deterministic: doc 0 is en fold 0, doc 3 en fold 1
+    val folds = got.select($"doc_id", $"fold").as[(Long, Long)].collect().toMap
+    assert(folds(0L) == 0L && folds(3L) == 1L && folds(6L) == 2L &&
+      folds(9L) == 3L && folds(12L) == 0L)
+    // hash fold replays the shared LCG draw exactly
+    val hash = got.select($"doc_id", $"fold_hash").as[(Long, Long)].collect().toMap
+    def lcg(id: Long): Long = ((id % 2147483648L) * 1103515245L + 12345L) %
+      2147483648L >> 16
+    (0L until 23L).foreach(i => assert(hash(i) == lcg(i) % 4))
+  }
+
   // ------------------------------------------------------ cohortRetention
 
   test("cohortRetention: first-period cohorts, distinct per-period activity") {

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphCFSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 3 users x 3 items, hand-traceable:
+    *   u1: a, a, b   u2: b, c   u3: a
+    * Quantized transitions (scale 10):
+    *   P(u1→a)=floor(20/3)=6  P(u1→b)=floor(10/3)=3
+    *   P(u2→b)=5 P(u2→c)=5    P(u3→a)=10
+    *   P(a→u1)=floor(20/3)=6  P(a→u3)=floor(10/3)=3
+    *   P(b→u1)=5 P(b→u2)=5    P(c→u2)=10
+    * S = P_iu · P_ui, score(u,s') = Σ_s P(u→s)·S(s,s'). */
+  private val inter = Seq(
+    (1L, "a"), (1L, "a"), (1L, "b"),
+    (2L, "b"), (2L, "c"),
+    (3L, "a"))
+    .toDF("user", "item")
+
+  test("p3alphaRecs matches the hand-computed quantized walk") {
+    val got = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L)
+      .select($"user", $"item", $"score", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // S entries: S(a,a)=6*6+3*10=66  S(a,b)=6*3=18
+    //            S(b,a)=5*6=30 S(b,b)=5*3=15 S(b,c)=5*5=25
+    //            S(c,b)=10*5=50 S(c,c)=10*5=50
+    // u1 unseen: c -> P(u1→b)*S(b,c)=3*25=75
+    // u2 unseen: a -> P(u2→b)*S(b,a)=5*30=150
+    // u3 unseen: b -> P(u3→a)*S(a,b)=10*18=180 ; c -> 0 mass, dropped
+    assert(got == Set(
+      (1L, "c", 75L, 1L),
+      (2L, "a", 150L, 1L),
+      (3L, "b", 180L, 1L)))
+  }
+
+  test("result is bit-identical under repartitioning (order-free integers)") {
+    val a = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    val b = GraphCF.p3alphaRecs(inter.repartition(7), "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
+  test("catalog guard raises with advice instead of broadcasting a huge matrix") {
+    val wide = (0L until 30L).map(i => (i % 3, s"item_$i")).toDF("user", "item")
+    val e = intercept[IllegalArgumentException] {
+      GraphCF.p3alphaRecs(wide, "user", "item", k = 5, maxItems = 10L)
+    }
+    assert(e.getMessage.contains("maxItems"))
+    spark.catalog.clearCache()
+  }
+
+  test("seen items are excluded and ties break to the smallest item") {
+    // u1 and u2 both interact with x once; y and z get equal walk mass
+    // from the shared co-user -> tie resolves to the smaller item id
+    val sym = Seq((1L, "x"), (2L, "x"), (2L, "y"), (2L, "z"))
+      .toDF("user", "item")
+    val recs = GraphCF.p3alphaRecs(sym, "user", "item", k = 2, scale = 100L)
+      .filter($"user" === 1L)
+      .select($"item", $"rnk").as[(String, Long)].collect().toSeq.sortBy(_._2)
+    assert(recs.map(_._1) == Seq("y", "z"))
+    assert(!recs.map(_._1).contains("x"))
+    spark.catalog.clearCache()
+  }
+}

@@ -138,6 +138,36 @@ class KeyedStoreSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SortMergeJoin:\n$plan")
   }
 
+  test("SCD2 history: intervals close on change and delete, reopen on re-insert") {
+    val p = storePath("ks_hist")
+    build(p)
+    val got = KeyedStore.history(spark, p)
+      .select($"id", $"valid_from", $"valid_to", $"name")
+      .as[(Long, Long, Option[Long], String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, Some(2L), "a"),   // deleted at 2
+      (1L, 3L, None, "a3"),      // re-inserted, current
+      (2L, 0L, Some(1L), "b"),   // superseded
+      (2L, 1L, None, "b2"),
+      (3L, 0L, None, "c"),
+      (4L, 1L, Some(2L), "d"))) // inserted then deleted
+  }
+
+  test("SCD2 history after compaction starts at the horizon state") {
+    val p = storePath("ks_hist_c")
+    build(p)
+    KeyedStore.compactKeyedStore(spark, p, upTo = 2L)
+    val got = KeyedStore.history(spark, p)
+      .select($"id", $"valid_from", $"valid_to", $"name")
+      .as[(Long, Long, Option[Long], String)].collect().toSet
+    // pre-horizon versions (b at 0, d's whole life) are trimmed; the base
+    // rows enter as open intervals at their recorded batch
+    assert(got == Set(
+      (1L, 3L, None, "a3"),
+      (2L, 1L, None, "b2"),
+      (3L, 0L, None, "c")))
+  }
+
   test("point lookups push the id predicate into the base scan") {
     val p = storePath("ks_lookup")
     build(p)
