@@ -3124,6 +3124,25 @@ object PipelineQueries {
            |SELECT u AS cust, s2 AS supp, score, rnk FROM r
            |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
 
+  /** Exact-integer exponential-decay popularity
+    * ([[graft.ops.Behavior.decayedCounts]]): per event type, recency-
+    * weighted counts where every weight is a whole power of two (scaled
+    * by 2^30) — the decayed sum is order-free long arithmetic, no
+    * floating accumulation anywhere. */
+  private val q161 = Q("q161_decay_popularity",
+    (s, d) => Behavior.decayedCounts(events(s, d), Seq(col("event_type")),
+        "ts", windowDays = 30)
+      .orderBy(col("event_type")),
+    Some("""WITH r AS (SELECT max(ts) AS m FROM events)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(CAST(power(2, 30 - floor(
+           |    (epoch_us(m) - epoch_us(ts)) / 86400000000.0)) AS BIGINT))
+           |    AS BIGINT) AS decayed_scaled,
+           |  round(CAST(sum(CAST(power(2, 30 - floor(
+           |    (epoch_us(m) - epoch_us(ts)) / 86400000000.0)) AS BIGINT))
+           |    AS BIGINT) / power(2, 30), 6) AS decayed
+           |FROM events, r GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3131,7 +3150,7 @@ object PipelineQueries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 
   // ------------------------------------------------- phase decompositions
 

@@ -122,6 +122,38 @@ object Behavior {
             x => x.getField("y")))).as("fp"))
   }
 
+  /** Recency-weighted ("decayed") popularity with EXACT integer
+    * arithmetic: each event weighs 2^(−age_days) with a 1-day half-life,
+    * scaled by 2^`windowDays` so every weight is a whole power of two —
+    * the scaled sum is order-free long arithmetic, bit-identical under
+    * any partitioning and in SQL (no floating accumulation at all; the
+    * engine's quantize idiom applied to time decay). Events older than
+    * the window get weight 0 (explicit truncation; widen `windowDays` to
+    * keep more history — the scaled weights stay exact up to ~60).
+    * Reference anchor: the recency weighting a production popularity
+    * ranker applies before the damped-popularity floor
+    * (serve/Recommend's 0.05 damping). Age is measured from the frame's
+    * own max timestamp (self-contained and replayable); one narrow map +
+    * one hash aggregate. Returns (keys…, n, decayed_scaled,
+    * decayed = scaled/2^windowDays rounded 6dp). */
+  def decayedCounts(events: DataFrame, keyCols: Seq[Column], tsCol: String,
+                    windowDays: Int = 30): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 60,
+      "windowDays in [1, 60] keeps 2^windowDays-scaled weights exact longs")
+    // bounded driver read: ONE row (the engine's guarded-collect contract)
+    val ref = events.agg(max(col(tsCol))).head().getTimestamp(0)
+    val age = floor((unix_micros(lit(ref)) - unix_micros(col(tsCol))) /
+      lit(86400000000.0))
+    // 2^(windowDays - age) is exact in IEEE for |exponent| <= 60; the cast
+    // floors sub-1 weights (beyond-window events) to 0 on both engines
+    val w = pow(lit(2.0), lit(windowDays.toDouble) - age).cast("long")
+    events
+      .groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("n"), sum(w).as("decayed_scaled"))
+      .withColumn("decayed",
+        round(col("decayed_scaled") / lit(math.pow(2.0, windowDays)), 6))
+  }
+
   /** Cohort retention: entities bucketed by the period of their first
     * event (integer periods of `periodSeconds` since the epoch — exact
     * long arithmetic, engine-replayable); for every (cohort, k) the

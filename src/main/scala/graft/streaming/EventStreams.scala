@@ -526,6 +526,25 @@ object EventStreams {
         graft.ops.Stores.addTombstones(batch, idCol, table, batchId)
       }
 
+  /** Streaming CDC ingestion into a [[graft.ops.KeyedStore]]: each
+    * micro-batch of changed rows becomes one upsert batch keyed by the
+    * micro-batch id — a REPLAYED micro-batch (failure/restart
+    * re-delivery) overwrites `log/batch=B` with identical content, so the
+    * store is exactly-once by the same overwrite idempotence as every
+    * sink here. Rows must be one-per-id within a micro-batch (the
+    * writeKeyedBatch contract — enforced loudly there); readers get
+    * [[graft.ops.KeyedStore.readLatest]] / snapshot / SCD2 views of the
+    * live stream; run [[graft.ops.KeyedStore.compactKeyedStore]] at
+    * cadence from the maintenance job, NOT from the stream (single-writer
+    * per concern). */
+  def sinkKeyedUpserts(changes: DataFrame, idCol: String,
+                       path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.KeyedStore.writeKeyedBatch(batch, idCol, path, batchId)
+      }
+
   /** Streaming leg of the mergeable PCA fit
     * ([[graft.ops.Projection.writeFitBatch]]): each micro-batch of
     * vectors lands its 1-row moment summary keyed by batch id, and the

@@ -121,6 +121,39 @@ class BehaviorSpec extends SparkTestBase {
     assert(digest(swapped).head._5 != u1s0._5)
   }
 
+  // --------------------------------------------------------- decayedCounts
+
+  test("decayedCounts: exact power-of-two weights, order-free") {
+    val ev = Seq(
+      ("a", ts("2024-01-10 12:00:00")), // age 0 -> 2^30
+      ("a", ts("2024-01-09 12:00:00")), // age 1 -> 2^29
+      ("a", ts("2024-01-08 11:00:00")), // age 2 (2d1h) -> 2^28
+      ("b", ts("2024-01-10 12:00:00"))) // age 0
+      .toDF("k", "ts")
+    val got = Behavior.decayedCounts(ev, Seq(col("k")), "ts", windowDays = 30)
+      .select($"k", $"n", $"decayed_scaled", $"decayed")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val s30 = 1L << 30; val s29 = 1L << 29; val s28 = 1L << 28
+    assert(got == Set(
+      ("a", 3L, s30 + s29 + s28, 1.75),
+      ("b", 1L, s30, 1.0)))
+    // partitioning-proof: integer sums commute
+    val re = Behavior.decayedCounts(ev.repartition(5), Seq(col("k")), "ts", 30)
+      .select($"k", $"n", $"decayed_scaled", $"decayed")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(re == got)
+  }
+
+  test("decayedCounts: beyond-window events truncate to zero weight") {
+    val ev = Seq(
+      ("a", ts("2024-02-01 00:00:00")),  // age 0
+      ("a", ts("2023-12-01 00:00:00")))  // age 62 > window 30 -> weight 0
+      .toDF("k", "ts")
+    val got = Behavior.decayedCounts(ev, Seq(col("k")), "ts", windowDays = 30)
+      .select($"n", $"decayed_scaled").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L << 30)))
+  }
+
   // ---------------------------------------------------------- kFoldAssign
 
   test("kFoldAssign: exact per-stratum balance and replayable hash fold") {
