@@ -75,7 +75,12 @@ object GraphCF {
       .select(col("i"), col("u"),
         floor(col("w") * lit(scale) / col("di")).cast("long").as("p"))
     // item-item hop: S(s,s') = sum_u' P(s->u')*P(u'->s') — u'-keyed join,
-    // output |items|^2, small by the guard
+    // output |items|^2, small by the guard. The join INTERMEDIATE is
+    // sum(deg(u)^2) pair rows — linear in users, quadratic in per-user
+    // degree; this is the inherent cost of the exact co-walk and the
+    // dominant leg at scale (production systems cap per-user history or
+    // sample walks to trade exactness for this term; this operator is
+    // the exact variant, which is what the oracle certifies)
     val ssFull = pIu.select(col("i").as("s1"), col("u"), col("p").as("p1"))
       .join(pUi.select(col("u"), col("i").as("s2"), col("p").as("p2")), "u")
       .groupBy(col("s1"), col("s2"))
@@ -86,7 +91,8 @@ object GraphCF {
         Seq(col("q").desc, col("s2")), neighbors)
       .drop("rn")
     // final hop: score(u, s') = sum_s P(u->s)*S(s,s') — ss broadcasts, the
-    // user-side frame never shuffles for the join
+    // user-side frame never shuffles for the join; the truncation above
+    // caps the fanout at edges * neighbors
     val scores = pUi.select(col("u"), col("i").as("s1"), col("p"))
       .join(broadcast(ss), "s1")
       .groupBy(col("u"), col("s2"))
