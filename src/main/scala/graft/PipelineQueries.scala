@@ -3143,6 +3143,83 @@ object PipelineQueries {
            |    AS BIGINT) / power(2, 30), 6) AS decayed
            |FROM events, r GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Offline recommender evaluation, end to end in ONE declared query:
+    * time-split the interaction log (train < 2000-01-01 ≤ test), fit
+    * P3alpha on train only, score precision@10 against held-out test
+    * interactions — the reference's precision/recall evaluation loop
+    * (implicit_bpr metrics) composed over the graph recommender. All
+    * metrics are exact integer ratios rounded 6dp: evaluated users are
+    * those with recs AND test activity; p@10 = hits/10. */
+  private val q162 = Q("q162_rec_eval",
+    (s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val recs = GraphCF.p3alphaRecs(
+        inter(ordAll.filter(col("o_orderdate") < cut)),
+        "cust", "supp", k = 10, neighbors = 20)
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut)).distinct()
+      val hits = recs.join(test, Seq("cust", "supp"))
+        .groupBy(col("cust")).agg(count(lit(1)).as("hits"))
+      val evaluated = recs.select(col("cust")).distinct()
+        .join(test.select(col("cust")).distinct(), Seq("cust"))
+        .join(hits, Seq("cust"), "left")
+        .select(col("cust"), coalesce(col("hits"), lit(0L)).as("hits"))
+      evaluated.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("hits")).as("n_hits"),
+        round(sum(col("hits")) / (count(lit(1)) * lit(10.0)), 6)
+          .as("mean_p_at_10"),
+        round(count(when(col("hits") > 0, 1)) / count(lit(1)).cast("double"), 6)
+          .as("hit_rate"))
+    },
+    Some("""WITH tr AS (SELECT o_orderkey, o_custkey FROM orders
+           |            WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+           |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+           |e AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+           |        FROM e JOIN du USING (u)),
+           |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+           |        FROM e JOIN di USING (i)),
+           |ssf AS (SELECT a.i AS s1, b.i AS s2,
+           |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+           |        FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ssf)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT pui.u, ss.s2, CAST(sum(pui.p * ss.q) AS BIGINT) AS score
+           |       FROM pui JOIN ss ON pui.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |recs AS (SELECT u, s2 FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM unseen)
+           |  WHERE rn <= 10),
+           |hits AS (SELECT recs.u, CAST(count(*) AS BIGINT) AS h
+           |         FROM recs JOIN te ON recs.u = te.u AND recs.s2 = te.i
+           |         GROUP BY 1),
+           |ev AS (SELECT ru.u, coalesce(h, 0) AS h
+           |       FROM (SELECT DISTINCT u FROM recs) ru
+           |       JOIN (SELECT DISTINCT u FROM te) tu ON ru.u = tu.u
+           |       LEFT JOIN hits ON ru.u = hits.u)
+           |SELECT CAST(count(*) AS BIGINT) AS n_users,
+           |       CAST(sum(h) AS BIGINT) AS n_hits,
+           |       round(CAST(sum(h) AS BIGINT) / (count(*) * 10.0), 6)
+           |         AS mean_p_at_10,
+           |       round(count(*) FILTER (h > 0) / CAST(count(*) AS DOUBLE), 6)
+           |         AS hit_rate
+           |FROM ev""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3150,7 +3227,8 @@ object PipelineQueries {
     q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125,
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
-    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
+    q162)
 
   // ------------------------------------------------- phase decompositions
 

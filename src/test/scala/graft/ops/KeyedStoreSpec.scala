@@ -179,6 +179,46 @@ class KeyedStoreSpec extends SparkTestBase {
     assert(df.select($"name").as[String].collect().toSeq == Seq("c"))
   }
 
+  test("model check: random batch sequences fold exactly like a Map") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a CDC op: Left(ids) = delete batch, Right((id, payload)) = upsert
+    val batchGen: Gen[Either[List[Long], List[(Long, Long)]]] = Gen.frequency(
+      3 -> Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 999L)))
+        .map(kvs => Right(kvs.toMap.toList)), // one row per id, like the contract
+      1 -> Gen.nonEmptyListOf(Gen.chooseNum(0L, 12L)).map(l => Left(l.distinct)))
+    val seqGen = Gen.listOfN(6, batchGen)
+    (0 until 4).foreach { trial =>
+      val batches = seqGen.pureApply(
+        org.scalacheck.Gen.Parameters.default.withSize(20), Seed(977L + trial))
+      // the first batch must be an upsert (delete needs a schema)
+      val ops = batches match {
+        case Left(_) :: rest => Right(List((0L, 0L))) :: rest
+        case bs => bs
+      }
+      val p = storePath(s"ks_model_$trial")
+      KeyedStore.dropKeyedStore(spark, p)
+      var model = Map.empty[Long, (Long, Long)] // id -> (batch, payload)
+      ops.zipWithIndex.foreach {
+        case (Right(kvs), b) =>
+          KeyedStore.writeKeyedBatch(kvs.toDF("k", "v"), "k", p, b.toLong)
+          kvs.foreach { case (id, v) => model += id -> (b.toLong, v) }
+        case (Left(ids), b) =>
+          KeyedStore.deleteKeyedBatch(ids.toDF("k"), "k", p, b.toLong)
+          model --= ids
+      }
+      val got = KeyedStore.readLatest(spark, p)
+        .select($"id", $"batch", $"v").as[(Long, Long, Long)].collect().toSet
+      val want = model.map { case (id, (b, v)) => (id, b, v) }.toSet
+      assert(got == want, s"trial $trial: $got vs $want")
+      // compact at a random midpoint and re-check the fold is unchanged
+      KeyedStore.compactKeyedStore(spark, p, upTo = (trial % ops.size).toLong)
+      val got2 = KeyedStore.readLatest(spark, p)
+        .select($"id", $"batch", $"v").as[(Long, Long, Long)].collect().toSet
+      assert(got2 == want, s"trial $trial post-compact: $got2 vs $want")
+    }
+  }
+
   test("base-only read after compaction is a bare scan of the generation") {
     val p = storePath("ks_bare")
     build(p)
