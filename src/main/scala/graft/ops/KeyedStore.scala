@@ -71,6 +71,18 @@ object KeyedStore {
   def writeKeyedBatch(df: DataFrame, idCol: String, path: String,
                       batchId: Long): Unit = {
     val payload = df.columns.filter(_ != idCol).toSeq
+    // reject payload drift at WRITE time — a drifted batch would otherwise
+    // poison the log and only fail (or worse, null-fill) at read time
+    storeSchema(df.sparkSession, path).foreach { schema =>
+      val want = schema.filterNot(f => Seq("id", "op", "batch").contains(f.name))
+        .map(f => (f.name, f.dataType)).toSeq
+      val got = payload.map(c => (c, df.schema(c).dataType))
+      if (got != want)
+        throw new IllegalArgumentException(
+          s"writeKeyedBatch: batch $batchId payload ${got.mkString(",")} " +
+            s"drifts from the store schema ${want.mkString(",")} — evolve " +
+            "by compacting into a new store, not by mixed-schema batches")
+    }
     val rows = df.select(
       checkedId(col(idCol), idCol) +: payload.map(col): _*)
     val dup = rows.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -289,6 +301,20 @@ object KeyedStore {
     prev.foreach { case (g, _) =>
       f.delete(new org.apache.hadoop.fs.Path(bd, s"gen=$g"), true)
     }
+  }
+
+  /** Number of live (un-compacted) log batches — the compaction trigger
+    * input, mirroring [[Stores.tombstoneCount]]: compact when the live
+    * log crosses the read-amplification budget (each live batch adds one
+    * file-listing plus its rows to the merge-on-read groupBy). */
+  def liveLogBatches(spark: SparkSession, path: String): Long = {
+    val horizon = currentBase(spark, path).map(_._2).getOrElse(Long.MinValue)
+    val ld = logDir(path)
+    val f = fs(spark, ld)
+    if (!f.exists(ld)) 0L
+    else f.listStatus(ld).map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .count(_.stripPrefix("batch=").toLong > horizon).toLong
   }
 
   /** Remove the store directory (test/rebuild hygiene, the

@@ -95,6 +95,35 @@ class KeyedStoreSpec extends SparkTestBase {
     assert(state(p, Some(2L)) == Set((2L, 1L, "b2", 2.5), (3L, 0L, "c", 3.0)))
   }
 
+  test("payload schema drift is rejected at write time") {
+    val p = storePath("ks_drift")
+    KeyedStore.dropKeyedStore(spark, p)
+    KeyedStore.writeKeyedBatch(
+      Seq((1L, "a", 1.0)).toDF("k", "name", "score"), "k", p, 0L)
+    // renamed column
+    val e1 = intercept[IllegalArgumentException] {
+      KeyedStore.writeKeyedBatch(
+        Seq((2L, "b", 2.0)).toDF("k", "label", "score"), "k", p, 1L)
+    }
+    assert(e1.getMessage.contains("drifts from the store schema"))
+    // retyped column
+    val e2 = intercept[IllegalArgumentException] {
+      KeyedStore.writeKeyedBatch(
+        Seq((2L, "b", 2)).toDF("k", "name", "score"), "k", p, 1L)
+    }
+    assert(e2.getMessage.contains("drifts"))
+  }
+
+  test("liveLogBatches counts only post-horizon batches") {
+    val p = storePath("ks_loglen")
+    build(p)
+    assert(KeyedStore.liveLogBatches(spark, p) == 4L)
+    KeyedStore.compactKeyedStore(spark, p, upTo = 2L)
+    assert(KeyedStore.liveLogBatches(spark, p) == 1L)
+    KeyedStore.compactKeyedStore(spark, p, upTo = 3L)
+    assert(KeyedStore.liveLogBatches(spark, p) == 0L)
+  }
+
   test("duplicate ids within a batch are rejected loudly") {
     val p = storePath("ks_dup")
     KeyedStore.dropKeyedStore(spark, p)
