@@ -3220,6 +3220,152 @@ object PipelineQueries {
            |         AS hit_rate
            |FROM ev""".stripMargin))
 
+  /** ItemKNN-cosine recommendations ([[graft.ops.GraphCF.itemKnnRecs]]):
+    * top-10 items per user by truncated item-item cosine over the same
+    * customer-supplier interaction graph as q160 — the model-free
+    * neighborhood baseline beside the random-walk one. Co-counts and
+    * norms are exact long sums; the similarity quantizes ONCE per pair
+    * (floor(scale·co/√(nᵢnⱼ)) — a single correctly-rounded IEEE
+    * expression the oracle replays bit-exactly), and user scoring is
+    * order-free long arithmetic. Truncated similarity matrix broadcasts;
+    * seen items leave via anti-join. */
+  private val q163 = Q("q163_itemknn_recs",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      GraphCF.itemKnnRecs(inter, "cust", "supp", k = 10, neighbors = 20)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT e.u, ss.s2, CAST(sum(e.w * ss.q) AS BIGINT) AS score
+           |       FROM e JOIN ss ON e.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, s2 AS supp, score, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
+
+  /** Markov next-event serving ([[graft.ops.Behavior.nextEventTopK]]):
+    * every user's last event type joined to the 3 most likely next types
+    * from the q159 transition matrix. The top-k ranking happens on the
+    * TINY (from, to) aggregate BEFORE any per-user work and broadcasts —
+    * no per-user ranking, no second window (last event is a struct-max
+    * aggregate). */
+  private val q164 = Q("q164_next_event",
+    (s, d) => Behavior.nextEventTopK(events(s, d), "user_id", "event_type",
+        "ts", "event_id", k = 3)
+      .orderBy(col("user_id"), col("rnk")),
+    Some("""WITH t AS (SELECT user_id, event_type, lag(event_type) OVER
+           |    (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |  FROM events),
+           |c AS (SELECT from_type, event_type AS next_type,
+           |        CAST(count(*) AS BIGINT) AS n
+           |      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |top AS (SELECT * FROM (SELECT from_type, next_type, n,
+           |    CAST(row_number() OVER (PARTITION BY from_type
+           |      ORDER BY n DESC, next_type) AS BIGINT) AS rnk FROM c)
+           |  WHERE rnk <= 3),
+           |lastev AS (SELECT user_id, event_type AS last_type FROM
+           |    (SELECT user_id, event_type, row_number() OVER
+           |       (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           |     FROM events) WHERE rn = 1)
+           |SELECT l.user_id, l.last_type, t.next_type, t.n, t.rnk
+           |FROM lastev l JOIN top t ON l.last_type = t.from_type
+           |ORDER BY l.user_id, t.rnk""".stripMargin))
+
+  /** Rolling engagement series ([[graft.ops.Behavior.rollingActives]]):
+    * per calendar day, distinct daily actives (dau), trailing-7-day
+    * actives (wau), stickiness = dau/wau. Events collapse to distinct
+    * (day, user) FIRST; the day dimension broadcasts into the range
+    * join, so the fanout is bounded by active pairs × 7, never raw
+    * events. */
+  private val q165 = Q("q165_rolling_actives",
+    (s, d) => Behavior.rollingActives(events(s, d), "user_id", "ts",
+        windowDays = 7)
+      .orderBy(col("day")),
+    Some("""WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS e
+           |           FROM events),
+           |days AS (SELECT DISTINCT d AS day FROM p),
+           |dau AS (SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+           |        FROM p GROUP BY 1),
+           |wau AS (SELECT day, CAST(count(DISTINCT e) AS BIGINT) AS wau
+           |        FROM p JOIN days ON p.d <= day AND p.d > day - 7
+           |        GROUP BY 1)
+           |SELECT day, dau, wau,
+           |       round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+           |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin))
+
+  /** Per-type daily-count trend ([[graft.ops.Behavior.trendSlopes]]):
+    * OLS slope/intercept of events-per-day against the epoch-day index,
+    * fit from exact integer moment sums — the growth/decay monitor,
+    * engine-replayable because the only floating ops are two final
+    * correctly-rounded divisions. */
+  private val q166 = Q("q166_trend_slope",
+    (s, d) => Behavior.trendSlopes(events(s, d), Seq(col("event_type")), "ts")
+      .orderBy(col("event_type")),
+    Some("""WITH daily AS (SELECT event_type,
+           |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           |      AS BIGINT) AS x,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |        CAST(sum(x * y) AS BIGINT) AS sxy,
+           |        CAST(sum(x * x) AS BIGINT) AS sxx
+           |      FROM daily GROUP BY 1)
+           |SELECT event_type, n AS n_days,
+           |  round((n * sxy - sx * sy)
+           |        / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS slope,
+           |  round((sy * sxx - sx * sxy)
+           |        / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE), 6) AS intercept
+           |FROM m ORDER BY event_type""".stripMargin))
+
+  /** Trailing z-score anomaly flags ([[graft.ops.Behavior.trailingAnomalies]]):
+    * each (type, day) daily count scored against the mean/std of the
+    * preceding 7 observations (current row excluded; full windows only).
+    * Variance forms from the exact integer numerator 7·Σy² − (Σy)², so
+    * mean/z are single IEEE expressions the oracle replays bit-exactly;
+    * a zero-variance window flags iff the value deviates. */
+  private val q167 = Q("q167_anomaly_flags",
+    (s, d) => Behavior.trailingAnomalies(events(s, d), Seq(col("event_type")),
+        "ts", window = 7, zThreshold = 2.0)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |w AS (SELECT *, count(*) OVER win AS m,
+           |        CAST(sum(y) OVER win AS BIGINT) AS s,
+           |        CAST(sum(y * y) OVER win AS BIGINT) AS q
+           |      FROM daily WINDOW win AS (PARTITION BY event_type
+           |        ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+           |SELECT event_type, day, y, round(s / 7.0, 6) AS mean,
+           |  CASE WHEN 7 * q - s * s > 0
+           |       THEN round((y - s / 7.0) / sqrt((7 * q - s * s) / 49.0), 6)
+           |  END AS z,
+           |  CASE WHEN 7 * q - s * s > 0
+           |       THEN abs((y - s / 7.0) / sqrt((7 * q - s * s) / 49.0)) >= 2.0
+           |       ELSE y * 7 <> s END AS is_anomaly
+           |FROM w WHERE m = 7 ORDER BY event_type, day""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3228,7 +3374,7 @@ object PipelineQueries {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162)
+    q162, q163, q164, q165, q166, q167)
 
   // ------------------------------------------------- phase decompositions
 

@@ -183,4 +183,156 @@ object Behavior {
       // entity, so plain count == distinct entities
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Markov next-event serving: each entity's LAST event type joined to
+    * the top-`k` most likely next types from the first-order transition
+    * matrix (the q159 semantics — per-entity consecutive pairs in
+    * (ts, id) order). The prediction a session simulator or a prefetch
+    * layer reads per user (reference analogue: the A/B simulator's
+    * behavior draws, user_simulation/functions.py — here the argmax-k
+    * read side of that chain).
+    *
+    * Plan shape — the serving trick: top-k is computed on the TINY
+    * (from, to) transition aggregate BEFORE any per-entity work, then
+    * broadcast; the per-entity leg is one lag-window exchange (the
+    * transition counts) and one struct-max aggregate (last event — no
+    * second window), so no per-entity ranking ever happens. Ties:
+    * last event = latest ts then largest id; next-type ranking by
+    * (count desc, type asc). Returns
+    * (entity, last_type, next_type, n, rnk). */
+  def nextEventTopK(events: DataFrame, entityCol: String, typeCol: String,
+                    tsCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val top = Relational.topKPerGroup(trans, Seq(col("from_type")),
+      Seq(col("n").desc, col("next_type")), k, rankName = "rnk")
+    val last = events
+      .groupBy(col(entityCol))
+      .agg(max(struct(col(tsCol).as("t"), col(idCol).as("i"),
+        col(typeCol).as("y"))).as("m"))
+      .select(col(entityCol), col("m.y").as("last_type"))
+    last.join(broadcast(top),
+        col("last_type") === col("from_type"))
+      .select(col(entityCol), col("last_type"), col("next_type"),
+        col("n"), col("rnk"))
+  }
+
+  /** Rolling active-entity counts — the DAU/WAU engagement series: for
+    * every calendar day present in the log, the distinct entities active
+    * that day (dau) and within the trailing `windowDays`-day window
+    * ending that day (wau), plus stickiness = dau/wau (rounded 6dp).
+    *
+    * Scale shape: raw events collapse to the DISTINCT (day, entity)
+    * frame first (one exchange — bounded by active pairs, not events);
+    * the report-day dimension (a few thousand rows for a decade) then
+    * broadcasts into a range join that fans each active pair out at most
+    * `windowDays` times, and the rolling distinct is a second hash
+    * aggregate. No window function over entities, no collect_set of
+    * users — a hot day costs its own distinct count, nothing global. */
+  def rollingActives(events: DataFrame, entityCol: String, tsCol: String,
+                     windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val pairs = events
+      .select(to_date(col(tsCol)).as("d"), col(entityCol).as("e"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = pairs.select(col("d").as("day")).distinct()
+    val dau = pairs.groupBy(col("d").as("day"))
+      .agg(count(lit(1)).as("dau")) // pairs are distinct already
+    val wau = pairs
+      .join(broadcast(days),
+        col("d") <= col("day") &&
+          col("d") > date_sub(col("day"), windowDays))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("e")).as("wau"))
+    dau.join(wau, "day")
+      .withColumn("stickiness", round(col("dau") / col("wau").cast("double"), 6))
+  }
+
+  /** Per-group linear trend of DAILY event counts — the monitoring
+    * regression (is this event type growing or decaying?): ordinary
+    * least squares of count-per-day against the epoch-day index, fit
+    * from EXACT integer moment sums (n, Σx, Σy, Σxy, Σx² — all
+    * order-free long arithmetic), so the slope/intercept are single
+    * correctly-rounded IEEE expressions any engine replays bit-exactly.
+    * The engine's quantize idiom applied to regression — no
+    * regr_slope() black box, no floating accumulation.
+    *
+    * Days with zero events contribute NO observation (the series is the
+    * days that occur in the log — document gaps upstream if they should
+    * count as zeros). Groups with a single day get NULL slope/intercept
+    * (the fit is undefined). Two narrow aggregates: (keys, day) counts,
+    * then the per-key moment fold. Returns
+    * (keys…, n_days, slope, intercept) rounded 6dp. */
+  def trendSlopes(events: DataFrame, keyCols: Seq[Column],
+                  tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(keyCols :+ datediff(to_date(col(tsCol)),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"): _*)
+      .agg(count(lit(1)).as("y"))
+    val keyNames = daily.columns.dropRight(2).map(col)
+    val d = daily
+      .groupBy(keyNames: _*)
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    // det = n·Σx² − (Σx)² — exact long; 0 iff a single distinct day.
+    // NULL-ed when 0 so the divisions yield NULL, not ±Inf
+    val det = col("n") * col("sxx") - col("sx") * col("sx")
+    val detD = when(det =!= 0L, det.cast("double"))
+    d.select(keyNames :+ col("n").as("n_days") :+
+      round((col("n") * col("sxy") - col("sx") * col("sy")) / detD, 6)
+        .as("slope") :+
+      round((col("sy") * col("sxx") - col("sx") * col("sxy")) / detD, 6)
+        .as("intercept"): _*)
+  }
+
+  /** Trailing-window z-score anomalies on the daily count series — the
+    * ops alert: each (group, day) observation scored against the mean
+    * and population std-dev of the PRECEDING `window` observations
+    * (ROWS frame on the per-group daily series, current row excluded —
+    * the detector never conditions on the value it is judging). Emits
+    * only days with a FULL trailing window.
+    *
+    * Exactness: window sums (Σy, Σy²) are order-free longs; variance is
+    * formed from the exact integer numerator w·Σy² − (Σy)² (never the
+    * catastrophic float subtraction), and mean/z are single
+    * correctly-rounded IEEE expressions — bit-replayable in SQL. A
+    * zero-variance window with y ≠ mean is an anomaly by definition
+    * (infinite z; z itself is NULL there). One exchange for the daily
+    * aggregate; the window runs on the tiny per-group day series.
+    * Returns (keys…, day, y, mean, z, is_anomaly). */
+  def trailingAnomalies(events: DataFrame, keyCols: Seq[Column],
+                        tsCol: String, window: Int = 7,
+                        zThreshold: Double = 2.0): DataFrame = {
+    require(window >= 2, "window must be >= 2 (std of one point is 0/0)")
+    val daily = events
+      .groupBy(keyCols :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(count(lit(1)).as("y"))
+    val keyNames = daily.columns.dropRight(2).map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyNames: _*).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val wl = lit(window.toLong)
+    val scored = daily
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("s", sum(col("y")).over(w))
+      .withColumn("q", sum(col("y") * col("y")).over(w))
+      .filter(col("m") === wl)
+    // varNum = w·Σy² − (Σy)² ≥ 0, exact long
+    val varNum = wl * col("q") - col("s") * col("s")
+    val mean = col("s") / wl.cast("double")
+    val z = (col("y") - mean) / sqrt(varNum / lit(window.toDouble * window))
+    scored.select(keyNames :+ col("day") :+ col("y") :+
+      round(mean, 6).as("mean") :+
+      when(varNum > 0L, round(z, 6)).as("z") :+
+      (when(varNum > 0L, abs(z) >= lit(zThreshold))
+        .otherwise(col("y") * wl =!= col("s"))).as("is_anomaly"): _*)
+  }
 }

@@ -110,4 +110,82 @@ object GraphCF {
       .select(col("u").as(userCol), col("s2").as(itemCol),
         col("score"), col("rnk"))
   }
+
+  /** Top-`k` ItemKNN-cosine recommendations per user — the OTHER classical
+    * neighborhood baseline next to [[p3alphaRecs]]: item-item COSINE over
+    * the interaction-count vectors (cos(i,j) = Σ_u w_ui·w_uj /
+    * √(Σw_ui²·Σw_uj²)) instead of the random-walk mass. Reference
+    * analogue: the implicit-feedback scoring loop (implicit_bpr) ranks by
+    * a learned dot product; ItemKNN is the model-free production
+    * first-pass ranker alongside it.
+    *
+    * Replayability: co-counts and squared norms are exact long sums; the
+    * similarity is quantized ONCE per (i,j) — `floor(scale·co/√(nᵢ·nⱼ))`,
+    * a single correctly-rounded IEEE expression identical in DuckDB — and
+    * every downstream sum (user scoring) is order-free long arithmetic,
+    * so results are bit-identical under any partitioning.
+    *
+    * Scale shape: identical to [[p3alphaRecs]] and shares its contracts —
+    * the co-occurrence self-join keyed by user costs Σ_u deg(u)² pair
+    * rows (the exact variant's inherent cost), the truncated similarity
+    * matrix (≤ |items|·neighbors rows, guarded by `maxItems`) broadcasts
+    * into the user-side scoring join, seen items leave via anti-join.
+    * Returns (user, item, score, rnk), `score` = Σ w_ui·simQ(i,j) in
+    * fixed-point (≈ scale·Σw·cos), ties to the smallest item id. */
+  def itemKnnRecs(interactions: DataFrame, userCol: String, itemCol: String,
+                  k: Int, scale: Long = 10000L,
+                  neighbors: Int = 20,
+                  maxItems: Long = 10000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(neighbors >= 1, "neighbors must be >= 1")
+    require(scale >= 10L, "scale < 10 quantizes similarities to noise")
+    val e = interactions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = e.select(col("i")).distinct().count()
+    if (nItems > maxItems) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"itemKnnRecs: $nItems items exceeds maxItems=$maxItems — the " +
+          "item-item cosine matrix is |items|^2 and broadcast; prune the " +
+          "catalog (co-occurrence threshold) or shard by item segment")
+    }
+    // squared norms: tiny (|items| rows) — broadcast into the pair frame
+    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    // co-occurrence: user-keyed self-join, both (i,j) directions so the
+    // per-s1 truncation below sees every row of the symmetric matrix
+    val co = e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
+      .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("w1") * col("w2")).as("co"))
+    // ONE quantization point: long products stay exact (< 2^53 under the
+    // guard), sqrt/division are correctly-rounded IEEE ops — DuckDB
+    // replays floor() bit-exactly
+    val sim = co
+      .join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
+      .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
+      .select(col("s1"), col("s2"),
+        floor(col("co") * lit(scale) / sqrt(col("n1") * col("n2")))
+          .cast("long").as("q"))
+      .filter(col("q") > 0L)
+    val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
+        Seq(col("q").desc, col("s2")), neighbors)
+      .drop("rn")
+    val scores = e.select(col("u"), col("i").as("s1"), col("w"))
+      .join(broadcast(ss), "s1")
+      .groupBy(col("u"), col("s2"))
+      .agg(sum(col("w") * col("q")).as("score"))
+      .filter(col("score") > 0L)
+    // e stays persisted (feeds nrm/co/scoring/anti-join legs) — the
+    // documented cache contract, same as p3alphaRecs
+    val unseen = scores.join(
+      e.select(col("u"), col("i").as("s2")),
+      Seq("u", "s2"), "left_anti")
+    Relational.topKPerGroup(unseen, Seq(col("u")),
+        Seq(col("score").desc, col("s2")), k, rankName = "rnk")
+      .select(col("u").as(userCol), col("s2").as(itemCol),
+        col("score"), col("rnk"))
+  }
 }

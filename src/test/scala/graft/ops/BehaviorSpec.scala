@@ -205,4 +205,118 @@ class BehaviorSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((19724L, 0L, 1L)))
   }
+
+  // ------------------------------------------------------- nextEventTopK
+
+  test("nextEventTopK: last event by (ts, id), next ranked by transition count") {
+    val ev = Seq(
+      // user 1: view -> click -> view -> click -> buy   (last = buy)
+      (10L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (11L, ts("2024-01-01 00:01:00"), 1L, "click"),
+      (12L, ts("2024-01-01 00:02:00"), 1L, "view"),
+      (13L, ts("2024-01-01 00:03:00"), 1L, "click"),
+      (14L, ts("2024-01-01 00:04:00"), 1L, "buy"),
+      // user 2: view -> view (last = view; equal ts -> larger id wins)
+      (20L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (21L, ts("2024-01-01 00:00:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // transitions: view->click x3 (u1 twice + u2's equal-ts pair ordered
+    // by id: view(20) then click(21)), click->view x1, click->buy x1.
+    // user 1's last event is 'buy' (latest ts) — terminal, no outgoing
+    // edge, so u1 joins away; user 2's last is 'click' (equal ts ->
+    // LARGER id 21 wins). From 'click': buy/view tie at n=1 -> 'buy'
+    // first lexically.
+    val got = Behavior.nextEventTopK(ev, "user_id", "event_type", "ts",
+        "event_id", k = 2)
+      .as[(Long, String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (2L, "click", "buy", 1L, 1L),
+      (2L, "click", "view", 1L, 2L)))
+  }
+
+  test("nextEventTopK: entities whose last type has no outgoing edge drop") {
+    // single user ending in a terminal type: 'buy' never transitions out
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "buy"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = Behavior.nextEventTopK(ev, "user_id", "event_type", "ts",
+      "event_id", k = 3)
+    assert(got.count() == 0L)
+  }
+
+  // ------------------------------------------------------ rollingActives
+
+  test("rollingActives: dau, trailing wau, stickiness on a hand-traced log") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 01:00:00")), (1L, ts("2024-01-01 02:00:00")),
+      (2L, ts("2024-01-01 03:00:00")),
+      (1L, ts("2024-01-02 01:00:00")),
+      (3L, ts("2024-01-05 01:00:00")), (1L, ts("2024-01-05 02:00:00")))
+      .toDF("user_id", "ts")
+    val got = Behavior.rollingActives(ev, "user_id", "ts", windowDays = 3)
+      .select($"day".cast("string"), $"dau", $"wau", $"stickiness")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // day1: dau {1,2}=2, wau(day -2..day) = {1,2} = 2
+    // day2: dau {1}=1,   wau days {0? no} 2024-12-31..01-02 -> {1,2} = 2
+    // day5: dau {1,3}=2, wau 01-03..01-05 -> {1,3} = 2 (day2 outside)
+    assert(got == Set(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-05", 2L, 2L, 1.0)))
+  }
+
+  // --------------------------------------------------------- trendSlopes
+
+  test("trendSlopes: exact fit on a perfect line, NULLs for single-day groups") {
+    // type A: counts 3, 5, 7 on consecutive days -> slope 2 exactly
+    val a = (1 to 3).flatMap(d => Seq.fill(1 + 2 * d)(
+      ("A", ts(f"2024-01-0$d 12:00:00"))))
+    // type B: one day only -> undefined fit
+    val b = Seq(("B", ts("2024-01-01 00:00:00")))
+    val ev = (a ++ b).toDF("event_type", "ts")
+    val got = Behavior.trendSlopes(ev, Seq(col("event_type")), "ts")
+      .select($"event_type", $"n_days", $"slope", $"intercept")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    // x = epoch days 19723,19724,19725 ; y = 3,5,7 ; y = 2x + (3 - 2*19723)
+    assert(got == Set(
+      ("A", 3L, Some(2.0), Some(3.0 - 2.0 * 19723)),
+      ("B", 1L, None, None)))
+  }
+
+  // --------------------------------------------------- trailingAnomalies
+
+  test("trailingAnomalies: z from exact window moments, full windows only") {
+    // one type, counts by day: 4, 6, 10 with window=2
+    val ev = (Seq.fill(4)(ts("2024-01-01 01:00:00")) ++
+      Seq.fill(6)(ts("2024-01-02 01:00:00")) ++
+      Seq.fill(10)(ts("2024-01-03 01:00:00")))
+      .map(("A", _)).toDF("event_type", "ts")
+    val got = Behavior.trailingAnomalies(ev, Seq(col("event_type")), "ts",
+        window = 2, zThreshold = 2.0)
+      .select($"event_type", $"day".cast("string"), $"y", $"mean", $"z",
+        $"is_anomaly")
+      .as[(String, String, Long, Double, Option[Double], Boolean)]
+      .collect().toSet
+    // only day3 has a full 2-obs window {4,6}: mean 5, popstd 1,
+    // z = (10-5)/1 = 5 -> anomaly
+    assert(got == Set(("A", "2024-01-03", 10L, 5.0, Some(5.0), true)))
+  }
+
+  test("trailingAnomalies: zero-variance window flags iff the value deviates") {
+    // counts 5, 5, 5, 9: day3 window {5,5} var 0, y=5 == mean -> quiet;
+    // day4 window {5,5} var 0, y=9 != mean -> anomaly with NULL z
+    val counts = Seq(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 9)
+    val ev = counts.flatMap { case (d, n) =>
+      Seq.fill(n)(("A", ts(f"2024-01-0$d 01:00:00"))) }
+      .toDF("event_type", "ts")
+    val got = Behavior.trailingAnomalies(ev, Seq(col("event_type")), "ts",
+        window = 2, zThreshold = 2.0)
+      .select($"day".cast("string"), $"y", $"z", $"is_anomaly")
+      .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    assert(got == Set(
+      ("2024-01-03", 5L, None, false),
+      ("2024-01-04", 9L, None, true)))
+  }
 }

@@ -66,4 +66,44 @@ class GraphCFSpec extends SparkTestBase {
     assert(!recs.map(_._1).contains("x"))
     spark.catalog.clearCache()
   }
+
+  // ----------------------------------------------------------- itemKnnRecs
+
+  test("itemKnnRecs matches the hand-computed quantized cosine") {
+    // w: (u1,a)=2 (u1,b)=1 (u2,b)=1 (u2,c)=1 (u3,a)=1
+    // norms²: a=5, b=2, c=1
+    // co(a,b)=2 (via u1), co(b,c)=1 (via u2), co(a,c)=0
+    // scale 10: q(a,b)=q(b,a)=floor(20/√10)=6, q(b,c)=q(c,b)=floor(10/√2)=7
+    // u1 unseen c: w(u1,b)·q(b,c)=7 ; u2 unseen a: w(u2,b)·q(b,a)=6
+    // u3 unseen b: w(u3,a)·q(a,b)=6 ; u3→c has zero mass, dropped
+    val got = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .select($"user", $"item", $"score", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "c", 7L, 1L),
+      (2L, "a", 6L, 1L),
+      (3L, "b", 6L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("itemKnnRecs is bit-identical under repartitioning") {
+    val a = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    val b = GraphCF.itemKnnRecs(inter.repartition(7), "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
+  test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
+    // neighbors=1 keeps only each item's single strongest edge:
+    // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and
+    // u2 (items b,c) can no longer reach a — u2 gets no recommendations
+    val got = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L,
+        neighbors = 1)
+      .select($"user", $"item").as[(Long, String)].collect().toSet
+    assert(!got.contains((2L, "a")))
+    assert(got.contains((1L, "c"))) // c's only (and thus top-1) edge is b
+    spark.catalog.clearCache()
+  }
 }
