@@ -154,7 +154,13 @@ object GraphCF {
     // squared norms: tiny (|items| rows) — broadcast into the pair frame
     val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
     // co-occurrence: user-keyed self-join, both (i,j) directions so the
-    // per-s1 truncation below sees every row of the symmetric matrix
+    // per-s1 truncation below sees every row of the symmetric matrix.
+    // Measured dead end (do not retry): aggregating only the s1 < s2 half
+    // and mirroring afterwards is SLOWER here (9.3s -> 12.7s explode
+    // mirror, 23.8s self-union at sf0.1/32t) — partial-agg output is
+    // bounded by distinct keys per partition, not by pair fanout, so the
+    // exchange barely shrinks while the mirror projection adds a pass
+    // (and a self-union re-executes the whole subtree).
     val co = e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
       .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
       .filter(col("s1") =!= col("s2"))
