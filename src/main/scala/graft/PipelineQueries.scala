@@ -3050,7 +3050,7 @@ object PipelineQueries {
     * event-type pairs in (ts, id) order, counted and normalized into the
     * Markov transition probabilities a session simulator samples from
     * (reference analogue: the A/B simulator's behavior draws,
-    * user_simulation/functions.py). One user-keyed window for the lag,
+    * explicit_ratings/ab_test.py). One user-keyed window for the lag,
     * one tiny (from, to) aggregate; probabilities are exact ratios of
     * counts, rounded 6dp on both engines. */
   private val q159 = Q("q159_transition_matrix",
@@ -3087,20 +3087,27 @@ object PipelineQueries {
     * contract, guarded) TRUNCATED to each item's top-20 neighbors by
     * exact integer mass (the KNN neighborhood bound — caps the scoring
     * fanout at edges × 20 instead of edges × |catalog|, measured 5× on
-    * this query); seen items leave via anti-join. */
+    * this query); seen items leave via anti-join. Histories are capped
+    * at each customer's top-50 suppliers by weight (deterministic cut,
+    * replayed by the oracle) — bounds the co-walk's Σdeg² intermediate,
+    * the leg that spilled 3.1 GB at the ×10 probe uncapped. */
   private val q160 = Q("q160_p3alpha_recs",
     (s, d) => {
       val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      GraphCF.p3alphaRecs(inter, "cust", "supp", k = 10, neighbors = 20)
+      GraphCF.p3alphaRecs(inter, "cust", "supp", k = 10, neighbors = 20,
+          maxHistory = 50)
         .orderBy(col("cust"), col("rnk"))
     },
-    Some("""WITH e AS (SELECT o_custkey AS u, l_suppkey AS i,
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
            |    CAST(count(*) AS BIGINT) AS w
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
            |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
            |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
            |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
@@ -3149,7 +3156,14 @@ object PipelineQueries {
     * interactions — the reference's precision/recall evaluation loop
     * (implicit_bpr metrics) composed over the graph recommender. All
     * metrics are exact integer ratios rounded 6dp: evaluated users are
-    * those with recs AND test activity; p@10 = hits/10. */
+    * those with recs AND test activity; p@10 = hits/10.
+    *
+    * Plan shape: `recs` is consumed TWICE downstream (hits + the
+    * evaluated-user frame), so it is persisted — it is tiny (≤ 10
+    * rows/user) while its P3alpha subtree owns the co-walk, the single
+    * most expensive leg in the suite; without the persist the subtree
+    * executed twice (measured 62 s → the fix halves it). Same cache
+    * contract as the recommenders themselves (clear between corpora). */
   private val q162 = Q("q162_rec_eval",
     (s, d) => {
       val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
@@ -3161,7 +3175,8 @@ object PipelineQueries {
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       val recs = GraphCF.p3alphaRecs(
         inter(ordAll.filter(col("o_orderdate") < cut)),
-        "cust", "supp", k = 10, neighbors = 20)
+        "cust", "supp", k = 10, neighbors = 20, maxHistory = 50)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val test = inter(ordAll.filter(col("o_orderdate") >= cut)).distinct()
       val hits = recs.join(test, Seq("cust", "supp"))
         .groupBy(col("cust")).agg(count(lit(1)).as("hits"))
@@ -3182,9 +3197,12 @@ object PipelineQueries {
            |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
            |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
-           |e AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
            |    CAST(count(*) AS BIGINT) AS w
            |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
            |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
            |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
            |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
@@ -3228,20 +3246,26 @@ object PipelineQueries {
     * (floor(scale·co/√(nᵢnⱼ)) — a single correctly-rounded IEEE
     * expression the oracle replays bit-exactly), and user scoring is
     * order-free long arithmetic. Truncated similarity matrix broadcasts;
-    * seen items leave via anti-join. */
+    * seen items leave via anti-join. Histories capped at top-50 per
+    * customer (same replayable cut as q160 — bounds the Σdeg²
+    * co-occurrence intermediate). */
   private val q163 = Q("q163_itemknn_recs",
     (s, d) => {
       val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
         .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      GraphCF.itemKnnRecs(inter, "cust", "supp", k = 10, neighbors = 20)
+      GraphCF.itemKnnRecs(inter, "cust", "supp", k = 10, neighbors = 20,
+          maxHistory = 50)
         .orderBy(col("cust"), col("rnk"))
     },
-    Some("""WITH e AS (SELECT o_custkey AS u, l_suppkey AS i,
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
            |    CAST(count(*) AS BIGINT) AS w
            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
            |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
            |co AS (SELECT a.i AS s1, b.i AS s2,
            |         CAST(sum(a.w * b.w) AS BIGINT) AS c
@@ -3366,6 +3390,186 @@ object PipelineQueries {
            |       ELSE y * 7 <> s END AS is_anomaly
            |FROM w WHERE m = 7 ORDER BY event_type, day""".stripMargin))
 
+  /** COMPARATIVE offline evaluation — both neighborhood recommenders
+    * (P3alpha random walk, ItemKNN cosine) scored on the SAME time split
+    * in one declared query: the reference's evaluation pattern is
+    * comparative (precision over a k-grid, implicit_feedback/prac_2.py:
+    * 124-138; the two-model A/B test, explicit_ratings/ab_test.py:73-85),
+    * and this is its engine form — one row per model with p@10/hit-rate
+    * over the shared 2000-01-01 split. Same metric definitions as q162.
+    *
+    * Plan shape: the train interaction frame and the test frame are each
+    * persisted and shared by both model legs (only the scoring leg
+    * differs); each model's rec frame (≤ 10 rows/user) is persisted
+    * before its hits/evaluated fan-out — nothing expensive executes
+    * twice. Histories capped at top-50 (the q160/q163 contract). */
+  private val q168 = Q("q168_rec_eval_compare",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val train = inter(ordAll.filter(col("o_orderdate") < cut)).persist(lvl)
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      def evalModel(model: String,
+                    recs: org.apache.spark.sql.DataFrame) = {
+        val r = recs.persist(lvl)
+        val hits = r.join(test, Seq("cust", "supp"))
+          .groupBy(col("cust")).agg(count(lit(1)).as("hits"))
+        r.select(col("cust")).distinct()
+          .join(test.select(col("cust")).distinct(), Seq("cust"))
+          .join(hits, Seq("cust"), "left")
+          .select(coalesce(col("hits"), lit(0L)).as("hits"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(col("hits")).as("n_hits"),
+            round(sum(col("hits")) / (count(lit(1)) * lit(10.0)), 6)
+              .as("mean_p_at_10"),
+            round(count(when(col("hits") > 0, 1))
+              / count(lit(1)).cast("double"), 6).as("hit_rate"))
+          .select(lit(model).as("model"), col("n_users"), col("n_hits"),
+            col("mean_p_at_10"), col("hit_rate"))
+      }
+      evalModel("itemknn", GraphCF.itemKnnRecs(train, "cust", "supp",
+          k = 10, neighbors = 20, maxHistory = 50))
+        .unionByName(evalModel("p3alpha", GraphCF.p3alphaRecs(train, "cust",
+          "supp", k = 10, neighbors = 20, maxHistory = 50)))
+        .orderBy(col("model"))
+    },
+    Some("""WITH tr AS (SELECT o_orderkey, o_custkey FROM orders
+           |            WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+           |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+           |tu AS (SELECT DISTINCT u FROM te),
+           |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+           |        FROM e JOIN du USING (u)),
+           |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+           |        FROM e JOIN di USING (i)),
+           |ssf AS (SELECT a.i AS s1, b.i AS s2,
+           |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+           |        FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+           |ssp AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ssf)
+           |  WHERE rs <= 20),
+           |scp AS (SELECT pui.u, ssp.s2, CAST(sum(pui.p * ssp.q) AS BIGINT) AS sc
+           |        FROM pui JOIN ssp ON pui.i = ssp.s1 GROUP BY 1, 2),
+           |unp AS (SELECT scp.* FROM scp
+           |        LEFT JOIN e ON scp.u = e.u AND scp.s2 = e.i
+           |        WHERE e.u IS NULL AND scp.sc > 0),
+           |recp AS (SELECT u, s2 FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY u ORDER BY sc DESC, s2) AS rn FROM unp)
+           |  WHERE rn <= 10),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ssk AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sck AS (SELECT e.u, ssk.s2, CAST(sum(e.w * ssk.q) AS BIGINT) AS sc
+           |        FROM e JOIN ssk ON e.i = ssk.s1 GROUP BY 1, 2),
+           |unk AS (SELECT sck.* FROM sck
+           |        LEFT JOIN e ON sck.u = e.u AND sck.s2 = e.i
+           |        WHERE e.u IS NULL AND sck.sc > 0),
+           |reck AS (SELECT u, s2 FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY u ORDER BY sc DESC, s2) AS rn FROM unk)
+           |  WHERE rn <= 10),
+           |hp AS (SELECT recp.u, CAST(count(*) AS BIGINT) AS h
+           |       FROM recp JOIN te ON recp.u = te.u AND recp.s2 = te.i
+           |       GROUP BY 1),
+           |evp AS (SELECT ru.u, coalesce(h, 0) AS h
+           |        FROM (SELECT DISTINCT u FROM recp) ru
+           |        JOIN tu ON ru.u = tu.u LEFT JOIN hp ON ru.u = hp.u),
+           |hk AS (SELECT reck.u, CAST(count(*) AS BIGINT) AS h
+           |       FROM reck JOIN te ON reck.u = te.u AND reck.s2 = te.i
+           |       GROUP BY 1),
+           |evk AS (SELECT ru.u, coalesce(h, 0) AS h
+           |        FROM (SELECT DISTINCT u FROM reck) ru
+           |        JOIN tu ON ru.u = tu.u LEFT JOIN hk ON ru.u = hk.u)
+           |SELECT 'itemknn' AS model, CAST(count(*) AS BIGINT) AS n_users,
+           |       CAST(sum(h) AS BIGINT) AS n_hits,
+           |       round(CAST(sum(h) AS BIGINT) / (count(*) * 10.0), 6)
+           |         AS mean_p_at_10,
+           |       round(count(*) FILTER (h > 0) / CAST(count(*) AS DOUBLE), 6)
+           |         AS hit_rate
+           |FROM evk
+           |UNION ALL
+           |SELECT 'p3alpha', CAST(count(*) AS BIGINT),
+           |       CAST(sum(h) AS BIGINT),
+           |       round(CAST(sum(h) AS BIGINT) / (count(*) * 10.0), 6),
+           |       round(count(*) FILTER (h > 0) / CAST(count(*) AS DOUBLE), 6)
+           |FROM evp
+           |ORDER BY model""".stripMargin))
+
+  /** Big-catalog neighborhood recommendations — ItemKNN over the
+    * customer-PART graph, a catalog 20× the supplier one (20k parts at
+    * sf0.1, past the 10k broadcast threshold): above `broadcastItems`
+    * the truncated similarity matrix stays DISTRIBUTED and shuffle-joins
+    * on the item key instead of broadcasting — the plan that carries a
+    * 59k-movie catalog (the reference's own MovieLens shape,
+    * explicit_ratings/functions.py:33-36) or a 100-TB item catalog.
+    * Both modes are bit-identical (GraphCFSpec differential), so the
+    * oracle replays regardless of which side of the threshold the sf
+    * lands on (sf0.01: 2k parts → broadcast; sf0.1: 20k → shuffle).
+    * Histories capped at top-20 parts per customer, neighborhoods at 10
+    * — the Σdeg² co-occurrence intermediate stays ≤ 400·|customers|. */
+  private val q169 = Q("q169_bigcat_knn",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      GraphCF.itemKnnRecs(inter, "cust", "part", k = 5, neighbors = 10,
+          maxHistory = 20)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_partkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 20),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 10),
+           |sc AS (SELECT e.u, ss.s2, CAST(sum(e.w * ss.q) AS BIGINT) AS score
+           |       FROM e JOIN ss ON e.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, s2 AS part, score, rnk FROM r
+           |WHERE rnk <= 5 ORDER BY cust, rnk""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3374,7 +3578,7 @@ object PipelineQueries {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167)
+    q162, q163, q164, q165, q166, q167, q168, q169)
 
   // ------------------------------------------------- phase decompositions
 

@@ -135,7 +135,14 @@ object Behavior {
     * (serve/Recommend's 0.05 damping). Age is measured from the frame's
     * own max timestamp (self-contained and replayable); one narrow map +
     * one hash aggregate. Returns (keys…, n, decayed_scaled,
-    * decayed = scaled/2^windowDays rounded 6dp). */
+    * decayed = scaled/2^windowDays rounded 6dp).
+    *
+    * Overflow budget (the GraphCF-style explicit contract): each weight
+    * is ≤ 2^windowDays, so a key's scaled sum is ≤ n·2^windowDays and
+    * stays an exact long while its event count n < 2^(63−windowDays) —
+    * ~2^33 ≈ 8.6 B events/key at the default 30, ~2^3 at the max 60
+    * (widen the window only with correspondingly lighter keys; the
+    * boundary is pinned by BehaviorSpec). */
   def decayedCounts(events: DataFrame, keyCols: Seq[Column], tsCol: String,
                     windowDays: Int = 30): DataFrame = {
     require(windowDays >= 1 && windowDays <= 60,
@@ -189,7 +196,7 @@ object Behavior {
     * matrix (the q159 semantics — per-entity consecutive pairs in
     * (ts, id) order). The prediction a session simulator or a prefetch
     * layer reads per user (reference analogue: the A/B simulator's
-    * behavior draws, user_simulation/functions.py — here the argmax-k
+    * behavior draws, explicit_ratings/ab_test.py — here the argmax-k
     * read side of that chain).
     *
     * Plan shape — the serving trick: top-k is computed on the TINY
@@ -234,7 +241,14 @@ object Behavior {
     * broadcasts into a range join that fans each active pair out at most
     * `windowDays` times, and the rolling distinct is a second hash
     * aggregate. No window function over entities, no collect_set of
-    * users — a hot day costs its own distinct count, nothing global. */
+    * users — a hot day costs its own distinct count, nothing global.
+    *
+    * The distinct (day, entity) frame is PERSISTED (three legs of the
+    * lazy plan reuse it: the day dimension, dau, wau) — the engine's
+    * documented cache contract applies, same as GraphCF: call
+    * `spark.catalog.clearCache()` between corpora; unpersisting here
+    * would silently recompute the distinct once per leg at action
+    * time. */
   def rollingActives(events: DataFrame, entityCol: String, tsCol: String,
                      windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
@@ -272,16 +286,28 @@ object Behavior {
     * (keys…, n_days, slope, intercept) rounded 6dp. */
   def trendSlopes(events: DataFrame, keyCols: Seq[Column],
                   tsCol: String): DataFrame = {
+    // internal columns carry collision-resistant names: the key columns
+    // are recovered positionally (dropRight), so a user key named like an
+    // internal alias would silently corrupt the grouping — guarded loudly
     val daily = events
       .groupBy(keyCols :+ datediff(to_date(col(tsCol)),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("x"): _*)
-      .agg(count(lit(1)).as("y"))
-    val keyNames = daily.columns.dropRight(2).map(col)
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+        .as("__graft_x"): _*)
+      .agg(count(lit(1)).as("__graft_y"))
+    val rawKeys = daily.columns.dropRight(2)
+    val reserved = Set("n", "sx", "sy", "sxy", "sxx",
+      "n_days", "slope", "intercept")
+    require(!rawKeys.exists(k => k.startsWith("__graft_") || reserved(k)),
+      s"trendSlopes: key columns ${rawKeys.mkString(", ")} collide with " +
+        "the operator's internal/output aliases " +
+        s"(${reserved.mkString(", ")}, __graft_*) — rename them")
+    val keyNames = rawKeys.map(col)
     val d = daily
       .groupBy(keyNames: _*)
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"), sum(col("__graft_x")).as("sx"),
+        sum(col("__graft_y")).as("sy"),
+        sum(col("__graft_x") * col("__graft_y")).as("sxy"),
+        sum(col("__graft_x") * col("__graft_x")).as("sxx"))
     // det = n·Σx² − (Σx)² — exact long; 0 iff a single distinct day.
     // NULL-ed when 0 so the divisions yield NULL, not ±Inf
     val det = col("n") * col("sxx") - col("sx") * col("sx")
@@ -315,24 +341,32 @@ object Behavior {
     val daily = events
       .groupBy(keyCols :+ to_date(col(tsCol)).as("day"): _*)
       .agg(count(lit(1)).as("y"))
-    val keyNames = daily.columns.dropRight(2).map(col)
+    // keys recovered positionally — collision-resistant internal aliases
+    // plus a loud guard on the output names (same contract as trendSlopes)
+    val rawKeys = daily.columns.dropRight(2)
+    val reserved = Set("day", "y", "mean", "z", "is_anomaly")
+    require(!rawKeys.exists(k => k.startsWith("__graft_") || reserved(k)),
+      s"trailingAnomalies: key columns ${rawKeys.mkString(", ")} collide " +
+        "with the operator's internal/output aliases " +
+        s"(${reserved.mkString(", ")}, __graft_*) — rename them")
+    val keyNames = rawKeys.map(col)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyNames: _*).orderBy(col("day"))
       .rowsBetween(-window, -1)
     val wl = lit(window.toLong)
     val scored = daily
-      .withColumn("m", count(lit(1)).over(w))
-      .withColumn("s", sum(col("y")).over(w))
-      .withColumn("q", sum(col("y") * col("y")).over(w))
-      .filter(col("m") === wl)
+      .withColumn("__graft_m", count(lit(1)).over(w))
+      .withColumn("__graft_s", sum(col("y")).over(w))
+      .withColumn("__graft_q", sum(col("y") * col("y")).over(w))
+      .filter(col("__graft_m") === wl)
     // varNum = w·Σy² − (Σy)² ≥ 0, exact long
-    val varNum = wl * col("q") - col("s") * col("s")
-    val mean = col("s") / wl.cast("double")
+    val varNum = wl * col("__graft_q") - col("__graft_s") * col("__graft_s")
+    val mean = col("__graft_s") / wl.cast("double")
     val z = (col("y") - mean) / sqrt(varNum / lit(window.toDouble * window))
     scored.select(keyNames :+ col("day") :+ col("y") :+
       round(mean, 6).as("mean") :+
       when(varNum > 0L, round(z, 6)).as("z") :+
       (when(varNum > 0L, abs(z) >= lit(zThreshold))
-        .otherwise(col("y") * wl =!= col("s"))).as("is_anomaly"): _*)
+        .otherwise(col("y") * wl =!= col("__graft_s"))).as("is_anomaly"): _*)
   }
 }

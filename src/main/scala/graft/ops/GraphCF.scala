@@ -15,17 +15,55 @@ import org.apache.spark.sql.functions._
   * long arithmetic and the result is bit-identical under any partitioning
   * (and in the DuckDB oracle).
   *
-  * Scale shape: the item-item walk matrix S(s,s') = Σ_u P(s→u)·P(u→s') is
-  * |items|² and BROADCAST into the final scoring join — the catalog-side
-  * small-matrix contract every neighborhood recommender at scale uses
-  * (items ≤ ~10⁴; guarded loudly, see `maxItems`). The user-keyed legs are
-  * one hash exchange each (edge aggregation, the u-keyed hop join, the
-  * final (user, item') aggregation); already-seen items leave via an
-  * anti-join on the edge frame itself. Quantization bounds: with
-  * scale = 10⁴, each product term ≤ 10⁸·scoreQ and the final Σ stays well
-  * under 2⁶³ for catalogs within the guard (documented overflow budget:
-  * scale³·|items| ≤ 10¹⁶). */
+  * Scale shape — THREE levers, all exact and replayable:
+  *
+  *  1. `maxHistory` caps each user's history at their top-C interactions
+  *     (by weight, smallest-id tie-break — a deterministic cut any engine
+  *     replays). The item-item co-walk's user-keyed self-join costs
+  *     Σ_u deg(u)² intermediate pair rows — linear in users, QUADRATIC in
+  *     per-user degree, the one superlinear leg in this family; the cap
+  *     bounds it at Σ_u min(deg, C)². This is the standard production
+  *     trade (cap history, keep the strongest signal) — measured on the
+  *     declared q160 shape at sf0.1: C=50 cut the co-walk intermediate
+  *     ~10× and eliminated its 3.1 GB ×10-probe spill.
+  *  2. `neighbors` truncates each item's similarity row to its top-N
+  *     entries (integer mass, id tie-break) before the user-side scoring
+  *     join — caps that fanout at edges × N instead of edges × |catalog|
+  *     (measured 5× on q160).
+  *  3. `broadcastItems` picks the physical join for the truncated
+  *     similarity matrix (≤ |items|·neighbors rows): small catalogs
+  *     broadcast it (the classic small-matrix contract — the user side
+  *     never shuffles for scoring); big catalogs keep it DISTRIBUTED and
+  *     shuffle-join on the item key, so there is no catalog-size cliff —
+  *     a 59k-movie catalog (the reference's own MovieLens shape,
+  *     explicit_ratings/functions.py:33-36) runs the same plan a 10k one
+  *     does, just with one more exchange. Both modes are bit-identical;
+  *     GraphCFSpec pins the differential.
+  *
+  * Overflow budgets (documented, enforced): p3alpha transition rows are
+  * sub-stochastic after quantization (Σ_i p(u→i) ≤ scale), so every walk
+  * sum is bounded by scale³ regardless of catalog or corpus size —
+  * `require(scale ≤ 10⁶)` keeps scale³ < 2⁶². ItemKNN's co-counts are NOT
+  * catalog-bounded (they grow with interaction weights), so the operator
+  * reads max(norm²) — one bounded 1-row driver read off the tiny norm
+  * frame — and refuses corpora where n₁·n₂ could overflow a long or
+  * co·scale could leave the 2⁵³ exact-double range. */
 object GraphCF {
+
+  /** Aggregate (user,item,weight) edges, optionally capped to each user's
+    * top-`maxHistory` interactions by (weight desc, item asc) — an exact,
+    * replayable cut (same idiom as the neighbor truncation). The default
+    * Int.MaxValue adds no window exchange at all. */
+  private def edgeFrame(interactions: DataFrame, userCol: String,
+                        itemCol: String, maxHistory: Int): DataFrame = {
+    val e = interactions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    if (maxHistory == Int.MaxValue) e
+    else Relational.topKPerGroup(e, Seq(col("u")),
+      Seq(col("w").desc, col("i")), maxHistory, rankName = "__rh")
+      .drop("__rh")
+  }
 
   /** Top-`k` P3alpha recommendations per user from an interaction frame.
     * Returns (user, item, score, rnk) with `score` the exact integer
@@ -35,34 +73,29 @@ object GraphCF {
     * the plan reuse it) — the engine's documented cache contract applies
     * (clear between corpora).
     *
-    * `neighbors` truncates each item's walk row to its top-`neighbors`
-    * similar items (by integer mass, ties to the smallest item id — an
-    * EXACT, replayable cut) before the user-side scoring join. This is
-    * the standard KNN-recommender neighborhood bound AND the scale lever:
-    * the scoring join fans each user-item edge out by at most `neighbors`
-    * rows instead of the full catalog — measured 5× on the declared query
-    * (the untruncated fanout was edges × |items| = 48M rows through one
-    * hash aggregate). Pass `neighbors = maxItems` for the untruncated
-    * walk. */
+    * `maxHistory` bounds the co-walk (see the object doc — the scale
+    * lever for heavy users); `neighbors` truncates each item's walk row
+    * to its top-N similar items before the scoring join (the KNN
+    * neighborhood bound — pass `neighbors` ≥ |catalog| for the
+    * untruncated walk); `broadcastItems` switches the truncated matrix
+    * from broadcast to a distributed shuffle join above that catalog
+    * size (no hard catalog limit — both modes bit-identical). */
   def p3alphaRecs(interactions: DataFrame, userCol: String, itemCol: String,
                   k: Int, scale: Long = 10000L,
                   neighbors: Int = 50,
-                  maxItems: Long = 10000L): DataFrame = {
+                  maxHistory: Int = Int.MaxValue,
+                  broadcastItems: Long = 10000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
+    require(maxHistory >= 1, "maxHistory must be >= 1")
     require(scale >= 10L, "scale < 10 quantizes transitions to noise")
-    val e = interactions
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
+    // sub-stochastic rows bound every downstream sum by scale^3 (object
+    // doc); scale <= 10^6 keeps that under 2^62 — no catalog-size term
+    require(scale <= 1000000L,
+      "scale > 10^6 risks long overflow: walk sums are bounded by scale^3")
+    val e = edgeFrame(interactions, userCol, itemCol, maxHistory)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = e.select(col("i")).distinct().count()
-    if (nItems > maxItems) {
-      e.unpersist()
-      throw new IllegalArgumentException(
-        s"p3alphaRecs: $nItems items exceeds maxItems=$maxItems — the " +
-          "item-item walk matrix is |items|^2 and broadcast; prune the " +
-          "catalog (co-occurrence threshold) or shard by item segment")
-    }
     // row-normalized transitions, quantized to integer fixed-point:
     // floor(scale*w/deg) — exact in IEEE doubles (operands < 2^53) and
     // exactly DuckDB's integer `//` on the same longs
@@ -74,27 +107,27 @@ object GraphCF {
     val pIu = e.join(broadcast(di), "i")
       .select(col("i"), col("u"),
         floor(col("w") * lit(scale) / col("di")).cast("long").as("p"))
-    // item-item hop: S(s,s') = sum_u' P(s->u')*P(u'->s') — u'-keyed join,
-    // output |items|^2, small by the guard. The join INTERMEDIATE is
-    // sum(deg(u)^2) pair rows — linear in users, quadratic in per-user
-    // degree; this is the inherent cost of the exact co-walk and the
-    // dominant leg at scale (production systems cap per-user history or
-    // sample walks to trade exactness for this term; this operator is
-    // the exact variant, which is what the oracle certifies)
+    // item-item hop: S(s,s') = sum_u' P(s->u')*P(u'->s') — u'-keyed join.
+    // The join INTERMEDIATE is sum(deg(u)^2) pair rows — the family's one
+    // quadratic leg; maxHistory bounds it at sum(min(deg, C)^2). The
+    // OUTPUT is bounded by distinct co-walked item pairs and stays
+    // distributed (grouped on (s1,s2)) — never materialized driver-side.
     val ssFull = pIu.select(col("i").as("s1"), col("u"), col("p").as("p1"))
       .join(pUi.select(col("u"), col("i").as("s2"), col("p").as("p2")), "u")
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("p1") * col("p2")).as("q"))
-    // neighborhood truncation on the |items|^2 frame (small by the guard):
-    // integer mass + id tie-break keeps the cut bit-replayable
+    // neighborhood truncation (top-N per s1, integer mass + id tie-break
+    // keeps the cut bit-replayable) — <= |items|*neighbors rows survive
     val ss = Relational.topKPerGroup(ssFull, Seq(col("s1")),
         Seq(col("q").desc, col("s2")), neighbors)
       .drop("rn")
-    // final hop: score(u, s') = sum_s P(u->s)*S(s,s') — ss broadcasts, the
-    // user-side frame never shuffles for the join; the truncation above
-    // caps the fanout at edges * neighbors
+    // final hop: score(u, s') = sum_s P(u->s)*S(s,s'). Small catalogs
+    // broadcast the truncated matrix (user side never shuffles); big
+    // catalogs shuffle-join on s1 — same result, one more exchange, no
+    // catalog-size cliff (the matrix is |items|*neighbors, distributed)
+    val ssJ = if (nItems <= broadcastItems) broadcast(ss) else ss
     val scores = pUi.select(col("u"), col("i").as("s1"), col("p"))
-      .join(broadcast(ss), "s1")
+      .join(ssJ, "s1")
       .groupBy(col("u"), col("s2"))
       .agg(sum(col("p") * col("q")).as("score"))
       .filter(col("score") > 0L)
@@ -125,34 +158,47 @@ object GraphCF {
     * every downstream sum (user scoring) is order-free long arithmetic,
     * so results are bit-identical under any partitioning.
     *
-    * Scale shape: identical to [[p3alphaRecs]] and shares its contracts —
-    * the co-occurrence self-join keyed by user costs Σ_u deg(u)² pair
-    * rows (the exact variant's inherent cost), the truncated similarity
-    * matrix (≤ |items|·neighbors rows, guarded by `maxItems`) broadcasts
-    * into the user-side scoring join, seen items leave via anti-join.
+    * Scale shape: identical to [[p3alphaRecs]] and shares its three
+    * levers — `maxHistory` bounds the Σ_u deg(u)² co-occurrence
+    * intermediate, `neighbors` truncates the similarity matrix,
+    * `broadcastItems` switches the scoring join from broadcast to a
+    * distributed shuffle join above that catalog size. Overflow guard:
+    * co ≤ √(n₁·n₂) ≤ max(norm²), so the operator requires
+    * max(norm²) < 2³¹ (keeps n₁·n₂ < 2⁶²) and max(norm²)·scale < 2⁵³
+    * (keeps the floor() exact in IEEE doubles) — checked with ONE bounded
+    * 1-row driver read off the |items|-row norm frame; corpora past the
+    * budget should binarize weights (dedup interactions) or lower scale.
     * Returns (user, item, score, rnk), `score` = Σ w_ui·simQ(i,j) in
     * fixed-point (≈ scale·Σw·cos), ties to the smallest item id. */
   def itemKnnRecs(interactions: DataFrame, userCol: String, itemCol: String,
                   k: Int, scale: Long = 10000L,
                   neighbors: Int = 20,
-                  maxItems: Long = 10000L): DataFrame = {
+                  maxHistory: Int = Int.MaxValue,
+                  broadcastItems: Long = 10000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
+    require(maxHistory >= 1, "maxHistory must be >= 1")
     require(scale >= 10L, "scale < 10 quantizes similarities to noise")
-    val e = interactions
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
+    val e = edgeFrame(interactions, userCol, itemCol, maxHistory)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = e.select(col("i")).distinct().count()
-    if (nItems > maxItems) {
+    // squared norms: tiny (|items| rows) — broadcast into the pair frame.
+    // The overflow budget reads max(norm^2) here: ONE bounded 1-row
+    // driver read (the engine's guarded-collect contract)
+    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    val maxNrm = nrm.agg(max(col("nrm"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (maxNrm >= (1L << 31) || maxNrm * scale >= (1L << 53)) {
       e.unpersist()
       throw new IllegalArgumentException(
-        s"itemKnnRecs: $nItems items exceeds maxItems=$maxItems — the " +
-          "item-item cosine matrix is |items|^2 and broadcast; prune the " +
-          "catalog (co-occurrence threshold) or shard by item segment")
+        s"itemKnnRecs: max item norm^2 = $maxNrm breaks the exactness " +
+          s"budget (need < 2^31 and * scale=$scale < 2^53): n1*n2 would " +
+          "overflow a long or floor(co*scale/sqrt(n1*n2)) would leave the " +
+          "exact-double range — binarize weights (dedup interactions per " +
+          "user-item) or lower scale")
     }
-    // squared norms: tiny (|items| rows) — broadcast into the pair frame
-    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
     // co-occurrence: user-keyed self-join, both (i,j) directions so the
     // per-s1 truncation below sees every row of the symmetric matrix.
     // Measured dead end (do not retry): aggregating only the s1 < s2 half
@@ -167,8 +213,8 @@ object GraphCF {
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("w1") * col("w2")).as("co"))
     // ONE quantization point: long products stay exact (< 2^53 under the
-    // guard), sqrt/division are correctly-rounded IEEE ops — DuckDB
-    // replays floor() bit-exactly
+    // maxNrm guard above), sqrt/division are correctly-rounded IEEE ops —
+    // DuckDB replays floor() bit-exactly
     val sim = co
       .join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
       .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
@@ -179,8 +225,11 @@ object GraphCF {
     val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
         Seq(col("q").desc, col("s2")), neighbors)
       .drop("rn")
+    // broadcast below the catalog threshold, distributed shuffle join
+    // above it — same result either way (GraphCFSpec pins the differential)
+    val ssJ = if (nItems <= broadcastItems) broadcast(ss) else ss
     val scores = e.select(col("u"), col("i").as("s1"), col("w"))
-      .join(broadcast(ss), "s1")
+      .join(ssJ, "s1")
       .groupBy(col("u"), col("s2"))
       .agg(sum(col("w") * col("q")).as("score"))
       .filter(col("score") > 0L)

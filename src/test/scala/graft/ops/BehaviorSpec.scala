@@ -154,6 +154,19 @@ class BehaviorSpec extends SparkTestBase {
     assert(got == Seq((2L, 1L << 30)))
   }
 
+  test("decayedCounts: windowDays=60 boundary stays exact long arithmetic") {
+    // the documented overflow budget's edge: weights up to 2^60 must sum
+    // exactly (2 age-0 events -> 2^61, still inside a long), and a
+    // 60-day-old event keeps weight exactly 1 (2^0), not 0
+    val ev = Seq(
+      ("a", ts("2024-03-01 00:00:00")), ("a", ts("2024-03-01 00:00:00")),
+      ("a", ts("2024-01-01 00:00:00"))) // age exactly 60 -> weight 2^0
+      .toDF("k", "ts")
+    val got = Behavior.decayedCounts(ev, Seq(col("k")), "ts", windowDays = 60)
+      .select($"n", $"decayed_scaled").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, (1L << 61) + 1L)))
+  }
+
   // ---------------------------------------------------------- kFoldAssign
 
   test("kFoldAssign: exact per-stratum balance and replayable hash fold") {
@@ -264,6 +277,9 @@ class BehaviorSpec extends SparkTestBase {
       ("2024-01-01", 2L, 2L, 1.0),
       ("2024-01-02", 1L, 2L, 0.5),
       ("2024-01-05", 2L, 2L, 1.0)))
+    // rollingActives persists the distinct (day, entity) frame — the
+    // documented cache contract: clear between corpora
+    spark.catalog.clearCache()
   }
 
   // --------------------------------------------------------- trendSlopes

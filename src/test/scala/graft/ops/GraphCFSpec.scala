@@ -45,12 +45,54 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("catalog guard raises with advice instead of broadcasting a huge matrix") {
-    val wide = (0L until 30L).map(i => (i % 3, s"item_$i")).toDF("user", "item")
+  test("big-catalog shuffle mode is bit-identical to the broadcast mode") {
+    // broadcastItems = 0 forces the distributed shuffle join for the
+    // truncated similarity matrix — the >10k-catalog plan — on the tiny
+    // fixture, where it must reproduce the broadcast plan bit for bit
+    val bc = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    val sh = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L,
+      broadcastItems = 0L).collect().toSet
+    assert(bc == sh)
+    val bcK = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    val shK = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L,
+      broadcastItems = 0L).collect().toSet
+    assert(bcK == shK)
+    spark.catalog.clearCache()
+  }
+
+  test("maxHistory keeps each user's top-C edges by (weight desc, item asc)") {
+    // u1's history: a (w=2), b (w=1) — cap 1 keeps only a.
+    // u2's history: b, c (both w=1) — tie resolves to the SMALLER item b.
+    // The capped run must equal running on the manually pre-capped log.
+    val cappedLog = Seq(
+      (1L, "a"), (1L, "a"), // u1 keeps a (w=2)
+      (2L, "b"),            // u2 keeps b (w=1, tie-break over c)
+      (3L, "a"))
+      .toDF("user", "item")
+    val got = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L,
+      maxHistory = 1).collect().toSet
+    val want = GraphCF.itemKnnRecs(cappedLog, "user", "item", k = 3,
+      scale = 10L).collect().toSet
+    assert(got == want)
+    val gotP3 = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L,
+      maxHistory = 1).collect().toSet
+    val wantP3 = GraphCF.p3alphaRecs(cappedLog, "user", "item", k = 3,
+      scale = 10L).collect().toSet
+    assert(gotP3 == wantP3)
+    spark.catalog.clearCache()
+  }
+
+  test("itemKnnRecs refuses corpora past the exactness budget") {
+    // one (user, item) pair repeated 50k times -> norm^2 = 2.5e9 > 2^31:
+    // n1*n2 could overflow a long, so the operator must raise with advice
+    val heavy = Seq.fill(50000)((1L, "a")).toDF("user", "item")
+      .union(Seq((1L, "b"), (2L, "a"), (2L, "b")).toDF("user", "item"))
     val e = intercept[IllegalArgumentException] {
-      GraphCF.p3alphaRecs(wide, "user", "item", k = 5, maxItems = 10L)
+      GraphCF.itemKnnRecs(heavy, "user", "item", k = 1)
     }
-    assert(e.getMessage.contains("maxItems"))
+    assert(e.getMessage.contains("norm"))
     spark.catalog.clearCache()
   }
 
