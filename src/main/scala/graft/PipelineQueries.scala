@@ -3570,6 +3570,221 @@ object PipelineQueries {
            |SELECT u AS cust, s2 AS part, score, rnk FROM r
            |WHERE rnk <= 5 ORDER BY cust, rnk""".stripMargin))
 
+  /** Precision over a k-GRID — the reference's evaluation loop shape
+    * (implicit_feedback/prac_2.py:124-138 sweeps k and recomputes
+    * precision@k per point): here ONE ranked rec frame is scored at
+    * k = 1, 5, 10 in a single pass — the grid is a 3-row broadcast
+    * dimension joined on rnk ≤ k, so the expensive model leg runs once,
+    * not once per grid point (the reference recomputes per k; the
+    * engine form makes the sweep free). p@k = hits_k / (n_users·k),
+    * evaluated users as in q162 (recs AND test activity). */
+  private val q170 = Q("q170_precision_grid",
+    (s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val recs = GraphCF.p3alphaRecs(
+        inter(ordAll.filter(col("o_orderdate") < cut)),
+        "cust", "supp", k = 10, neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      // hit rows carry their rank; the tiny k-grid joins on rnk <= k so
+      // every grid point reads the SAME scored frame (no model re-run)
+      val hitRows = recs.join(test, Seq("cust", "supp")).select(col("rnk"))
+      val nUsers = recs.select(col("cust")).distinct()
+        .join(test.select(col("cust")).distinct(), Seq("cust"))
+        .agg(count(lit(1)).as("n_users"))
+      val grid = Seq(1L, 5L, 10L).toDF("k")
+      grid.join(hitRows, col("rnk") <= col("k"), "left")
+        .groupBy(col("k")).agg(count(col("rnk")).as("n_hits"))
+        .crossJoin(nUsers)
+        .select(col("k"), col("n_users"), col("n_hits"),
+          round(col("n_hits") / (col("n_users") * col("k")).cast("double"), 6)
+            .as("precision_at_k"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH tr AS (SELECT o_orderkey, o_custkey FROM orders
+           |            WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+           |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+           |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+           |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+           |        FROM e JOIN du USING (u)),
+           |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+           |        FROM e JOIN di USING (i)),
+           |ssf AS (SELECT a.i AS s1, b.i AS s2,
+           |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+           |        FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ssf)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT pui.u, ss.s2, CAST(sum(pui.p * ss.q) AS BIGINT) AS score
+           |       FROM pui JOIN ss ON pui.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |recs AS (SELECT u, s2, CAST(rn AS BIGINT) AS rnk FROM
+           |    (SELECT *, row_number() OVER
+           |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM unseen)
+           |  WHERE rn <= 10),
+           |hit AS (SELECT r.rnk FROM recs r
+           |        JOIN te ON r.u = te.u AND r.s2 = te.i),
+           |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_users
+           |       FROM (SELECT DISTINCT u FROM recs) ru
+           |       JOIN (SELECT DISTINCT u FROM te) tu ON ru.u = tu.u),
+           |ks AS (SELECT CAST(k AS BIGINT) AS k
+           |       FROM (VALUES (1), (5), (10)) g(k))
+           |SELECT ks.k, ev.n_users,
+           |       CAST(count(hit.rnk) AS BIGINT) AS n_hits,
+           |       round(count(hit.rnk) /
+           |         CAST(ev.n_users * ks.k AS DOUBLE), 6) AS precision_at_k
+           |FROM ks LEFT JOIN hit ON hit.rnk <= ks.k CROSS JOIN ev
+           |GROUP BY ks.k, ev.n_users ORDER BY ks.k""".stripMargin))
+
+  /** Catalog coverage of the served recommendations — the standard
+    * recsys serving-diversity metric beside precision (what fraction of
+    * the catalog ever appears in a top-k list; a popularity-collapsed
+    * model scores high precision with tiny coverage): distinct
+    * recommended items at k = 5 and k = 10 over the q163 ItemKNN frame,
+    * against the full supplier catalog. The rec frame is persisted and
+    * both grid points read it; counts are exact. */
+  private val q171 = Q("q171_rec_coverage",
+    (s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val recs = GraphCF.itemKnnRecs(inter, "cust", "supp", k = 10,
+          neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      val catalog = supplier(s, d).agg(count(lit(1)).as("n_catalog"))
+      val grid = Seq(5L, 10L).toDF("k")
+      grid.join(recs.select(col("rnk"), col("supp")), col("rnk") <= col("k"))
+        .groupBy(col("k"))
+        .agg(countDistinct(col("supp")).as("n_rec_items"))
+        .crossJoin(catalog)
+        .select(col("k"), col("n_rec_items"), col("n_catalog"),
+          round(col("n_rec_items") / col("n_catalog").cast("double"), 6)
+            .as("coverage"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT e.u, ss.s2, CAST(sum(e.w * ss.q) AS BIGINT) AS score
+           |       FROM e JOIN ss ON e.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |recs AS (SELECT u, s2, CAST(rn AS BIGINT) AS rnk FROM
+           |    (SELECT *, row_number() OVER
+           |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM unseen)
+           |  WHERE rn <= 10),
+           |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM supplier),
+           |ks AS (SELECT CAST(k AS BIGINT) AS k
+           |       FROM (VALUES (5), (10)) g(k))
+           |SELECT ks.k,
+           |       CAST(count(DISTINCT recs.s2) AS BIGINT) AS n_rec_items,
+           |       cat.n_catalog,
+           |       round(count(DISTINCT recs.s2) /
+           |         CAST(cat.n_catalog AS DOUBLE), 6) AS coverage
+           |FROM ks JOIN recs ON recs.rnk <= ks.k CROSS JOIN cat
+           |GROUP BY ks.k, cat.n_catalog ORDER BY ks.k""".stripMargin))
+
+  /** INCREMENTAL item-item co-occurrence maintenance
+    * ([[graft.ops.GraphCF.foldCoDelta]]): the standing co-count frame is
+    * folded forward with only the DELTA's touched users paying the
+    * quadratic leg — co is a sum of per-user outer products, so the fold
+    * subtracts each touched user's old capped outer product and adds the
+    * merged one (Σ_touched min(deg,C)² work instead of Σ_all; at 100 TB
+    * you fold the day's interactions, never rebuild the catalog). Here
+    * the log splits at 2000-01-01: co-counts build on the older half,
+    * the newer half folds in, and the emitted top-10 cosine rows per
+    * supplier must HASH-MATCH the oracle, which replays the ONE-SHOT
+    * build over the full log — the same incremental-equals-rebuild
+    * oracle pattern as the digest/BM25 stores (q146/q138). */
+  private val q172 = Q("q172_incremental_co",
+    (s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val older = inter(ordAll.filter(col("o_orderdate") < cut))
+      val delta = inter(ordAll.filter(col("o_orderdate") >= cut))
+      val oldCo = GraphCF.coCounts(older, "cust", "supp", maxHistory = 50)
+      val co = GraphCF.foldCoDelta(older, delta, "cust", "supp", oldCo,
+        maxHistory = 50)
+      val nrm = GraphCF.edges(inter(ordAll), "cust", "supp", maxHistory = 50)
+        .groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+      val sim = co
+        .join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
+        .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
+        .select(col("s1"), col("s2"),
+          floor(col("co") * lit(10000L) / sqrt(col("n1") * col("n2")))
+            .cast("long").as("q"))
+        .filter(col("q") > 0L)
+      Relational.topKPerGroup(sim, Seq(col("s1")),
+          Seq(col("q").desc, col("s2")), 10)
+        .select(col("s1").as("supp"), col("s2").as("other"), col("q"),
+          col("rn"))
+        .orderBy(col("supp"), col("rn"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i)
+           |SELECT s1 AS supp, s2 AS other, q, CAST(rs AS BIGINT) AS rn
+           |FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim
+           |  WHERE q > 0)
+           |WHERE rs <= 10 ORDER BY supp, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3578,7 +3793,7 @@ object PipelineQueries {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167, q168, q169)
+    q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
 
   // ------------------------------------------------- phase decompositions
 

@@ -55,14 +55,107 @@ object GraphCF {
     * replayable cut (same idiom as the neighbor truncation). The default
     * Int.MaxValue adds no window exchange at all. */
   private def edgeFrame(interactions: DataFrame, userCol: String,
-                        itemCol: String, maxHistory: Int): DataFrame = {
-    val e = interactions
+                        itemCol: String, maxHistory: Int): DataFrame =
+    capEdges(interactions
       .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")), maxHistory)
+
+  /** The history cut alone, on an already-aggregated (u, i, w) frame. */
+  private def capEdges(e: DataFrame, maxHistory: Int): DataFrame =
     if (maxHistory == Int.MaxValue) e
     else Relational.topKPerGroup(e, Seq(col("u")),
       Seq(col("w").desc, col("i")), maxHistory, rankName = "__rh")
       .drop("__rh")
+
+  /** Item-item co-occurrence counts from an aggregated (u, i, w) edge
+    * frame: co(i,j) = Σ_u w_ui·w_uj, both (i,j) directions, exact long
+    * sums. The user-keyed self-join's intermediate is Σ_u deg(u)² pair
+    * rows — the family's quadratic leg (cap histories upstream).
+    *
+    * Measured dead end (do not retry): aggregating only the s1 < s2 half
+    * and mirroring afterwards is SLOWER here (9.3s -> 12.7s explode
+    * mirror, 23.8s self-union at sf0.1/32t) — partial-agg output is
+    * bounded by distinct keys per partition, not by pair fanout, so the
+    * exchange barely shrinks while the mirror projection adds a pass
+    * (and a self-union re-executes the whole subtree). */
+  private def coPairs(e: DataFrame): DataFrame =
+    e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
+      .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("w1") * col("w2")).as("co"))
+
+  /** The aggregated, history-capped (u, i, w) edge frame — the compact
+    * standing representation of an interaction log (distinct user-item
+    * pairs, not raw events) that a production deployment keeps in a
+    * keyed store between [[foldCoDelta]] folds. Exactly the frame every
+    * recommender in this family trains on. */
+  def edges(interactions: DataFrame, userCol: String, itemCol: String,
+            maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    edgeFrame(interactions, userCol, itemCol, maxHistory)
+  }
+
+  /** Standing (s1, s2, co) co-occurrence counts from an interaction log
+    * — the maintained state behind an ItemKNN serving layer (aggregated
+    * and history-capped exactly as [[itemKnnRecs]] does it). Keep THIS
+    * frame (and the log's aggregated edges), not the similarity matrix:
+    * co-counts are the additive representation that [[foldCoDelta]] can
+    * maintain incrementally; similarities re-derive from co + norms in
+    * one linear pass. */
+  def coCounts(interactions: DataFrame, userCol: String, itemCol: String,
+               maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    coPairs(edgeFrame(interactions, userCol, itemCol, maxHistory))
+  }
+
+  /** Fold a DELTA of interactions into standing co-occurrence counts
+    * WITHOUT rebuilding: co is a sum of per-user outer products, so
+    *
+    *   co_new = co_old − Σ_{u touched} outer(cap(old_u))
+    *                   + Σ_{u touched} outer(cap(old_u ⊎ delta_u))
+    *
+    * and only TOUCHED users (those appearing in the delta) pay the
+    * quadratic leg — Σ_touched min(deg, C)² instead of the full
+    * Σ_all min(deg, C)². The result is BIT-IDENTICAL to
+    * [[coCounts]] over the unioned log (the declared query's oracle
+    * replays the one-shot build; GraphCFSpec pins the cap-boundary
+    * case where a delta evicts an item from a user's top-C). All
+    * arithmetic is exact long sums, so the subtraction is safe — pairs
+    * netting to zero drop, matching the one-shot result exactly.
+    *
+    * `oldInteractions` is the standing log (scanned once, linearly, to
+    * recover the touched users' previous edge vectors; a production
+    * deployment keeps the aggregated (u, i, w) edge frame in a keyed
+    * store instead and feeds it here — the algebra is identical).
+    * `oldCo` must be the [[coCounts]] of that log at the SAME
+    * `maxHistory`. */
+  def foldCoDelta(oldInteractions: DataFrame, delta: DataFrame,
+                  userCol: String, itemCol: String, oldCo: DataFrame,
+                  maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    require(Seq("s1", "s2", "co").forall(oldCo.columns.contains),
+      "oldCo must be a coCounts frame with columns (s1, s2, co)")
+    // UNCAPPED aggregation on both sides: the cap applies to each
+    // touched user's MERGED vector (a delta can evict an old top-C item)
+    val oldAgg = oldInteractions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val dAgg = delta
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val touched = dAgg.select(col("u")).distinct()
+    val oldT = oldAgg.join(touched, Seq("u"), "left_semi")
+    val mergedT = oldT.unionByName(dAgg)
+      .groupBy(col("u"), col("i")).agg(sum(col("w")).as("w"))
+    val neg = coPairs(capEdges(oldT, maxHistory))
+      .select(col("s1"), col("s2"), (-col("co")).as("co"))
+    val pos = coPairs(capEdges(mergedT, maxHistory))
+    oldCo.select(col("s1"), col("s2"), col("co"))
+      .unionByName(pos).unionByName(neg)
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("co")).as("co"))
+      .filter(col("co") =!= 0L)
   }
 
   /** Top-`k` P3alpha recommendations per user from an interaction frame.
@@ -200,18 +293,9 @@ object GraphCF {
           "user-item) or lower scale")
     }
     // co-occurrence: user-keyed self-join, both (i,j) directions so the
-    // per-s1 truncation below sees every row of the symmetric matrix.
-    // Measured dead end (do not retry): aggregating only the s1 < s2 half
-    // and mirroring afterwards is SLOWER here (9.3s -> 12.7s explode
-    // mirror, 23.8s self-union at sf0.1/32t) — partial-agg output is
-    // bounded by distinct keys per partition, not by pair fanout, so the
-    // exchange barely shrinks while the mirror projection adds a pass
-    // (and a self-union re-executes the whole subtree).
-    val co = e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
-      .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
-      .filter(col("s1") =!= col("s2"))
-      .groupBy(col("s1"), col("s2"))
-      .agg(sum(col("w1") * col("w2")).as("co"))
+    // per-s1 truncation below sees every row of the symmetric matrix
+    // (the half-matrix mirror is a measured dead end — see coPairs)
+    val co = coPairs(e)
     // ONE quantization point: long products stay exact (< 2^53 under the
     // maxNrm guard above), sqrt/division are correctly-rounded IEEE ops —
     // DuckDB replays floor() bit-exactly

@@ -84,6 +84,41 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("foldCoDelta == one-shot coCounts, including a cap eviction") {
+    // old: u1 {a:2, b:1, c:1} -> cap 2 keeps a,b (tie b < c); u2 {b, c}.
+    // delta: u1 gets c twice -> merged u1 {a:2, b:1, c:3} -> cap 2 keeps
+    // c,a — b is EVICTED from u1's capped history, so the fold must
+    // subtract u1's old outer product (which contained b) and add the
+    // new one (which doesn't); u2 is untouched and must not recompute.
+    val old = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "b"), (2L, "c")).toDF("user", "item")
+    val delta = Seq((1L, "c"), (1L, "c")).toDF("user", "item")
+    val oldCo = GraphCF.coCounts(old, "user", "item", maxHistory = 2)
+    val folded = GraphCF.foldCoDelta(old, delta, "user", "item", oldCo,
+      maxHistory = 2).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = GraphCF.coCounts(old.union(delta), "user", "item",
+      maxHistory = 2).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded == oneShot)
+    // sanity on the expected content: u1 now pairs a-c (2*3), u2 b-c
+    assert(oneShot == Set(("a", "c", 6L), ("c", "a", 6L),
+      ("b", "c", 1L), ("c", "b", 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("foldCoDelta with a delta-only user (no old history)") {
+    val old = Seq((1L, "a"), (1L, "b")).toDF("user", "item")
+    val delta = Seq((9L, "a"), (9L, "c")).toDF("user", "item")
+    val oldCo = GraphCF.coCounts(old, "user", "item")
+    val folded = GraphCF.foldCoDelta(old, delta, "user", "item", oldCo)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val oneShot = GraphCF.coCounts(old.union(delta), "user", "item")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(folded == oneShot)
+    spark.catalog.clearCache()
+  }
+
   test("itemKnnRecs refuses corpora past the exactness budget") {
     // one (user, item) pair repeated 50k times -> norm^2 = 2.5e9 > 2^31:
     // n1*n2 could overflow a long, so the operator must raise with advice
