@@ -96,6 +96,39 @@ object GraphCF {
     edgeFrame(interactions, userCol, itemCol, maxHistory)
   }
 
+  /** Per-batch partial for the standing interaction-edge store: the
+    * batch's aggregated (u, i, w) counts land under `batch=<id>` —
+    * batch-id-keyed OVERWRITE, so a failure-replayed batch rewrites its
+    * own directory instead of double-counting (the engine's
+    * replay-idempotent sink recipe). Edge weights are COUNTS and counts
+    * are additive across batches, so the standing frame folds from the
+    * partials with one groupBy — no cross-batch correction terms, unlike
+    * co-counts themselves (which is why the store holds EDGES, the
+    * additive representation, and derives co downstream). */
+  def writeEdgeBatch(batch: DataFrame, userCol: String, itemCol: String,
+                     path: String, batchId: Long): Unit =
+    batch.groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The standing capped edge frame folded from the per-batch partials
+    * ([[writeEdgeBatch]]): Σ of partial counts per (u, i), then the
+    * history cut — bit-equal to [[edges]] over the concatenated batches
+    * (long sums are order-free; the cut is deterministic). */
+  def edgesFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    capEdges(spark.read.option("basePath", path).parquet(path)
+      .groupBy(col("u"), col("i")).agg(sum(col("w")).as("w")), maxHistory)
+  }
+
+  /** Standing co-counts read off the edge store — bit-equal to
+    * [[coCounts]] over the concatenated batches. Pair with
+    * [[foldCoDelta]] for incremental refreshes between store folds. */
+  def coFromEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      maxHistory: Int = Int.MaxValue): DataFrame =
+    coPairs(edgesFromStore(spark, path, maxHistory))
+
   /** Standing (s1, s2, co) co-occurrence counts from an interaction log
     * — the maintained state behind an ItemKNN serving layer (aggregated
     * and history-capped exactly as [[itemKnnRecs]] does it). Keep THIS

@@ -576,6 +576,25 @@ object EventStreams {
           idCol, textCol, numBuckets)
       }
 
+  /** Streaming leg of the standing interaction-edge store
+    * ([[graft.ops.GraphCF.writeEdgeBatch]]): each micro-batch of raw
+    * interactions lands its aggregated (u, i, w) partial keyed by batch
+    * id. Edge counts are additive across batches, so the standing capped
+    * edge frame and its item-item co-counts fold from the store with no
+    * rescan ([[graft.ops.GraphCF.edgesFromStore]] /
+    * [[graft.ops.GraphCF.coFromEdgeStore]] — bit-equal to the one-shot
+    * build; [[graft.ops.GraphCF.foldCoDelta]] serves incremental co
+    * refreshes between folds off the same frames). Batch-id-keyed
+    * overwrite = replay-idempotent, the recipe of every sink here. */
+  def sinkEdgeBatches(interactions: DataFrame, userCol: String,
+                      itemCol: String,
+                      path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    interactions.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.GraphCF.writeEdgeBatch(batch, userCol, itemCol, path, batchId)
+      }
+
   /** Streaming leg of the mergeable k-means moment store
     * ([[graft.ops.Cluster.writeMomentBatch]]): each micro-batch of
     * vectors lands its per-cell (n, Σq) moments against the fixed
