@@ -3785,6 +3785,65 @@ object PipelineQueries {
            |  WHERE q > 0)
            |WHERE rs <= 10 ORDER BY supp, rn""".stripMargin))
 
+  /** ItemKNN served OFF THE STANDING EDGE STORE
+    * ([[graft.ops.GraphCF.writeEdgeBatch]] /
+    * [[graft.ops.GraphCF.itemKnnRecsFromStore]]): the interaction log
+    * lands as FOUR batch partials (mod-4 on the order key, so a
+    * (customer, supplier) pair's counts split across batches and the
+    * fold must merge them), then recs serve from the folded store. Edge
+    * counts are additive, the scoring tail is shared with q163 — so the
+    * oracle is the ONE-SHOT build over the full log, and the hash match
+    * proves store-served == rebuild (the q146/q138 standing-store
+    * pattern, now for the recommender family's state). */
+  private val q173 = Q("q173_store_recs",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q173_edges")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey").as("cust"),
+          col("l_suppkey").as("supp"))
+      (0L until 4L).foreach { b =>
+        GraphCF.writeEdgeBatch(
+          inter.filter(pmod(col("o_orderkey"), lit(4L)) === b),
+          "cust", "supp", dir.toString, b)
+      }
+      GraphCF.itemKnnRecsFromStore(s, dir.toString, "cust", "supp",
+          k = 10, neighbors = 20, maxHistory = 50)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT e.u, ss.s2, CAST(sum(e.w * ss.q) AS BIGINT) AS score
+           |       FROM e JOIN ss ON e.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, s2 AS supp, score, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3793,7 +3852,7 @@ object PipelineQueries {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172)
+    q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 
   // ------------------------------------------------- phase decompositions
 

@@ -301,11 +301,33 @@ object GraphCF {
                   neighbors: Int = 20,
                   maxHistory: Int = Int.MaxValue,
                   broadcastItems: Long = 10000L): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    knnFromEdges(edgeFrame(interactions, userCol, itemCol, maxHistory),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+  }
+
+  /** [[itemKnnRecs]] served off the standing edge store
+    * ([[writeEdgeBatch]] / [[edgesFromStore]]): identical scoring tail,
+    * so the recs are bit-equal to the one-shot build over the
+    * concatenated batches — the store just replaces the raw-log
+    * aggregation with the partial-count fold. Same cache contract. */
+  def itemKnnRecsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, userCol: String, itemCol: String,
+                           k: Int, scale: Long = 10000L,
+                           neighbors: Int = 20,
+                           maxHistory: Int = Int.MaxValue,
+                           broadcastItems: Long = 10000L): DataFrame =
+    knnFromEdges(
+      edgesFromStore(spark, path, maxHistory).select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+
+  private def knnFromEdges(edges0: DataFrame, userCol: String,
+                           itemCol: String, k: Int, scale: Long,
+                           neighbors: Int, broadcastItems: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
-    require(maxHistory >= 1, "maxHistory must be >= 1")
     require(scale >= 10L, "scale < 10 quantizes similarities to noise")
-    val e = edgeFrame(interactions, userCol, itemCol, maxHistory)
+    val e = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = e.select(col("i")).distinct().count()
     // squared norms: tiny (|items| rows) — broadcast into the pair frame.

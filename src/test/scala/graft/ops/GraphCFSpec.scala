@@ -84,6 +84,22 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("itemKnnRecsFromStore equals the direct build (split batches)") {
+    val dir = java.nio.file.Files.createTempDirectory("edge_store_recs").toString
+    // (u1, a)'s TWO interactions split across the batches — the fold
+    // must merge the partial counts back to w=2
+    GraphCF.writeEdgeBatch(Seq((1L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("user", "item"), "user", "item", dir, 0L)
+    GraphCF.writeEdgeBatch(Seq((1L, "a"), (2L, "c"), (3L, "a"))
+      .toDF("user", "item"), "user", "item", dir, 1L)
+    val got = GraphCF.itemKnnRecsFromStore(spark, dir, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    val want = GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("foldCoDelta == one-shot coCounts, including a cap eviction") {
     // old: u1 {a:2, b:1, c:1} -> cap 2 keeps a,b (tie b < c); u2 {b, c}.
     // delta: u1 gets c twice -> merged u1 {a:2, b:1, c:3} -> cap 2 keeps
