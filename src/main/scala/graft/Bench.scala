@@ -45,9 +45,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count (right for the gate
+    // scales), overridable for scale probes: partitions are THE knob every
+    // real deployment sizes to its data, and the x100 CF-family probe runs
+    // with them sized (e.g. 256) to show the co-walk exchange clean — AQE
+    // (on by default) coalesces small exchanges back down, so oversizing
+    // doesn't tax the light queries
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -163,7 +171,7 @@ object Bench {
     val mv = moved.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"movement":$mv,"phases":$ph,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"movement":$mv,"phases":$ph,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions}"""
     println(line)
     // the driver's artifact truncates long stdout tails, which has left the
     // per-query map unauditable in past rounds — persist the identical JSON

@@ -3398,9 +3398,14 @@ object PipelineQueries {
     * and this is its engine form — one row per model with p@10/hit-rate
     * over the shared 2000-01-01 split. Same metric definitions as q162.
     *
-    * Plan shape: the train interaction frame and the test frame are each
-    * persisted and shared by both model legs (only the scoring leg
-    * differs); each model's rec frame (≤ 10 rows/user) is persisted
+    * Plan shape: the CAPPED EDGE FRAME — not just the raw train split —
+    * is built once, persisted, and fed to both model legs through the
+    * FromEdges entry points ([[graft.ops.GraphCF.p3alphaRecsFromEdges]] /
+    * [[graft.ops.GraphCF.itemKnnRecsFromEdges]]), so the groupBy +
+    * history-cap window over the fact table runs ONCE for the two
+    * models (it used to run per leg — pure duplicate work on the
+    * suite's most expensive query). The test frame is persisted and
+    * shared; each model's rec frame (≤ 10 rows/user) is persisted
     * before its hits/evaluated fan-out — nothing expensive executes
     * twice. Histories capped at top-50 (the q160/q163 contract). */
   private val q168 = Q("q168_rec_eval_compare",
@@ -3413,7 +3418,13 @@ object PipelineQueries {
       def inter(o: org.apache.spark.sql.DataFrame) =
         o.join(li, col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-      val train = inter(ordAll.filter(col("o_orderdate") < cut)).persist(lvl)
+      // ONE capped edge frame for both models: both FromEdges legs hang
+      // the SAME analyzed subplan, so the persist INSIDE the first leg is
+      // the single shared cache entry (persisting again here would just
+      // register a redundant second copy of the same frame)
+      val trainEdges = GraphCF.edges(
+        inter(ordAll.filter(col("o_orderdate") < cut)),
+        "cust", "supp", maxHistory = 50)
       val test = inter(ordAll.filter(col("o_orderdate") >= cut))
         .distinct().persist(lvl)
       def evalModel(model: String,
@@ -3435,10 +3446,10 @@ object PipelineQueries {
           .select(lit(model).as("model"), col("n_users"), col("n_hits"),
             col("mean_p_at_10"), col("hit_rate"))
       }
-      evalModel("itemknn", GraphCF.itemKnnRecs(train, "cust", "supp",
-          k = 10, neighbors = 20, maxHistory = 50))
-        .unionByName(evalModel("p3alpha", GraphCF.p3alphaRecs(train, "cust",
-          "supp", k = 10, neighbors = 20, maxHistory = 50)))
+      evalModel("itemknn", GraphCF.itemKnnRecsFromEdges(trainEdges, "cust",
+          "supp", k = 10, neighbors = 20))
+        .unionByName(evalModel("p3alpha", GraphCF.p3alphaRecsFromEdges(
+          trainEdges, "cust", "supp", k = 10, neighbors = 20)))
         .orderBy(col("model"))
     },
     Some("""WITH tr AS (SELECT o_orderkey, o_custkey FROM orders
@@ -3751,13 +3762,9 @@ object PipelineQueries {
         maxHistory = 50)
       val nrm = GraphCF.edges(inter(ordAll), "cust", "supp", maxHistory = 50)
         .groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
-      val sim = co
-        .join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
-        .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
-        .select(col("s1"), col("s2"),
-          floor(col("co") * lit(10000L) / sqrt(col("n1") * col("n2")))
-            .cast("long").as("q"))
-        .filter(col("q") > 0L)
+      // the GUARDED sim derivation (GraphCF.cosineSimQ) — same overflow
+      // budget as the serving paths, enforced on the incremental path too
+      val sim = GraphCF.cosineSimQ(co, nrm, scale = 10000L)
       Relational.topKPerGroup(sim, Seq(col("s1")),
           Seq(col("q").desc, col("s2")), 10)
         .select(col("s1").as("supp"), col("s2").as("other"), col("q"),
@@ -3795,23 +3802,33 @@ object PipelineQueries {
     * oracle is the ONE-SHOT build over the full log, and the hash match
     * proves store-served == rebuild (the q146/q138 standing-store
     * pattern, now for the recommender family's state). */
+  /** Land the cust-supp interaction log as FOUR mod-4 edge-batch partials
+    * under `warehouse/<dirName>` ([[graft.ops.GraphCF.writeEdgeBatch]]) —
+    * the standing-edge-store build shared by q173/q175 and their bench
+    * build phases. Returns the store path. */
+  private def custSuppEdgeStore(s: org.apache.spark.sql.SparkSession,
+                                d: String, dirName: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), dirName)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey").as("cust"),
+        col("l_suppkey").as("supp"))
+    (0L until 4L).foreach { b =>
+      GraphCF.writeEdgeBatch(
+        inter.filter(pmod(col("o_orderkey"), lit(4L)) === b),
+        "cust", "supp", dir.toString, b)
+    }
+    dir.toString
+  }
+
   private val q173 = Q("q173_store_recs",
     (s, d) => {
-      val dir = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "q173_edges")
-      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) fs.delete(dir, true)
-      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_orderkey"), col("o_custkey").as("cust"),
-          col("l_suppkey").as("supp"))
-      (0L until 4L).foreach { b =>
-        GraphCF.writeEdgeBatch(
-          inter.filter(pmod(col("o_orderkey"), lit(4L)) === b),
-          "cust", "supp", dir.toString, b)
-      }
-      GraphCF.itemKnnRecsFromStore(s, dir.toString, "cust", "supp",
+      val dir = custSuppEdgeStore(s, d, "q173_edges")
+      GraphCF.itemKnnRecsFromStore(s, dir, "cust", "supp",
           k = 10, neighbors = 20, maxHistory = 50)
         .orderBy(col("cust"), col("rnk"))
     },
@@ -3844,6 +3861,133 @@ object PipelineQueries {
            |SELECT u AS cust, s2 AS supp, score, rnk FROM r
            |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
 
+  /** The A/B DECISION pipeline end-to-end as one declared query
+    * ([[graft.stats.AbDecision]] — the reference's experiment flow,
+    * explicit_ratings/ab_test.py:268-391): arms assigned by user-id
+    * parity (the engine's deterministic-assignment idiom), Brown-Forsythe
+    * Levene on |value − arm median| gates Student vs Welch, plus the
+    * rank-sum robustness row — three (test_name, statistic, p_band,
+    * reject_null) rows. X3/X5/X6 were spec-only until now; this puts the
+    * experiment-level composition under the driver's oracle. Statistics
+    * are fixed-op-order expressions rounded 6dp (the q33 moment
+    * contract); bands/decisions branch on the ROUNDED statistic against
+    * fixed large-sample critical-value literals, so both engines take
+    * identical branches; the rank sum is exact long arithmetic over the
+    * bucketed global prefix ([[graft.ops.Relational.globalCumBelow]] —
+    * no single-partition window over the value domain). */
+  private val q174 = Q("q174_ab_decision",
+    (s, d) => graft.stats.AbDecision.decide(events(s, d),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("value")),
+    Some("""WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+           |    AS grp, value FROM events),
+           |med AS (SELECT grp, quantile_cont(value, 0.5) AS med
+           |        FROM ev GROUP BY 1),
+           |zf AS (SELECT ev.grp, ev.value, abs(ev.value - med.med) AS z
+           |       FROM ev JOIN med ON ev.grp = med.grp),
+           |gm AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(value) AS m,
+           |         var_samp(value) AS v, sum(z) AS sz, sum(z * z) AS szz
+           |       FROM zf GROUP BY 1),
+           |a AS (SELECT n AS n1, m AS m1, v AS v1, sz AS sz1, szz AS szz1
+           |      FROM gm WHERE grp = 'A'),
+           |b AS (SELECT n AS n2, m AS m2, v AS v2, sz AS sz2, szz AS szz2
+           |      FROM gm WHERE grp = 'B'),
+           |bv AS (SELECT value, CAST(count(*) AS BIGINT) AS c,
+           |         CAST(count(*) FILTER (grp = 'A') AS BIGINT) AS ca
+           |       FROM ev GROUP BY 1),
+           |rk AS (SELECT c, ca, CAST(coalesce(sum(c) OVER (ORDER BY value
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         AS BIGINT) AS below FROM bv),
+           |rs AS (SELECT CAST(sum(ca * (2 * below + c + 1)) AS BIGINT)
+           |         AS sra2 FROM rk),
+           |st AS (SELECT * FROM a, b, rs),
+           |c1 AS (SELECT *, n1 + n2 AS nt,
+           |         sz1 / n1 - (sz1 + sz2) / (n1 + n2) AS d1,
+           |         sz2 / n2 - (sz1 + sz2) / (n1 + n2) AS d2 FROM st),
+           |c2 AS (SELECT *, round((nt - 2) * (n1 * d1 * d1 + n2 * d2 * d2)
+           |         / ((szz1 - sz1 * sz1 / n1) + (szz2 - sz2 * sz2 / n2)), 6)
+           |         AS w_stat FROM c1),
+           |c3 AS (SELECT *, w_stat <= 3.841459 AS equal_var,
+           |         ((n1 - 1) * v1 + (n2 - 1) * v2) / (nt - 2) AS sp2 FROM c2),
+           |c4 AS (SELECT *,
+           |         round(CASE WHEN equal_var
+           |           THEN (m1 - m2) / sqrt(sp2 * (1.0 / n1 + 1.0 / n2))
+           |           ELSE (m1 - m2) / sqrt(v1 / n1 + v2 / n2) END, 6)
+           |           AS t_stat,
+           |         round((sra2 / 2.0 - n1 * (nt + 1) / 2.0)
+           |           / sqrt(CAST(n1 AS DOUBLE) * n2 * (nt + 1) / 12.0), 6)
+           |           AS z_stat FROM c3)
+           |SELECT * FROM (
+           |  SELECT 'levene' AS test_name, w_stat AS statistic,
+           |    CASE WHEN w_stat > 10.827566 THEN '<0.001'
+           |         WHEN w_stat > 6.634897 THEN '<0.01'
+           |         WHEN w_stat > 3.841459 THEN '<0.05'
+           |         ELSE '>=0.05' END AS p_band,
+           |    w_stat > 3.841459 AS reject_null FROM c4
+           |  UNION ALL
+           |  SELECT CASE WHEN equal_var THEN 'student_t' ELSE 'welch_t' END,
+           |    t_stat,
+           |    CASE WHEN abs(t_stat) > 3.290527 THEN '<0.001'
+           |         WHEN abs(t_stat) > 2.575829 THEN '<0.01'
+           |         WHEN abs(t_stat) > 1.959964 THEN '<0.05'
+           |         ELSE '>=0.05' END,
+           |    abs(t_stat) > 1.959964 FROM c4
+           |  UNION ALL
+           |  SELECT 'rank_sum', z_stat,
+           |    CASE WHEN abs(z_stat) > 3.290527 THEN '<0.001'
+           |         WHEN abs(z_stat) > 2.575829 THEN '<0.01'
+           |         WHEN abs(z_stat) > 1.959964 THEN '<0.05'
+           |         ELSE '>=0.05' END,
+           |    abs(z_stat) > 1.959964 FROM c4
+           |) ORDER BY test_name""".stripMargin))
+
+  /** P3alpha served OFF THE STANDING EDGE STORE
+    * ([[graft.ops.GraphCF.p3alphaRecsFromStore]]) — the q173 pattern for
+    * the family's OTHER model: the log lands as four mod-4 batch
+    * partials, the walk state (du/di/pui/piu) derives from the folded
+    * (u, i, w) frame, and the oracle replays the ONE-SHOT build over the
+    * full log — the hash match proves store-served == rebuild. With q173
+    * this closes the family: BOTH neighborhood recommenders now serve
+    * from standing state instead of replaying the raw log (the
+    * reference's persisted-params serving pattern,
+    * explicit_ratings/ab_test.py:73-85). */
+  private val q175 = Q("q175_store_p3alpha",
+    (s, d) => {
+      val dir = custSuppEdgeStore(s, d, "q175_edges")
+      GraphCF.p3alphaRecsFromStore(s, dir, "cust", "supp",
+          k = 10, neighbors = 20, maxHistory = 50)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+           |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+           |        FROM e JOIN du USING (u)),
+           |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+           |        FROM e JOIN di USING (i)),
+           |ssf AS (SELECT a.i AS s1, b.i AS s2,
+           |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+           |        FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ssf)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT pui.u, ss.s2, CAST(sum(pui.p * ss.q) AS BIGINT) AS score
+           |       FROM pui JOIN ss ON pui.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, s2) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, s2 AS supp, score, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -3852,7 +3996,8 @@ object PipelineQueries {
     q126, q127, q128, q129, q130, q131, q132, q133, q134, q135, q136, q137,
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
-    q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
+    q174, q175)
 
   // ------------------------------------------------- phase decompositions
 
@@ -4139,5 +4284,27 @@ object PipelineQueries {
             round(col("o_totalprice"), 4).as("price"),
             col("o_orderstatus").as("status"))
           .orderBy(col("id")))
+      }),
+    "q173_store_recs" -> Seq(
+      "build" -> ph { (s, d) =>
+        custSuppEdgeStore(s, d, "q173_edges"); None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q173_edges").toString
+        Some(GraphCF.itemKnnRecsFromStore(s, dir, "cust", "supp",
+            k = 10, neighbors = 20, maxHistory = 50)
+          .orderBy(col("cust"), col("rnk")))
+      }),
+    "q175_store_p3alpha" -> Seq(
+      "build" -> ph { (s, d) =>
+        custSuppEdgeStore(s, d, "q175_edges"); None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q175_edges").toString
+        Some(GraphCF.p3alphaRecsFromStore(s, dir, "cust", "supp",
+            k = 10, neighbors = 20, maxHistory = 50)
+          .orderBy(col("cust"), col("rnk")))
       }))
 }

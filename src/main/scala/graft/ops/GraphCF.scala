@@ -184,11 +184,26 @@ object GraphCF {
     val neg = coPairs(capEdges(oldT, maxHistory))
       .select(col("s1"), col("s2"), (-col("co")).as("co"))
     val pos = coPairs(capEdges(mergedT, maxHistory))
+    // Corruption tripwire: a TRUE co-count is a sum of non-negative
+    // products, so a negative folded value proves the (oldCo,
+    // oldInteractions, maxHistory) triple was inconsistent (e.g. a stale
+    // frame or a different cap — a delta-evicted pair subtracts mass the
+    // stale oldCo never held). Checked row-inline via raise_error: zero
+    // extra passes, fires at action time, distributed. Not every
+    // mismatch nets negative, but eviction/staleness — the realistic
+    // operational mistakes — do (GraphCFSpec pins one).
     oldCo.select(col("s1"), col("s2"), col("co"))
       .unionByName(pos).unionByName(neg)
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("co")).as("co"))
       .filter(col("co") =!= 0L)
+      .select(col("s1"), col("s2"),
+        when(col("co") < 0L, raise_error(concat(
+          lit("foldCoDelta: negative folded co for pair ("),
+          col("s1").cast("string"), lit(", "), col("s2").cast("string"),
+          lit(s") — oldCo does not match oldInteractions at maxHistory=" +
+            s"$maxHistory (stale frame or different cap)"))))
+          .otherwise(col("co")).as("co"))
   }
 
   /** Top-`k` P3alpha recommendations per user from an interaction frame.
@@ -211,15 +226,55 @@ object GraphCF {
                   neighbors: Int = 50,
                   maxHistory: Int = Int.MaxValue,
                   broadcastItems: Long = 10000L): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    p3FromEdges(edgeFrame(interactions, userCol, itemCol, maxHistory),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+  }
+
+  /** [[p3alphaRecs]] over an ALREADY-AGGREGATED, history-capped (u, i, w)
+    * edge frame ([[edges]]) — the sharing entry point: a comparative
+    * evaluation (two models on one train split) or a standing deployment
+    * builds the capped edge frame ONCE and feeds every model from it,
+    * instead of each model re-running the groupBy + history window over
+    * the raw log. Bit-identical to [[p3alphaRecs]] over the log the frame
+    * was aggregated from (GraphCFSpec pins the differential). The frame is
+    * persisted here (five legs of the plan reuse it) — re-persisting a
+    * frame the caller already persisted is a no-op, same cache contract. */
+  def p3alphaRecsFromEdges(edges0: DataFrame, userCol: String,
+                           itemCol: String, k: Int, scale: Long = 10000L,
+                           neighbors: Int = 50,
+                           broadcastItems: Long = 10000L): DataFrame =
+    p3FromEdges(edges0.select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+
+  /** [[p3alphaRecs]] served off the standing edge store
+    * ([[writeEdgeBatch]] / [[edgesFromStore]]) — the P3alpha sibling of
+    * [[itemKnnRecsFromStore]]: the walk state (du/di/pui/piu) derives
+    * from the folded (u, i, w) frame, so serving needs no raw-log replay
+    * and the recs are bit-equal to the one-shot build over the
+    * concatenated batches. Reference analogue: serving loads persisted
+    * params instead of retraining (explicit_ratings/ab_test.py:73-85). */
+  def p3alphaRecsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, userCol: String, itemCol: String,
+                           k: Int, scale: Long = 10000L,
+                           neighbors: Int = 50,
+                           maxHistory: Int = Int.MaxValue,
+                           broadcastItems: Long = 10000L): DataFrame =
+    p3FromEdges(
+      edgesFromStore(spark, path, maxHistory).select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+
+  private def p3FromEdges(edges0: DataFrame, userCol: String,
+                          itemCol: String, k: Int, scale: Long,
+                          neighbors: Int, broadcastItems: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
-    require(maxHistory >= 1, "maxHistory must be >= 1")
     require(scale >= 10L, "scale < 10 quantizes transitions to noise")
     // sub-stochastic rows bound every downstream sum by scale^3 (object
     // doc); scale <= 10^6 keeps that under 2^62 — no catalog-size term
     require(scale <= 1000000L,
       "scale > 10^6 risks long overflow: walk sums are bounded by scale^3")
-    val e = edgeFrame(interactions, userCol, itemCol, maxHistory)
+    val e = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nItems = e.select(col("i")).distinct().count()
     // row-normalized transitions, quantized to integer fixed-point:
@@ -321,46 +376,74 @@ object GraphCF {
       edgesFromStore(spark, path, maxHistory).select(col("u"), col("i"), col("w")),
       userCol, itemCol, k, scale, neighbors, broadcastItems)
 
-  private def knnFromEdges(edges0: DataFrame, userCol: String,
-                           itemCol: String, k: Int, scale: Long,
-                           neighbors: Int, broadcastItems: Long): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(neighbors >= 1, "neighbors must be >= 1")
+  /** [[itemKnnRecs]] over an already-aggregated, history-capped (u, i, w)
+    * edge frame ([[edges]]) — the sharing entry point, sibling of
+    * [[p3alphaRecsFromEdges]] (see its doc for the contract). */
+  def itemKnnRecsFromEdges(edges0: DataFrame, userCol: String,
+                           itemCol: String, k: Int, scale: Long = 10000L,
+                           neighbors: Int = 20,
+                           broadcastItems: Long = 10000L): DataFrame =
+    knnFromEdges(edges0.select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, broadcastItems)
+
+  /** Quantized cosine similarities from standing co-counts + squared
+    * norms — THE one guarded derivation every ItemKNN path shares
+    * (direct, store-served, and incremental q172-style refreshes):
+    * `q = floor(scale·co/√(n₁·n₂))`, long products exact under the
+    * budget, sqrt/division correctly-rounded IEEE — DuckDB replays
+    * floor() bit-exactly. Enforces the FULL overflow budget on every
+    * caller: scale ∈ [10, 10⁶] (so the `maxNrm·scale` check below cannot
+    * itself wrap a long), max(norm²) < 2³¹ (keeps n₁·n₂ < 2⁶²) and
+    * max(norm²)·scale < 2⁵³ (keeps the floor() exact) — ONE bounded
+    * 1-row driver read off the |items|-row norm frame.
+    * `nrm` must be the (i, nrm) squared-norm frame of the SAME edge
+    * frame `co` was derived from. Rows with q = 0 are dropped. */
+  def cosineSimQ(co: DataFrame, nrm: DataFrame, scale: Long): DataFrame = {
     require(scale >= 10L, "scale < 10 quantizes similarities to noise")
-    val e = edges0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nItems = e.select(col("i")).distinct().count()
-    // squared norms: tiny (|items| rows) — broadcast into the pair frame.
-    // The overflow budget reads max(norm^2) here: ONE bounded 1-row
-    // driver read (the engine's guarded-collect contract)
-    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    // without this bound, maxNrm just under 2^31 with scale ~ 2^32 wraps
+    // maxNrm * scale negative and the budget check silently passes
+    require(scale <= 1000000L,
+      "scale > 10^6 breaks the exactness budget: max(norm^2) * scale " +
+        "must stay < 2^53 and the guard product itself must not overflow")
     val maxNrm = nrm.agg(max(col("nrm"))).head() match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
     if (maxNrm >= (1L << 31) || maxNrm * scale >= (1L << 53)) {
-      e.unpersist()
       throw new IllegalArgumentException(
-        s"itemKnnRecs: max item norm^2 = $maxNrm breaks the exactness " +
+        s"cosineSimQ: max item norm^2 = $maxNrm breaks the exactness " +
           s"budget (need < 2^31 and * scale=$scale < 2^53): n1*n2 would " +
           "overflow a long or floor(co*scale/sqrt(n1*n2)) would leave the " +
           "exact-double range — binarize weights (dedup interactions per " +
           "user-item) or lower scale")
     }
-    // co-occurrence: user-keyed self-join, both (i,j) directions so the
-    // per-s1 truncation below sees every row of the symmetric matrix
-    // (the half-matrix mirror is a measured dead end — see coPairs)
-    val co = coPairs(e)
-    // ONE quantization point: long products stay exact (< 2^53 under the
-    // maxNrm guard above), sqrt/division are correctly-rounded IEEE ops —
-    // DuckDB replays floor() bit-exactly
-    val sim = co
-      .join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
+    co.join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
       .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
       .select(col("s1"), col("s2"),
         floor(col("co") * lit(scale) / sqrt(col("n1") * col("n2")))
           .cast("long").as("q"))
       .filter(col("q") > 0L)
+  }
+
+  private def knnFromEdges(edges0: DataFrame, userCol: String,
+                           itemCol: String, k: Int, scale: Long,
+                           neighbors: Int, broadcastItems: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(neighbors >= 1, "neighbors must be >= 1")
+    val e = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nItems = e.select(col("i")).distinct().count()
+    // squared norms: tiny (|items| rows) — broadcast into the pair frame
+    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    // co-occurrence: user-keyed self-join, both (i,j) directions so the
+    // per-s1 truncation below sees every row of the symmetric matrix
+    // (the half-matrix mirror is a measured dead end — see coPairs)
+    val co = coPairs(e)
+    // cosineSimQ enforces the overflow budget (one bounded 1-row driver
+    // read of max(norm^2)) and owns the single quantization point
+    val sim =
+      try cosineSimQ(co, nrm, scale)
+      catch { case t: Throwable => e.unpersist(); throw t }
     val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
         Seq(col("q").desc, col("s2")), neighbors)
       .drop("rn")

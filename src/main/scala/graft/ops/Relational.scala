@@ -101,6 +101,42 @@ object Relational {
     df.withColumn(outName, sum(col(valueCol)).over(w))
   }
 
+  /** Exact GLOBAL strictly-below prefix sum — Σ of `weightCol` over all
+    * rows whose `keyCol` sorts strictly before this row's — WITHOUT a
+    * single-partition window: range-repartition on the key (contiguous,
+    * ordered buckets), a per-bucket ROWS-frame prefix window, and a
+    * ≤`buckets`-row bucket-offset frame broadcast back. The textbook
+    * distributed prefix scan; the result is bucket-boundary-INDEPENDENT
+    * (any contiguous ordered bucketing yields the same prefix), so the
+    * range sampler's boundaries never leak into the output and the op is
+    * exactly replayable. This is what a global rank/CDF computation looks
+    * like at 10^11 rows — `denseReindex`'s single-partition window is the
+    * small-dimension shortcut, this is the scale path.
+    *
+    * `keyCol` values must be DISTINCT (pre-aggregate duplicates into
+    * `weightCol` first): the range partitioner may split equal keys
+    * across two buckets, which would leak part of a key's own weight
+    * into its "below" sum. Keys must be non-null. */
+  def globalCumBelow(df: DataFrame, keyCol: String, weightCol: String,
+                     outName: String, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val b = df.repartitionByRange(buckets, col(keyCol))
+      .withColumn("__gcb_bucket", spark_partition_id())
+    // bucket totals: <= buckets rows — the ONLY global window runs here
+    val off = b.groupBy(col("__gcb_bucket"))
+      .agg(sum(col(weightCol)).as("__gcb_tot"))
+      .withColumn("__gcb_off",
+        coalesce(sum(col("__gcb_tot")).over(Window.orderBy(col("__gcb_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__gcb_tot")
+    val w = Window.partitionBy(col("__gcb_bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.join(broadcast(off), "__gcb_bucket")
+      .withColumn(outName, col("__gcb_off") + sum(col(weightCol)).over(w)
+        - col(weightCol))
+      .drop("__gcb_bucket", "__gcb_off")
+  }
+
   /** Deterministic group-size equalization: keep the first `minCount` rows of
     * each group, ordered by orderCol. Deterministic re-expression of the
     * reference's random surplus-drop (/root/reference/explicit_ratings/ab_test.py:240-265);

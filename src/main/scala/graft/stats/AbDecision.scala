@@ -1,0 +1,137 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The reference's A/B DECISION pipeline as one distributed plan
+  * (/root/reference/explicit_ratings/ab_test.py:268-391, SURVEY.md §2.10
+  * X3/X5/X6): group sufficient statistics → Levene equal-variance gate →
+  * the gated Student-or-Welch two-sample t — plus the rank-sum robustness
+  * row the reference falls back to — emitted as
+  * (test_name, statistic, p_band, reject_null) decision rows.
+  *
+  * Replayability contract (what makes this ORACLE-checkable, unlike the
+  * driver-side [[Tests]] which owns the exact finite-df p-values):
+  *
+  *  - Every statistic is a fixed arithmetic expression over group
+  *    aggregates (n, mean, var_samp, Σ|x−med|, Σ(x−med)², exact-long rank
+  *    sums), written with the SAME operation order in Spark and the
+  *    oracle SQL, rounded to 6dp like every moment query (q33 contract).
+  *  - Banding and decisions use the LARGE-SAMPLE (normal / χ²₁) critical
+  *    values as fixed 6dp literals — 1.959964 / 2.575829 / 3.290527 for
+  *    two-sided z|t, 3.841459 / 6.634897 / 10.827566 for Levene's W —
+  *    applied to the ROUNDED statistic, so both engines branch on
+  *    identical values. At the gate scales df > 10⁴, where the exact-df
+  *    thresholds agree with these to 4+ decimals; the exact finite-df
+  *    p-values remain available via [[Tests.tTestFromMoments]] on the
+  *    same moments (TestsSpec cross-checks band consistency).
+  *  - The rank-sum statistic's rank sum is EXACT integer arithmetic:
+  *    2·Σ ranks = Σ_v ca(v)·(2·below(v) + c(v) + 1) in longs, with the
+  *    strictly-below counts from [[graft.ops.Relational.globalCumBelow]]
+  *    — the bucketed distributed prefix, no single-partition window over
+  *    the value domain. Long budget: n² < 2⁶³ ⇒ n < 3·10⁹ combined rows
+  *    (document-scale corpora; beyond that pre-bucket the metric).
+  *
+  * Scale shape: two passes over the metric frame (one for medians — the
+  * exact-percentile contract shared with q34 — one for moments + the
+  * distinct-value rank frame); everything downstream is group-cardinality
+  * or 1-row. The metric frame is persisted across its three consuming
+  * legs, and the 1-row statistic frame is persisted so the three decision
+  * rows don't re-execute the aggregation subtree (the documented cache
+  * contract — clear between corpora). */
+object AbDecision {
+
+  private def zBand(absStat: Column): Column =
+    when(absStat > 3.290527, "<0.001")
+      .when(absStat > 2.575829, "<0.01")
+      .when(absStat > 1.959964, "<0.05")
+      .otherwise(">=0.05")
+
+  /** Run the pipeline over `df` with a two-level `grpCol` (the A/B arms)
+    * and a numeric `valueCol`. Returns exactly three rows ordered by
+    * test_name: 'levene' (reject = variances differ), the GATED
+    * 'student_t' or 'welch_t' (reject = means differ), and 'rank_sum'
+    * (reject = distributions shifted). Group labels are compared as
+    * strings; the arm sorting FIRST is "group 1" (sign convention of the
+    * t and z statistics). Requires exactly two non-empty arms. */
+  def decide(df: DataFrame, grpCol: Column, valueCol: Column,
+             buckets: Int = 64): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val ev = df.select(grpCol.cast("string").as("grp"),
+      valueCol.cast("double").as("value")).persist(lvl)
+    // bounded 2-row driver read (guarded-collect contract): the arm
+    // labels, needed to pivot group aggregates into one stats row
+    val arms = ev.select(col("grp")).distinct().limit(3)
+      .collect().map(_.getString(0)).sorted
+    require(arms.length == 2,
+      s"AbDecision.decide needs exactly two arms, got ${arms.mkString(", ")}")
+    val (g1, g2) = (arms(0), arms(1))
+    // Levene centers: exact per-arm medians (the q34 exact-percentile
+    // contract) — a 2-row frame broadcast back into the metric scan
+    val med = ev.groupBy(col("grp"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val gm = ev.join(broadcast(med), "grp")
+      .select(col("grp"), col("value"),
+        abs(col("value") - col("med")).as("z"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        var_samp(col("value")).as("v"),
+        sum(col("z")).as("sz"), sum(col("z") * col("z")).as("szz"))
+    def arm(g: String, sfx: String) = gm.filter(col("grp") === g)
+      .select(col("n").as("n" + sfx), col("m").as("m" + sfx),
+        col("v").as("v" + sfx), col("sz").as("sz" + sfx),
+        col("szz").as("szz" + sfx))
+    // rank-sum sufficient statistic, EXACT longs: group by value (makes
+    // keys distinct for the prefix op), strictly-below counts via the
+    // bucketed global prefix, then 2·Σ ranks(arm1) in one long sum
+    val byVal = ev.groupBy(col("value"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("grp") === g1, 1L).otherwise(0L)).as("ca"))
+    val rs = graft.ops.Relational
+      .globalCumBelow(byVal, "value", "c", "below", buckets)
+      .agg(sum(col("ca") * (lit(2L) * col("below") + col("c") + lit(1L)))
+        .as("sra2"))
+    // one persisted 1-row frame carries every statistic; the three
+    // decision rows below are cheap selects over it
+    val cc = arm(g1, "1").crossJoin(arm(g2, "2")).crossJoin(rs)
+      .withColumn("nT", col("n1") + col("n2"))
+      .withColumn("d1", col("sz1") / col("n1")
+        - (col("sz1") + col("sz2")) / col("nT"))
+      .withColumn("d2", col("sz2") / col("n2")
+        - (col("sz1") + col("sz2")) / col("nT"))
+      .withColumn("w_stat", round((col("nT") - 2)
+        * (col("n1") * col("d1") * col("d1")
+          + col("n2") * col("d2") * col("d2"))
+        / ((col("szz1") - col("sz1") * col("sz1") / col("n1"))
+          + (col("szz2") - col("sz2") * col("sz2") / col("n2"))), 6))
+      .withColumn("equal_var", col("w_stat") <= 3.841459)
+      .withColumn("sp2", ((col("n1") - 1) * col("v1")
+        + (col("n2") - 1) * col("v2")) / (col("nT") - 2))
+      .withColumn("t_stat", round(
+        when(col("equal_var"), (col("m1") - col("m2"))
+          / sqrt(col("sp2") * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))))
+          .otherwise((col("m1") - col("m2"))
+            / sqrt(col("v1") / col("n1") + col("v2") / col("n2"))), 6))
+      .withColumn("z_stat", round(
+        (col("sra2") / lit(2.0) - col("n1") * (col("nT") + lit(1L)) / lit(2.0))
+          / sqrt(col("n1").cast("double") * col("n2") * (col("nT") + lit(1L))
+            / lit(12.0)), 6))
+      .persist(lvl)
+    cc.select(lit("levene").as("test_name"), col("w_stat").as("statistic"),
+        when(col("w_stat") > 10.827566, "<0.001")
+          .when(col("w_stat") > 6.634897, "<0.01")
+          .when(col("w_stat") > 3.841459, "<0.05")
+          .otherwise(">=0.05").as("p_band"),
+        (col("w_stat") > 3.841459).as("reject_null"))
+      .unionByName(cc.select(
+        when(col("equal_var"), "student_t").otherwise("welch_t")
+          .as("test_name"),
+        col("t_stat").as("statistic"), zBand(abs(col("t_stat"))).as("p_band"),
+        (abs(col("t_stat")) > 1.959964).as("reject_null")))
+      .unionByName(cc.select(lit("rank_sum").as("test_name"),
+        col("z_stat").as("statistic"), zBand(abs(col("z_stat"))).as("p_band"),
+        (abs(col("z_stat")) > 1.959964).as("reject_null")))
+      .orderBy(col("test_name"))
+  }
+}

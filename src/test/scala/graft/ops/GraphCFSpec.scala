@@ -188,6 +188,77 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("FromEdges entry points equal the raw-log builds (shared edge frame)") {
+    // the q168 sharing contract: ONE capped edge frame feeds both models
+    val e = GraphCF.edges(inter, "user", "item", maxHistory = 50)
+      .persist()
+    val p3Shared = GraphCF.p3alphaRecsFromEdges(e, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    val p3Direct = GraphCF.p3alphaRecs(inter, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    assert(p3Shared == p3Direct)
+    val knnShared = GraphCF.itemKnnRecsFromEdges(e, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    val knnDirect = GraphCF.itemKnnRecs(inter, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    assert(knnShared == knnDirect)
+    spark.catalog.clearCache()
+  }
+
+  test("p3alphaRecsFromStore equals the direct build (split batches)") {
+    val dir = java.nio.file.Files.createTempDirectory("edge_store_p3").toString
+    // (u1, a)'s two interactions split across batches — fold must merge
+    GraphCF.writeEdgeBatch(Seq((1L, "a"), (1L, "b"), (2L, "b"))
+      .toDF("user", "item"), "user", "item", dir, 0L)
+    GraphCF.writeEdgeBatch(Seq((1L, "a"), (2L, "c"), (3L, "a"))
+      .toDF("user", "item"), "user", "item", dir, 1L)
+    val got = GraphCF.p3alphaRecsFromStore(spark, dir, "user", "item",
+      k = 3, scale = 10L).collect().toSet
+    val want = GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().toSet
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
+  test("foldCoDelta trips on a stale oldCo (negative folded co)") {
+    // old: u1 {a:3, b:2}, cap 2 holds both -> old capped outer product
+    // contains (a, b, 6). delta: u1 gets c three times -> merged
+    // {a:3, c:3, b:2}, cap 2 keeps a, c (w=3 ties, id asc) — b EVICTED,
+    // so the fold subtracts (a, b, 6) and adds no (a, b) back. A stale
+    // oldCo that never held that pair (here: co of an unrelated log)
+    // leaves the folded (a, b) at −6 — the tripwire must fire at action.
+    val old = (Seq.fill(3)((1L, "a")) ++ Seq.fill(2)((1L, "b")))
+      .toDF("user", "item")
+    val delta = Seq.fill(3)((1L, "c")).toDF("user", "item")
+    val staleCo = GraphCF.coCounts(Seq((9L, "z")).toDF("user", "item"),
+      "user", "item", maxHistory = 2) // empty (s1, s2, co) frame
+    val ex = intercept[Throwable] {
+      GraphCF.foldCoDelta(old, delta, "user", "item", staleCo,
+        maxHistory = 2).collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("negative folded co"))
+    spark.catalog.clearCache()
+  }
+
+  test("cosineSimQ refuses scale past the exactness budget") {
+    // scale ~2^33 with norm^2 near 2^31 would wrap maxNrm*scale negative
+    // and slip past the budget check — the require must refuse up front
+    val co = Seq(("a", "b", 1L)).toDF("s1", "s2", "co")
+    val nrm = Seq(("a", 5L), ("b", 2L)).toDF("i", "nrm")
+    val e = intercept[IllegalArgumentException] {
+      GraphCF.cosineSimQ(co, nrm, scale = 1L << 33)
+    }
+    assert(e.getMessage.contains("10^6"))
+    // and the serving path inherits the same refusal
+    val e2 = intercept[IllegalArgumentException] {
+      GraphCF.itemKnnRecs(inter, "user", "item", k = 1, scale = 1L << 33)
+    }
+    assert(e2.getMessage.contains("10^6"))
+    spark.catalog.clearCache()
+  }
+
   test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
     // neighbors=1 keeps only each item's single strongest edge:
     // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and

@@ -220,4 +220,20 @@ class RelationalSpec extends SparkTestBase {
       ("a", 2L, 1L, 9.0),
       ("b", 1L, 1L, 2.0)))
   }
+
+  test("globalCumBelow equals the brute-force strictly-below sum") {
+    // 40 distinct keys, deliberately unsorted, spread over 7 buckets so
+    // several bucket boundaries land mid-sequence; result must be
+    // bucket-boundary-independent
+    val rows = Seq.tabulate(40)(i => ((i * 17 % 40).toDouble, (i % 5 + 1).toLong))
+    val ref = rows.map { case (k, _) =>
+      k -> rows.filter(_._1 < k).map(_._2).sum
+    }.toMap
+    for (buckets <- Seq(1, 7, 100)) {
+      val got = Relational.globalCumBelow(rows.toDF("k", "w"), "k", "w",
+          "below", buckets)
+        .select(col("k"), col("below")).as[(Double, Long)].collect().toMap
+      assert(got == ref, s"buckets=$buckets")
+    }
+  }
 }

@@ -1,0 +1,100 @@
+package graft.stats
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Cross-checks the distributed A/B decision pipeline ([[AbDecision]],
+  * declared query q174) against the driver-side reference tests
+  * ([[Tests]] — SciPy-equivalent semantics): the 6dp-rounded statistics
+  * must agree, the Levene gate must pick the test [[Tests]] would, and
+  * bands/decisions must be the documented function of the rounded
+  * statistic. */
+class AbDecisionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def run(a: Array[Double], b: Array[Double], buckets: Int = 4) = {
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toSeq.toDF("grp", "value")
+    AbDecision.decide(df, col("grp"), col("value"), buckets)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2),
+        r.getBoolean(3)))).toMap
+  }
+
+  private def checkAgainstTests(a: Array[Double], b: Array[Double]): Unit = {
+    val got = run(a, b)
+    spark.catalog.clearCache()
+    assert(got.size == 3)
+    // Levene statistic (Brown-Forsythe, median center) matches Tests
+    val lev = Tests.levene(a, b)
+    assert(got("levene")._1 == round6(lev.statistic))
+    // the gate picks the same branch Tests' caller would, and the chosen
+    // t statistic matches the matching Tests variant
+    val equalVar = got("levene")._1 <= 3.841459
+    val tName = if (equalVar) "student_t" else "welch_t"
+    assert(got.contains(tName), s"expected $tName in ${got.keySet}")
+    val t = Tests.tTest(a, b, equalVar = equalVar)
+    assert(got(tName)._1 == round6(t.statistic))
+    // rank-sum z (no tie correction, average ranks) matches Tests
+    val rs = Tests.rankSum(a, b)
+    assert(got("rank_sum")._1 == round6(rs.statistic))
+    // bands/decisions are exactly the documented function of the ROUNDED
+    // statistic (normal / chi2_1 large-sample critical values)
+    def zBand(s: Double) =
+      if (s > 3.290527) "<0.001" else if (s > 2.575829) "<0.01"
+      else if (s > 1.959964) "<0.05" else ">=0.05"
+    val w = got("levene")._1
+    val wBand =
+      if (w > 10.827566) "<0.001" else if (w > 6.634897) "<0.01"
+      else if (w > 3.841459) "<0.05" else ">=0.05"
+    assert(got("levene")._2 == wBand)
+    assert(got("levene")._3 == (w > 3.841459))
+    assert(got(tName)._2 == zBand(math.abs(got(tName)._1)))
+    assert(got(tName)._3 == (math.abs(got(tName)._1) > 1.959964))
+    assert(got("rank_sum")._2 == zBand(math.abs(got("rank_sum")._1)))
+    assert(got("rank_sum")._3 == (math.abs(got("rank_sum")._1) > 1.959964))
+  }
+
+  test("equal-variance arms take the Student branch and match Tests") {
+    // similar spreads, clearly shifted means: Levene accepts, t rejects
+    val a = Array(1.0, 2.0, 2.5, 3.0, 4.0, 1.5, 2.2, 3.5, 2.8, 1.8,
+      2.1, 3.3, 2.6, 1.2, 3.9)
+    val b = Array(5.0, 6.0, 6.5, 7.0, 8.0, 5.5, 6.2, 7.5, 6.8, 5.8,
+      6.1, 7.3, 6.6, 5.2, 7.9)
+    checkAgainstTests(a, b)
+    val got = run(a, b); spark.catalog.clearCache()
+    assert(got.contains("student_t"))
+    assert(got("student_t")._3 && got("rank_sum")._3) // strong shift
+    assert(!got("levene")._3)                          // equal spreads
+  }
+
+  test("unequal-variance arms take the Welch branch and match Tests") {
+    // same-ish centers, wildly different spreads: Levene rejects -> Welch
+    val a = Array(10.0, 10.01, 9.99, 10.02, 9.98, 10.0, 10.01, 9.99,
+      10.02, 9.98, 10.0, 10.01)
+    val b = Array(-40.0, 60.0, -30.0, 55.0, 5.0, -20.0, 45.0, -35.0,
+      50.0, 10.0, -25.0, 48.0)
+    checkAgainstTests(a, b)
+    val got = run(a, b); spark.catalog.clearCache()
+    assert(got.contains("welch_t"))
+    assert(got("levene")._3)
+  }
+
+  test("ties get average ranks (exact long rank sum)") {
+    // heavy ties across arms exercise the (2*below + c + 1) averaging
+    val a = Array(1.0, 2.0, 2.0, 3.0, 3.0, 3.0)
+    val b = Array(2.0, 3.0, 3.0, 4.0, 4.0, 5.0)
+    checkAgainstTests(a, b)
+  }
+
+  test("refuses anything but exactly two arms") {
+    val df = Seq(("A", 1.0), ("B", 2.0), ("C", 3.0)).toDF("grp", "value")
+    val e = intercept[IllegalArgumentException] {
+      AbDecision.decide(df, col("grp"), col("value"))
+    }
+    assert(e.getMessage.contains("two arms"))
+    spark.catalog.clearCache()
+  }
+}
