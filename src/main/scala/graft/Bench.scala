@@ -56,6 +56,16 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // floor AQE's partition coalescing at the knob too: coalescing is
+      // advisory on INPUT bytes and otherwise floors at defaultParallelism
+      // (= cpus here), so a join whose OUTPUT fans out quadratically (the
+      // CF co-walk) would run its [join → partial agg] stage at cpus-many
+      // same-heap tasks no matter what the knob says — exactly the ~1 GB
+      // x100-probe spill measured invariant to the knob until this floor
+      // (see GraphCF.coPairs' physical note; on a real cluster the floor
+      // is the cluster's cores and per-task memory is per-executor)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

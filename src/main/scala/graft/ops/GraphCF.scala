@@ -78,6 +78,22 @@ object GraphCF {
     * bounded by distinct keys per partition, not by pair fanout, so the
     * exchange barely shrinks while the mirror projection adds a pass
     * (and a self-union re-executes the whole subtree). */
+  /** Physical note (measured at ~sf1): the u-keyed self-join's INPUT is
+    * the compact edge frame but its OUTPUT is the Σ min(deg,C)² pair
+    * fanout, and the stage that runs [join → filter → partial agg] is
+    * sized by AQE from the INPUT bytes — coalesced down to the cluster's
+    * default parallelism, oblivious to the fanout. That width is exactly
+    * right on a real cluster (width = total cores, each with its own
+    * memory); on a single-JVM probe it concentrates the fanout's partial
+    * aggregation into few same-heap tasks and spills (~1 GB disk at ~sf1,
+    * invariant to the shuffle-partition knob because coalescing floors at
+    * defaultParallelism, NOT at the knob). The remedy is NOT an explicit
+    * repartition here — the cap window already hash-partitions on u, so
+    * a same-key repartition is optimizer-removed as redundant — but
+    * flooring AQE's coalescing at the configured partition count
+    * (`spark.sql.adaptive.coalescePartitions.minPartitionNum`), which
+    * graft.Bench sets alongside the partitions knob; measured: the same
+    * probe at 256 floored partitions spills ZERO bytes. */
   private def coPairs(e: DataFrame): DataFrame =
     e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
       .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
