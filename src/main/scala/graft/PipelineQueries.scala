@@ -3875,14 +3875,13 @@ object PipelineQueries {
     * identical branches; the rank sum is exact long arithmetic over the
     * bucketed global prefix ([[graft.ops.Relational.globalCumBelow]] —
     * no single-partition window over the value domain). */
-  private val q174 = Q("q174_ab_decision",
-    (s, d) => graft.stats.AbDecision.decide(events(s, d),
-      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
-      col("value")),
-    Some("""WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
-           |    AS grp, value FROM events),
-           |med AS (SELECT grp, quantile_cont(value, 0.5) AS med
-           |        FROM ev GROUP BY 1),
+  /** DuckDB oracle for [[graft.stats.AbDecision.decide]] over any
+    * `ev(grp, value)` source select — q174 feeds raw event values,
+    * q176 per-user aggregated metrics; the decision algebra is shared. */
+  private def abDecisionSql(evSelect: String): String =
+    s"""WITH ev AS ($evSelect),
+       |med AS (SELECT grp, quantile_cont(value, 0.5) AS med
+       |        FROM ev GROUP BY 1),
            |zf AS (SELECT ev.grp, ev.value, abs(ev.value - med.med) AS z
            |       FROM ev JOIN med ON ev.grp = med.grp),
            |gm AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, avg(value) AS m,
@@ -3939,7 +3938,34 @@ object PipelineQueries {
            |         WHEN abs(z_stat) > 1.959964 THEN '<0.05'
            |         ELSE '>=0.05' END,
            |    abs(z_stat) > 1.959964 FROM c4
-           |) ORDER BY test_name""".stripMargin))
+           |) ORDER BY test_name""".stripMargin
+
+  private val q174 = Q("q174_ab_decision",
+    (s, d) => graft.stats.AbDecision.decide(events(s, d),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("value")),
+    Some(abDecisionSql(
+      "SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, " +
+        "value FROM events")))
+
+  /** The A/B test on a PER-USER metric — the reference's actual unit of
+    * analysis (ab_test.py scores each simulated USER, then tests the two
+    * arms' user-score samples; testing raw events would pseudo-replicate
+    * within-user correlation): per-user mean event value, rounded 6dp
+    * BEFORE testing so both engines test bit-identical samples (a raw
+    * per-user avg differs in final ulps between engines and the
+    * rank-sum leg compares values EXACTLY), then the same
+    * [[graft.stats.AbDecision]] pipeline as q174 — one operator, two
+    * analysis units, shared oracle algebra. */
+  private val q176 = Q("q176_ab_user_metric",
+    (s, d) => graft.stats.AbDecision.decide(
+      events(s, d).groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 6).as("metric")),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("metric")),
+    Some(abDecisionSql(
+      "SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp, " +
+        "round(avg(value), 6) AS value FROM events GROUP BY user_id")))
 
   /** P3alpha served OFF THE STANDING EDGE STORE
     * ([[graft.ops.GraphCF.p3alphaRecsFromStore]]) — the q173 pattern for
@@ -3997,7 +4023,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175)
+    q174, q175, q176)
 
   // ------------------------------------------------- phase decompositions
 
