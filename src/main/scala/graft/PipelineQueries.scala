@@ -4014,6 +4014,355 @@ object PipelineQueries {
            |SELECT u AS cust, s2 AS supp, score, rnk FROM r
            |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
 
+  /** Shared DuckDB CTE block for the rank-metric family: q170's
+    * time-split (tr = orders before 2000-01-01, te = DISTINCT test
+    * pairs after) + capped edge frame + P3alpha ranked frame
+    * `recs(u, s2, rnk)` — one string, so every oracle in the family
+    * replays the identical model. */
+  private val sqlP3SplitRecsCtes: String =
+    """tr AS (SELECT o_orderkey, o_custkey FROM orders
+      |            WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+      |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+      |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+      |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+      |  WHERE rh <= 50),
+      |du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+      |di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+      |pui AS (SELECT e.u, e.i, (w * 10000) // du.d AS p
+      |        FROM e JOIN du USING (u)),
+      |piu AS (SELECT e.i, e.u, (w * 10000) // di.d AS p
+      |        FROM e JOIN di USING (i)),
+      |ssf AS (SELECT a.i AS s1, b.i AS s2,
+      |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+      |        FROM piu a JOIN pui b ON a.u = b.u GROUP BY 1, 2),
+      |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ssf)
+      |  WHERE rs <= 20),
+      |sc AS (SELECT pui.u, ss.s2, CAST(sum(pui.p * ss.q) AS BIGINT) AS score
+      |       FROM pui JOIN ss ON pui.i = ss.s1 GROUP BY 1, 2),
+      |unseen AS (SELECT sc.* FROM sc
+      |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+      |           WHERE e.u IS NULL AND sc.score > 0),
+      |recs AS (SELECT u, s2, CAST(rn AS BIGINT) AS rnk FROM
+      |    (SELECT *, row_number() OVER
+      |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM unseen)
+      |  WHERE rn <= 10)""".stripMargin
+
+  /** Shared DuckDB tail replaying [[graft.model.Metrics.rankingMetricsQ]]
+    * over CTEs `te(u, i)` and `recs(u, s2, rnk)`: the gain/idcg VALUES
+    * rows are generated from the SAME Scala tables the Spark plan uses,
+    * so cross-engine equality is by construction. */
+  private def sqlRankMetricsTail(k: Int): String = {
+    val gains = graft.model.Metrics.ndcgGains(k)
+      .map { case (r, g) => s"($r, $g)" }.mkString(", ")
+    val idcg = graft.model.Metrics.ndcgIdcg(k)
+      .map { case (n, c) => s"($n, $c)" }.mkString(", ")
+    s"""gq AS (SELECT CAST(r AS BIGINT) AS r, CAST(gain AS BIGINT) AS gain
+       |       FROM (VALUES $gains) g(r, gain)),
+       |ig AS (SELECT CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum
+       |       FROM (VALUES $idcg) g(n, cum)),
+       |tu AS (SELECT u, CAST(count(*) AS BIGINT) AS ntest
+       |       FROM te GROUP BY 1),
+       |ev AS (SELECT tu.u, tu.ntest FROM tu
+       |       JOIN (SELECT DISTINCT u FROM recs) ru ON tu.u = ru.u),
+       |hit AS (SELECT r.u, r.rnk, CAST(row_number() OVER
+       |      (PARTITION BY r.u ORDER BY r.rnk) AS BIGINT) AS h
+       |    FROM recs r JOIN te ON r.u = te.u AND r.s2 = te.i),
+       |phm AS (SELECT u, CAST(sum(gq.gain) AS BIGINT) AS dcg_q,
+       |         min(hit.rnk) AS minr,
+       |         CAST(sum((1000000 * h) // hit.rnk) AS BIGINT) AS apsum
+       |       FROM hit JOIN gq ON hit.rnk = gq.r GROUP BY u),
+       |pu AS (SELECT ev.u,
+       |         (coalesce(phm.dcg_q, 0) * 1000000) // ig.cum AS ndcg_q,
+       |         CASE WHEN phm.minr IS NULL THEN 0
+       |              ELSE 1000000 // phm.minr END AS rr_q,
+       |         coalesce(phm.apsum, 0) // least(ev.ntest, $k) AS ap_q
+       |       FROM ev LEFT JOIN phm ON ev.u = phm.u
+       |               JOIN ig ON ig.n = least(ev.ntest, $k)),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |         CAST(sum(ndcg_q) AS BIGINT) AS s_ndcg,
+       |         CAST(sum(rr_q) AS BIGINT) AS s_rr,
+       |         CAST(sum(ap_q) AS BIGINT) AS s_ap FROM pu)
+       |SELECT * FROM (
+       |  SELECT 'ndcg_at_$k' AS metric, n_users, s_ndcg AS sum_q,
+       |    round(CAST(s_ndcg AS DOUBLE)
+       |      / CAST(n_users * 1000000 AS DOUBLE), 6) AS mean_value FROM ag
+       |  UNION ALL
+       |  SELECT 'mrr_at_$k', n_users, s_rr,
+       |    round(CAST(s_rr AS DOUBLE)
+       |      / CAST(n_users * 1000000 AS DOUBLE), 6) FROM ag
+       |  UNION ALL
+       |  SELECT 'map_at_$k', n_users, s_ap,
+       |    round(CAST(s_ap AS DOUBLE)
+       |      / CAST(n_users * 1000000 AS DOUBLE), 6) FROM ag
+       |) ORDER BY metric""".stripMargin
+  }
+
+  /** Rank-position eval metrics — NDCG@10, MRR@10, MAP@10
+    * ([[graft.model.Metrics.rankingMetricsQ]]) over the SAME time-split
+    * P3alpha ranked frame as q170's precision grid: the reference's eval
+    * loop weights every top-k slot equally (implicit_feedback/
+    * functions.py:212-246); these weight by position, completing the
+    * standard offline ranking-metric set. One ranked frame feeds all
+    * three metrics in a single pass (the q170 trick); every per-user
+    * value is exact micro-unit long arithmetic through the SHARED
+    * literal gain tables, so the oracle replays it bit-for-bit — the
+    * VALUES rows below are generated from the same Scala Seq the Spark
+    * plan uses. */
+  private val q177 = Q("q177_rank_metrics",
+    (s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val recs = GraphCF.p3alphaRecs(
+        inter(ordAll.filter(col("o_orderdate") < cut)),
+        "cust", "supp", k = 10, neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      graft.model.Metrics.rankingMetricsQ(recs, test, "cust", "supp",
+          "rnk", 10)
+        .orderBy(col("metric"))
+    },
+    Some(s"WITH $sqlP3SplitRecsCtes,\n${sqlRankMetricsTail(10)}"))
+
+  /** Serving-concentration metrics — Gini, HHI, top-decile share
+    * ([[graft.model.Metrics.recConcentrationQ]]) of the per-item
+    * recommendation counts over q171's ItemKNN frame, zero-count catalog
+    * items included: coverage (q171) says how MUCH of the catalog is
+    * ever served; these say how UNEVENLY the served mass spreads (the
+    * standard aggregate-diversity pair). Every metric is an exact
+    * integer (num, den) ratio; the Gini leg runs on the distinct-count-
+    * value frame through the bucketed distributed prefix
+    * ([[graft.ops.Relational.globalCumBelow]]), so no single-partition
+    * window over the catalog exists at any scale. */
+  private val q178 = Q("q178_rec_concentration",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val recs = GraphCF.itemKnnRecs(inter, "cust", "supp", k = 10,
+          neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      graft.model.Metrics.recConcentrationQ(recs,
+        supplier(s, d).select(col("s_suppkey").as("supp")), "supp")
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm FROM e GROUP BY 1),
+           |co AS (SELECT a.i AS s1, b.i AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+           |                JOIN nrm n2 ON co.s2 = n2.i),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT e.u, ss.s2, CAST(sum(e.w * ss.q) AS BIGINT) AS score
+           |       FROM e JOIN ss ON e.i = ss.s1 GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.s2 = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |recs AS (SELECT u, s2 FROM (SELECT *, row_number() OVER
+           |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM unseen)
+           |  WHERE rn <= 10),
+           |cnt AS (SELECT s2 AS i, CAST(count(*) AS BIGINT) AS x
+           |        FROM recs GROUP BY 1),
+           |x AS (SELECT coalesce(cnt.x, 0) AS x FROM supplier
+           |      LEFT JOIN cnt ON s_suppkey = cnt.i),
+           |tt AS (SELECT CAST(sum(x) AS BIGINT) AS tot,
+           |         CAST(count(*) AS BIGINT) AS n,
+           |         CAST(sum(x * x) AS BIGINT) AS sumsq FROM x),
+           |vc AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+           |       FROM x GROUP BY 1),
+           |vb AS (SELECT v, c, CAST(coalesce(sum(c) OVER (ORDER BY v
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS below FROM vc),
+           |ag AS (SELECT tt.n, tt.tot, tt.sumsq,
+           |         CAST(sum(v * c * (2 * below + c - tt.n)) AS BIGINT)
+           |           AS gini_num,
+           |         CAST(sum(v * least(c, greatest(0,
+           |           (tt.n + 9) // 10 - (tt.n - below - c)))) AS BIGINT)
+           |           AS top_num
+           |       FROM vb CROSS JOIN tt GROUP BY tt.n, tt.tot, tt.sumsq)
+           |SELECT * FROM (
+           |  SELECT 'gini' AS metric, gini_num AS num, n * tot AS den,
+           |    round(CAST(gini_num AS DOUBLE) / CAST(n * tot AS DOUBLE), 6)
+           |      AS value FROM ag
+           |  UNION ALL
+           |  SELECT 'hhi', sumsq, tot * tot,
+           |    round(CAST(sumsq AS DOUBLE) / CAST(tot * tot AS DOUBLE), 6)
+           |    FROM ag
+           |  UNION ALL
+           |  SELECT 'top_decile_share', top_num, tot,
+           |    round(CAST(top_num AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+           |    FROM ag
+           |) ORDER BY metric""".stripMargin))
+
+  /** The POPULARITY BASELINE under the identical split and metric suite
+    * as q177 ([[graft.ops.GraphCF.popularityRecs]] +
+    * [[graft.model.Metrics.rankingMetricsQ]]): every comparative eval
+    * needs the non-personalized control arm (the reference's experiment
+    * flow is model-vs-control, explicit_ratings/ab_test.py) — a
+    * personalized model that can't beat these three rows isn't working.
+    * The baseline build is counts + one broadcast pool: no quadratic
+    * co-walk leg, so the query prices the EVAL, not a model. The oracle
+    * ranks the full users × catalog product (exact at oracle scale);
+    * the operator's bounded-pool cut is proven equivalent in its
+    * Scaladoc and pinned by GraphCFSpec. */
+  private val q179 = Q("q179_pop_baseline",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val recs = GraphCF.popularityRecs(
+        inter(ordAll.filter(col("o_orderdate") < cut)),
+        "cust", "supp", k = 10, maxHistory = 50)
+        .persist(lvl)
+      graft.model.Metrics.rankingMetricsQ(recs, test, "cust", "supp",
+          "rnk", 10)
+        .orderBy(col("metric"))
+    },
+    Some {
+      val prefix =
+        """tr AS (SELECT o_orderkey, o_custkey FROM orders
+          |            WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+          |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+          |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |       WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+          |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+          |    CAST(count(*) AS BIGINT) AS w
+          |  FROM tr JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+          |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+          |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+          |  WHERE rh <= 50),
+          |pop AS (SELECT i, CAST(sum(w) AS BIGINT) AS pop FROM e GROUP BY 1),
+          |us AS (SELECT DISTINCT u FROM e),
+          |cand AS (SELECT us.u, pop.i, pop.pop FROM us CROSS JOIN pop),
+          |uns AS (SELECT cand.* FROM cand
+          |        LEFT JOIN e ON cand.u = e.u AND cand.i = e.i
+          |        WHERE e.u IS NULL),
+          |recs AS (SELECT u, i AS s2, CAST(rn AS BIGINT) AS rnk FROM
+          |    (SELECT *, row_number() OVER
+          |      (PARTITION BY u ORDER BY pop DESC, i) AS rn FROM uns)
+          |  WHERE rn <= 10)""".stripMargin
+      s"WITH $prefix,\n${sqlRankMetricsTail(10)}"
+    })
+
+  /** Popularity-STRATIFIED recall — recall@10 of the q170/q177 P3alpha
+    * frame split by the test item's training-popularity band (tail /
+    * torso / head terciles of the capped train edge mass, plus `cold`
+    * for test items unseen in training): the standard "does the model
+    * only serve the head?" cut that aggregate precision hides. Bands are
+    * exact integer arithmetic — an item's band is (3·below) div n_items
+    * where `below` counts items of strictly smaller popularity via the
+    * bucketed distributed prefix ([[graft.ops.Relational.globalCumBelow]]
+    * — tie blocks share one band, so the cut is replayable with no
+    * per-item global sort at any scale). Test pairs restricted to
+    * evaluated users (q162 contract). */
+  private val q180 = Q("q180_pop_stratified_recall",
+    (s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val train = inter(ordAll.filter(col("o_orderdate") < cut))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val recs = GraphCF.p3alphaRecs(train, "cust", "supp",
+          k = 10, neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      val e = GraphCF.edges(train, "cust", "supp", maxHistory = 50)
+      val pop = e.groupBy(col("i")).agg(sum(col("w")).as("v"))
+        .persist(lvl)
+      val vc = pop.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val bandOfValue = Relational.globalCumBelow(vc, "v", "c", "below")
+        .crossJoin(broadcast(pop.agg(count(lit(1)).as("n_items"))))
+        .select(col("v"), expr("(3 * below) div n_items").as("band_id"))
+      val itemBand = pop.join(bandOfValue, "v")
+        .select(col("i").as("supp"), col("band_id"))
+      val bandName = typedLit(Map(0L -> "tail", 1L -> "torso",
+        2L -> "head", 3L -> "cold"))
+      // evaluated users only; unseen-in-train test items band as 'cold'
+      val teB = test
+        .join(recs.select(col("cust")).distinct(), Seq("cust"), "left_semi")
+        .join(itemBand, Seq("supp"), "left")
+        .select(col("cust"), col("supp"),
+          element_at(bandName, coalesce(col("band_id"), lit(3L)))
+            .as("band"))
+        .persist(lvl)
+      val hits = recs.join(teB, Seq("cust", "supp"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_hits"))
+      teB.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        .join(hits, Seq("band"), "left")
+        .select(col("band"), col("n_pairs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_10",
+          round(col("n_hits").cast("double") / col("n_pairs").cast("double"), 6))
+        .orderBy(col("band"))
+    },
+    Some(s"""WITH $sqlP3SplitRecsCtes,
+            |pop AS (SELECT i, CAST(sum(w) AS BIGINT) AS v FROM e GROUP BY 1),
+            |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+            |       FROM pop GROUP BY 1),
+            |vb AS (SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |    AS BIGINT) AS below FROM vc),
+            |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM pop),
+            |ib AS (SELECT pop.i, (3 * vb.below) // nf.n_items AS band_id
+            |       FROM pop JOIN vb USING (v) CROSS JOIN nf),
+            |teb AS (SELECT te.u, te.i,
+            |          CASE coalesce(ib.band_id, 3)
+            |            WHEN 0 THEN 'tail' WHEN 1 THEN 'torso'
+            |            WHEN 2 THEN 'head' ELSE 'cold' END AS band
+            |        FROM te
+            |        JOIN (SELECT DISTINCT u FROM recs) ru ON te.u = ru.u
+            |        LEFT JOIN ib ON te.i = ib.i),
+            |hits AS (SELECT teb.band, CAST(count(*) AS BIGINT) AS n_hits
+            |         FROM recs JOIN teb
+            |           ON recs.u = teb.u AND recs.s2 = teb.i
+            |         GROUP BY 1),
+            |pairs AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+            |          FROM teb GROUP BY 1)
+            |SELECT pairs.band, pairs.n_pairs,
+            |       coalesce(hits.n_hits, 0) AS n_hits,
+            |       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+            |         / CAST(pairs.n_pairs AS DOUBLE), 6) AS recall_at_10
+            |FROM pairs LEFT JOIN hits USING (band)
+            |ORDER BY pairs.band""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4023,7 +4372,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176)
+    q174, q175, q176, q177, q178, q179, q180)
 
   // ------------------------------------------------- phase decompositions
 

@@ -1,6 +1,7 @@
 package graft.model
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.{Relational, VectorOps}
 
@@ -84,5 +85,150 @@ object Metrics {
         VectorOps.dot(col("u"), col("v")).as("score"))
     val posSampled = positives.join(broadcast(sampled), Seq(userCol), "left_semi")
     precisionRecallAtK(scored, posSampled, userCol, itemCol, "score", k)
+  }
+
+  /** The NDCG gain table, floor(10^8 / log2(r+1)) for r = 1..k — ONE
+    * literal table shared verbatim by the Spark plan and the SQL oracle
+    * (both are generated from this Seq, so cross-engine equality holds by
+    * construction rather than by trusting two log2 implementations to
+    * round identically). */
+  def ndcgGains(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(r =>
+      r.toLong -> (1e8 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Prefix sums of [[ndcgGains]]: idcg_q(n) for n = 1..k hits in ideal
+    * positions. */
+  def ndcgIdcg(k: Int): Seq[(Long, Long)] = {
+    val g = ndcgGains(k).map(_._2)
+    (1 to k).map(n => n.toLong -> g.take(n).sum)
+  }
+
+  /** Exact-integer ranking metrics over a served top-k frame — NDCG@k,
+    * MRR@k and MAP@k, the rank-position companions of the reference's
+    * precision/recall loop (implicit_feedback/functions.py:212-246 and
+    * prac_2.py:124-138 score ranked lists but weight every top-k slot
+    * equally; these three weight by position). Everything is quantized
+    * to micro-units through fixed integer tables so any engine replays
+    * the values bit-exactly:
+    *
+    *   gain_q(r) = floor(10^8 / log2(r+1))           ([[ndcgGains]])
+    *   dcg_q(u)  = Σ_hits gain_q(rnk)
+    *   idcg_q(u) = Σ_{r ≤ min(ntest,k)} gain_q(r)    ([[ndcgIdcg]])
+    *   ndcg_q(u) = (dcg_q · 10^6) div idcg_q
+    *   rr_q(u)   = 10^6 div min_hit_rank             (0 when no hit)
+    *   ap_q(u)   = (Σ_hits (10^6 · h) div rnk) div min(ntest, k)
+    *
+    * where h = 1-based index of the hit within the user's hit list by
+    * rank (so (10^6·h) div rnk quantizes precision-at-the-hit). All
+    * arithmetic stays in longs via integer `div` — dcg_q ≤ k·10^8, so
+    * dcg_q·10^6 ≤ k·10^14 « 2^63; nothing touches doubles until the
+    * final mean, which divides two identical longs on either engine.
+    *
+    * Evaluated users = users with BOTH a rec list and test activity (the
+    * q162 contract); users whose list hits nothing count as zeros via
+    * the left join. Output: one row per metric — (metric, n_users,
+    * sum_q, mean_value) with mean_value = round(sum_q/(n_users·10^6), 6).
+    *
+    * Contract: `recs` carries one row per (user, item) with a dense
+    * 1-based rank ≤ k (ties already broken — what [[graft.ops.GraphCF]]
+    * recommenders emit); `test` is DISTINCT (user, item) pairs. Shuffle
+    * shape: hits group on user (≤ |users|·k rows), everything after is
+    * a ≤|users|-row frame folded to one row — no catalog-sized leg. */
+  def rankingMetricsQ(recs: DataFrame, test: DataFrame, userCol: String,
+                      itemCol: String, rankCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val gainMap = typedLit(ndcgGains(k).toMap)
+    val idcgMap = typedLit(ndcgIdcg(k).toMap)
+    val r = recs.select(col(userCol).as("u"), col(itemCol).as("i"),
+      col(rankCol).cast("long").as("rnk"))
+    val t = test.select(col(userCol).as("u"), col(itemCol).as("i"))
+    val ev = r.select(col("u")).distinct()
+      .join(t.groupBy(col("u")).agg(count(lit(1)).as("ntest")), "u")
+    val hits = r.join(t, Seq("u", "i"))
+      .withColumn("h", row_number().over(
+        Window.partitionBy(col("u")).orderBy(col("rnk"))).cast("long"))
+    val perHit = hits.groupBy(col("u")).agg(
+      sum(element_at(gainMap, col("rnk"))).as("dcg_q"),
+      min(col("rnk")).as("minr"),
+      sum(expr("(1000000L * h) div rnk")).as("apsum"))
+    val perUser = ev.join(perHit, Seq("u"), "left")
+      .withColumn("cutoff", least(col("ntest"), lit(k.toLong)))
+      .withColumn("idcg_q", element_at(idcgMap, col("cutoff")))
+      .select(
+        expr("(coalesce(dcg_q, 0L) * 1000000L) div idcg_q").as("ndcg_q"),
+        when(col("minr").isNull, lit(0L))
+          .otherwise(expr("1000000L div minr")).as("rr_q"),
+        expr("coalesce(apsum, 0L) div cutoff").as("ap_q"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("ndcg_q")).as("s_ndcg"),
+        sum(col("rr_q")).as("s_rr"),
+        sum(col("ap_q")).as("s_ap"))
+      .selectExpr("n_users",
+        s"stack(3, 'ndcg_at_$k', s_ndcg, 'mrr_at_$k', s_rr, " +
+          s"'map_at_$k', s_ap) AS (metric, sum_q)")
+      .select(col("metric"), col("n_users"), col("sum_q"),
+        round(col("sum_q").cast("double") /
+          (col("n_users") * lit(1000000L)).cast("double"), 6).as("mean_value"))
+  }
+
+  /** Exact concentration of served recommendations over the catalog —
+    * Gini coefficient, top-decile share and HHI of per-item
+    * recommendation counts, zero-count catalog items included: the
+    * serving-diversity metrics beside coverage (a popularity-collapsed
+    * model keeps high precision AND high coverage while concentrating
+    * nearly all mass on few items; these three see that). All three are
+    * exact integer ratios — (num, den) longs, no engine-order float
+    * drift:
+    *
+    *   gini             = Σ_i (2i − n − 1)·x_(i)  /  (n·Σx)   (x ascending)
+    *   top_decile_share = mass of the ⌈n/10⌉ most-recommended / Σx
+    *   hhi              = Σ x_i²  /  (Σx)²
+    *
+    * The Gini sum never materializes per-item global ranks: over a tie
+    * block of c items at value v with `below` items strictly smaller,
+    * Σ_{i in block} (2i−n−1)·v collapses to v·c·(2·below + c − n), so
+    * the computation runs on the DISTINCT-count-value frame (v, c,
+    * below) via [[graft.ops.Relational.globalCumBelow]] — the bucketed
+    * distributed prefix, not a single-partition window over the catalog
+    * (same shape as the q174 rank-sum). Long budget (bounded 1-row
+    * driver read, the GraphCF.cosineSimQ guard pattern): n·Σx ≤ 2^61
+    * and Σx ≤ 3·10^9 keep every product in range.
+    *
+    * Contract: `catalog` is the DISTINCT item-id frame; `recs` rows are
+    * individual served recommendations (one row per list slot). */
+  def recConcentrationQ(recs: DataFrame, catalog: DataFrame,
+                        itemCol: String): DataFrame = {
+    val perItem = recs.groupBy(col(itemCol)).agg(count(lit(1)).as("x"))
+    val x = catalog.select(col(itemCol)).join(perItem, Seq(itemCol), "left")
+      .select(coalesce(col("x"), lit(0L)).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = x.agg(sum(col("x")).as("tot"), count(lit(1)).as("n")).head()
+    val tot = head.getLong(0)
+    val n = head.getLong(1)
+    require(tot > 0L, "recConcentrationQ: empty recommendation frame")
+    require(tot <= 3000000000L,
+      s"recConcentrationQ: Σx = $tot breaks the hhi long budget (Σx)² < 2^63")
+    require(n <= (1L << 61) / tot,
+      s"recConcentrationQ: n*tot = ${n}*$tot breaks the gini long budget")
+    val t = (n + 9L) / 10L // ⌈n/10⌉ — exact, replayed as (n+9)//10
+    val vc = x.groupBy(col("x").as("v")).agg(count(lit(1)).as("c"))
+    val blocks = Relational.globalCumBelow(vc, "v", "c", "below")
+      .agg(
+        sum(col("v") * col("c") *
+          (lit(2L) * col("below") + col("c") - lit(n))).as("gini_num"),
+        sum(col("v") * least(col("c"),
+          greatest(lit(0L), lit(t) - (lit(n) - col("below") - col("c")))))
+          .as("top_num"))
+    val totals = x.agg(sum(col("x")).as("tot"), count(lit(1)).as("n"),
+      sum(col("x") * col("x")).as("sumsq"))
+    blocks.crossJoin(totals)
+      .selectExpr(
+        "stack(3, 'gini', gini_num, n * tot, 'hhi', sumsq, tot * tot, " +
+          "'top_decile_share', top_num, tot) AS (metric, num, den)")
+      .select(col("metric"), col("num"), col("den"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("value"))
+      .orderBy(col("metric"))
   }
 }

@@ -112,6 +112,46 @@ object GraphCF {
     edgeFrame(interactions, userCol, itemCol, maxHistory)
   }
 
+  /** Top-`k` most-popular unseen items per user — the non-personalized
+    * BASELINE every comparative recommender eval needs (the reference's
+    * experiment flow compares models against a control arm,
+    * explicit_ratings/ab_test.py; offline, the control is popularity).
+    * pop(i) = Σ_u w_ui over the capped edge frame; ties broken by item
+    * id, so lists are bit-replayable.
+    *
+    * Scale shape: a user's top-k unseen items always sit inside the
+    * global top-(k + deg(u)) by popularity, so the candidate pool is the
+    * global top-(k + maxSeen) — a bounded BROADCAST list (maxSeen ≤
+    * maxHistory once histories are capped; one bounded 1-row driver read,
+    * the cosineSimQ guard pattern) — and the per-user leg is a
+    * |users|·|pool| fanout anti-joined against the edge frame, never a
+    * users × catalog product. Exactness is by the pool argument above,
+    * not an approximation. */
+  def popularityRecs(interactions: DataFrame, userCol: String,
+                     itemCol: String, k: Int,
+                     maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = edgeFrame(interactions, userCol, itemCol, maxHistory)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val degRow = e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head()
+    require(!degRow.isNullAt(0), "popularityRecs: empty interaction frame")
+    val maxSeen = degRow.getLong(0)
+    require(k + maxSeen <= 10000000L,
+      s"popularityRecs: candidate pool k+maxSeen = ${k + maxSeen} is not " +
+        "broadcastable; cap user histories (maxHistory) first")
+    val pop = e.groupBy(col("i")).agg(sum(col("w")).as("pop"))
+    val pool = pop.orderBy(col("pop").desc, col("i"))
+      .limit(k + maxSeen.toInt)
+    val cand = e.select(col("u")).distinct().crossJoin(broadcast(pool))
+    val unseen = cand.join(e.select(col("u"), col("i")),
+      Seq("u", "i"), "left_anti")
+    Relational.topKPerGroup(unseen, Seq(col("u")),
+        Seq(col("pop").desc, col("i")), k, rankName = "rnk")
+      .select(col("u").as(userCol), col("i").as(itemCol),
+        col("pop"), col("rnk"))
+  }
+
   /** Per-batch partial for the standing interaction-edge store: the
     * batch's aggregated (u, i, w) counts land under `batch=<id>` —
     * batch-id-keyed OVERWRITE, so a failure-replayed batch rewrites its

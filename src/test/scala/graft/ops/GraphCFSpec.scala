@@ -259,6 +259,45 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("popularityRecs: bounded pool equals the full users x catalog ranking") {
+    // 6 users with histories engineered so some users have SEEN several of
+    // the globally most popular items — exactly the case where a pool cut
+    // of less than k+maxSeen would go wrong
+    val log = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "c"), (3L, "d"),
+      (4L, "e"),
+      (5L, "a"), (5L, "b"), (5L, "c"), (5L, "d"), (5L, "e"),
+      (6L, "f")).toDF("user", "item")
+    val got = GraphCF.popularityRecs(log, "user", "item", k = 2)
+      .select($"user", $"item", $"rnk").as[(Long, String, Long)]
+      .collect().toSet
+    // brute force: pop over aggregated edges, full cross, anti-join, rank
+    val e = GraphCF.edges(log, "user", "item")
+    val pop = e.groupBy($"i").agg(sum($"w").as("pop"))
+    val brute = e.select($"u").distinct().crossJoin(pop)
+      .join(e.select($"u", $"i"), Seq("u", "i"), "left_anti")
+    val exp = graft.ops.Relational.topKPerGroup(brute, Seq($"u"),
+        Seq($"pop".desc, $"i"), 2, rankName = "rnk")
+      .select($"u", $"i", $"rnk").as[(Long, String, Long)].collect().toSet
+    assert(got == exp)
+    // u5 saw a..e (the 5 most popular): their list must reach into f-land
+    assert(got.contains((5L, "f", 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("popularityRecs ranks by popularity desc with item-id tie-break") {
+    val log = Seq((1L, "x"), (2L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("user", "item")
+    // pop: x=2, y=1, z=1; u3 (saw z) -> x rank1, y rank2
+    val got = GraphCF.popularityRecs(log, "user", "item", k = 2)
+      .filter($"user" === 3L)
+      .select($"item", $"rnk").as[(String, Long)].collect().toSet
+    assert(got == Set(("x", 1L), ("y", 2L)))
+    spark.catalog.clearCache()
+  }
+
   test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
     // neighbors=1 keeps only each item's single strongest edge:
     // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and
