@@ -4301,10 +4301,13 @@ object PipelineQueries {
       val train = inter(ordAll.filter(col("o_orderdate") < cut))
       val test = inter(ordAll.filter(col("o_orderdate") >= cut))
         .distinct().persist(lvl)
-      val recs = GraphCF.p3alphaRecs(train, "cust", "supp",
-          k = 10, neighbors = 20, maxHistory = 50)
-        .persist(lvl)
+      // ONE capped edge frame feeds both the model and the popularity
+      // bands (the q168 shared-edge-frame pattern): FromEdges persists it,
+      // so the groupBy + history window over the fact table runs once
       val e = GraphCF.edges(train, "cust", "supp", maxHistory = 50)
+      val recs = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
+          k = 10, neighbors = 20)
+        .persist(lvl)
       val pop = e.groupBy(col("i")).agg(sum(col("w")).as("v"))
         .persist(lvl)
       val vc = pop.groupBy(col("v")).agg(count(lit(1)).as("c"))
