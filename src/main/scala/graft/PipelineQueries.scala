@@ -4366,6 +4366,57 @@ object PipelineQueries {
             |FROM pairs LEFT JOIN hits USING (band)
             |ORDER BY pairs.band""".stripMargin))
 
+  /** CONVERSION-rate A/B decision
+    * ([[graft.stats.AbDecision.decideProportions]]): the binary-metric
+    * sibling of q174/q176 — units are USERS (the q176 pseudo-replication
+    * lesson), success = heavy purchaser (≥ 14 purchase events — the
+    * every-user-converts trivial flag would make the table degenerate),
+    * arms by user-id parity; emits the two-proportion z and 2×2
+    * chi-square decision rows. The statistics evaluate ONE expression string shared
+    * verbatim with this oracle (`AbDecision.propZSql`/`propChiSql`), the
+    * cross-product difference is exact long arithmetic, and bands branch
+    * on the ROUNDED statistic against the fixed critical literals — the
+    * q174 replayability contract on a 2×2 table. */
+  private val q181 = Q("q181_ab_conversion",
+    (s, d) => graft.stats.AbDecision.decideProportions(
+      events(s, d).groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv")),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("conv")),
+    Some {
+      val z = graft.stats.AbDecision.propZSql
+      val chi = graft.stats.AbDecision.propChiSql
+      s"""WITH u AS (SELECT
+         |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+         |    CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS s
+         |  FROM events GROUP BY user_id),
+         |g AS (SELECT
+         |    CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(sum(CASE WHEN grp = 'A' THEN s ELSE 0 END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN grp = 'B' THEN s ELSE 0 END) AS BIGINT) AS s2
+         |  FROM u),
+         |st AS (SELECT $z AS z_stat, $chi AS chi_stat FROM g)
+         |SELECT * FROM (
+         |  SELECT 'chi_sq' AS test_name, chi_stat AS statistic,
+         |    CASE WHEN chi_stat > 10.827566 THEN '<0.001'
+         |         WHEN chi_stat > 6.634897 THEN '<0.01'
+         |         WHEN chi_stat > 3.841459 THEN '<0.05'
+         |         ELSE '>=0.05' END AS p_band,
+         |    chi_stat > 3.841459 AS reject_null FROM st
+         |  UNION ALL
+         |  SELECT 'two_prop_z', z_stat,
+         |    CASE WHEN abs(z_stat) > 3.290527 THEN '<0.001'
+         |         WHEN abs(z_stat) > 2.575829 THEN '<0.01'
+         |         WHEN abs(z_stat) > 1.959964 THEN '<0.05'
+         |         ELSE '>=0.05' END,
+         |    abs(z_stat) > 1.959964 FROM st
+         |) ORDER BY test_name""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4375,7 +4426,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180)
+    q174, q175, q176, q177, q178, q179, q180, q181)
 
   // ------------------------------------------------- phase decompositions
 

@@ -134,4 +134,88 @@ object AbDecision {
         (abs(col("z_stat")) > 1.959964).as("reject_null")))
       .orderBy(col("test_name"))
   }
+
+  /** The two-proportion z statistic over the pivoted (n1, s1, n2, s2)
+    * counts — ONE expression string used verbatim by both the Spark plan
+    * and the oracle SQL, so the IEEE operation order is identical by
+    * construction (the [[decide]] replayability contract). */
+  val propZSql: String = {
+    val phat = "(CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    "round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) " +
+      "- CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) " +
+      s"/ sqrt($phat * (1.0 - $phat) " +
+      "* (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))), 6)"
+  }
+
+  /** Pearson chi-square for the 2×2 table, shared like [[propZSql]]. The
+    * cross-product difference s1·(n2−s2) − s2·(n1−s1) is EXACT long
+    * arithmetic before the one cast (budget: n ≤ 3·10⁹ keeps it in
+    * range — the same combined-rows budget as the rank sum). */
+  val propChiSql: String = {
+    val d = "CAST(s1 * (n2 - s2) - s2 * (n1 - s1) AS DOUBLE)"
+    s"round(CAST(n1 + n2 AS DOUBLE) * $d * $d " +
+      "/ (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) " +
+      "* CAST(s1 + s2 AS DOUBLE) " +
+      "* CAST((n1 - s1) + (n2 - s2) AS DOUBLE)), 6)"
+  }
+
+  /** The BINARY-metric A/B decision — two-proportion z and the 2×2
+    * chi-square over per-unit success flags: the conversion-rate sibling
+    * of [[decide]] (the reference tests continuous user scores,
+    * ab_test.py:268-391; a conversion experiment tests proportions).
+    * `df` carries one row per experimental UNIT (the q176 lesson: test
+    * users, not raw events) with a 0/1 `successCol`.
+    *
+    * Same replayability contract as [[decide]]: the pivoted counts
+    * (n1, s1, n2, s2) are exact longs; both statistics evaluate ONE
+    * shared expression string ([[propZSql]]/[[propChiSql]]) so either
+    * engine produces bit-identical doubles; bands and decisions branch
+    * on the ROUNDED statistic against the same fixed large-sample
+    * critical literals (χ²₁ = z² for the pooled two-sided test, so the
+    * two rows must agree — a built-in consistency check the spec pins).
+    * Scale shape: one pass over the unit frame into a 1-row pivot;
+    * everything downstream is constant-size. Refuses degenerate tables
+    * (an all-success or all-fail experiment has no variance to test)
+    * via the bounded 1-row read that also enforces the long budget. */
+  def decideProportions(df: DataFrame, grpCol: Column,
+                        successCol: Column): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val ev = df.select(grpCol.cast("string").as("grp"),
+      successCol.cast("long").as("s")).persist(lvl)
+    val arms = ev.select(col("grp")).distinct().limit(3)
+      .collect().map(_.getString(0)).sorted
+    require(arms.length == 2,
+      s"decideProportions needs exactly two arms, got ${arms.mkString(", ")}")
+    val (g1, g2) = (arms(0), arms(1))
+    val row = ev.agg(
+      sum(when(col("grp") === g1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("grp") === g2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("grp") === g1, col("s")).otherwise(0L)).as("s1"),
+      sum(when(col("grp") === g2, col("s")).otherwise(0L)).as("s2"))
+      .persist(lvl)
+    val h = row.head() // bounded 1-row read: budget + degeneracy guard
+    val (n1, n2, s1, s2) =
+      (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
+    require(n1 > 0 && n2 > 0, "decideProportions: an arm is empty")
+    require(s1 + s2 > 0L && s1 + s2 < n1 + n2,
+      "decideProportions: degenerate 2x2 table (all units share one outcome)")
+    require(n1 + n2 <= 3000000000L,
+      "decideProportions: combined n > 3e9 breaks the cross-product long " +
+        "budget; pre-aggregate per-arm counts instead")
+    row.selectExpr(s"$propZSql AS z_stat", s"$propChiSql AS chi_stat")
+      .selectExpr(
+        "stack(2, 'chi_sq', chi_stat, 'two_prop_z', z_stat) " +
+          "AS (test_name, statistic)")
+      .select(col("test_name"), col("statistic"),
+        when(col("test_name") === "two_prop_z", zBand(abs(col("statistic"))))
+          .otherwise(
+            when(col("statistic") > 10.827566, "<0.001")
+              .when(col("statistic") > 6.634897, "<0.01")
+              .when(col("statistic") > 3.841459, "<0.05")
+              .otherwise(">=0.05")).as("p_band"),
+        when(col("test_name") === "two_prop_z",
+          abs(col("statistic")) > 1.959964)
+          .otherwise(col("statistic") > 3.841459).as("reject_null"))
+      .orderBy(col("test_name"))
+  }
 }

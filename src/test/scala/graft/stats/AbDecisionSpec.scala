@@ -97,4 +97,59 @@ class AbDecisionSpec extends SparkTestBase {
     assert(e.getMessage.contains("two arms"))
     spark.catalog.clearCache()
   }
+
+  private def runProp(n1: Int, s1: Int, n2: Int, s2: Int) = {
+    val units = (0 until n1).map(i => ("A", if (i < s1) 1L else 0L)) ++
+      (0 until n2).map(i => ("B", if (i < s2) 1L else 0L))
+    val df = units.toDF("grp", "conv")
+    val got = AbDecision.decideProportions(df, col("grp"), col("conv"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getString(2),
+        r.getBoolean(3)))).toMap
+    spark.catalog.clearCache()
+    got
+  }
+
+  test("decideProportions matches hand-computed z and chi-square (7/10 vs 3/10)") {
+    val got = runProp(10, 7, 10, 3)
+    // p1=0.7, p2=0.3, phat=0.5: z = 0.4/sqrt(0.25*0.2) = 1.788854,
+    // chi = 20*(7*7-3*3)^2/(10*10*10*10) = 3.2 (= z^2)
+    assert(got("two_prop_z")._1 == round6(0.4 / math.sqrt(0.25 * 0.2)))
+    assert(got("chi_sq")._1 == 3.2)
+    assert(got("two_prop_z")._2 == ">=0.05" && !got("two_prop_z")._3)
+    assert(got("chi_sq")._2 == ">=0.05" && !got("chi_sq")._3)
+  }
+
+  test("decideProportions: strong effect rejects on both rows, chi = z^2") {
+    val got = runProp(100, 90, 100, 10)
+    // phat=0.5: z = 0.8/sqrt(0.25*0.02) = 11.313708; chi = 128 exactly
+    assert(got("chi_sq")._1 == 128.0)
+    assert(got("two_prop_z")._2 == "<0.001" && got("two_prop_z")._3)
+    assert(got("chi_sq")._2 == "<0.001" && got("chi_sq")._3)
+    // chi2(1) = z^2 for the pooled two-sided test (rounding-level check)
+    assert(math.abs(got("chi_sq")._1
+      - got("two_prop_z")._1 * got("two_prop_z")._1) < 1e-4)
+  }
+
+  test("decideProportions: arm swap flips z sign, chi-square invariant") {
+    val ab = runProp(50, 20, 40, 25)
+    // swap labels by swapping the fixture arms
+    val units = (0 until 40).map(i => ("A", if (i < 25) 1L else 0L)) ++
+      (0 until 50).map(i => ("B", if (i < 20) 1L else 0L))
+    val ba = AbDecision.decideProportions(units.toDF("grp", "conv"),
+        col("grp"), col("conv"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    spark.catalog.clearCache()
+    assert(ab("chi_sq")._1 == ba("chi_sq"))
+    assert(ab("two_prop_z")._1 == -ba("two_prop_z"))
+  }
+
+  test("decideProportions refuses degenerate all-one-outcome tables") {
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 1L)).toDF("grp", "conv")
+    val e = intercept[IllegalArgumentException] {
+      AbDecision.decideProportions(df, col("grp"), col("conv"))
+    }
+    assert(e.getMessage.contains("degenerate"))
+    spark.catalog.clearCache()
+  }
 }
