@@ -4377,14 +4377,10 @@ object PipelineQueries {
     * cross-product difference is exact long arithmetic, and bands branch
     * on the ROUNDED statistic against the fixed critical literals — the
     * q174 replayability contract on a 2×2 table. */
-  private val q181 = Q("q181_ab_conversion",
-    (s, d) => graft.stats.AbDecision.decideProportions(
-      events(s, d).groupBy(col("user_id"))
-        .agg(when(sum(when(col("event_type") === "purchase", 1L)
-          .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv")),
-      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
-      col("conv")),
-    Some {
+  /** Shared oracle for the conversion A/B readout (q181 direct, q182 off
+    * the standing counter store — the store fold must hash-match this
+    * ONE-SHOT build over the full log). */
+  private def abConversionSql: String = {
       val z = graft.stats.AbDecision.propZSql
       val chi = graft.stats.AbDecision.propChiSql
       s"""WITH u AS (SELECT
@@ -4415,7 +4411,47 @@ object PipelineQueries {
          |         ELSE '>=0.05' END,
          |    abs(z_stat) > 1.959964 FROM st
          |) ORDER BY test_name""".stripMargin
-    })
+  }
+
+  private val q181 = Q("q181_ab_conversion",
+    (s, d) => graft.stats.AbDecision.decideProportions(
+      events(s, d).groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv")),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("conv")),
+    Some(abConversionSql))
+
+  /** The conversion A/B readout OFF THE STANDING COUNTER STORE
+    * ([[graft.stats.AbDecision.writeUnitCountBatch]]/[[graft.stats.AbDecision.unitCounts]])
+    * — the q173/q175 pattern for the experiment family: the event log
+    * lands as four mod-4 per-batch (unit, success-count) partials, the
+    * standing totals fold with one groupBy (long sums are order-free),
+    * and the SAME decideProportions readout must hash-match q181's
+    * one-shot oracle over the full log. A unit whose successes split
+    * across batches (no single batch crosses the threshold) is decided
+    * by the CROSS-BATCH total — the property the spec isolates. With
+    * this every standing-store family (dedup digests, BM25, IVF, CDC,
+    * edges, sketches) has its experiment sibling: continuous A/B
+    * monitoring never replays the raw log. */
+  private val q182 = Q("q182_ab_from_store",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q182_conv")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val ev = events(s, d)
+      (0L until 4L).foreach { b =>
+        graft.stats.AbDecision.writeUnitCountBatch(
+          ev.filter(pmod(col("event_id"), lit(4L)) === b),
+          col("user_id"), col("event_type") === "purchase", dir.toString, b)
+      }
+      val units = graft.stats.AbDecision.unitCounts(s, dir.toString)
+      graft.stats.AbDecision.decideProportions(units,
+        when(pmod(col("unit"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+        when(col("cnt") >= 14L, 1L).otherwise(0L))
+    },
+    Some(abConversionSql))
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
@@ -4426,7 +4462,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180, q181)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182)
 
   // ------------------------------------------------- phase decompositions
 

@@ -177,6 +177,32 @@ object AbDecision {
     * everything downstream is constant-size. Refuses degenerate tables
     * (an all-success or all-fail experiment has no variance to test)
     * via the bounded 1-row read that also enforces the long budget. */
+  /** Per-batch additive partial for the standing CONVERSION-COUNTER
+    * store — the experiment-family sibling of
+    * [[graft.ops.GraphCF.writeEdgeBatch]]: one (unit, cnt) row per unit
+    * ACTIVE in the batch, cnt = its success events there (zero-success
+    * active units keep their row, so the fold sees every experimental
+    * unit, not just converters). Batch-id-keyed overwrite = replay
+    * idempotent. A deployment's event stream lands here; the readout
+    * ([[unitCounts]] → [[decideProportions]]) never replays the raw
+    * log. */
+  def writeUnitCountBatch(batch: DataFrame, unitCol: Column,
+                          successEvent: Column, path: String,
+                          batchId: Long): Unit =
+    batch.groupBy(unitCol.as("unit"))
+      .agg(sum(when(successEvent, 1L).otherwise(0L)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The standing per-unit success totals folded from the
+    * [[writeUnitCountBatch]] partials: long sums are order-free, so the
+    * fold is bit-equal to counting over the concatenated batches — the
+    * store-equals-one-shot contract every standing store here carries
+    * (q173/q175 pattern; q182's oracle replays the one-shot build). */
+  def unitCounts(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("unit")).agg(sum(col("cnt")).as("cnt"))
+
   def decideProportions(df: DataFrame, grpCol: Column,
                         successCol: Column): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK

@@ -144,6 +144,65 @@ class AbDecisionSpec extends SparkTestBase {
     assert(ab("two_prop_z")._1 == -ba("two_prop_z"))
   }
 
+  test("conversion-counter store fold equals the one-shot count (split batches)") {
+    // user 10 crosses the threshold ONLY on the cross-batch total (2+2);
+    // user 11 never converts but must still be a unit in every readout;
+    // users 20/21 fill the B arm
+    val events = Seq(
+      (0L, 10L, "purchase"), (1L, 10L, "purchase"),
+      (2L, 10L, "purchase"), (3L, 10L, "purchase"),
+      (4L, 11L, "view"), (5L, 11L, "click"),
+      (6L, 20L, "view"), (7L, 21L, "purchase"), (8L, 21L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("convstore").toString
+    (0L until 4L).foreach { b =>
+      AbDecision.writeUnitCountBatch(
+        events.filter(pmod(col("event_id"), lit(4L)) === b),
+        col("user_id"), col("event_type") === "purchase", dir, b)
+    }
+    val folded = AbDecision.unitCounts(spark, dir)
+      .orderBy("unit").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oneShot = events.groupBy(col("user_id").as("unit"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("cnt"))
+      .orderBy("unit").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folded.toSeq == oneShot.toSeq)
+    // user 10's 4 purchases arrive 1 per batch — only the fold sees >= 3
+    assert(folded.toMap.apply(10L) == 4L)
+    // zero-success active units keep their rows (11 and 20 present)
+    assert(folded.toMap.contains(11L) && folded.toMap.apply(20L) == 0L)
+    // the readout off the store matches decideProportions on the one-shot
+    val fromStore = AbDecision.decideProportions(
+      AbDecision.unitCounts(spark, dir),
+      when(pmod(col("unit"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      when(col("cnt") >= 3L, 1L).otherwise(0L))
+      .collect().map(_.toSeq).toSeq
+    val direct = AbDecision.decideProportions(
+      events.groupBy(col("user_id").as("unit"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("cnt")),
+      when(pmod(col("unit"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      when(col("cnt") >= 3L, 1L).otherwise(0L))
+      .collect().map(_.toSeq).toSeq
+    assert(fromStore == direct)
+    spark.catalog.clearCache()
+  }
+
+  test("writeUnitCountBatch replays idempotently (batch-keyed overwrite)") {
+    val events = Seq((0L, 1L, "purchase"), (1L, 2L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("convstore2").toString
+    AbDecision.writeUnitCountBatch(events, col("user_id"),
+      col("event_type") === "purchase", dir, 0L)
+    // a replayed batch lands on the same key — totals must not double
+    AbDecision.writeUnitCountBatch(events, col("user_id"),
+      col("event_type") === "purchase", dir, 0L)
+    val got = AbDecision.unitCounts(spark, dir)
+      .orderBy("unit").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 0L)))
+    spark.catalog.clearCache()
+  }
+
   test("decideProportions refuses degenerate all-one-outcome tables") {
     val df = Seq(("A", 1L), ("A", 1L), ("B", 1L)).toDF("grp", "conv")
     val e = intercept[IllegalArgumentException] {
