@@ -4453,6 +4453,59 @@ object PipelineQueries {
     },
     Some(abConversionSql))
 
+  /** CUPED-adjusted A/B decision
+    * ([[graft.stats.AbDecision.cupedAdjusted]] → `decide`): the
+    * industry-standard variance-reduction step the raw q176 test
+    * leaves on the table — each user's post-period mean is adjusted by
+    * θ·(pre − mean(pre)) with θ = cov(pre, post)/var(pre) from EXACT
+    * integer sufficient statistics (Spark DECIMAL(38) sums == oracle
+    * HUGEINT sums, one cast-to-double each, the shared `cupedAdjSql`
+    * expression), then the same Levene-gated decision pipeline runs on
+    * the adjusted per-user values. Pre/post split the event month at
+    * 2024-01-16; users active in both halves are the units. */
+  private val q183 = Q("q183_ab_cuped",
+    (s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+      val per = events(s, d).groupBy(col("user_id")).agg(
+          round(avg(when(col("ts") < cut, col("value"))), 6).as("pre"),
+          round(avg(when(col("ts") >= cut, col("value"))), 6).as("post"))
+        .filter(col("pre").isNotNull && col("post").isNotNull)
+      graft.stats.AbDecision.decide(
+        graft.stats.AbDecision.cupedAdjusted(per, "pre", "post"),
+        when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+        col("cuped"))
+    },
+    Some {
+      val uq =
+        """SELECT user_id,
+          |    CAST(round(round(pre, 6) * 1000, 0) AS BIGINT) AS __pre_q,
+          |    CAST(round(round(post, 6) * 1000, 0) AS BIGINT) AS __post_q
+          |  FROM (SELECT user_id,
+          |      round(avg(CASE WHEN ts < TIMESTAMP '2024-01-16'
+          |        THEN value END), 6) AS pre,
+          |      round(avg(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+          |        THEN value END), 6) AS post
+          |    FROM events GROUP BY user_id)
+          |  WHERE pre IS NOT NULL AND post IS NOT NULL""".stripMargin
+      val evSelect =
+        s"""WITH uq AS ($uq),
+           |mq AS (SELECT CAST(count(*) AS HUGEINT) AS __n,
+           |    sum(CAST(__pre_q AS HUGEINT)) AS __sp,
+           |    CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(__pre_q AS HUGEINT) * __post_q)
+           |      - sum(CAST(__pre_q AS HUGEINT)) * sum(CAST(__post_q AS HUGEINT))
+           |      AS __num,
+           |    CAST(count(*) AS HUGEINT)
+           |      * sum(CAST(__pre_q AS HUGEINT) * __pre_q)
+           |      - sum(CAST(__pre_q AS HUGEINT)) * sum(CAST(__pre_q AS HUGEINT))
+           |      AS __den
+           |  FROM uq)
+           |SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+           |  ${graft.stats.AbDecision.cupedAdjSql} AS value
+           |FROM uq CROSS JOIN mq""".stripMargin
+      abDecisionSql(evSelect)
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4462,7 +4515,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
 
   // ------------------------------------------------- phase decompositions
 

@@ -203,6 +203,77 @@ object AbDecision {
     spark.read.parquet(path)
       .groupBy(col("unit")).agg(sum(col("cnt")).as("cnt"))
 
+  /** The CUPED per-unit adjustment expression over the quantized columns
+    * (__pre_q, __post_q) and the 1-row exact moments (__n, __sp, __num,
+    * __den) — ONE string shared verbatim by the Spark plan and the
+    * oracle SQL, so the IEEE operation order is identical by
+    * construction. θ = __num/__den and mean(pre) = __sp/__n are each ONE
+    * cast-then-divide of exact integers both engines hold bit-equal. */
+  val cupedAdjSql: String =
+    "round((CAST(__post_q AS DOUBLE) " +
+      "- (CAST(__num AS DOUBLE) / CAST(__den AS DOUBLE)) " +
+      "* (CAST(__pre_q AS DOUBLE) - CAST(__sp AS DOUBLE) / CAST(__n AS DOUBLE))) " +
+      "/ 1000.0, 6)"
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi, Walker — WSDM 2013,
+    * the industry-standard pre-experiment covariate adjustment):
+    *   adjusted(u) = post(u) − θ·(pre(u) − mean(pre)),
+    *   θ = cov(pre, post) / var(pre)
+    * — same expected treatment effect, variance shrunk by the pre/post
+    * correlation², so experiments decide earlier at the same power.
+    *
+    * Replayability (the [[decide]] contract, extended): per-unit metrics
+    * quantize to milli-unit longs through one shared expression; θ's
+    * sufficient statistics are EXACT integer sums — Spark sums them as
+    * DECIMAL(38,0) (values cast from DECIMAL(19,0) so products stay
+    * exact), the oracle as HUGEINT, and n·Σpo − Σp·Σo is the same exact
+    * integer on both, so the one cast-to-double each side performs
+    * rounds identically; the final adjustment is [[cupedAdjSql]], one
+    * shared expression over bit-equal inputs. No cross-unit float sum
+    * exists anywhere in θ's derivation. Budgets (bounded 1-row reads):
+    * |metric| ≤ 3·10⁶ milli-units and n ≤ 10⁹ keep n²·maxq² < 10³⁸;
+    * zero pre-period variance is refused (θ undefined).
+    *
+    * Input: one row per unit with `preCol`/`postCol` (doubles, caller
+    * rounds 6dp — the q176 bit-identical-samples contract). Output: the
+    * input plus `outCol`, ready for [[decide]]. Scale shape: one pass to
+    * quantize, one 1-row moment aggregate broadcast back — nothing
+    * unit-squared. */
+  def cupedAdjusted(df: DataFrame, preCol: String, postCol: String,
+                    outCol: String = "cuped"): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val q = df
+      .withColumn("__pre_q",
+        expr(s"CAST(round(round($preCol, 6) * 1000, 0) AS BIGINT)"))
+      .withColumn("__post_q",
+        expr(s"CAST(round(round($postCol, 6) * 1000, 0) AS BIGINT)"))
+      .persist(lvl)
+    val g = q.agg(count(lit(1)).as("n"), max(abs(col("__pre_q"))).as("mxp"),
+      max(abs(col("__post_q"))).as("mxo")).head()
+    val n = g.getLong(0)
+    require(n >= 2L, "cupedAdjusted: needs at least 2 units")
+    require(n <= 1000000000L,
+      "cupedAdjusted: n > 1e9 breaks the decimal(38) moment budget")
+    require(math.max(g.getLong(1), g.getLong(2)) <= 3000000L,
+      "cupedAdjusted: |metric| > 3000 breaks the milli-unit long budget; " +
+        "rescale the metric first")
+    val m = q.selectExpr("CAST(__pre_q AS DECIMAL(19, 0)) AS p",
+        "CAST(__post_q AS DECIMAL(19, 0)) AS o")
+      .agg(count(lit(1)).cast("decimal(19, 0)").as("cn"),
+        sum(col("p")).as("sp"), sum(col("o")).as("so"),
+        sum(col("p") * col("p")).as("spp"),
+        sum(col("p") * col("o")).as("spo"))
+      .selectExpr("cn AS __n", "sp AS __sp",
+        "cn * spo - sp * so AS __num",
+        "cn * spp - sp * sp AS __den")
+      .persist(lvl)
+    require(m.head().getDecimal(3).signum != 0,
+      "cupedAdjusted: zero pre-period variance (theta undefined)")
+    q.crossJoin(broadcast(m))
+      .withColumn(outCol, expr(cupedAdjSql))
+      .drop("__pre_q", "__post_q", "__n", "__sp", "__num", "__den")
+  }
+
   def decideProportions(df: DataFrame, grpCol: Column,
                         successCol: Column): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK

@@ -203,6 +203,50 @@ class AbDecisionSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("cupedAdjusted: perfectly correlated covariate collapses variance (theta = 2)") {
+    // post = 2*pre exactly: theta = cov/var = 2, every adjusted value
+    // equals mean(post) = 5.0 — hand-traceable in exact milli-units
+    // (num = 4*60e6 - 1e4*2e4 = 40e6, den = 4*30e6 - 1e8 = 20e6)
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 4.0, 8.0)).toDF("unit", "pre", "post")
+    val got = AbDecision.cupedAdjusted(df, "pre", "post")
+      .orderBy("unit").select("cuped").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(5.0, 5.0, 5.0, 5.0))
+    spark.catalog.clearCache()
+  }
+
+  test("cupedAdjusted reduces variance and preserves the mean") {
+    // post = pre + noise: adjustment strips the pre-period component
+    val rng = new java.util.Random(7)
+    val rows = (1L to 200L).map { u =>
+      val pre = 10.0 + rng.nextGaussian() * 3
+      val post = pre + 1.0 + rng.nextGaussian() * 0.5
+      (u, math.rint(pre * 1e6) / 1e6, math.rint(post * 1e6) / 1e6)
+    }
+    val df = rows.toDF("unit", "pre", "post")
+    val adj = AbDecision.cupedAdjusted(df, "pre", "post")
+      .select("post", "cuped").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def stats(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (mPost, vPost) = stats(adj.map(_._1))
+    val (mAdj, vAdj) = stats(adj.map(_._2))
+    assert(vAdj < vPost * 0.2, s"variance $vPost -> $vAdj (want < 20%)")
+    assert(math.abs(mAdj - mPost) < 1e-3, s"mean drifted $mPost -> $mAdj")
+    spark.catalog.clearCache()
+  }
+
+  test("cupedAdjusted refuses a zero-variance pre-period") {
+    val df = Seq((1L, 2.0, 1.0), (2L, 2.0, 3.0)).toDF("unit", "pre", "post")
+    val e = intercept[IllegalArgumentException] {
+      AbDecision.cupedAdjusted(df, "pre", "post")
+    }
+    assert(e.getMessage.contains("variance"))
+    spark.catalog.clearCache()
+  }
+
   test("decideProportions refuses degenerate all-one-outcome tables") {
     val df = Seq(("A", 1L), ("A", 1L), ("B", 1L)).toDF("grp", "conv")
     val e = intercept[IllegalArgumentException] {
