@@ -595,6 +595,27 @@ object EventStreams {
         graft.ops.GraphCF.writeEdgeBatch(batch, userCol, itemCol, path, batchId)
       }
 
+  /** Streaming leg of the standing conversion-counter store
+    * ([[graft.stats.AbDecision.writeUnitCountBatch]]): each micro-batch
+    * of events lands its per-unit success-count partial (zero-success
+    * ACTIVE units keep their rows — the experiment readout must see
+    * every unit), and the A/B decision folds from the store at any
+    * moment with no raw-log replay
+    * ([[graft.stats.AbDecision.unitCounts]] →
+    * [[graft.stats.AbDecision.decideProportions]] — bit-equal to the
+    * one-shot count, long sums being order-free; q182's oracle is that
+    * proof). Batch-id-keyed overwrite = replay-idempotent, the recipe
+    * of every sink here. */
+  def sinkUnitCounts(events: DataFrame, unitCol: org.apache.spark.sql.Column,
+                     successEvent: org.apache.spark.sql.Column,
+                     path: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.stats.AbDecision.writeUnitCountBatch(batch, unitCol,
+          successEvent, path, batchId)
+      }
+
   /** Streaming leg of the mergeable k-means moment store
     * ([[graft.ops.Cluster.writeMomentBatch]]): each micro-batch of
     * vectors lands its per-cell (n, Σq) moments against the fixed
