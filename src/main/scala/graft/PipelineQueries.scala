@@ -4506,6 +4506,62 @@ object PipelineQueries {
       abDecisionSql(evSelect)
     })
 
+  /** USER-KNN cosine recommendations
+    * ([[graft.ops.GraphCF.userKnnRecs]]): the third classical
+    * neighborhood model beside ItemKNN (q163) and P3alpha (q160) —
+    * similar users vote with their histories. Both scale caps are
+    * exercised at the driver gate: per-user histories (maxHistory = 50)
+    * AND per-item audiences (maxAudience = 50, the user-side quadratic
+    * leg's bound Σ_i min(aud, A)²); similarities derive from the
+    * audience-capped frame through the shared guarded
+    * [[graft.ops.GraphCF.cosineSimQ]], scoring reads the
+    * history-capped frame — the oracle replays both cuts bit-exactly
+    * (row_number windows with id tie-breaks). */
+  private val q184 = Q("q184_userknn_recs",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      GraphCF.userKnnRecs(inter, "cust", "supp", k = 10,
+          neighbors = 20, maxHistory = 50, maxAudience = 50)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |ea AS (SELECT u, i, w FROM (SELECT e.*, row_number() OVER
+           |    (PARTITION BY i ORDER BY w DESC, u) AS ra FROM e)
+           |  WHERE ra <= 50),
+           |nrm AS (SELECT u, CAST(sum(w * w) AS BIGINT) AS nrm
+           |        FROM ea GROUP BY 1),
+           |co AS (SELECT a.u AS s1, b.u AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM ea a JOIN ea b ON a.i = b.i AND a.u <> b.u
+           |       GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.u
+           |                JOIN nrm n2 ON co.s2 = n2.u),
+           |ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim WHERE q > 0)
+           |  WHERE rs <= 20),
+           |sc AS (SELECT ss.s1 AS u, e.i, CAST(sum(ss.q * e.w) AS BIGINT)
+           |         AS score
+           |       FROM ss JOIN e ON ss.s2 = e.u GROUP BY 1, 2),
+           |unseen AS (SELECT sc.* FROM sc
+           |           LEFT JOIN e ON sc.u = e.u AND sc.i = e.i
+           |           WHERE e.u IS NULL AND sc.score > 0),
+           |r AS (SELECT *, CAST(row_number() OVER
+           |    (PARTITION BY u ORDER BY score DESC, i) AS BIGINT) AS rnk
+           |  FROM unseen)
+           |SELECT u AS cust, i AS supp, score, rnk FROM r
+           |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4515,7 +4571,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
 
   // ------------------------------------------------- phase decompositions
 

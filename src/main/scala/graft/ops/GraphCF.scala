@@ -442,6 +442,111 @@ object GraphCF {
     knnFromEdges(edges0.select(col("u"), col("i"), col("w")),
       userCol, itemCol, k, scale, neighbors, broadcastItems)
 
+  /** Top-`k` USER-KNN cosine recommendations — the third classical
+    * neighborhood model beside [[itemKnnRecs]] and [[p3alphaRecs]]
+    * (user-based CF, Resnick et al. 1994): similar USERS vote with
+    * their histories. sim(u,u') = quantized cosine of the two users'
+    * item vectors ([[cosineSimQ]], the shared guarded derivation);
+    * score(u,i) = Σ_{u'∈N(u)} simQ(u,u')·w(u',i); seen items
+    * anti-joined; ties to the smallest ids everywhere — bit-replayable.
+    *
+    * Scale levers, the exact mirror of the item side:
+    *  - `maxHistory` caps each USER's edges (top-C by weight, id
+    *    tie-break) — bounds vector length;
+    *  - `maxAudience` caps each ITEM's user list the same way — the
+    *    user-user co-walk's quadratic leg is Σ_i min(audience, A)²,
+    *    the transpose of ItemKNN's Σ_u min(deg, C)² (a popular item's
+    *    audience² is THE user-KNN scale killer; the cap is an exact,
+    *    replayable cut applied AFTER the history cap);
+    *  - `broadcastUsers` two-mode joins: cohorts ≤ threshold broadcast
+    *    the truncated similarity matrix AND the norm frame; bigger
+    *    cohorts shuffle-join both — no cohort-size cliff.
+    * Similarities derive from the audience-capped frame; scoring and
+    * the seen-item anti-join use the full history-capped frame. */
+  def userKnnRecs(interactions: DataFrame, userCol: String, itemCol: String,
+                  k: Int, scale: Long = 10000L,
+                  neighbors: Int = 20,
+                  maxHistory: Int = Int.MaxValue,
+                  maxAudience: Int = Int.MaxValue,
+                  broadcastUsers: Long = 10000L): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    userKnnFromEdges(edgeFrame(interactions, userCol, itemCol, maxHistory),
+      userCol, itemCol, k, scale, neighbors, maxAudience, broadcastUsers)
+  }
+
+  private def userKnnFromEdges(edges0: DataFrame, userCol: String,
+                               itemCol: String, k: Int, scale: Long,
+                               neighbors: Int, maxAudience: Int,
+                               broadcastUsers: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(neighbors >= 1, "neighbors must be >= 1")
+    require(maxAudience >= 1, "maxAudience must be >= 1")
+    val e = edges0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ea = if (maxAudience == Int.MaxValue) e
+      else Relational.topKPerGroup(e, Seq(col("i")),
+        Seq(col("w").desc, col("u")), maxAudience, rankName = "__ra")
+        .drop("__ra")
+    val nUsers = e.select(col("u")).distinct().count()
+    val small = nUsers <= broadcastUsers
+    // user squared norms and user-user co-counts from the audience-capped
+    // frame: the i-keyed self-join's intermediate is Σ_i min(aud, A)²
+    val nrm = ea.groupBy(col("u").as("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    val co = ea.select(col("i").as("__k"), col("u").as("s1"), col("w").as("w1"))
+      .join(ea.select(col("i").as("__k"), col("u").as("s2"), col("w").as("w2")),
+        "__k")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("w1") * col("w2")).as("co"))
+    val sim =
+      try cosineSimQ(co, nrm, scale, broadcastNorms = small)
+      catch { case t: Throwable => e.unpersist(); throw t }
+    val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
+        Seq(col("q").desc, col("s2")), neighbors)
+      .drop("rn")
+      .select(col("s1").as("__u"), col("s2"), col("q"))
+    val ssJ = if (small) broadcast(ss) else ss
+    val scores = ssJ
+      .join(e.select(col("u").as("s2"), col("i"), col("w")), "s2")
+      .groupBy(col("__u"), col("i"))
+      .agg(sum(col("q") * col("w")).as("score"))
+      .filter(col("score") > 0L)
+    val unseen = scores.join(e.select(col("u").as("__u"), col("i")),
+      Seq("__u", "i"), "left_anti")
+    Relational.topKPerGroup(unseen, Seq(col("__u")),
+        Seq(col("score").desc, col("i")), k, rankName = "rnk")
+      .select(col("__u").as(userCol), col("i").as(itemCol),
+        col("score"), col("rnk"))
+  }
+
+  /** [[userKnnRecs]] over an already-aggregated, history-capped (u, i, w)
+    * edge frame ([[edges]]) — the sharing entry point, sibling of
+    * [[itemKnnRecsFromEdges]] (see [[p3alphaRecsFromEdges]] for the
+    * contract). The audience cap still applies here (it is a property
+    * of the similarity computation, not of the standing frame). */
+  def userKnnRecsFromEdges(edges0: DataFrame, userCol: String,
+                           itemCol: String, k: Int, scale: Long = 10000L,
+                           neighbors: Int = 20,
+                           maxAudience: Int = Int.MaxValue,
+                           broadcastUsers: Long = 10000L): DataFrame =
+    userKnnFromEdges(edges0.select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, maxAudience, broadcastUsers)
+
+  /** [[userKnnRecs]] served off the standing edge store
+    * ([[writeEdgeBatch]] / [[edgesFromStore]]) — bit-equal to the
+    * one-shot build over the concatenated batches, closing the family:
+    * all THREE neighborhood recommenders serve from standing state. */
+  def userKnnRecsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, userCol: String, itemCol: String,
+                           k: Int, scale: Long = 10000L,
+                           neighbors: Int = 20,
+                           maxHistory: Int = Int.MaxValue,
+                           maxAudience: Int = Int.MaxValue,
+                           broadcastUsers: Long = 10000L): DataFrame =
+    userKnnFromEdges(
+      edgesFromStore(spark, path, maxHistory).select(col("u"), col("i"), col("w")),
+      userCol, itemCol, k, scale, neighbors, maxAudience, broadcastUsers)
+
   /** Quantized cosine similarities from standing co-counts + squared
     * norms — THE one guarded derivation every ItemKNN path shares
     * (direct, store-served, and incremental q172-style refreshes):
@@ -453,8 +558,12 @@ object GraphCF {
     * max(norm²)·scale < 2⁵³ (keeps the floor() exact) — ONE bounded
     * 1-row driver read off the |items|-row norm frame.
     * `nrm` must be the (i, nrm) squared-norm frame of the SAME edge
-    * frame `co` was derived from. Rows with q = 0 are dropped. */
-  def cosineSimQ(co: DataFrame, nrm: DataFrame, scale: Long): DataFrame = {
+    * frame `co` was derived from. Rows with q = 0 are dropped.
+    * `broadcastNorms = false` shuffle-joins the norm frame instead —
+    * the [[userKnnRecs]] path, where norms are USER-sized and a
+    * broadcast would not survive a large cohort. */
+  def cosineSimQ(co: DataFrame, nrm: DataFrame, scale: Long,
+                 broadcastNorms: Boolean = true): DataFrame = {
     require(scale >= 10L, "scale < 10 quantizes similarities to noise")
     // without this bound, maxNrm just under 2^31 with scale ~ 2^32 wraps
     // maxNrm * scale negative and the budget check silently passes
@@ -473,8 +582,10 @@ object GraphCF {
           "exact-double range — binarize weights (dedup interactions per " +
           "user-item) or lower scale")
     }
-    co.join(broadcast(nrm.select(col("i").as("s1"), col("nrm").as("n1"))), "s1")
-      .join(broadcast(nrm.select(col("i").as("s2"), col("nrm").as("n2"))), "s2")
+    val n1f = nrm.select(col("i").as("s1"), col("nrm").as("n1"))
+    val n2f = nrm.select(col("i").as("s2"), col("nrm").as("n2"))
+    co.join(if (broadcastNorms) broadcast(n1f) else n1f, "s1")
+      .join(if (broadcastNorms) broadcast(n2f) else n2f, "s2")
       .select(col("s1"), col("s2"),
         floor(col("co") * lit(scale) / sqrt(col("n1") * col("n2")))
           .cast("long").as("q"))

@@ -298,6 +298,69 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("userKnnRecs matches the hand-computed quantized cosine") {
+    // user vectors: u1 = {a:2, b:1}, u2 = {b:1, c:1}, u3 = {a:1}
+    // norms: u1=5, u2=2, u3=1; co: (u1,u3)=2 via a, (u1,u2)=1 via b
+    // scale 10: q(u1,u3) = floor(20/sqrt(5)) = 8, q(u1,u2) = floor(10/sqrt(10)) = 3
+    // scores: u1 <- 8*u3 + 3*u2: unseen c = 3; u2 <- 3*u1: unseen a = 6;
+    //         u3 <- 8*u1: unseen b = 8
+    val got = GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .select($"user", $"item", $"score", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set((1L, "c", 3L, 1L), (2L, "a", 6L, 1L), (3L, "b", 8L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("userKnnRecs: big-cohort shuffle mode is bit-identical to broadcast") {
+    val a = GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L,
+        broadcastUsers = 10000L)
+      .collect().map(_.toSeq).toSet
+    val b = GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L,
+        broadcastUsers = 1L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    spark.catalog.clearCache()
+  }
+
+  test("userKnnRecsFromStore / FromEdges equal the direct build") {
+    val dir = java.nio.file.Files.createTempDirectory("uknn_store").toString
+    (0L until 3L).foreach { b =>
+      GraphCF.writeEdgeBatch(
+        inter.filter(pmod(xxhash64($"user", $"item"), lit(3L)) === b),
+        "user", "item", dir, b)
+    }
+    val direct = GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L)
+      .collect().map(_.toSeq).toSet
+    val fromStore = GraphCF.userKnnRecsFromStore(spark, dir, "user", "item",
+        k = 3, scale = 10L)
+      .collect().map(_.toSeq).toSet
+    val fromEdges = GraphCF.userKnnRecsFromEdges(
+        GraphCF.edges(inter, "user", "item"), "user", "item",
+        k = 3, scale = 10L)
+      .collect().map(_.toSeq).toSet
+    assert(fromStore == direct && fromEdges == direct)
+    spark.catalog.clearCache()
+  }
+
+  test("userKnnRecs maxAudience cuts each item's audience by (w desc, u)") {
+    // a's audience: u1(w=3), u2(w=1), u3(w=1). Cap 2 keeps u1 and u2
+    // (tie w=1 breaks to the smaller user id) and drops u3 — severing
+    // the only u1~u3 link, so u1 no longer receives u3's unique item c
+    val log = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c")).toDF("user", "item")
+    val full = GraphCF.userKnnRecs(log, "user", "item", k = 3, scale = 10L)
+      .select($"user", $"item").as[(Long, String)].collect().toSet
+    assert(full.contains((1L, "c")))
+    val capped = GraphCF.userKnnRecs(log, "user", "item", k = 3, scale = 10L,
+        maxAudience = 2)
+      .select($"user", $"item").as[(Long, String)].collect().toSet
+    assert(!capped.contains((1L, "c")))
+    assert(capped.contains((1L, "b"))) // the surviving u1~u2 edge still votes
+    spark.catalog.clearCache()
+  }
+
   test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
     // neighbors=1 keeps only each item's single strongest edge:
     // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and
