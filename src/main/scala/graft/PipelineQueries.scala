@@ -4562,6 +4562,83 @@ object PipelineQueries {
            |SELECT u AS cust, i AS supp, score, rnk FROM r
            |WHERE rnk <= 10 ORDER BY cust, rnk""".stripMargin))
 
+  /** ANN QUALITY CERTIFICATION — recall@k of the IVF search (q53 config)
+    * against the brute-force exact top-k (q48 machinery) on the same
+    * query/corpus split: the approximation's operating point measured
+    * inside the engine rather than asserted ("nProbe = 2 of 8 cells" is
+    * a knob; this row set is what it actually costs in recall). Both
+    * rankings are already oracle-replayable, so their set intersection
+    * is too — per-query (k, n_hits, recall). At 100 TB this is the
+    * query a deployment runs after every reindex: exact top-k on a
+    * SAMPLE of queries certifies the store's recall without a full
+    * brute-force sweep. */
+  private val q185 = Q("q185_ann_recall",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val ivf = Similarity.ivfSearch(qs, corpus, "vec_id", "embedding",
+          fixedCodebook(emb), nProbe = 2, k = 3)
+        .select(col("query_id"), col("cand_id"))
+      val exact = Similarity.cosineTopK(qs, corpus, "vec_id", "embedding", 3)
+        .select(col("query_id"), col("cand_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hit = exact.join(ivf, Seq("query_id", "cand_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+        .join(hit, Seq("query_id"), "left")
+        .select(col("query_id"), col("k"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall",
+          round(col("n_hits").cast("double") / col("k").cast("double"), 6))
+        .orderBy(col("query_id"))
+    },
+    Some {
+      s"""WITH cent AS (SELECT vec_id AS cell, embedding
+         |              FROM embeddings WHERE vec_id >= 20 AND vec_id < 28),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+         |queries AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+         |ad AS (SELECT v.vec_id, c.cell, ${sqlL2Chain("v", "c")} AS dist
+         |       FROM corpus v CROSS JOIN cent c),
+         |assign AS (SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rn FROM ad) WHERE rn = 1),
+         |qd AS (SELECT q.vec_id, c.cell, ${sqlL2Chain("q", "c")} AS dist
+         |       FROM queries q CROSS JOIN cent c),
+         |probe AS (SELECT vec_id AS query_id, cell FROM (
+         |  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY dist, cell) AS rn FROM qd) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+         |         FROM probe p JOIN assign a USING (cell)),
+         |isims AS (SELECT cd.query_id, cd.cand_id,
+         |           ${sqlDotChain("q", "v")} /
+         |             (${sqlNormChain("q")} * ${sqlNormChain("v")}) AS sim
+         |         FROM cand cd JOIN queries q ON q.vec_id = cd.query_id
+         |                      JOIN corpus v ON v.vec_id = cd.cand_id),
+         |ivf AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rnk FROM isims)
+         |  WHERE rnk <= 3),
+         |bsims AS (SELECT q.vec_id AS query_id, v.vec_id AS cand_id,
+         |           ${sqlDotChain("q", "v")} /
+         |             (${sqlNormChain("q")} * ${sqlNormChain("v")}) AS sim
+         |          FROM queries q CROSS JOIN corpus v),
+         |bexact AS (SELECT query_id, cand_id FROM (SELECT query_id, cand_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS rnk FROM bsims)
+         |  WHERE rnk <= 3),
+         |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM bexact b JOIN ivf i ON b.query_id = i.query_id
+         |           AND b.cand_id = i.cand_id GROUP BY 1),
+         |kk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+         |       FROM bexact GROUP BY 1)
+         |SELECT kk.query_id, kk.k, coalesce(hits.n_hits, 0) AS n_hits,
+         |       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+         |         / CAST(kk.k AS DOUBLE), 6) AS recall
+         |FROM kk LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    })
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4571,7 +4648,7 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
 
   // ------------------------------------------------- phase decompositions
 
