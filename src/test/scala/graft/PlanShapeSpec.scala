@@ -427,6 +427,29 @@ class PlanShapeSpec extends SparkTestBase {
       p.toLowerCase.contains("partial"), s"expected map-side partials:\n$p")
   }
 
+  test("popularity baseline: candidate pool broadcasts, no cartesian over the catalog") {
+    val p = plan("q179_pop_baseline")
+    // the per-user candidate leg is users x BROADCAST pool; a cartesian or
+    // a shuffled nested loop over the catalog is the scale failure
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"pool must broadcast:\n$p")
+  }
+
+  test("userKNN small-cohort mode broadcasts the similarity matrix and norms") {
+    val p = plan("q184_userknn_recs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"), s"sim/norm frames must broadcast:\n$p")
+  }
+
+  test("rank metrics add no catalog-sized leg: one user-keyed aggregate after the hits join") {
+    val p = plan("q177_rank_metrics")
+    // the metric tail must not sort globally or window over the catalog;
+    // the only window below the model subtree is the per-user hit index
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject") || !p.contains("GlobalLimit"), p)
+  }
+
   test("digest-store probe: store side distincts on its bucket layout, no store exchange") {
     val q = "q146_digest_store"
     val p = plan(q) // builds the store, returns the probe
