@@ -4639,6 +4639,311 @@ object PipelineQueries {
          |ORDER BY query_id""".stripMargin
     })
 
+  // -------------------------------------- shared recommender CTE builders
+
+  /** The full-log capped edge frame as DuckDB CTEs `e0`/`e` — the SQL
+    * image of `GraphCF.edges(inter, maxHistory = 50)` over the
+    * orders×lineitem interaction frame (the q178/q184 chain head,
+    * factored so multi-model oracles share ONE copy). */
+  private val sqlFullEdgesCtes: String =
+    """e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+      |    CAST(count(*) AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2),
+      |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+      |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+      |  WHERE rh <= 50)""".stripMargin
+
+  /** ItemKNN recommendation chain over an existing `e(u, i, w)` CTE,
+    * every CTE name prefixed with `p` so two models' chains compose in
+    * one oracle — ends at `${p}recs(u, s2, score, rnk)`. Replays
+    * `GraphCF.itemKnnRecsFromEdges(e, k, neighbors)` (the q178 chain,
+    * factored). */
+  private def sqlItemKnnChain(p: String, neighbors: Int, k: Int): String =
+    s"""${p}nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm
+       |        FROM e GROUP BY 1),
+       |${p}co AS (SELECT a.i AS s1, b.i AS s2,
+       |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+       |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i GROUP BY 1, 2),
+       |${p}sim AS (SELECT s1, s2,
+       |          CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm)) AS BIGINT) AS q
+       |        FROM ${p}co JOIN ${p}nrm n1 ON ${p}co.s1 = n1.i
+       |                JOIN ${p}nrm n2 ON ${p}co.s2 = n2.i),
+       |${p}ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ${p}sim
+       |    WHERE q > 0)
+       |  WHERE rs <= $neighbors),
+       |${p}sc AS (SELECT e.u, ${p}ss.s2, CAST(sum(e.w * ${p}ss.q) AS BIGINT)
+       |         AS score
+       |       FROM e JOIN ${p}ss ON e.i = ${p}ss.s1 GROUP BY 1, 2),
+       |${p}unseen AS (SELECT ${p}sc.* FROM ${p}sc
+       |           LEFT JOIN e ON ${p}sc.u = e.u AND ${p}sc.s2 = e.i
+       |           WHERE e.u IS NULL AND ${p}sc.score > 0),
+       |${p}recs AS (SELECT u, s2, score, CAST(rn AS BIGINT) AS rnk FROM
+       |    (SELECT *, row_number() OVER
+       |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM ${p}unseen)
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** P3alpha recommendation chain over an existing `e(u, i, w)` CTE,
+    * prefixed like [[sqlItemKnnChain]] — ends at
+    * `${p}recs(u, s2, score, rnk)`. Replays
+    * `GraphCF.p3alphaRecsFromEdges(e, k, neighbors)` (the
+    * sqlP3SplitRecsCtes chain, factored to compose). */
+  private def sqlP3Chain(p: String, neighbors: Int, k: Int): String =
+    s"""${p}du AS (SELECT u, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+       |${p}di AS (SELECT i, CAST(sum(w) AS BIGINT) AS d FROM e GROUP BY 1),
+       |${p}pui AS (SELECT e.u, e.i, (w * 10000) // ${p}du.d AS p
+       |        FROM e JOIN ${p}du USING (u)),
+       |${p}piu AS (SELECT e.i, e.u, (w * 10000) // ${p}di.d AS p
+       |        FROM e JOIN ${p}di USING (i)),
+       |${p}ssf AS (SELECT a.i AS s1, b.i AS s2,
+       |          CAST(sum(a.p * b.p) AS BIGINT) AS q
+       |        FROM ${p}piu a JOIN ${p}pui b ON a.u = b.u GROUP BY 1, 2),
+       |${p}ss AS (SELECT s1, s2, q FROM (SELECT *, row_number() OVER
+       |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM ${p}ssf)
+       |  WHERE rs <= $neighbors),
+       |${p}sc AS (SELECT ${p}pui.u, ${p}ss.s2,
+       |         CAST(sum(${p}pui.p * ${p}ss.q) AS BIGINT) AS score
+       |       FROM ${p}pui JOIN ${p}ss ON ${p}pui.i = ${p}ss.s1 GROUP BY 1, 2),
+       |${p}unseen AS (SELECT ${p}sc.* FROM ${p}sc
+       |           LEFT JOIN e ON ${p}sc.u = e.u AND ${p}sc.s2 = e.i
+       |           WHERE e.u IS NULL AND ${p}sc.score > 0),
+       |${p}recs AS (SELECT u, s2, score, CAST(rn AS BIGINT) AS rnk FROM
+       |    (SELECT *, row_number() OVER
+       |      (PARTITION BY u ORDER BY score DESC, s2) AS rn FROM ${p}unseen)
+       |  WHERE rn <= $k)""".stripMargin
+
+  /** RECIPROCAL-RANK-FUSION hybrid recommender
+    * ([[graft.ops.GraphCF.rrfFuse]]): ItemKNN and P3alpha ranked lists —
+    * built off ONE shared capped edge frame (the q168 pattern) — fused
+    * by position (`10⁶ div (60 + rank)` per list, exact long sums), the
+    * standard way a production ranker ensembles candidate generators
+    * with incomparable score scales. The fused contribution is integer
+    * division shared verbatim with the oracle, so the hybrid list is as
+    * replayable as its inputs. */
+  private val q186 = Q("q186_rrf_hybrid",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val e = GraphCF.edges(inter, "cust", "supp", maxHistory = 50)
+      val kn = GraphCF.itemKnnRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20)
+      val p3 = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20)
+      GraphCF.rrfFuse(Seq(kn, p3), "cust", "supp", "rnk", k = 10)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some(s"""WITH $sqlFullEdgesCtes,
+            |${sqlItemKnnChain("kn_", 20, 10)},
+            |${sqlP3Chain("p3_", 20, 10)},
+            |fx AS (SELECT u, i, CAST(sum(1000000 // (60 + rnk)) AS BIGINT)
+            |         AS rrf_q
+            |       FROM (SELECT u, s2 AS i, rnk FROM kn_recs
+            |             UNION ALL SELECT u, s2 AS i, rnk FROM p3_recs)
+            |       GROUP BY 1, 2),
+            |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
+            |    ORDER BY rrf_q DESC, i) AS BIGINT) AS rnk FROM fx)
+            |SELECT u AS cust, i AS supp, rrf_q, rnk FROM fr WHERE rnk <= 10
+            |ORDER BY cust, rnk""".stripMargin))
+
+  /** LEAVE-LAST-BASKET-OUT evaluation protocol — each customer's most
+    * recent order (latest o_orderdate, orderkey tie-break) held out as
+    * the test set, ItemKNN trained on the rest, scored with the full
+    * exact rank-metric suite ([[graft.model.Metrics.rankingMetricsQ]]).
+    * The family's SECOND standard offline protocol beside q177's global
+    * time cut (and the reference's random split): LOO evaluates every
+    * user at their individual history frontier, so no user is lost to a
+    * calendar boundary. The split is a per-user row_number window — an
+    * exact, replayable cut, never a sampled one. */
+  private val q187 = Q("q187_loo_eval",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ro = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val test = inter(ro.filter(col("__rn") === 1)).distinct().persist(lvl)
+      val recs = GraphCF.itemKnnRecs(inter(ro.filter(col("__rn") > 1)),
+          "cust", "supp", k = 10, neighbors = 20, maxHistory = 50)
+        .persist(lvl)
+      graft.model.Metrics.rankingMetricsQ(recs, test, "cust", "supp",
+          "rnk", 10)
+        .orderBy(col("metric"))
+    },
+    Some(s"""WITH ro AS (SELECT o_orderkey, o_custkey, row_number() OVER
+            |    (PARTITION BY o_custkey
+            |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            |  FROM orders),
+            |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+            |       FROM ro JOIN lineitem ON o_orderkey = l_orderkey
+            |       WHERE rn = 1),
+            |e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+            |    CAST(count(*) AS BIGINT) AS w
+            |  FROM ro JOIN lineitem ON o_orderkey = l_orderkey
+            |  WHERE rn > 1 GROUP BY 1, 2),
+            |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+            |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+            |  WHERE rh <= 50),
+            |${sqlItemKnnChain("", 20, 10)},
+            |${sqlRankMetricsTail(10)}""".stripMargin))
+
+  /** POPULARITY-BIAS metrics of the served ItemKNN lists
+    * ([[graft.model.Metrics.recPopularityBiasQ]]): average
+    * recommendation popularity plus head/torso/tail band shares of the
+    * rec slots, bands cut on the SAME capped training edge mass the
+    * model trained on (one shared edge frame feeds model, popularity
+    * and bands — the q168/q180 pattern). q178 says how unevenly serving
+    * spreads over the catalog; this says how hard it leans on the
+    * training head — the pair a popularity-collapse diagnosis needs.
+    * Every metric is an exact (num, den) long ratio. */
+  private val q188 = Q("q188_rec_popularity_bias",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val e = GraphCF.edges(inter, "cust", "supp", maxHistory = 50)
+      val recs = GraphCF.itemKnnRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20)
+      val pop = e.groupBy(col("i").as("supp")).agg(sum(col("w")).as("v"))
+      graft.model.Metrics.recPopularityBiasQ(recs, pop, "supp", "v")
+    },
+    Some(s"""WITH $sqlFullEdgesCtes,
+            |${sqlItemKnnChain("", 20, 10)},
+            |pop AS (SELECT i, CAST(sum(w) AS BIGINT) AS v FROM e GROUP BY 1),
+            |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+            |       FROM pop GROUP BY 1),
+            |vb AS (SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |    AS BIGINT) AS below FROM vc),
+            |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM pop),
+            |ib AS (SELECT pop.i, pop.v,
+            |         (3 * vb.below) // nf.n_items AS band_id
+            |       FROM pop JOIN vb USING (v) CROSS JOIN nf),
+            |rb AS (SELECT coalesce(ib.v, 0) AS v,
+            |         coalesce(ib.band_id, 3) AS band_id
+            |       FROM recs LEFT JOIN ib ON recs.s2 = ib.i),
+            |ag AS (SELECT CAST(sum(v) AS BIGINT) AS arp_num,
+            |    CAST(sum(CASE WHEN band_id = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS head_num,
+            |    CAST(sum(CASE WHEN band_id = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS torso_num,
+            |    CAST(sum(CASE WHEN band_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS tail_num,
+            |    CAST(sum(CASE WHEN band_id = 3 THEN 1 ELSE 0 END) AS BIGINT)
+            |      AS cold_num,
+            |    CAST(count(*) AS BIGINT) AS den FROM rb)
+            |SELECT * FROM (
+            |  SELECT 'arp' AS metric, arp_num AS num, den,
+            |    round(CAST(arp_num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            |      AS value FROM ag
+            |  UNION ALL SELECT 'cold_share', cold_num, den,
+            |    round(CAST(cold_num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            |    FROM ag
+            |  UNION ALL SELECT 'head_share', head_num, den,
+            |    round(CAST(head_num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            |    FROM ag
+            |  UNION ALL SELECT 'tail_share', tail_num, den,
+            |    round(CAST(tail_num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            |    FROM ag
+            |  UNION ALL SELECT 'torso_share', torso_num, den,
+            |    round(CAST(torso_num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+            |    FROM ag
+            |) ORDER BY metric""".stripMargin))
+
+  /** Shared oracle for the Markov next-basket recommender (q189 direct,
+    * q190 off the standing transition store — the store fold must
+    * hash-match this ONE-SHOT build, the q173/q182 equality proof). */
+  private val markovRecsSql: String =
+    """WITH bi0 AS (SELECT o_custkey AS u, o_orderkey AS b, o_orderdate AS t,
+      |    l_suppkey AS i, CAST(count(*) AS BIGINT) AS w
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1, 2, 3, 4),
+      |bic AS (SELECT u, b, t, i FROM (SELECT bi0.*, row_number() OVER
+      |    (PARTITION BY u, b ORDER BY w DESC, i) AS rw FROM bi0)
+      |  WHERE rw <= 8),
+      |bi AS (SELECT u, b, i, CAST(dense_rank() OVER
+      |    (PARTITION BY u ORDER BY t, b) AS BIGINT) AS rb FROM bic),
+      |tr AS (SELECT a.i AS prev, c.i AS next, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM bi a JOIN bi c ON a.u = c.u AND c.rb = a.rb + 1
+      |       GROUP BY 1, 2),
+      |tt AS (SELECT prev, next, cnt FROM (SELECT tr.*, row_number() OVER
+      |    (PARTITION BY prev ORDER BY cnt DESC, next) AS rt FROM tr)
+      |  WHERE rt <= 20),
+      |lastb AS (SELECT bi.u, bi.i FROM bi JOIN (SELECT u, max(rb) AS rb
+      |    FROM bi GROUP BY 1) m ON bi.u = m.u AND bi.rb = m.rb),
+      |sc AS (SELECT lastb.u, tt.next, CAST(sum(tt.cnt) AS BIGINT) AS score
+      |       FROM lastb JOIN tt ON lastb.i = tt.prev GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
+      |    ORDER BY score DESC, next) AS BIGINT) AS rnk FROM sc)
+      |SELECT u AS cust, next AS supp, score, rnk FROM r WHERE rnk <= 10
+      |ORDER BY cust, rnk""".stripMargin
+
+  /** MARKOV NEXT-BASKET recommender
+    * ([[graft.ops.GraphCF.markovRecs]]): the sequence-aware model the
+    * neighborhood family lacks — item→item transition counts between
+    * each user's CONSECUTIVE orders (first-order Markov, the FMC
+    * baseline of Rendle et al. 2010), served from the user's LAST
+    * basket. Unlike the discovery recommenders, repurchases are in
+    * scope (no seen-item anti-join — next-basket semantics). Exact long
+    * counts end-to-end, no quantization; basket width capped at 8
+    * (multiplicity desc, id tie-break — the replayable cut that bounds
+    * the transition fanout at #baskets·64). */
+  private val q189 = Q("q189_markov_next_basket",
+    (s, d) => {
+      val inter = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
+          col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
+      GraphCF.markovRecs(inter, "cust", "bsk", "ts", "supp", k = 10,
+          neighbors = 20, maxBasket = 8)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some(markovRecsSql))
+
+  /** The Markov recommender served OFF THE STANDING TRANSITION STORE
+    * ([[graft.ops.GraphCF.writeTransitionBatch]] /
+    * [[graft.ops.GraphCF.transitionsFromStore]]): the log lands as four
+    * USER-SHARDED per-batch (prev, next, cnt) partials (a user's whole
+    * history in one batch — transitions are within-user statistics, the
+    * q176 unit lesson applied to sequence models), batch-keyed overwrite
+    * = replay-idempotent, and the fold is one groupBy of additive
+    * counts. SHARES q189's oracle — the hash match IS the
+    * store-equals-rebuild proof (the q173/q182/q175 pattern). Serving
+    * reads only each user's last basket from the live log. */
+  private val q190 = Q("q190_markov_from_store",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q190_trans")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val inter = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
+          col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
+      (0L until 4L).foreach { b =>
+        GraphCF.writeTransitionBatch(
+          inter.filter(pmod(col("cust"), lit(4L)) === b),
+          "cust", "bsk", "ts", "supp", maxBasket = 8,
+          path = dir.toString, batchId = b)
+      }
+      GraphCF.markovRecsFromStore(s, dir.toString, inter,
+          "cust", "bsk", "ts", "supp", k = 10, neighbors = 20, maxBasket = 8)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some(markovRecsSql))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4648,7 +4953,8 @@ object PipelineQueries {
     q138, q139, q140, q141, q142, q143, q144, q145, q146, q147, q148, q149,
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
-    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185)
+    q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
+    q186, q187, q188, q189, q190)
 
   // ------------------------------------------------- phase decompositions
 

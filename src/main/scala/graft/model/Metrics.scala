@@ -197,6 +197,71 @@ object Metrics {
     *
     * Contract: `catalog` is the DISTINCT item-id frame; `recs` rows are
     * individual served recommendations (one row per list slot). */
+  /** Exact popularity-bias metrics of a served top-k frame — how far the
+    * model leans on the training head (Abdollahpouri et al. 2019's ARP
+    * plus band shares): [[recConcentrationQ]] measures how unevenly the
+    * served mass spreads over the CATALOG; these measure where the
+    * served items sit in the TRAINING-popularity distribution.
+    *
+    *   arp         = Σ_recrows pop(item)  /  n_rec_rows
+    *   head/torso/tail_share = rec rows whose item falls in that
+    *                 training-popularity tercile / n_rec_rows
+    *   cold_share  = rec rows whose item has no training popularity
+    *
+    * Bands are q180's exact integer cut — an item's band is
+    * (3·below) div n_items over the DISTINCT-popularity-value frame via
+    * [[graft.ops.Relational.globalCumBelow]] (tie blocks share a band;
+    * no per-item global sort at any scale). All five metrics are exact
+    * (num, den) long ratios. Long budget (bounded 1-row driver read,
+    * the GraphCF.cosineSimQ guard pattern): max(pop)·n_rec_rows ≤ 2⁶¹
+    * keeps the ARP numerator in range — corpora past it should
+    * pre-binarize weights.
+    *
+    * Contract: `recs` rows are individual served recommendations (one
+    * row per list slot); `pop` is the (item, popularity) frame of the
+    * TRAINING edge mass — derive both from ONE shared capped edge frame
+    * so the bands describe exactly what the model trained on. */
+  def recPopularityBiasQ(recs: DataFrame, pop: DataFrame, itemCol: String,
+                         popCol: String): DataFrame = {
+    val p = pop.select(col(itemCol), col(popCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = recs.select(col(itemCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = r.agg(count(lit(1)).as("n")).head()
+    val nRows = head.getLong(0)
+    require(nRows > 0L, "recPopularityBiasQ: empty recommendation frame")
+    val maxV = p.agg(max(col("v"))).head() match {
+      case row if row.isNullAt(0) => 0L
+      case row => row.getLong(0)
+    }
+    require(maxV <= (1L << 61) / nRows,
+      s"recPopularityBiasQ: max(pop)*n_rec_rows = $maxV*$nRows breaks the " +
+        "ARP long budget (need <= 2^61) — binarize training weights")
+    val vc = p.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val bandOfValue = graft.ops.Relational.globalCumBelow(vc, "v", "c", "below")
+      .crossJoin(broadcast(p.agg(count(lit(1)).as("n_items"))))
+      .select(col("v"), expr("(3 * below) div n_items").as("band_id"))
+    val itemBand = p.join(bandOfValue, "v")
+      .select(col(itemCol), col("v"), col("band_id"))
+    val rb = r.join(itemBand, Seq(itemCol), "left")
+      .select(coalesce(col("v"), lit(0L)).as("v"),
+        coalesce(col("band_id"), lit(3L)).as("band_id"))
+    rb.agg(
+        sum(col("v")).as("arp_num"),
+        sum(when(col("band_id") === 2L, 1L).otherwise(0L)).as("head_num"),
+        sum(when(col("band_id") === 1L, 1L).otherwise(0L)).as("torso_num"),
+        sum(when(col("band_id") === 0L, 1L).otherwise(0L)).as("tail_num"),
+        sum(when(col("band_id") === 3L, 1L).otherwise(0L)).as("cold_num"))
+      .selectExpr(
+        "stack(5, 'arp', arp_num, 'cold_share', cold_num, " +
+          "'head_share', head_num, 'tail_share', tail_num, " +
+          "'torso_share', torso_num) AS (metric, num)")
+      .select(col("metric"), col("num"), lit(nRows).as("den"),
+        round(col("num").cast("double") / lit(nRows).cast("double"), 6)
+          .as("value"))
+      .orderBy(col("metric"))
+  }
+
   def recConcentrationQ(recs: DataFrame, catalog: DataFrame,
                         itemCol: String): DataFrame = {
     val perItem = recs.groupBy(col(itemCol)).agg(count(lit(1)).as("x"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph-based collaborative filtering over a user-item interaction log —
@@ -590,6 +591,209 @@ object GraphCF {
         floor(col("co") * lit(scale) / sqrt(col("n1") * col("n2")))
           .cast("long").as("q"))
       .filter(col("q") > 0L)
+  }
+
+  /** Reciprocal-Rank-Fusion of two or more ranked top-k lists (Cormack,
+    * Clarke & Buettcher 2009) — the standard model-ensembling step a
+    * production ranker runs over its candidate generators (here: any mix
+    * of [[p3alphaRecs]] / [[itemKnnRecs]] / [[userKnnRecs]] /
+    * [[popularityRecs]] / [[markovRecs]] frames): each list contributes
+    * `1/(rrfK + rank)` per item and the fused list ranks by the summed
+    * mass. Rank positions — not model scores — are fused, so models with
+    * incomparable score scales (walk mass vs quantized cosine vs raw
+    * popularity) combine without normalization, which is RRF's whole
+    * point.
+    *
+    * Exactness: the contribution is quantized ONCE per (list, row) as
+    * `10⁶ div (rrfK + rank)` — integer division on longs, replayed
+    * bit-exactly by DuckDB's `//` — and the fused score is an order-free
+    * long sum, so results are bit-identical under any partitioning.
+    * Ties break to the smallest item id. Budget: each contribution is
+    * ≤ 10⁶/(rrfK+1) and a (u, i) pair appears at most once per list, so
+    * the fused sum is ≤ lists·10⁶ — nowhere near a long.
+    *
+    * Scale shape: inputs are already-served top-k frames (≤ |users|·k
+    * rows each); the fusion is one union + one (u, i)-keyed groupBy +
+    * the per-user top-k window — strictly linear, no quadratic leg, no
+    * driver-side state. Contract: each input carries one row per
+    * (user, item) with a dense 1-based rank (what every recommender in
+    * this family emits); a (user, item) pair MAY appear in several
+    * lists (that is the fusion) but at most once per list. */
+  def rrfFuse(rankedLists: Seq[DataFrame], userCol: String, itemCol: String,
+              rankCol: String, k: Int, rrfK: Long = 60L): DataFrame = {
+    require(rankedLists.size >= 2, "rrfFuse: need at least two ranked lists")
+    require(k >= 1, "k must be >= 1")
+    require(rrfK >= 0L, "rrfK must be >= 0")
+    val contrib = rankedLists.map(_
+      .select(col(userCol).as("u"), col(itemCol).as("i"),
+        col(rankCol).cast("long").as("__r"))
+      .select(col("u"), col("i"),
+        expr(s"1000000L div (${rrfK}L + __r)").as("__rrf")))
+    val fused = contrib.reduce(_.unionByName(_))
+      .groupBy(col("u"), col("i"))
+      .agg(sum(col("__rrf")).as("rrf_q"))
+    Relational.topKPerGroup(fused, Seq(col("u")),
+        Seq(col("rrf_q").desc, col("i")), k, rankName = "rnk")
+      .select(col("u").as(userCol), col("i").as(itemCol),
+        col("rrf_q"), col("rnk"))
+  }
+
+  /** Capped basket-item rows — the shared head of the Markov next-basket
+    * family: aggregate interaction multiplicities per (user, basket,
+    * item), keep each basket's top-`maxBasket` items (by multiplicity
+    * desc, item asc — the family's exact replayable cut), and index each
+    * user's baskets 1..n in time order (`dense_rank` over (time, basket
+    * id) — basket ids are unique within a user, so the order is total).
+    * `timeCol` must be constant within a basket (an order's date).
+    * Output: (u, b, rb, i) — one row per surviving basket item.
+    *
+    * Scale shape: one groupBy on (u, b, i), two user/basket-keyed
+    * windows — all linear; the basket cap is what bounds the transition
+    * join downstream (see [[basketTransitions]]). */
+  private def basketItems(interactions: DataFrame, userCol: String,
+                          basketCol: String, timeCol: String,
+                          itemCol: String, maxBasket: Int): DataFrame = {
+    require(maxBasket >= 1, "maxBasket must be >= 1")
+    val bi = interactions
+      .groupBy(col(userCol).as("u"), col(basketCol).as("b"),
+        col(timeCol).as("t"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val capped =
+      if (maxBasket == Int.MaxValue) bi
+      else Relational.topKPerGroup(bi, Seq(col("u"), col("b")),
+        Seq(col("w").desc, col("i")), maxBasket, rankName = "__rw")
+        .drop("__rw")
+    capped.withColumn("rb", dense_rank().over(
+        Window.partitionBy(col("u")).orderBy(col("t"), col("b")))
+      .cast("long"))
+      .select(col("u"), col("b"), col("rb"), col("i"))
+  }
+
+  /** Global item→item transition counts between CONSECUTIVE baskets —
+    * the sufficient statistics of a first-order Markov next-basket model
+    * (Rendle, Freudenthaler & Schmidt-Thieme 2010's FMC baseline):
+    * cnt(i, j) = #{(u, t) : i ∈ basket_t(u) ∧ j ∈ basket_{t+1}(u)},
+    * exact long counts over the capped basket frame.
+    *
+    * Scale shape: the (u, rb)-keyed join of each basket against its
+    * successor fans out Σ_u Σ_t |b_t|·|b_{t+1}| ≤ #baskets·maxBasket²
+    * pair rows — LINEAR in baskets once `maxBasket` caps basket width
+    * (the family's one quadratic-looking leg, bounded the same way
+    * maxHistory bounds the co-walk). Counts are additive, so this is
+    * the standing representation a deployment maintains incrementally
+    * ([[writeTransitionBatch]] / [[transitionsFromStore]]). */
+  def basketTransitions(interactions: DataFrame, userCol: String,
+                        basketCol: String, timeCol: String, itemCol: String,
+                        maxBasket: Int = Int.MaxValue): DataFrame =
+    transitionsFromBasketItems(basketItems(interactions, userCol, basketCol,
+      timeCol, itemCol, maxBasket))
+
+  private def transitionsFromBasketItems(bi: DataFrame): DataFrame =
+    bi.select(col("u"), col("rb"), col("i").as("prev"))
+      .join(bi.select(col("u"), (col("rb") - lit(1L)).as("rb"),
+        col("i").as("next")), Seq("u", "rb"))
+      .groupBy(col("prev"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-batch partial for the standing transition store: the batch's
+    * (prev, next, cnt) transition counts land under `batch=<id>` —
+    * batch-id-keyed OVERWRITE, replay-idempotent (the [[writeEdgeBatch]]
+    * recipe). CONTRACT: batches must partition the log BY USER (a user's
+    * whole history in one batch) — transitions are within-user
+    * statistics, so a user split across batches would lose the pairs
+    * crossing the cut. Counts are additive across user shards (each
+    * user's pairs land in exactly one partial), so the standing frame
+    * folds with one groupBy. */
+  def writeTransitionBatch(batch: DataFrame, userCol: String,
+                           basketCol: String, timeCol: String,
+                           itemCol: String, maxBasket: Int,
+                           path: String, batchId: Long): Unit =
+    basketTransitions(batch, userCol, basketCol, timeCol, itemCol, maxBasket)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** The standing transition frame folded from the per-batch partials
+    * ([[writeTransitionBatch]]): Σ of partial counts per (prev, next) —
+    * bit-equal to [[basketTransitions]] over the concatenated batches
+    * (long sums are order-free; user-sharded batches make the partials
+    * disjoint in the pairs they witness). */
+  def transitionsFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+      .groupBy(col("prev"), col("next"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Top-`k` Markov next-basket recommendations: score(u, j) =
+    * Σ_{i ∈ last basket(u)} cnt(i, j) over the top-`neighbors` truncated
+    * transition rows — "users who bought your last basket bought next".
+    * Unlike the history recommenders, SEEN items are NOT excluded:
+    * repurchase is the point of next-basket prediction (the reference's
+    * anti-join contract applies to its discovery models, not here).
+    * Ties break to the smallest item id; every sum is exact long
+    * arithmetic over counts — bit-replayable, no quantization needed.
+    *
+    * Scale levers, mirroring the neighborhood family: `maxBasket` bounds
+    * the transition fanout (see [[basketTransitions]]); `neighbors`
+    * truncates each item's transition row (cnt desc, next-id tie-break —
+    * exact cut) before the serving join; `broadcastItems` switches the
+    * truncated matrix from broadcast to a distributed shuffle join above
+    * that catalog size (both modes bit-identical — the knnFromEdges
+    * two-mode contract). The serving leg is |users|·maxBasket·neighbors
+    * at most — never users × catalog. */
+  def markovRecs(interactions: DataFrame, userCol: String, basketCol: String,
+                 timeCol: String, itemCol: String, k: Int,
+                 neighbors: Int = 20, maxBasket: Int = Int.MaxValue,
+                 broadcastItems: Long = 10000L): DataFrame = {
+    val bi = basketItems(interactions, userCol, basketCol, timeCol, itemCol,
+        maxBasket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    markovServe(transitionsFromBasketItems(bi), lastBasket(bi), userCol,
+      itemCol, k, neighbors, broadcastItems)
+  }
+
+  /** [[markovRecs]] served off the standing transition store
+    * ([[writeTransitionBatch]] / [[transitionsFromStore]]): the model
+    * state (transition counts) folds from the per-user-shard partials;
+    * only each user's LAST basket is read from the serving-side log —
+    * bit-equal to the one-shot build over the concatenated batches. */
+  def markovRecsFromStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, interactions: DataFrame,
+                          userCol: String, basketCol: String,
+                          timeCol: String, itemCol: String, k: Int,
+                          neighbors: Int = 20,
+                          maxBasket: Int = Int.MaxValue,
+                          broadcastItems: Long = 10000L): DataFrame =
+    markovServe(transitionsFromStore(spark, path),
+      lastBasket(basketItems(interactions, userCol, basketCol, timeCol,
+        itemCol, maxBasket)),
+      userCol, itemCol, k, neighbors, broadcastItems)
+
+  /** Each user's last (highest-index) capped basket: (u, i) rows. */
+  private def lastBasket(bi: DataFrame): DataFrame =
+    bi.join(bi.groupBy(col("u")).agg(max(col("rb")).as("rb")),
+        Seq("u", "rb"))
+      .select(col("u"), col("i"))
+
+  private def markovServe(trans: DataFrame, last: DataFrame, userCol: String,
+                          itemCol: String, k: Int, neighbors: Int,
+                          broadcastItems: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(neighbors >= 1, "neighbors must be >= 1")
+    val tt = Relational.topKPerGroup(trans, Seq(col("prev")),
+        Seq(col("cnt").desc, col("next")), neighbors, rankName = "__rt")
+      .drop("__rt")
+    // one bounded 1-row read (the cosineSimQ guard pattern) picks the
+    // physical join: small catalogs broadcast the truncated matrix, big
+    // ones shuffle-join on prev — bit-identical either way
+    val nPrev = trans.select(col("prev")).distinct().count()
+    val ttJ = if (nPrev <= broadcastItems) broadcast(tt) else tt
+    val scores = last.select(col("u"), col("i").as("prev"))
+      .join(ttJ, "prev")
+      .groupBy(col("u"), col("next"))
+      .agg(sum(col("cnt")).as("score"))
+    Relational.topKPerGroup(scores, Seq(col("u")),
+        Seq(col("score").desc, col("next")), k, rankName = "rnk")
+      .select(col("u").as(userCol), col("next").as(itemCol),
+        col("score"), col("rnk"))
   }
 
   private def knnFromEdges(edges0: DataFrame, userCol: String,

@@ -104,4 +104,32 @@ class RankMetricsSpec extends SparkTestBase {
     assert(outC("hhi") == 1.0)
     assert(outC("top_decile_share") == 1.0)
   }
+
+  test("recPopularityBiasQ matches the hand-computed band fixture") {
+    // pop a=1 b=2 c=3 d=10 (n_items=4, all values distinct):
+    // below = 0,1,2,3 -> band (3*below) div 4 = 0,0,1,2 = tail,tail,
+    // torso,head; rec slots [a,c,d,d,e] with e unknown -> cold, v=0
+    val pop = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 10L))
+      .toDF("item", "v")
+    val recs = Seq("a", "c", "d", "d", "e").toDF("item")
+    val out = Metrics.recPopularityBiasQ(recs, pop, "item", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("arp") == ((24L, 5L, 4.8))) // 1+3+10+10+0
+    assert(out("head_share") == ((2L, 5L, 0.4)))
+    assert(out("torso_share") == ((1L, 5L, 0.2)))
+    assert(out("tail_share") == ((1L, 5L, 0.2)))
+    assert(out("cold_share") == ((1L, 5L, 0.2)))
+    spark.catalog.clearCache()
+  }
+
+  test("recPopularityBiasQ refuses the ARP long-budget breach") {
+    val pop = Seq(("a", 1L << 61)).toDF("item", "v")
+    val recs = Seq("a", "a").toDF("item")
+    val e = intercept[IllegalArgumentException] {
+      Metrics.recPopularityBiasQ(recs, pop, "item", "v")
+    }
+    assert(e.getMessage.contains("ARP long budget"))
+    spark.catalog.clearCache()
+  }
 }

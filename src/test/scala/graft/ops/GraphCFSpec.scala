@@ -361,6 +361,102 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("rrfFuse matches the hand-computed reciprocal-rank sums") {
+    // contributions at rrfK=60: rank1 -> 1000000 div 61 = 16393,
+    // rank2 -> 1000000 div 62 = 16129
+    val listA = Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("user", "item", "rnk")
+    val listB = Seq((1L, "b", 1L), (1L, "c", 2L)).toDF("user", "item", "rnk")
+    val got = GraphCF.rrfFuse(Seq(listA, listB), "user", "item", "rnk", k = 2)
+      .select($"user", $"item", $"rrf_q", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // b = 16129 + 16393 = 32522 (both lists), a = 16393, c = 16129
+    assert(got == Set((1L, "b", 32522L, 1L), (1L, "a", 16393L, 2L)))
+  }
+
+  test("rrfFuse breaks score ties to the smallest item id; rejects <2 lists") {
+    val la = Seq((1L, "b", 1L)).toDF("user", "item", "rnk")
+    val lb = Seq((1L, "a", 1L)).toDF("user", "item", "rnk")
+    val got = GraphCF.rrfFuse(Seq(la, lb), "user", "item", "rnk", k = 2)
+      .select($"item", $"rnk").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 1L), ("b", 2L))) // equal 16393 mass -> id order
+    intercept[IllegalArgumentException] {
+      GraphCF.rrfFuse(Seq(la), "user", "item", "rnk", k = 2)
+    }
+  }
+
+  /** Markov fixture — basket ids deliberately NON-monotonic with time so
+    * the index provably follows the time column:
+    *   u1: t1 basket9 {a,b}, t2 basket5 {b,c}, t3 basket2 {a}
+    *   u2: t1 basket4 {a},   t2 basket7 {c}
+    * Transitions: 9→5 gives (a,b)(a,c)(b,b)(b,c); 5→2 gives (b,a)(c,a);
+    * 4→7 gives (a,c). Counts: (a,c)=2, the rest 1. */
+  private val basketLog = Seq(
+    (1L, 9L, 1L, "a"), (1L, 9L, 1L, "b"),
+    (1L, 5L, 2L, "b"), (1L, 5L, 2L, "c"),
+    (1L, 2L, 3L, "a"),
+    (2L, 4L, 1L, "a"),
+    (2L, 7L, 2L, "c"))
+    .toDF("user", "bsk", "ts", "item")
+
+  test("basketTransitions matches the hand-computed consecutive-pair counts") {
+    val got = GraphCF.basketTransitions(basketLog, "user", "bsk", "ts", "item")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 1L), ("a", "c", 2L), ("b", "b", 1L), ("b", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L)))
+  }
+
+  test("markovRecs serves from the last basket, repurchases allowed") {
+    val got = GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item",
+        k = 3)
+      .select($"user", $"item", $"score", $"rnk")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // u1's last basket (t3) = {a}: next c=2, b=1 — c is a REPURCHASE
+    // (u1 saw c at t2); u2's last basket = {c}: next a=1
+    assert(got == Set(
+      (1L, "c", 2L, 1L), (1L, "b", 1L, 2L),
+      (2L, "a", 1L, 1L)))
+  }
+
+  test("markovRecs maxBasket cap cuts by (multiplicity desc, item id)") {
+    // basket {a,a,b} capped at 1 keeps a (w=2) and drops b, so the b→c
+    // transition never exists
+    val log = Seq(
+      (1L, 1L, 1L, "a"), (1L, 1L, 1L, "a"), (1L, 1L, 1L, "b"),
+      (1L, 2L, 2L, "c")).toDF("user", "bsk", "ts", "item")
+    val full = GraphCF.basketTransitions(log, "user", "bsk", "ts", "item")
+      .as[(String, String, Long)].collect().toSet
+    assert(full == Set(("a", "c", 1L), ("b", "c", 1L)))
+    val capped = GraphCF.basketTransitions(log, "user", "bsk", "ts", "item",
+        maxBasket = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("a", "c", 1L)))
+  }
+
+  test("markovRecsFromStore over user-sharded batches equals the direct build") {
+    val dir = java.nio.file.Files.createTempDirectory("markov_store").toString
+    (0L until 2L).foreach { b =>
+      GraphCF.writeTransitionBatch(
+        basketLog.filter(pmod($"user", lit(2L)) === b),
+        "user", "bsk", "ts", "item", maxBasket = Int.MaxValue, dir, b)
+    }
+    val direct = GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item",
+      k = 3).collect().map(_.toSeq).toSet
+    val fromStore = GraphCF.markovRecsFromStore(spark, dir, basketLog,
+      "user", "bsk", "ts", "item", k = 3).collect().map(_.toSeq).toSet
+    assert(fromStore == direct)
+    spark.catalog.clearCache()
+  }
+
+  test("markov shuffle mode (broadcastItems=0) is bit-identical to broadcast") {
+    val bc = GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item", k = 3)
+      .collect().map(_.toSeq).toSet
+    val sh = GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item", k = 3,
+      broadcastItems = 0L).collect().map(_.toSeq).toSet
+    assert(bc == sh)
+    spark.catalog.clearCache()
+  }
+
   test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
     // neighbors=1 keeps only each item's single strongest edge:
     // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and
