@@ -4728,10 +4728,19 @@ object PipelineQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
       val e = GraphCF.edges(inter, "cust", "supp", maxHistory = 50)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // persist + materialize each model's top-k frame BEFORE fusing: a
+      // single fused action would submit both models' quadratic co-walk
+      // stages concurrently (they only share the cached edge frame), and
+      // two partial-aggregation hash maps contending for the same heap
+      // measurably thrash — 34.2 s fused vs 16.3 s staged at sf0.1/32t.
+      // The materialized frames are |users|·k rows — trivially cheap.
       val kn = GraphCF.itemKnnRecsFromEdges(e, "cust", "supp",
-        k = 10, neighbors = 20)
+        k = 10, neighbors = 20).persist(lvl)
+      kn.count()
       val p3 = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
-        k = 10, neighbors = 20)
+        k = 10, neighbors = 20).persist(lvl)
+      p3.count()
       GraphCF.rrfFuse(Seq(kn, p3), "cust", "supp", "rnk", k = 10)
         .orderBy(col("cust"), col("rnk"))
     },
