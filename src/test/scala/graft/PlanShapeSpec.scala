@@ -450,6 +450,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject") || !p.contains("GlobalLimit"), p)
   }
 
+  test("markov serving: transition matrix broadcasts below the catalog threshold") {
+    val p = plan("q189_markov_next_basket")
+    // the serving join is last-basket x truncated transitions: small
+    // catalogs must broadcast the matrix; a cartesian or a
+    // catalog-unbounded leg is the scale failure
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      s"truncated transition matrix must broadcast:\n$p")
+  }
+
+  test("rrf fusion adds only the (u,i) fold and the per-user top-k window") {
+    val p = plan("q186_rrf_hybrid")
+    assert(!p.contains("CartesianProduct"), p)
+    // the fusion tail runs on materialized |users|*k rec frames: both
+    // model subtrees must read from the cache, not rebuild the co-walk
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2, s"fusion must read the persisted rec frames:\n$p")
+  }
+
   test("digest-store probe: store side distincts on its bucket layout, no store exchange") {
     val q = "q146_digest_store"
     val p = plan(q) // builds the store, returns the probe
