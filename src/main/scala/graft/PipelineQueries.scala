@@ -4953,6 +4953,72 @@ object PipelineQueries {
     },
     Some(markovRecsSql))
 
+  /** The Markov next-basket model under the SAME leave-last-basket-out
+    * split and exact rank-metric suite as q187's ItemKNN — sequence
+    * awareness vs neighborhood signal as a two-query diff (the
+    * q177-vs-q179 comparative pattern): train on every order but the
+    * last, hold the last order's items out, serve from the last TRAIN
+    * basket. The one protocol where a next-basket model is actually at
+    * home — q187's discovery models exclude repurchases by construction;
+    * the Markov arm predicts them. */
+  private val q191 = Q("q191_markov_loo_eval",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ro = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val test = ro.filter(col("__rn") === 1)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct().persist(lvl)
+      val train = ro.filter(col("__rn") > 1)
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
+          col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
+      val recs = GraphCF.markovRecs(train, "cust", "bsk", "ts", "supp",
+          k = 10, neighbors = 20, maxBasket = 8)
+        .persist(lvl)
+      graft.model.Metrics.rankingMetricsQ(recs, test, "cust", "supp",
+          "rnk", 10)
+        .orderBy(col("metric"))
+    },
+    Some(s"""WITH ro AS (SELECT o_orderkey, o_custkey, o_orderdate,
+            |    row_number() OVER (PARTITION BY o_custkey
+            |     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            |  FROM orders),
+            |te AS (SELECT DISTINCT o_custkey AS u, l_suppkey AS i
+            |       FROM ro JOIN lineitem ON o_orderkey = l_orderkey
+            |       WHERE rn = 1),
+            |bi0 AS (SELECT o_custkey AS u, o_orderkey AS b, o_orderdate AS t,
+            |    l_suppkey AS i, CAST(count(*) AS BIGINT) AS w
+            |  FROM ro JOIN lineitem ON o_orderkey = l_orderkey
+            |  WHERE rn > 1 GROUP BY 1, 2, 3, 4),
+            |bic AS (SELECT u, b, t, i FROM (SELECT bi0.*, row_number() OVER
+            |    (PARTITION BY u, b ORDER BY w DESC, i) AS rw FROM bi0)
+            |  WHERE rw <= 8),
+            |bi AS (SELECT u, b, i, CAST(dense_rank() OVER
+            |    (PARTITION BY u ORDER BY t, b) AS BIGINT) AS rb FROM bic),
+            |tr AS (SELECT a.i AS prev, c.i AS next,
+            |         CAST(count(*) AS BIGINT) AS cnt
+            |       FROM bi a JOIN bi c ON a.u = c.u AND c.rb = a.rb + 1
+            |       GROUP BY 1, 2),
+            |tt AS (SELECT prev, next, cnt FROM (SELECT tr.*, row_number() OVER
+            |    (PARTITION BY prev ORDER BY cnt DESC, next) AS rt FROM tr)
+            |  WHERE rt <= 20),
+            |lastb AS (SELECT bi.u, bi.i FROM bi JOIN (SELECT u, max(rb) AS rb
+            |    FROM bi GROUP BY 1) m ON bi.u = m.u AND bi.rb = m.rb),
+            |scm AS (SELECT lastb.u, tt.next, CAST(sum(tt.cnt) AS BIGINT)
+            |         AS score
+            |       FROM lastb JOIN tt ON lastb.i = tt.prev GROUP BY 1, 2),
+            |recs AS (SELECT u, next AS s2, CAST(rn AS BIGINT) AS rnk FROM
+            |    (SELECT *, row_number() OVER
+            |      (PARTITION BY u ORDER BY score DESC, next) AS rn FROM scm)
+            |  WHERE rn <= 10),
+            |${sqlRankMetricsTail(10)}""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -4963,7 +5029,7 @@ object PipelineQueries {
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190)
+    q186, q187, q188, q189, q190, q191)
 
   // ------------------------------------------------- phase decompositions
 
