@@ -595,6 +595,94 @@ object EventStreams {
         graft.ops.GraphCF.writeEdgeBatch(batch, userCol, itemCol, path, batchId)
       }
 
+  final case class BasketTState(basketId: Long, tsMicros: Long,
+                                items: Seq[Long])
+  final case class TransitionPair(prev: Long, next: Long)
+
+  /** Streaming leg of the Markov transition store, part 1 — the STATEFUL
+    * pair generator: per user, keep the LAST capped basket in state and,
+    * as each new basket arrives, emit its (prev item, next item) cross
+    * pairs against the stored one. This is what incremental maintenance
+    * of [[graft.ops.GraphCF.basketTransitions]] looks like on a stream —
+    * a basket's arrival touches exactly |prev|·|new| ≤ maxBasket² pairs,
+    * and the time-split micro-batches a stream naturally produces would
+    * otherwise LOSE every transition crossing a batch boundary (the
+    * batch-side [[graft.ops.GraphCF.writeTransitionBatch]] contract
+    * demands user-sharded batches for exactly that reason; state is how
+    * a stream meets it).
+    *
+    * Exactness contract (the [[enrichLatest]] honesty terms): rows are
+    * processed in event-time order within each micro-batch, each basket
+    * is capped to its top-`maxBasket` items (multiplicity desc, item id
+    * — the batch operator's exact cut), so a feed whose micro-batches
+    * don't split baskets reproduces the one-shot build bit-exactly
+    * (TransitionStreamSpec pins it). A basket split ACROSS micro-batches
+    * is processed as two baskets — feed basket-atomic micro-batches
+    * (e.g. CDC on order commit) where equality matters. State is one
+    * capped basket per live user, freed by the event-time horizon. */
+  def transitionDeltas(baskets: DataFrame, userCol: String, basketCol: String,
+                       tsCol: String, itemCol: String, maxBasket: Int,
+                       watermark: String = "2 hours",
+                       stateHorizon: String = "30 days"): Dataset[TransitionPair] = {
+    import baskets.sparkSession.implicits._
+    require(maxBasket >= 1, "maxBasket must be >= 1")
+    val typed = baskets
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("long"), col(basketCol).cast("long"),
+        unix_micros(col(tsCol)).as("ts_us"), col(itemCol).cast("long"),
+        col(tsCol).as("ts")) // the watermark column must survive the projection
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BasketTState]) => {
+          if (state.hasTimedOut) {
+            state.remove() // horizon passed: free the slot, emit nothing
+            Iterator.empty
+          } else {
+            // baskets in event-time order (basket-id tie-break — the
+            // batch operator's dense_rank order), capped exactly like it
+            val byBasket = rows.toSeq.groupBy(r => (r._3, r._2))
+              .toSeq.sortBy(_._1)
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[TransitionPair]
+            byBasket.foreach { case ((tsUs, bid), rws) =>
+              val kept = rws.groupBy(_._4).view.mapValues(_.size).toSeq
+                .sortBy { case (i, c) => (-c, i) }
+                .take(maxBasket).map(_._1)
+              if (st != null)
+                for (p <- st.items; n <- kept) out += TransitionPair(p, n)
+              st = BasketTState(bid, tsUs, kept)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.tsMicros / 1000L, state.getCurrentWatermarkMs() + 1L),
+                stateHorizon)
+            }
+            out.result().iterator
+          }
+        })
+  }
+
+  /** Streaming leg of the Markov transition store, part 2 — the SINK:
+    * each micro-batch's [[transitionDeltas]] pairs land as an aggregated
+    * (prev, next, cnt) partial keyed by batch id, the layout
+    * [[graft.ops.GraphCF.transitionsFromStore]] folds and
+    * [[graft.ops.GraphCF.markovRecsFromStore]] serves from. Pair counts
+    * are additive across batches and the checkpointed state store makes
+    * a replayed micro-batch re-emit the SAME pairs, so batch-id-keyed
+    * overwrite = replay-idempotent — the recipe of every sink here. */
+  def sinkTransitionDeltas(pairs: Dataset[TransitionPair],
+                           path: String): org.apache.spark.sql.streaming.DataStreamWriter[TransitionPair] =
+    pairs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[TransitionPair], batchId: Long) =>
+        batch.groupBy(col("prev"), col("next"))
+          .agg(count(lit(1)).as("cnt"))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+
   /** Streaming leg of the standing conversion-counter store
     * ([[graft.stats.AbDecision.writeUnitCountBatch]]): each micro-batch
     * of events lands its per-unit success-count partial (zero-success
