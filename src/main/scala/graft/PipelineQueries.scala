@@ -4867,6 +4867,17 @@ object PipelineQueries {
             |    FROM ag
             |) ORDER BY metric""".stripMargin))
 
+  /** The (cust, bsk, ts, supp) basket-interaction frame the Markov
+    * family trains on — orders×lineitem with the order as the basket. */
+  private def custSuppBasketFrame(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
+        col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
+
   /** Shared oracle for the Markov next-basket recommender (q189 direct,
     * q190 off the standing transition store — the store fold must
     * hash-match this ONE-SHOT build, the q173/q182 equality proof). */
@@ -4906,17 +4917,9 @@ object PipelineQueries {
     * (multiplicity desc, id tie-break — the replayable cut that bounds
     * the transition fanout at #baskets·64). */
   private val q189 = Q("q189_markov_next_basket",
-    (s, d) => {
-      val inter = orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
-          col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
-      GraphCF.markovRecs(inter, "cust", "bsk", "ts", "supp", k = 10,
-          neighbors = 20, maxBasket = 8)
-        .orderBy(col("cust"), col("rnk"))
-    },
+    (s, d) => GraphCF.markovRecs(custSuppBasketFrame(s, d),
+        "cust", "bsk", "ts", "supp", k = 10, neighbors = 20, maxBasket = 8)
+      .orderBy(col("cust"), col("rnk")),
     Some(markovRecsSql))
 
   /** The Markov recommender served OFF THE STANDING TRANSITION STORE
@@ -4931,27 +4934,31 @@ object PipelineQueries {
     * reads only each user's last basket from the live log. */
   private val q190 = Q("q190_markov_from_store",
     (s, d) => {
+      transitionStore(s, d, "q190_trans")
       val dir = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "q190_trans")
-      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) fs.delete(dir, true)
-      val inter = orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"), col("o_orderkey").as("bsk"),
-          col("o_orderdate").as("ts"), col("l_suppkey").as("supp"))
-      (0L until 4L).foreach { b =>
-        GraphCF.writeTransitionBatch(
-          inter.filter(pmod(col("cust"), lit(4L)) === b),
-          "cust", "bsk", "ts", "supp", maxBasket = 8,
-          path = dir.toString, batchId = b)
-      }
-      GraphCF.markovRecsFromStore(s, dir.toString, inter,
+        s.conf.get("spark.sql.warehouse.dir"), "q190_trans").toString
+      GraphCF.markovRecsFromStore(s, dir, custSuppBasketFrame(s, d),
           "cust", "bsk", "ts", "supp", k = 10, neighbors = 20, maxBasket = 8)
         .orderBy(col("cust"), col("rnk"))
     },
     Some(markovRecsSql))
+
+  /** q190's store build: the basket log lands as four user-sharded
+    * transition partials (fresh directory per run). */
+  private def transitionStore(s: org.apache.spark.sql.SparkSession,
+                              d: String, name: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val inter = custSuppBasketFrame(s, d)
+    (0L until 4L).foreach { b =>
+      GraphCF.writeTransitionBatch(
+        inter.filter(pmod(col("cust"), lit(4L)) === b),
+        "cust", "bsk", "ts", "supp", maxBasket = 8,
+        path = dir.toString, batchId = b)
+    }
+  }
 
   /** The Markov next-basket model under the SAME leave-last-basket-out
     * split and exact rank-metric suite as q187's ItemKNN — sequence
@@ -5337,6 +5344,18 @@ object PipelineQueries {
           s.conf.get("spark.sql.warehouse.dir"), "q175_edges").toString
         Some(GraphCF.p3alphaRecsFromStore(s, dir, "cust", "supp",
             k = 10, neighbors = 20, maxHistory = 50)
+          .orderBy(col("cust"), col("rnk")))
+      }),
+    "q190_markov_from_store" -> Seq(
+      "build" -> ph { (s, d) =>
+        transitionStore(s, d, "q190_trans"); None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q190_trans").toString
+        Some(GraphCF.markovRecsFromStore(s, dir, custSuppBasketFrame(s, d),
+            "cust", "bsk", "ts", "supp", k = 10, neighbors = 20,
+            maxBasket = 8)
           .orderBy(col("cust"), col("rnk")))
       }))
 }
