@@ -5026,6 +5026,140 @@ object PipelineQueries {
             |  WHERE rn <= 10),
             |${sqlRankMetricsTail(10)}""".stripMargin))
 
+  /** RECENCY-WEIGHTED ItemKNN ([[graft.ops.GraphCF.edgesWeighted]]):
+    * interaction rows carry a power-of-two recency weight
+    * (2^(6 − age_years), the [[graft.ops.Behavior.decayedCounts]] idiom
+    * — every weight a whole power of two keeps all downstream sums
+    * order-free long arithmetic), so recent signal dominates norms,
+    * similarities AND the history cap (the top-50 cut now keeps each
+    * user's freshest-heaviest edges, not their oldest-heaviest). The
+    * standard production freshness lever, composed from two existing
+    * exact mechanisms; the cosineSimQ overflow budget still gates the
+    * weighted norms at runtime. */
+  private val q192 = Q("q192_decayed_knn",
+    (s, d) => {
+      val inter = orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
+          expr("CAST(pow(2, 6 - (2001 - year(o_orderdate))) AS BIGINT)")
+            .as("wt"))
+      val e = GraphCF.edgesWeighted(inter, "cust", "supp", "wt",
+        maxHistory = 50)
+      GraphCF.itemKnnRecsFromEdges(e, "cust", "supp", k = 10,
+          neighbors = 20)
+        .orderBy(col("cust"), col("rnk"))
+    },
+    Some(s"""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+            |    CAST(sum(CAST(pow(2, 6 - (2001 - year(o_orderdate)))
+            |      AS BIGINT)) AS BIGINT) AS w
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            |  GROUP BY 1, 2),
+            |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+            |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+            |  WHERE rh <= 50),
+            |${sqlItemKnnChain("", 20, 10)}
+            |SELECT u AS cust, s2 AS supp, score, rnk FROM recs
+            |ORDER BY cust, rnk""".stripMargin))
+
+  /** CALIBRATION of the served lists against user history
+    * ([[graft.model.Metrics.calibrationTvQ]], Steck 2018 with exact
+    * total-variation distance): supplier NATION is the category — per
+    * user, how far the rec list's nation mix drifts from the history's
+    * nation mix, as one exact micro-unit mean. The "does
+    * personalization collapse the user's taste profile?" diagnostic
+    * beside q188's global popularity lean. Model, history and
+    * categories all derive from ONE shared capped edge frame; the
+    * nation dimension broadcasts. */
+  private val q193 = Q("q193_rec_calibration",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val e = GraphCF.edges(inter, "cust", "supp", maxHistory = 50)
+      val recs = GraphCF.itemKnnRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20)
+      val nation = broadcast(supplier(s, d)
+        .select(col("s_suppkey").as("supp"),
+          col("s_nationkey").cast("long").as("cat")))
+      graft.model.Metrics.calibrationTvQ(
+        recs.join(nation, "supp"),
+        e.select(col("u").as("cust"), col("i").as("supp"), col("w"))
+          .join(nation, "supp"),
+        "cust", "cat", "w")
+    },
+    Some(s"""WITH $sqlFullEdgesCtes,
+            |${sqlItemKnnChain("", 20, 10)},
+            |nat AS (SELECT s_suppkey AS i, CAST(s_nationkey AS BIGINT) AS c
+            |        FROM supplier),
+            |h AS (SELECT e.u, nat.c, CAST(sum(e.w) AS BIGINT) AS hn
+            |      FROM e JOIN nat USING (i) GROUP BY 1, 2),
+            |r AS (SELECT recs.u, nat.c, CAST(count(*) AS BIGINT) AS rn
+            |      FROM recs JOIN nat ON recs.s2 = nat.i GROUP BY 1, 2),
+            |hd AS (SELECT u, CAST(sum(hn) AS BIGINT) AS hden
+            |       FROM h GROUP BY 1),
+            |rd AS (SELECT u, CAST(sum(rn) AS BIGINT) AS rden
+            |       FROM r GROUP BY 1),
+            |f AS (SELECT coalesce(h.u, r.u) AS u, coalesce(hn, 0) AS hn,
+            |        coalesce(rn, 0) AS rn
+            |      FROM h FULL JOIN r ON h.u = r.u AND h.c = r.c),
+            |pu AS (SELECT f.u,
+            |         (CAST(sum(abs(hn * rden - rn * hden)) AS BIGINT)
+            |           * 1000000) // (2 * hden * rden) AS tv_q
+            |       FROM f JOIN hd ON f.u = hd.u JOIN rd ON f.u = rd.u
+            |       GROUP BY f.u, hden, rden)
+            |SELECT 'calibration_tv' AS metric,
+            |  CAST(count(*) AS BIGINT) AS n_users,
+            |  CAST(sum(tv_q) AS BIGINT) AS sum_q,
+            |  round(CAST(sum(tv_q) AS DOUBLE)
+            |    / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_value
+            |FROM pu""".stripMargin))
+
+  /** MODEL-AGREEMENT histogram — per-user overlap between ItemKNN's and
+    * P3alpha's top-10 lists (users served by both), as (overlap,
+    * n_users) rows: the diagnostic that justifies q186's fusion — RRF
+    * only buys anything where the candidate generators DISAGREE, and
+    * this is that disagreement measured. Exact integers end-to-end;
+    * both models off ONE shared capped edge frame, staged like q186. */
+  private val q194 = Q("q194_model_overlap",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val e = GraphCF.edges(inter, "cust", "supp", maxHistory = 50)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val kn = GraphCF.itemKnnRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20).persist(lvl)
+      kn.count()
+      val p3 = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
+        k = 10, neighbors = 20).persist(lvl)
+      p3.count()
+      val common = kn.select(col("cust"), col("supp"))
+        .join(p3.select(col("cust"), col("supp")), Seq("cust", "supp"))
+        .groupBy(col("cust")).agg(count(lit(1)).as("o"))
+      kn.select(col("cust")).distinct()
+        .join(p3.select(col("cust")).distinct(), "cust")
+        .join(common, Seq("cust"), "left")
+        .select(coalesce(col("o"), lit(0L)).as("overlap"))
+        .groupBy(col("overlap")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("overlap"))
+    },
+    Some(s"""WITH $sqlFullEdgesCtes,
+            |${sqlItemKnnChain("kn_", 20, 10)},
+            |${sqlP3Chain("p3_", 20, 10)},
+            |common AS (SELECT a.u, CAST(count(*) AS BIGINT) AS o
+            |           FROM kn_recs a JOIN p3_recs b
+            |             ON a.u = b.u AND a.s2 = b.s2 GROUP BY 1),
+            |bth AS (SELECT DISTINCT a.u FROM kn_recs a
+            |         JOIN (SELECT DISTINCT u FROM p3_recs) b ON a.u = b.u),
+            |ov AS (SELECT coalesce(common.o, 0) AS overlap FROM bth
+            |       LEFT JOIN common ON bth.u = common.u)
+            |SELECT overlap, CAST(count(*) AS BIGINT) AS n_users
+            |FROM ov GROUP BY 1 ORDER BY overlap""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -5036,7 +5170,7 @@ object PipelineQueries {
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194)
 
   // ------------------------------------------------- phase decompositions
 

@@ -262,6 +262,65 @@ object Metrics {
       .orderBy(col("metric"))
   }
 
+  /** Exact calibration of served lists against user history (Steck
+    * 2018's calibrated-recommendation check, with total-variation
+    * distance in place of KL so the metric stays EXACT rational
+    * arithmetic — KL's logs would mean trusting two engines' float
+    * paths): per user,
+    *
+    *   tv_q(u) = (Σ_c |h_c·rden − r_c·hden| · 10⁶) div (2·hden·rden)
+    *
+    * where h_c/hden are the user's history mass in category c / total
+    * (weighted), r_c/rden the rec-slot counts — the cross-multiplied
+    * form of ½·Σ|p_c − q_c| on the common denominator, so every term is
+    * a long and the division quantizes ONCE per user. 0 = the list
+    * mirrors the history's category mix, 10⁶ = disjoint. Output: one
+    * (metric, n_users, sum_q, mean_value) row — the [[rankingMetricsQ]]
+    * shape. Evaluated users = those with BOTH history and recs.
+    *
+    * Long budget (bounded 1-row driver reads, the cosineSimQ guard
+    * pattern): Σ_c |diff| ≤ 2·hden·rden, so 2·max(hden)·max(rden)·10⁶
+    * must stay < 2⁶³ — corpora past it should binarize history weights.
+    *
+    * Scale shape: two (user, category) aggregations (≤ |users|·|cats|
+    * rows), a full outer join on that key, per-user fold, 1-row final —
+    * nothing catalog- or corpus-sized survives the first groupBys.
+    * Contract: `recs` rows are individual served slots with a category
+    * column; `hist` rows carry a positive integer weight. */
+  def calibrationTvQ(recs: DataFrame, hist: DataFrame, userCol: String,
+                     catCol: String, histWeightCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val h = hist.groupBy(col(userCol).as("u"), col(catCol).as("c"))
+      .agg(sum(col(histWeightCol).cast("long")).as("hn"))
+      .persist(lvl)
+    val r = recs.groupBy(col(userCol).as("u"), col(catCol).as("c"))
+      .agg(count(lit(1)).as("rn"))
+      .persist(lvl)
+    val hd = h.groupBy(col("u")).agg(sum(col("hn")).as("hden"))
+    val rd = r.groupBy(col("u")).agg(sum(col("rn")).as("rden"))
+    val dens = hd.join(rd, "u").persist(lvl)
+    val maxRow = dens.agg(max(col("hden")), max(col("rden"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val (mh, mr) = (maxRow.getLong(0), maxRow.getLong(1))
+      require(mh > 0L && mh <= (Long.MaxValue / 2000000L) / mr,
+        s"calibrationTvQ: max(hden)=$mh, max(rden)=$mr breaks the long " +
+          "budget 2*hden*rden*10^6 < 2^63 — binarize history weights")
+    }
+    val perUser = h.join(r, Seq("u", "c"), "full")
+      .select(col("u"), coalesce(col("hn"), lit(0L)).as("hn"),
+        coalesce(col("rn"), lit(0L)).as("rn"))
+      .join(dens, "u") // inner: evaluated users have BOTH sides
+      .groupBy(col("u"), col("hden"), col("rden"))
+      .agg(sum(abs(col("hn") * col("rden") - col("rn") * col("hden")))
+        .as("sdiff"))
+      .select(expr("(sdiff * 1000000L) div (2L * hden * rden)").as("tv_q"))
+    perUser.agg(count(lit(1)).as("n_users"), sum(col("tv_q")).as("sum_q"))
+      .select(lit("calibration_tv").as("metric"), col("n_users"),
+        col("sum_q"),
+        round(col("sum_q").cast("double") /
+          (col("n_users") * lit(1000000L)).cast("double"), 6).as("mean_value"))
+  }
+
   def recConcentrationQ(recs: DataFrame, catalog: DataFrame,
                         itemCol: String): DataFrame = {
     val perItem = recs.groupBy(col(itemCol)).agg(count(lit(1)).as("x"))

@@ -113,6 +113,35 @@ object GraphCF {
     edgeFrame(interactions, userCol, itemCol, maxHistory)
   }
 
+  /** [[edges]] with caller-supplied INTEGER row weights — the general
+    * form every recency/importance-weighted variant of this family
+    * trains on (plain [[edges]] is weight ≡ 1): w(u,i) = Σ of the rows'
+    * `weightCol`, then the same deterministic history cut, which now
+    * keeps each user's top-C by the WEIGHTED mass (a recency-weighted
+    * cap keeps the freshest signal, not the oldest-heaviest). Weights
+    * must be positive integers — power-of-two recency decay
+    * (the [[graft.ops.Behavior.decayedCounts]] idiom) keeps every
+    * downstream sum order-free long arithmetic, and zero/negative
+    * weights are rejected row-inline (a silent ≤0 edge would corrupt
+    * norms and walk masses downstream). The cosineSimQ/p3 overflow
+    * budgets still apply and are enforced by those operators — heavier
+    * weights spend the norm² budget faster (binarize or shrink the
+    * decay window past it). */
+  def edgesWeighted(interactions: DataFrame, userCol: String,
+                    itemCol: String, weightCol: String,
+                    maxHistory: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    val w = col(weightCol).cast("long")
+    capEdges(interactions
+      .select(col(userCol).as("u"), col(itemCol).as("i"),
+        when(w <= 0L, raise_error(concat(
+          lit("edgesWeighted: non-positive weight "), w.cast("string"),
+          lit(s" in $weightCol — weights must be positive integers"))))
+          .otherwise(w).as("__w"))
+      .groupBy(col("u"), col("i"))
+      .agg(sum(col("__w")).as("w")), maxHistory)
+  }
+
   /** Top-`k` most-popular unseen items per user — the non-personalized
     * BASELINE every comparative recommender eval needs (the reference's
     * experiment flow compares models against a control arm,

@@ -123,6 +123,33 @@ class RankMetricsSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("calibrationTvQ matches the hand-computed cross-multiplied TV") {
+    // u1 hist: A=3, B=1 (hden 4); recs: A,A,C,C (rden 4):
+    //   |3*4-2*4| + |1*4-0| + |0-2*4| = 16 -> 16e6 div 32 = 500000 (TV .5)
+    // u2 identical mixes -> 0; u3 hist-only -> excluded
+    val hist = Seq((1L, "A", 3L), (1L, "B", 1L), (2L, "A", 2L),
+      (3L, "A", 9L)).toDF("user", "cat", "w")
+    val recs = Seq((1L, "A"), (1L, "A"), (1L, "C"), (1L, "C"), (2L, "A"))
+      .toDF("user", "cat")
+    val out = Metrics.calibrationTvQ(recs, hist, "user", "cat", "w")
+      .collect().head
+    assert(out.getString(0) == "calibration_tv")
+    assert(out.getLong(1) == 2L)       // u1, u2 — u3 has no recs
+    assert(out.getLong(2) == 500000L)  // 500000 + 0
+    assert(out.getDouble(3) == 0.25)
+    spark.catalog.clearCache()
+  }
+
+  test("calibrationTvQ refuses the 2*hden*rden*10^6 long budget breach") {
+    val hist = Seq((1L, "A", 1L << 42)).toDF("user", "cat", "w")
+    val recs = Seq.fill(10)((1L, "A")).toDF("user", "cat")
+    val e = intercept[IllegalArgumentException] {
+      Metrics.calibrationTvQ(recs, hist, "user", "cat", "w")
+    }
+    assert(e.getMessage.contains("long budget"))
+    spark.catalog.clearCache()
+  }
+
   test("recPopularityBiasQ refuses the ARP long-budget breach") {
     val pop = Seq(("a", 1L << 61)).toDF("item", "v")
     val recs = Seq("a", "a").toDF("item")

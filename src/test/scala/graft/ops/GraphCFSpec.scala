@@ -457,6 +457,28 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("edgesWeighted: weighted sums drive the history cut; non-positive weights refused") {
+    // u1: a carries weight 4, b carries 1+2=3 — cap 1 keeps a by the
+    // WEIGHTED mass (plain edges would see counts a=1, b=2 and keep b)
+    val log = Seq((1L, "a", 4L), (1L, "b", 1L), (1L, "b", 2L))
+      .toDF("user", "item", "wt")
+    val full = GraphCF.edgesWeighted(log, "user", "item", "wt")
+      .as[(Long, String, Long)].collect().toSet
+    assert(full == Set((1L, "a", 4L), (1L, "b", 3L)))
+    val capped = GraphCF.edgesWeighted(log, "user", "item", "wt",
+        maxHistory = 1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(capped == Set((1L, "a", 4L)))
+    val plainCap = GraphCF.edges(log, "user", "item", maxHistory = 1)
+      .as[(Long, String, Long)].collect().toSet
+    assert(plainCap == Set((1L, "b", 2L))) // the count cut differs, by design
+    val bad = Seq((1L, "a", 0L)).toDF("user", "item", "wt")
+    val e = intercept[Exception] {
+      GraphCF.edgesWeighted(bad, "user", "item", "wt").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("non-positive"))
+  }
+
   test("itemKnnRecs neighborhood truncation drops the weaker similarity edge") {
     // neighbors=1 keeps only each item's single strongest edge:
     // b's strongest is c (q=7 beats a's 6), so b→a leaves the matrix and
