@@ -5160,6 +5160,78 @@ object PipelineQueries {
             |SELECT overlap, CAST(count(*) AS BIGINT) AS n_users
             |FROM ov GROUP BY 1 ORDER BY overlap""".stripMargin))
 
+  /** SERENDIPITY of the personalized model (Ge et al. 2010's
+    * unexpectedness-with-relevance): of P3alpha's held-out HITS on the
+    * q177 time split, the share the POPULARITY CONTROL would not have
+    * served that user — a hit also sitting in the user's top-10
+    * popularity list is relevance the model gets for free; the
+    * serendipitous remainder is what personalization actually earned.
+    * Completes the eval suite's third axis (accuracy q177, diversity
+    * q178/q171, novelty q188 — this is the per-user-relevant form of
+    * novelty). Exact counts; model and control share the split; the
+    * control's bounded broadcast pool is q179's machinery. */
+  private val q195 = Q("q195_serendipity",
+    (s, d) => {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val train = inter(ordAll.filter(col("o_orderdate") < cut))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val e = GraphCF.edges(train, "cust", "supp", maxHistory = 50)
+      val recs = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
+          k = 10, neighbors = 20)
+        .persist(lvl)
+      val popArm = GraphCF.popularityRecs(train, "cust", "supp",
+        k = 10, maxHistory = 50)
+      val hits = recs.join(test, Seq("cust", "supp")).persist(lvl)
+      val ser = hits.join(popArm.select(col("cust"), col("supp")),
+        Seq("cust", "supp"), "left_anti")
+      val ev = recs.select(col("cust")).distinct()
+        .join(test.select(col("cust")).distinct(), "cust")
+        .agg(count(lit(1)).as("n_users"))
+      ev.crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .crossJoin(ser.agg(count(lit(1)).as("n_serendipitous")))
+        .select(col("n_users"), col("n_hits"), col("n_serendipitous"),
+          when(col("n_hits") === 0L, lit(null))
+            .otherwise(round(col("n_serendipitous").cast("double") /
+              col("n_hits").cast("double"), 6)).as("serendipity_share"))
+    },
+    Some(s"""WITH $sqlP3SplitRecsCtes,
+            |pop AS (SELECT i, CAST(sum(w) AS BIGINT) AS pop
+            |        FROM e GROUP BY 1),
+            |us AS (SELECT DISTINCT u FROM e),
+            |cand AS (SELECT us.u, pop.i, pop.pop FROM us CROSS JOIN pop),
+            |uns AS (SELECT cand.* FROM cand
+            |        LEFT JOIN e ON cand.u = e.u AND cand.i = e.i
+            |        WHERE e.u IS NULL),
+            |poprecs AS (SELECT u, i FROM (SELECT *, row_number() OVER
+            |      (PARTITION BY u ORDER BY pop DESC, i) AS rn FROM uns)
+            |  WHERE rn <= 10),
+            |hits AS (SELECT recs.u, recs.s2 FROM recs
+            |         JOIN te ON recs.u = te.u AND recs.s2 = te.i),
+            |ser AS (SELECT hits.* FROM hits
+            |        LEFT JOIN poprecs ON hits.u = poprecs.u
+            |          AND hits.s2 = poprecs.i
+            |        WHERE poprecs.u IS NULL),
+            |ev AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM
+            |    (SELECT DISTINCT r.u FROM (SELECT DISTINCT u FROM recs) r
+            |     JOIN (SELECT DISTINCT u FROM te) t ON r.u = t.u)),
+            |hh AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits),
+            |ss2 AS (SELECT CAST(count(*) AS BIGINT) AS n_serendipitous
+            |        FROM ser)
+            |SELECT ev.n_users, hh.n_hits, ss2.n_serendipitous,
+            |  CASE WHEN hh.n_hits = 0 THEN NULL
+            |       ELSE round(CAST(ss2.n_serendipitous AS DOUBLE)
+            |         / CAST(hh.n_hits AS DOUBLE), 6) END
+            |    AS serendipity_share
+            |FROM ev CROSS JOIN hh CROSS JOIN ss2""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -5170,7 +5242,7 @@ object PipelineQueries {
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 
   // ------------------------------------------------- phase decompositions
 
