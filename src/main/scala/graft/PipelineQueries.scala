@@ -5232,6 +5232,123 @@ object PipelineQueries {
             |    AS serendipity_share
             |FROM ev CROSS JOIN hh CROSS JOIN ss2""".stripMargin))
 
+  /** The RELATED-ITEMS endpoint ([[graft.ops.GraphCF.similarItems]])
+    * served off the standing edge store: top-10 most-similar items PER
+    * ITEM through the guarded cosine — the OTHER serving surface of an
+    * item-item recommender (every item page hits it; per-user recs are
+    * q163/q173). The store fold replaces the raw-log aggregation, so
+    * the endpoint refreshes from standing state; the one-shot oracle
+    * over the full log is the store-equals-rebuild proof (the q173
+    * pattern applied to the similarity frame itself). */
+  private val q196 = Q("q196_related_items",
+    (s, d) => {
+      val dir = custSuppEdgeStore(s, d, "q196_edges")
+      GraphCF.similarItemsFromStore(s, dir, neighbors = 10,
+          maxHistory = 50)
+        .orderBy(col("item"), col("rnk"))
+    },
+    Some(s"""WITH $sqlFullEdgesCtes,
+            |nrm AS (SELECT i, CAST(sum(w * w) AS BIGINT) AS nrm
+            |        FROM e GROUP BY 1),
+            |co AS (SELECT a.i AS s1, b.i AS s2,
+            |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+            |       FROM e a JOIN e b ON a.u = b.u AND a.i <> b.i
+            |       GROUP BY 1, 2),
+            |sim AS (SELECT s1, s2,
+            |          CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+            |            AS BIGINT) AS q
+            |        FROM co JOIN nrm n1 ON co.s1 = n1.i
+            |                JOIN nrm n2 ON co.s2 = n2.i),
+            |r AS (SELECT s1, s2, q, CAST(row_number() OVER
+            |    (PARTITION BY s1 ORDER BY q DESC, s2) AS BIGINT) AS rnk
+            |  FROM sim WHERE q > 0)
+            |SELECT s1 AS item, s2 AS neighbor, q, rnk FROM r
+            |WHERE rnk <= 10 ORDER BY item, rnk""".stripMargin))
+
+  /** USER-activity-stratified recall — q180's cut TRANSPOSED to the
+    * user axis: recall@10 of the q177 P3alpha frame split by the
+    * evaluated user's TRAINING activity band (light/medium/heavy
+    * terciles of capped train edge mass, the same exact
+    * (3·below) div n integer cut via globalCumBelow on the
+    * distinct-mass frame). The "do light users get anything?" check —
+    * per-user history length is THE covariate a collaborative model's
+    * quality tracks, and aggregate recall hides the light-user cliff.
+    * Users absent from training have no recs and drop under the
+    * evaluated-users contract, so the three bands partition the output
+    * exactly. */
+  private val q197 = Q("q197_user_stratified_recall",
+    (s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val cut = lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val train = inter(ordAll.filter(col("o_orderdate") < cut))
+      val test = inter(ordAll.filter(col("o_orderdate") >= cut))
+        .distinct().persist(lvl)
+      val e = GraphCF.edges(train, "cust", "supp", maxHistory = 50)
+      val recs = GraphCF.p3alphaRecsFromEdges(e, "cust", "supp",
+          k = 10, neighbors = 20)
+        .persist(lvl)
+      val deg = e.groupBy(col("u")).agg(sum(col("w")).as("v"))
+        .persist(lvl)
+      val vc = deg.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val bandOfValue = Relational.globalCumBelow(vc, "v", "c", "below")
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("nu"))))
+        .select(col("v"), expr("(3 * below) div nu").as("band_id"))
+      val userBand = deg.join(bandOfValue, "v")
+        .select(col("u").as("cust"), col("band_id"))
+      val bandName = typedLit(Map(0L -> "light", 1L -> "medium",
+        2L -> "heavy"))
+      val teB = test
+        .join(recs.select(col("cust")).distinct(), Seq("cust"), "left_semi")
+        .join(userBand, "cust")
+        .select(col("cust"), col("supp"),
+          element_at(bandName, col("band_id")).as("band"))
+        .persist(lvl)
+      val hits = recs.join(teB, Seq("cust", "supp"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n_hits"))
+      teB.groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        .join(hits, Seq("band"), "left")
+        .select(col("band"), col("n_pairs"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_at_10",
+          round(col("n_hits").cast("double") / col("n_pairs").cast("double"), 6))
+        .orderBy(col("band"))
+    },
+    Some(s"""WITH $sqlP3SplitRecsCtes,
+            |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS v FROM e GROUP BY 1),
+            |vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+            |       FROM deg GROUP BY 1),
+            |vb AS (SELECT v, CAST(coalesce(sum(c) OVER (ORDER BY v
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            |    AS BIGINT) AS below FROM vc),
+            |nf AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM deg),
+            |ub AS (SELECT deg.u, (3 * vb.below) // nf.nu AS band_id
+            |       FROM deg JOIN vb USING (v) CROSS JOIN nf),
+            |teb AS (SELECT te.u, te.i,
+            |          CASE ub.band_id WHEN 0 THEN 'light'
+            |            WHEN 1 THEN 'medium' ELSE 'heavy' END AS band
+            |        FROM te
+            |        JOIN (SELECT DISTINCT u FROM recs) ru ON te.u = ru.u
+            |        JOIN ub ON te.u = ub.u),
+            |hits AS (SELECT teb.band, CAST(count(*) AS BIGINT) AS n_hits
+            |         FROM recs JOIN teb
+            |           ON recs.u = teb.u AND recs.s2 = teb.i
+            |         GROUP BY 1),
+            |pairs AS (SELECT band, CAST(count(*) AS BIGINT) AS n_pairs
+            |          FROM teb GROUP BY 1)
+            |SELECT pairs.band, pairs.n_pairs,
+            |       coalesce(hits.n_hits, 0) AS n_hits,
+            |       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE)
+            |         / CAST(pairs.n_pairs AS DOUBLE), 6) AS recall_at_10
+            |FROM pairs LEFT JOIN hits USING (band)
+            |ORDER BY pairs.band""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -5242,7 +5359,7 @@ object PipelineQueries {
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 
   // ------------------------------------------------- phase decompositions
 
@@ -5551,6 +5668,17 @@ object PipelineQueries {
         Some(GraphCF.p3alphaRecsFromStore(s, dir, "cust", "supp",
             k = 10, neighbors = 20, maxHistory = 50)
           .orderBy(col("cust"), col("rnk")))
+      }),
+    "q196_related_items" -> Seq(
+      "build" -> ph { (s, d) =>
+        custSuppEdgeStore(s, d, "q196_edges"); None
+      },
+      "probe" -> ph { (s, d) =>
+        val dir = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q196_edges").toString
+        Some(GraphCF.similarItemsFromStore(s, dir, neighbors = 10,
+            maxHistory = 50)
+          .orderBy(col("item"), col("rnk")))
       }),
     "q190_markov_from_store" -> Seq(
       "build" -> ph { (s, d) =>

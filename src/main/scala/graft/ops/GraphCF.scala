@@ -577,6 +577,40 @@ object GraphCF {
       edgesFromStore(spark, path, maxHistory).select(col("u"), col("i"), col("w")),
       userCol, itemCol, k, scale, neighbors, maxAudience, broadcastUsers)
 
+  /** Top-`neighbors` most-similar items PER ITEM — the "related items"
+    * serving surface of an item-item recommender (the OTHER endpoint
+    * beside per-user recs: every item page hits it), exposed as its own
+    * frame: (item, neighbor, q, rnk) with q the guarded quantized cosine
+    * ([[cosineSimQ]]) and the exact (q desc, id) truncation cut. This is
+    * precisely the matrix [[itemKnnRecs]] builds internally before
+    * scoring — here it IS the product. Same scale shape: the co-walk's
+    * Σ_u min(deg,C)² leg (cap histories upstream), ≤ |items|·neighbors
+    * output rows. */
+  def similarItems(edges0: DataFrame, neighbors: Int = 10,
+                   scale: Long = 10000L): DataFrame = {
+    require(neighbors >= 1, "neighbors must be >= 1")
+    val e = edges0.select(col("u"), col("i"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    val sim =
+      try cosineSimQ(coPairs(e), nrm, scale)
+      catch { case t: Throwable => e.unpersist(); throw t }
+    Relational.topKPerGroup(sim, Seq(col("s1")),
+        Seq(col("q").desc, col("s2")), neighbors, rankName = "rnk")
+      .select(col("s1").as("item"), col("s2").as("neighbor"),
+        col("q"), col("rnk"))
+  }
+
+  /** [[similarItems]] off the standing edge store ([[writeEdgeBatch]] /
+    * [[edgesFromStore]]) — bit-equal to the one-shot build over the
+    * concatenated batches; the related-items endpoint a deployment
+    * refreshes from standing state, never from the raw log. */
+  def similarItemsFromStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, neighbors: Int = 10,
+                            scale: Long = 10000L,
+                            maxHistory: Int = Int.MaxValue): DataFrame =
+    similarItems(edgesFromStore(spark, path, maxHistory), neighbors, scale)
+
   /** Quantized cosine similarities from standing co-counts + squared
     * norms — THE one guarded derivation every ItemKNN path shares
     * (direct, store-served, and incremental q172-style refreshes):

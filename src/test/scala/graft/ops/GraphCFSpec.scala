@@ -457,6 +457,29 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("similarItems matches the hand-computed cosine frame; store == direct") {
+    // norms: a=5, b=2, c=1; co: (a,b)=2, (b,c)=1 →
+    // q(a,b)=floor(20/√10)=6, q(b,c)=floor(10/√2)=7 (symmetric)
+    val got = GraphCF.similarItems(GraphCF.edges(inter, "user", "item"),
+        neighbors = 2, scale = 10L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 6L, 1L),
+      ("b", "c", 7L, 1L), ("b", "a", 6L, 2L),
+      ("c", "b", 7L, 1L)))
+    val dir = java.nio.file.Files.createTempDirectory("sim_store").toString
+    (0L until 2L).foreach { b =>
+      GraphCF.writeEdgeBatch(
+        inter.filter(pmod(xxhash64($"user", $"item"), lit(2L)) === b),
+        "user", "item", dir, b)
+    }
+    val fromStore = GraphCF.similarItemsFromStore(spark, dir,
+        neighbors = 2, scale = 10L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(fromStore == got)
+    spark.catalog.clearCache()
+  }
+
   test("edgesWeighted: weighted sums drive the history cut; non-positive weights refused") {
     // u1: a carries weight 4, b carries 1+2=3 — cap 1 keeps a by the
     // WEIGHTED mass (plain edges would see counts a=1, b=2 and keep b)
