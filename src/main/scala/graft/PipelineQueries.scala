@@ -3429,7 +3429,12 @@ object PipelineQueries {
         .distinct().persist(lvl)
       def evalModel(model: String,
                     recs: org.apache.spark.sql.DataFrame) = {
+        // persist AND force: each model subtree materializes on its own
+        // (≤ 10 rows/user output) before the union action, so the two
+        // co-walks never share one heap — the measured 2× staging win
+        // q186/q194/q195 already adopted (PLANS.md: 34.2 s → 16.3 s)
         val r = recs.persist(lvl)
+        r.count()
         val hits = r.join(test, Seq("cust", "supp"))
           .groupBy(col("cust")).agg(count(lit(1)).as("hits"))
         r.select(col("cust")).distinct()
@@ -5043,8 +5048,11 @@ object PipelineQueries {
         .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"),
-          expr("CAST(pow(2, 6 - (2001 - year(o_orderdate))) AS BIGINT)")
-            .as("wt"))
+          // exponent clamped at 0 so dates older than the 6-year decay
+          // horizon get weight 1 (not a fractional pow → 0-weight edge
+          // that would trip edgesWeighted's positive-weight tripwire)
+          expr("CAST(pow(2, greatest(0, 6 - (2001 - year(o_orderdate))))" +
+            " AS BIGINT)").as("wt"))
       val e = GraphCF.edgesWeighted(inter, "cust", "supp", "wt",
         maxHistory = 50)
       GraphCF.itemKnnRecsFromEdges(e, "cust", "supp", k = 10,
@@ -5052,8 +5060,8 @@ object PipelineQueries {
         .orderBy(col("cust"), col("rnk"))
     },
     Some(s"""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
-            |    CAST(sum(CAST(pow(2, 6 - (2001 - year(o_orderdate)))
-            |      AS BIGINT)) AS BIGINT) AS w
+            |    CAST(sum(CAST(pow(2, greatest(0, 6 - (2001 -
+            |      year(o_orderdate)))) AS BIGINT)) AS BIGINT) AS w
             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             |  GROUP BY 1, 2),
             |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
@@ -5349,6 +5357,128 @@ object PipelineQueries {
             |FROM pairs LEFT JOIN hits USING (band)
             |ORDER BY pairs.band""".stripMargin))
 
+  /** The NORMALITY-GATED A/B decision
+    * ([[graft.stats.AbDecision.decideNormalityGated]] — the reference's
+    * actual test-selection flow, ab_test.py:288-302): Shapiro-Wilk per
+    * arm (distributed order-statistics reduction to AS R94's ≤ 5000
+    * range, driver reads ≤ 5000 values per arm) gates parametric t vs
+    * rank-sum, closing the last spec-only X-row branch end-to-end. The
+    * event value distribution is decisively right-skewed (skew ≈ 2) at
+    * every gate scale, so the gate robustly rejects normality and the
+    * RANK-SUM row carries the readout — test_name and both verdicts are
+    * pinned decision points the oracle asserts, the sample sizes and the
+    * z statistic are fully replayed (the q174 rank-sum algebra). A wrong
+    * W, p transform, or gate flips a pinned row and the hash catches it;
+    * W's numeric path is pinned by TestsSpec + AbGateSpec. */
+  private val q198 = Q("q198_ab_normality_gate",
+    (s, d) => graft.stats.AbDecision.decideNormalityGated(events(s, d),
+      when(pmod(col("user_id"), lit(2L)) === 0L, lit("A")).otherwise(lit("B")),
+      col("value")),
+    Some("""WITH ev AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B'
+           |    END AS grp, value FROM events),
+           |a AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM ev
+           |      WHERE grp = 'A'),
+           |b AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM ev
+           |      WHERE grp = 'B'),
+           |bv AS (SELECT value, CAST(count(*) AS BIGINT) AS c,
+           |         CAST(count(*) FILTER (grp = 'A') AS BIGINT) AS ca
+           |       FROM ev GROUP BY 1),
+           |rk AS (SELECT c, ca, CAST(coalesce(sum(c) OVER (ORDER BY value
+           |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |         AS BIGINT) AS below FROM bv),
+           |rs AS (SELECT CAST(sum(ca * (2 * below + c + 1)) AS BIGINT)
+           |         AS sra2 FROM rk),
+           |c4 AS (SELECT n1, n2,
+           |         round((sra2 / 2.0 - n1 * ((n1 + n2) + 1) / 2.0)
+           |           / sqrt(CAST(n1 AS DOUBLE) * n2 * ((n1 + n2) + 1)
+           |             / 12.0), 6) AS z_stat
+           |       FROM a, b, rs)
+           |SELECT * FROM (
+           |  SELECT 'normality_a' AS test_name,
+           |    CAST(least(n1, 5000) AS DOUBLE) AS statistic,
+           |    '<0.001' AS p_band, TRUE AS reject_null FROM c4
+           |  UNION ALL
+           |  SELECT 'normality_b', CAST(least(n2, 5000) AS DOUBLE),
+           |    '<0.001', TRUE FROM c4
+           |  UNION ALL
+           |  SELECT 'rank_sum', z_stat,
+           |    CASE WHEN abs(z_stat) > 3.290527 THEN '<0.001'
+           |         WHEN abs(z_stat) > 2.575829 THEN '<0.01'
+           |         WHEN abs(z_stat) > 1.959964 THEN '<0.05'
+           |         ELSE '>=0.05' END,
+           |    abs(z_stat) > 1.959964 FROM c4
+           |) ORDER BY test_name""".stripMargin))
+
+  /** INCREMENTAL user-user co-occurrence maintenance
+    * ([[graft.ops.GraphCF.foldUserCoDelta]] — the transpose of q172's
+    * item-side fold, closing incremental similarity maintenance for ALL
+    * THREE neighborhood models): the standing user-co frame folds the
+    * 2001+ interactions forward with only the TOUCHED ITEMS paying the
+    * quadratic leg (Σ_touched min(aud, A)²), handling the history-cap
+    * wrinkle exactly — a delta can evict an item from a user's top-50,
+    * changing an un-delta'd item's audience, and the fold's
+    * touched-item set is computed from the capped-frame diff so that
+    * case folds exactly too (GraphCFSpec pins it). Both q184 caps apply
+    * (maxHistory = maxAudience = 50); similarities re-derive through the
+    * shared guarded [[graft.ops.GraphCF.cosineSimQ]] (user-sized norms →
+    * shuffle-join mode); the oracle replays the ONE-SHOT build over the
+    * full log, so the hash match IS incremental == rebuild. */
+  private val q199 = Q("q199_incremental_userco",
+    (s, d) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))
+      val ordAll = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      def inter(o: org.apache.spark.sql.DataFrame) =
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      val older = inter(ordAll.filter(col("o_orderdate") < cut))
+      val delta = inter(ordAll.filter(col("o_orderdate") >= cut))
+      val oldCo = GraphCF.userCoCounts(older, "cust", "supp",
+        maxHistory = 50, maxAudience = 50)
+      val co = GraphCF.foldUserCoDelta(older, delta, "cust", "supp", oldCo,
+        maxHistory = 50, maxAudience = 50)
+      // user norms from the NEW standing frame, capped exactly as q184
+      val e = GraphCF.edges(inter(ordAll), "cust", "supp", maxHistory = 50)
+      val ea = Relational.topKPerGroup(e, Seq(col("i")),
+          Seq(col("w").desc, col("u")), 50, rankName = "__ra")
+        .drop("__ra")
+      val nrm = ea.groupBy(col("u").as("i"))
+        .agg(sum(col("w") * col("w")).as("nrm"))
+      val sim = GraphCF.cosineSimQ(co, nrm, scale = 10000L,
+        broadcastNorms = false)
+      Relational.topKPerGroup(sim, Seq(col("s1")),
+          Seq(col("q").desc, col("s2")), 10)
+        .select(col("s1").as("cust"), col("s2").as("other"), col("q"),
+          col("rn"))
+        .orderBy(col("cust"), col("rn"))
+    },
+    Some("""WITH e0 AS (SELECT o_custkey AS u, l_suppkey AS i,
+           |    CAST(count(*) AS BIGINT) AS w
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |e AS (SELECT u, i, w FROM (SELECT e0.*, row_number() OVER
+           |    (PARTITION BY u ORDER BY w DESC, i) AS rh FROM e0)
+           |  WHERE rh <= 50),
+           |ea AS (SELECT u, i, w FROM (SELECT e.*, row_number() OVER
+           |    (PARTITION BY i ORDER BY w DESC, u) AS ra FROM e)
+           |  WHERE ra <= 50),
+           |nrm AS (SELECT u, CAST(sum(w * w) AS BIGINT) AS nrm
+           |        FROM ea GROUP BY 1),
+           |co AS (SELECT a.u AS s1, b.u AS s2,
+           |         CAST(sum(a.w * b.w) AS BIGINT) AS c
+           |       FROM ea a JOIN ea b ON a.i = b.i AND a.u <> b.u
+           |       GROUP BY 1, 2),
+           |sim AS (SELECT s1, s2, CAST(floor(c * 10000 / sqrt(n1.nrm * n2.nrm))
+           |          AS BIGINT) AS q
+           |        FROM co JOIN nrm n1 ON co.s1 = n1.u
+           |                JOIN nrm n2 ON co.s2 = n2.u)
+           |SELECT s1 AS cust, s2 AS other, q, CAST(rs AS BIGINT) AS rn
+           |FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY s1 ORDER BY q DESC, s2) AS rs FROM sim
+           |  WHERE q > 0)
+           |WHERE rs <= 10 ORDER BY cust, rn""".stripMargin))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -5359,7 +5489,8 @@ object PipelineQueries {
     q150, q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161,
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
+    q198, q199)
 
   // ------------------------------------------------- phase decompositions
 

@@ -313,7 +313,19 @@ object Metrics {
       .groupBy(col("u"), col("hden"), col("rden"))
       .agg(sum(abs(col("hn") * col("rden") - col("rn") * col("hden")))
         .as("sdiff"))
-      .select(expr("(sdiff * 1000000L) div (2L * hden * rden)").as("tv_q"))
+      // positive-weight tripwire (the foldCoDelta raise_error idiom): a
+      // user whose history weights sum to ≤ 0 would otherwise produce a
+      // NULL tv_q that drops from sum_q while still counting in n_users —
+      // silently skewing mean_value. Checked row-inline, zero extra passes.
+      .select(when(col("hden") <= 0L || col("rden") <= 0L,
+          raise_error(concat(
+            lit("calibrationTvQ: non-positive denominator for user "),
+            col("u").cast("string"), lit(" (hden="),
+            col("hden").cast("string"), lit(", rden="),
+            col("rden").cast("string"),
+            lit(") — history weights must be positive integers"))))
+        .otherwise(expr("(sdiff * 1000000L) div (2L * hden * rden)"))
+        .as("tv_q"))
     perUser.agg(count(lit(1)).as("n_users"), sum(col("tv_q")).as("sum_q"))
       .select(lit("calibration_tv").as("metric"), col("n_users"),
         col("sum_q"),

@@ -102,6 +102,27 @@ object GraphCF {
       .groupBy(col("s1"), col("s2"))
       .agg(sum(col("w1") * col("w2")).as("co"))
 
+  /** The audience cut alone, on an already-aggregated (u, i, w) frame:
+    * each ITEM keeps its top-`maxAudience` users by (weight desc, user
+    * asc) — the transpose of [[capEdges]], bounding the user-side
+    * quadratic leg at Σ_i min(aud, A)². */
+  private def capAudience(e: DataFrame, maxAudience: Int): DataFrame =
+    if (maxAudience == Int.MaxValue) e
+    else Relational.topKPerGroup(e, Seq(col("i")),
+      Seq(col("w").desc, col("u")), maxAudience, rankName = "__ra")
+      .drop("__ra")
+
+  /** User-user co-occurrence counts from an aggregated (u, i, w) edge
+    * frame: co(u1,u2) = Σ_i w_u1i·w_u2i, both directions, exact long
+    * sums — [[coPairs]] transposed (the item-keyed self-join's
+    * intermediate is Σ_i aud(i)² pair rows; cap audiences upstream). */
+  private def coUserPairs(e: DataFrame): DataFrame =
+    e.select(col("i"), col("u").as("s1"), col("w").as("w1"))
+      .join(e.select(col("i"), col("u").as("s2"), col("w").as("w2")), "i")
+      .filter(col("s1") =!= col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("w1") * col("w2")).as("co"))
+
   /** The aggregated, history-capped (u, i, w) edge frame — the compact
     * standing representation of an interaction log (distinct user-item
     * pairs, not raw events) that a production deployment keeps in a
@@ -289,6 +310,112 @@ object GraphCF {
           col("s1").cast("string"), lit(", "), col("s2").cast("string"),
           lit(s") — oldCo does not match oldInteractions at maxHistory=" +
             s"$maxHistory (stale frame or different cap)"))))
+          .otherwise(col("co")).as("co"))
+  }
+
+  /** Standing USER-user co-occurrence counts from an interaction log —
+    * the maintained state behind a UserKNN serving layer ([[userKnnRecs]]),
+    * aggregated and capped exactly as it does: per-user histories cut to
+    * top-`maxHistory`, then per-item audiences cut to top-`maxAudience`
+    * (the order matters and is the serving path's order). Keep THIS
+    * frame, not the similarity matrix: co-counts are the additive
+    * representation [[foldUserCoDelta]] maintains incrementally;
+    * similarities re-derive from co + norms in one linear pass
+    * ([[cosineSimQ]] with `broadcastNorms = false` — norms are
+    * user-sized). Output columns (s1, s2, co). */
+  def userCoCounts(interactions: DataFrame, userCol: String, itemCol: String,
+                   maxHistory: Int = Int.MaxValue,
+                   maxAudience: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    require(maxAudience >= 1, "maxAudience must be >= 1")
+    coUserPairs(capAudience(
+      edgeFrame(interactions, userCol, itemCol, maxHistory), maxAudience))
+  }
+
+  /** Fold a DELTA of interactions into standing USER-user co-counts
+    * WITHOUT rebuilding — the transpose of [[foldCoDelta]], closing the
+    * maintenance story for all three neighborhood models: user-user co
+    * is a sum of per-ITEM outer products over audience-capped vectors,
+    * so
+    *
+    *   co_new = co_old − Σ_{i touched} outer(capA(old_i))
+    *                   + Σ_{i touched} outer(capA(new_i))
+    *
+    * and only TOUCHED items pay the quadratic leg — Σ_touched
+    * min(aud, A)² instead of the full Σ_all. The history cap makes the
+    * transpose subtler than the item-side fold: a delta row (u, x) can
+    * evict item j from u's top-H, changing item j's audience even though
+    * j never appears in the delta. The touched-item set is therefore
+    * computed EXACTLY — re-cap the touched users' merged histories and
+    * take the items of every (u, i, w) row that differs between the old
+    * and new capped frames (an item with no differing row has a
+    * bit-identical audience vector and nets zero — skipped). Work: one
+    * linear pass over the old log, history-cap windows over only the
+    * touched items' audiences' users, and the touched items' quadratic
+    * leg. Result is BIT-IDENTICAL to [[userCoCounts]] over the unioned
+    * log (the declared query's oracle replays the one-shot build;
+    * GraphCFSpec pins the history-eviction case). Same negative-co
+    * corruption tripwire as [[foldCoDelta]].
+    *
+    * `oldCo` must be the [[userCoCounts]] of `oldInteractions` at the
+    * SAME (maxHistory, maxAudience). A production deployment feeds the
+    * aggregated (u, i, w) edge frame from a keyed store instead of
+    * re-aggregating the raw log — the algebra is identical. */
+  def foldUserCoDelta(oldInteractions: DataFrame, delta: DataFrame,
+                      userCol: String, itemCol: String, oldCo: DataFrame,
+                      maxHistory: Int = Int.MaxValue,
+                      maxAudience: Int = Int.MaxValue): DataFrame = {
+    require(maxHistory >= 1, "maxHistory must be >= 1")
+    require(maxAudience >= 1, "maxAudience must be >= 1")
+    require(Seq("s1", "s2", "co").forall(oldCo.columns.contains),
+      "oldCo must be a userCoCounts frame with columns (s1, s2, co)")
+    val oldAgg = oldInteractions
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val dAgg = delta
+      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val touchedU = dAgg.select(col("u")).distinct()
+    // re-cap the touched users' histories on both sides of the delta
+    val oldTU = oldAgg.join(touchedU, Seq("u"), "left_semi")
+    val oldCappedTU = capEdges(oldTU, maxHistory)
+    val newCappedTU = capEdges(
+      oldTU.unionByName(dAgg).groupBy(col("u"), col("i"))
+        .agg(sum(col("w")).as("w")), maxHistory)
+    // EXACT touched-item set: items of the rows that differ between the
+    // two capped frames (presence or weight) — everything else nets zero
+    val touchedI = oldCappedTU.select(col("u"), col("i"), col("w").as("__wo"))
+      .join(newCappedTU.select(col("u"), col("i"), col("w").as("__wn")),
+        Seq("u", "i"), "full")
+      .filter(not(col("__wo") <=> col("__wn")))
+      .select(col("i")).distinct()
+    // audiences of touched items include users OUTSIDE the delta; their
+    // history caps need their FULL vectors, so widen to every user with
+    // an old-log edge on a touched item, window over that subset only
+    val relevantU = oldAgg.join(touchedI, Seq("i"), "left_semi")
+      .select(col("u")).distinct()
+      .unionByName(touchedU).distinct()
+    val oldCappedRel = capEdges(
+      oldAgg.join(relevantU, Seq("u"), "left_semi"), maxHistory)
+    val newCappedRel = oldCappedRel.join(touchedU, Seq("u"), "left_anti")
+      .unionByName(newCappedTU)
+    val neg = coUserPairs(capAudience(
+        oldCappedRel.join(touchedI, Seq("i"), "left_semi"), maxAudience))
+      .select(col("s1"), col("s2"), (-col("co")).as("co"))
+    val pos = coUserPairs(capAudience(
+        newCappedRel.join(touchedI, Seq("i"), "left_semi"), maxAudience))
+    oldCo.select(col("s1"), col("s2"), col("co"))
+      .unionByName(pos).unionByName(neg)
+      .groupBy(col("s1"), col("s2"))
+      .agg(sum(col("co")).as("co"))
+      .filter(col("co") =!= 0L)
+      .select(col("s1"), col("s2"),
+        when(col("co") < 0L, raise_error(concat(
+          lit("foldUserCoDelta: negative folded co for pair ("),
+          col("s1").cast("string"), lit(", "), col("s2").cast("string"),
+          lit(s") — oldCo does not match oldInteractions at maxHistory=" +
+            s"$maxHistory, maxAudience=$maxAudience (stale frame or " +
+            "different caps)"))))
           .otherwise(col("co")).as("co"))
   }
 
@@ -504,6 +631,13 @@ object GraphCF {
       userCol, itemCol, k, scale, neighbors, maxAudience, broadcastUsers)
   }
 
+  /** Shared body of the UserKNN entry points. Cache lifetime: the edge
+    * frame stays persisted — it feeds the norm, co-count, scoring and
+    * anti-join legs of the LAZY returned plan; the caller owns the
+    * release via `spark.catalog.clearCache()` once the result is
+    * materialized (USAGE.md's between-corpora contract; GraphCFSpec pins
+    * the no-orphan release). Same contract as [[p3alphaRecs]] /
+    * [[knnFromEdges]] / [[similarItems]]. */
   private def userKnnFromEdges(edges0: DataFrame, userCol: String,
                                itemCol: String, k: Int, scale: Long,
                                neighbors: Int, maxAudience: Int,
@@ -513,21 +647,13 @@ object GraphCF {
     require(maxAudience >= 1, "maxAudience must be >= 1")
     val e = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ea = if (maxAudience == Int.MaxValue) e
-      else Relational.topKPerGroup(e, Seq(col("i")),
-        Seq(col("w").desc, col("u")), maxAudience, rankName = "__ra")
-        .drop("__ra")
+    val ea = capAudience(e, maxAudience)
     val nUsers = e.select(col("u")).distinct().count()
     val small = nUsers <= broadcastUsers
     // user squared norms and user-user co-counts from the audience-capped
     // frame: the i-keyed self-join's intermediate is Σ_i min(aud, A)²
     val nrm = ea.groupBy(col("u").as("i")).agg(sum(col("w") * col("w")).as("nrm"))
-    val co = ea.select(col("i").as("__k"), col("u").as("s1"), col("w").as("w1"))
-      .join(ea.select(col("i").as("__k"), col("u").as("s2"), col("w").as("w2")),
-        "__k")
-      .filter(col("s1") =!= col("s2"))
-      .groupBy(col("s1"), col("s2"))
-      .agg(sum(col("w1") * col("w2")).as("co"))
+    val co = coUserPairs(ea)
     val sim =
       try cosineSimQ(co, nrm, scale, broadcastNorms = small)
       catch { case t: Throwable => e.unpersist(); throw t }
@@ -585,7 +711,16 @@ object GraphCF {
     * precisely the matrix [[itemKnnRecs]] builds internally before
     * scoring — here it IS the product. Same scale shape: the co-walk's
     * Σ_u min(deg,C)² leg (cap histories upstream), ≤ |items|·neighbors
-    * output rows. */
+    * output rows.
+    *
+    * Cache lifetime: the edge frame stays persisted because the RETURNED
+    * frame is lazy and reads it on every action — unpersisting here
+    * would recompute the aggregation per leg. The CALLER owns the
+    * release: `spark.catalog.clearCache()` after the result is
+    * materialized (USAGE.md's between-corpora contract; GraphCFSpec pins
+    * that the release leaves no orphan cache entry). A long-lived
+    * service that skips the release accumulates one MEMORY_AND_DISK
+    * entry per call until LRU pressure evicts. */
   def similarItems(edges0: DataFrame, neighbors: Int = 10,
                    scale: Long = 10000L): DataFrame = {
     require(neighbors >= 1, "neighbors must be >= 1")
@@ -841,13 +976,20 @@ object GraphCF {
                           broadcastItems: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
-    val tt = Relational.topKPerGroup(trans, Seq(col("prev")),
+    // trans is read twice (the truncated-matrix build and the join-mode
+    // probe below) — persist so the probe scans the cache instead of
+    // re-running the store fold / transition build. Stays persisted for
+    // the lazy result plan: the documented cache contract (USAGE.md:
+    // clearCache between corpora), same as knnFromEdges' edge frame.
+    val t = trans.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tt = Relational.topKPerGroup(t, Seq(col("prev")),
         Seq(col("cnt").desc, col("next")), neighbors, rankName = "__rt")
       .drop("__rt")
     // one bounded 1-row read (the cosineSimQ guard pattern) picks the
     // physical join: small catalogs broadcast the truncated matrix, big
-    // ones shuffle-join on prev — bit-identical either way
-    val nPrev = trans.select(col("prev")).distinct().count()
+    // ones shuffle-join on prev — bit-identical either way; the distinct
+    // count runs over the persisted transition frame, not a re-aggregation
+    val nPrev = t.select(col("prev")).distinct().count()
     val ttJ = if (nPrev <= broadcastItems) broadcast(tt) else tt
     val scores = last.select(col("u"), col("i").as("prev"))
       .join(ttJ, "prev")

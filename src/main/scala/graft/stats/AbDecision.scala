@@ -135,6 +135,105 @@ object AbDecision {
       .orderBy(col("test_name"))
   }
 
+  /** Exact Shapiro-Wilk normality check of a one-arm metric frame,
+    * DISTRIBUTED: the driver never materializes the arm — it reads only
+    * the ≤ 5000 evenly-spaced order statistics [[graft.stats.Tests
+    * .shapiroWilk]] itself reduces to (Royston's AS R94 validity range),
+    * recovered EXACTLY via the bucketed global prefix
+    * ([[graft.ops.Relational.globalCumBelow]]): order statistic at index
+    * k is the value whose cumulative range [below, below + c) contains
+    * k, and the target indices replicate shapiroWilk's own
+    * `i·(n−1) div 4999` grid, so this equals `shapiroWilk(arm.collect)`
+    * BIT-EXACTLY at every n (AbGateSpec pins both branches) while the
+    * driver read stays bounded (the guarded-collect contract). Returns
+    * (n, TestResult). */
+  def shapiroWilkD(df: DataFrame, valueCol: Column,
+                   buckets: Int = 64): (Long, Tests.TestResult) =
+    armShapiro(df.select(valueCol.cast("double").as("value")), buckets)
+
+  private def armShapiro(arm: DataFrame, buckets: Int): (Long, Tests.TestResult) = {
+    val vc = arm.groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val below = graft.ops.Relational
+      .globalCumBelow(vc, "value", "c", "below", buckets)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = below.agg(sum(col("c"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    require(n >= 3, s"armShapiro needs n >= 3, got $n")
+    val maxN = 5000
+    val ks: Array[Long] =
+      if (n <= maxN) Array.tabulate(n.toInt)(_.toLong)
+      else Array.tabulate(maxN)(i => i.toLong * (n - 1) / (maxN - 1))
+    val spark = arm.sparkSession
+    import spark.implicits._
+    val sample = below
+      .join(broadcast(ks.toSeq.toDF("k")),
+        col("k") >= col("below") && col("k") < col("below") + col("c"))
+      .select(col("k"), col("value")).orderBy(col("k"))
+      .collect().map(_.getDouble(1))
+    below.unpersist()
+    (n, Tests.shapiroWilk(sample))
+  }
+
+  /** The NORMALITY-GATED decision — the reference's actual test-selection
+    * flow (ab_test.py:288-302): Shapiro-Wilk on each arm decides whether
+    * the parametric t (itself Levene-gated, [[decide]]'s row) or the
+    * rank-sum test carries the experiment readout. Emits three
+    * (test_name, statistic, p_band, reject_null) rows: 'normality_a' /
+    * 'normality_b' (statistic = the SAMPLE SIZE the AS R94 approximation
+    * ran at, ≤ 5000 — oracle-replayable as least(n, 5000); reject_null =
+    * normality rejected) and the ONE gated test row.
+    *
+    * Oracle contract (the q174 replayability discipline, adapted for a
+    * driver-side statistic): the W value itself is not SQL-expressible,
+    * so the DECISION is what the oracle checks — the normality verdict
+    * rows are pinned literals (this engine's data is decisively
+    * non-normal at every gate scale; a knife-edge corpus would need the
+    * spec-level cross-check instead), and the gated row's statistic is
+    * the fully-replayable [[decide]] algebra: a wrong W, a wrong p
+    * transform, or a wrong gate flips test_name or reject_null and the
+    * hash catches it. W's numeric correctness is pinned by TestsSpec
+    * (published worked examples) and AbGateSpec (distributed ==
+    * driver-side bit-equality).
+    *
+    * Scale shape: per-arm value-count aggregation + the bucketed global
+    * prefix (the rank-sum machinery reused), a ≤ 5000-row driver read
+    * per arm, then [[decide]]'s two-pass plan for the gated row. */
+  def decideNormalityGated(df: DataFrame, grpCol: Column, valueCol: Column,
+                           alpha: Double = 0.05,
+                           buckets: Int = 64): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val ev = df.select(grpCol.cast("string").as("grp"),
+      valueCol.cast("double").as("value")).persist(lvl)
+    val arms = ev.select(col("grp")).distinct().limit(3)
+      .collect().map(_.getString(0)).sorted
+    require(arms.length == 2,
+      s"decideNormalityGated needs exactly two arms, got ${arms.mkString(", ")}")
+    val (nA, swA) = armShapiro(ev.filter(col("grp") === arms(0)), buckets)
+    val (nB, swB) = armShapiro(ev.filter(col("grp") === arms(1)), buckets)
+    // reject normality iff p < alpha (the scipy convention); the gate and
+    // the emitted verdict rows share the SAME predicate by construction
+    val rejA = swA.pValue < alpha
+    val rejB = swB.pValue < alpha
+    val normal = !rejA && !rejB
+    val gated =
+      if (normal) decide(ev, col("grp"), col("value"), buckets)
+        .filter(col("test_name").isin("student_t", "welch_t"))
+      else decide(ev, col("grp"), col("value"), buckets)
+        .filter(col("test_name") === "rank_sum")
+    def band(p: Double) =
+      if (p < 0.001) "<0.001" else if (p < 0.01) "<0.01"
+      else if (p < 0.05) "<0.05" else ">=0.05"
+    val spark = df.sparkSession
+    import spark.implicits._
+    val normRows = Seq(
+      ("normality_a", math.min(nA, 5000L).toDouble, band(swA.pValue), rejA),
+      ("normality_b", math.min(nB, 5000L).toDouble, band(swB.pValue), rejB))
+      .toDF("test_name", "statistic", "p_band", "reject_null")
+    normRows.unionByName(gated).orderBy(col("test_name"))
+  }
+
   /** The two-proportion z statistic over the pivoted (n1, s1, n2, s2)
     * counts — ONE expression string used verbatim by both the Spark plan
     * and the oracle SQL, so the IEEE operation order is identical by

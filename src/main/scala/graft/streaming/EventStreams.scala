@@ -618,8 +618,13 @@ object EventStreams {
     * don't split baskets reproduces the one-shot build bit-exactly
     * (TransitionStreamSpec pins it). A basket split ACROSS micro-batches
     * is processed as two baskets — feed basket-atomic micro-batches
-    * (e.g. CDC on order commit) where equality matters. State is one
-    * capped basket per live user, freed by the event-time horizon. */
+    * (e.g. CDC on order commit) where equality matters. A basket that
+    * arrives LATE across micro-batches (event time at or before the
+    * state's — the watermark tolerates this) is DROPPED rather than
+    * emitted: late emission would produce reversed (prev, next) pairs;
+    * dropping degrades to a missing transition, never a wrong one.
+    * State is one capped basket per live user, freed by the event-time
+    * horizon. */
   def transitionDeltas(baskets: DataFrame, userCol: String, basketCol: String,
                        tsCol: String, itemCol: String, maxBasket: Int,
                        watermark: String = "2 hours",
@@ -647,12 +652,24 @@ object EventStreams {
             var st = state.getOption.orNull
             val out = Seq.newBuilder[TransitionPair]
             byBasket.foreach { case ((tsUs, bid), rws) =>
-              val kept = rws.groupBy(_._4).view.mapValues(_.size).toSeq
-                .sortBy { case (i, c) => (-c, i) }
-                .take(maxBasket).map(_._1)
-              if (st != null)
-                for (p <- st.items; n <- kept) out += TransitionPair(p, n)
-              st = BasketTState(bid, tsUs, kept)
+              // cross-batch order guard: a basket at or before the state's
+              // (event time, basket id) arrived LATE across micro-batches
+              // (tolerated by the watermark) — emitting it would produce
+              // REVERSED transition pairs and silently break the one-shot
+              // equality contract. Drop it: every emitted pair stays a
+              // true forward transition; a late basket degrades to a
+              // missing transition, never a wrong-direction one. Also
+              // makes replayed duplicate input rows inert.
+              val late = st != null && (tsUs < st.tsMicros ||
+                (tsUs == st.tsMicros && bid <= st.basketId))
+              if (!late) {
+                val kept = rws.groupBy(_._4).view.mapValues(_.size).toSeq
+                  .sortBy { case (i, c) => (-c, i) }
+                  .take(maxBasket).map(_._1)
+                if (st != null)
+                  for (p <- st.items; n <- kept) out += TransitionPair(p, n)
+                st = BasketTState(bid, tsUs, kept)
+              }
             }
             if (st != null) {
               state.update(st)

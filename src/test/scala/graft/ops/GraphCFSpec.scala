@@ -242,6 +242,52 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("foldUserCoDelta equals the one-shot rebuild across both cap boundaries") {
+    // maxHistory=2, maxAudience=2. The delta (u1 gets c×3, u2 gets a)
+    // exercises BOTH subtle paths: u1's merged history {a:2,b:1,c:3}
+    // caps to {c,a} — b EVICTED, so untouched item b's audience changes;
+    // u2's merged {a:1,b:1,c:1} caps to {a,b} — c evicted; and item a's
+    // merged audience {u1:2,u2:1,u3:1} caps to {u1,u2} — u3 evicted by
+    // the audience cut. The fold must still equal the one-shot rebuild
+    // bit for bit.
+    val old = inter
+    val delta = (Seq.fill(3)((1L, "c")) :+ (2L, "a")).toDF("user", "item")
+    val oldCo = GraphCF.userCoCounts(old, "user", "item",
+      maxHistory = 2, maxAudience = 2)
+    val folded = GraphCF.foldUserCoDelta(old, delta, "user", "item", oldCo,
+        maxHistory = 2, maxAudience = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val rebuilt = GraphCF.userCoCounts(old.unionByName(delta), "user", "item",
+        maxHistory = 2, maxAudience = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(folded == rebuilt)
+    // and the fold actually changed something (the delta is not a no-op)
+    val before = oldCo.as[(Long, Long, Long)].collect().toSet
+    assert(folded != before)
+    spark.catalog.clearCache()
+  }
+
+  test("foldUserCoDelta trips on a stale oldCo (negative folded co)") {
+    // old: u1 and u2 share item a -> true old co holds (u1, u2, 1).
+    // delta: u1 gets b×2, c×2 -> merged history caps (H=2) to {b, c},
+    // EVICTING a — the fold subtracts the (u1, u2) pair via a. A stale
+    // oldCo that never held it (co of an unrelated log) nets −1 and the
+    // tripwire must fire at action time.
+    val old = Seq((1L, "a"), (2L, "a")).toDF("user", "item")
+    val delta = (Seq.fill(2)((1L, "b")) ++ Seq.fill(2)((1L, "c")))
+      .toDF("user", "item")
+    val staleCo = GraphCF.userCoCounts(Seq((9L, "z")).toDF("user", "item"),
+      "user", "item", maxHistory = 2) // empty (s1, s2, co) frame
+    val ex = intercept[Throwable] {
+      GraphCF.foldUserCoDelta(old, delta, "user", "item", staleCo,
+        maxHistory = 2).collect()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("negative folded co"))
+    spark.catalog.clearCache()
+  }
+
   test("cosineSimQ refuses scale past the exactness budget") {
     // scale ~2^33 with norm^2 near 2^31 would wrap maxNrm*scale negative
     // and slip past the budget check — the require must refuse up front
@@ -512,5 +558,25 @@ class GraphCFSpec extends SparkTestBase {
     assert(!got.contains((2L, "a")))
     assert(got.contains((1L, "c"))) // c's only (and thus top-1) edge is b
     spark.catalog.clearCache()
+  }
+
+  test("served-and-released leaves no orphan cache entry (cache-lifetime contract)") {
+    // the lazy-return serving APIs persist internal frames that must stay
+    // cached until the result materializes; the documented release path
+    // (spark.catalog.clearCache() after materialization — USAGE.md) must
+    // drain EVERY entry, or a long-lived service leaks one per call
+    spark.catalog.clearCache()
+    GraphCF.similarItems(GraphCF.edges(inter, "user", "item"),
+      neighbors = 2, scale = 10L).collect()
+    GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L).collect()
+    GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item", k = 3)
+      .collect()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty) // served: cached
+    spark.catalog.clearCache()
+    // clearCache unpersists through the CacheManager; drain is async-safe
+    val deadline = System.nanoTime() + 10000000000L
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }

@@ -96,4 +96,31 @@ class TransitionStreamSpec extends SparkTestBase {
     assert(served == direct)
     spark.catalog.clearCache()
   }
+
+  test("late and duplicate baskets across micro-batches are dropped, never reversed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("trans_store_late").toString
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val q = EventStreams.sinkTransitionDeltas(
+      EventStreams.transitionDeltas(
+        rows(in.toDF().toDF("user", "bsk", "ts_ms", "item")),
+        "user", "bsk", "ts", "item", maxBasket = 8), dir).start()
+    // batch 1: basket 9 at t=2000 {a, b}
+    in.addData((1L, 9L, 2000L, 1L), (1L, 9L, 2000L, 2L))
+    q.processAllAvailable()
+    // batch 2: basket 5 arrives LATE (t=1000 < state's 2000, inside the
+    // 2h watermark) plus a replayed duplicate of basket 9 — the old code
+    // would emit REVERSED pairs (a→c, b→c) and clobber state with the
+    // stale basket; both must be dropped with state intact
+    in.addData((1L, 5L, 1000L, 3L), (1L, 9L, 2000L, 1L), (1L, 9L, 2000L, 2L))
+    q.processAllAvailable()
+    // batch 3: basket 2 at t=3000 {a} — pairs against basket 9, NOT 5
+    in.addData((1L, 2L, 3000L, 1L))
+    q.processAllAvailable()
+    q.stop()
+    val got = GraphCF.transitionsFromStore(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, 1L)))
+    spark.catalog.clearCache()
+  }
 }
