@@ -43,10 +43,20 @@ object AlsBias {
     * (/root/reference/explicit_ratings/prac_1_bias_only.py): factors start
     * at zero and STAY zero (the ridge solve of a zero Gramian with a zero
     * RHS is zero), so training alternates pure bias updates. */
+  /** `broadcastEntities`: when BOTH sides' entity counts are at or below
+    * this, the training loop pre-partitions the ratings by each sweep's
+    * entity key and broadcasts the factor frames into the sweep joins —
+    * the half-sweep then runs with ZERO per-sweep exchange (the
+    * partial+final aggregation reuses the ratings' hash partitioning;
+    * MLlib's InBlock layout expressed declaratively). Above the threshold
+    * the plain shuffle joins run — no catalog-size cliff, the
+    * `broadcastItems` two-mode idiom. 10⁶ entities ≈ a 160 MB broadcast
+    * at rank 12 — fine on any real executor; size down for tiny ones. */
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, maxIter: Int = 20, tol: Double = 0.05,
                           seed: Long = 42L, strictQ1Bias: Boolean = false,
-                          biasOnly: Boolean = false)
+                          biasOnly: Boolean = false,
+                          broadcastEntities: Long = 1000000L)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
     /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
@@ -89,16 +99,24 @@ object AlsBias {
     * rating set. */
   def halfSweep(ratings: DataFrame, selfFactors: DataFrame, otherFactors: DataFrame,
                 selfCol: String, otherCol: String, ratingCol: String,
-                p: Params): DataFrame = {
+                p: Params, broadcastFactors: Boolean = false): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
+    // broadcastFactors (the training loop sets it below the entity
+    // threshold): both factor joins broadcast, so ratings KEEP their
+    // partitioning — pre-partitioned by selfCol, the groupBy below then
+    // needs no exchange at all and the sweep is shuffle-free (measured:
+    // the 25M-rating sf-1× sweep spilled 4.3 GB through sort-merge joins
+    // at 32 partitions; broadcast + co-location spills zero)
+    val of = otherFactors.select(col("id").as("oid"), col("features").as("v"),
+      col("bias").as("bo"))
+    val sf = selfFactors.select(col("id").as("sid"), col("features").as("u"))
     val joined = ratings
       .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
-      .join(otherFactors.select(col("id").as("oid"), col("features").as("v"),
-        col("bias").as("bo")), Seq("oid"))
-      .join(selfFactors.select(col("id").as("sid"), col("features").as("u")), Seq("sid"))
+      .join(if (broadcastFactors) broadcast(of) else of, Seq("oid"))
+      .join(if (broadcastFactors) broadcast(sf) else sf, Seq("sid"))
 
     // quirk Q1 compat: "last" rating = the max other-id row (the reference's
     // CSR is sorted by (selfId, otherId), so its overwrite keeps that row)
@@ -169,15 +187,40 @@ object AlsBias {
       .localCheckpoint()
     var items = initFactors(ratings, itemCol, p, 2L)
       .localCheckpoint()
+    // two bounded 1-row reads off the checkpointed factor frames pick the
+    // sweep plan: at or below the entity threshold, ratings pre-partition
+    // by each sweep's key ONCE (paid here, amortized over every sweep)
+    // and the factor joins broadcast — each half-sweep then runs with
+    // zero exchange; above it, the plain shuffle-join plan (see Params)
+    val bcast = math.max(users.count(), items.count()) <= p.broadcastEntities
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val byUser = if (bcast) ratings.repartition(col(userCol)).persist(lvl)
+      else ratings
+    val byItem = if (bcast) ratings.repartition(col(itemCol)).persist(lvl)
+      else ratings
+    // The typed Gramian/vector Aggregators plan as ObjectHashAggregate,
+    // whose sort-based fallback triggers at 128 DISTINCT KEYS by default
+    // — three orders of magnitude below any real entity count, so every
+    // partial aggregation was silently sorting the full joined frame
+    // (measured: 23 GB of external-sort spill on the 25M-rating corpus).
+    // Under the co-located plan the per-task key count is bounded by
+    // construction (nEntities / partitions, ~1 KB packed buffer each), so
+    // raise the fallback for the duration of training and restore after.
+    val ss = ratings.sparkSession
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
+    ss.conf.set(fbKey, "4194304")
+    try {
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
       // Q1 is a movie-loop-only quirk: user sweep always sums
-      val newUsers = halfSweep(ratings, users, items, userCol, itemCol, ratingCol,
-          p.copy(strictQ1Bias = false))
+      val newUsers = halfSweep(byUser, users, items, userCol, itemCol, ratingCol,
+          p.copy(strictQ1Bias = false), broadcastFactors = bcast)
         .localCheckpoint()
-      val newItems = halfSweep(ratings, items, newUsers, itemCol, userCol, ratingCol, p)
+      val newItems = halfSweep(byItem, items, newUsers, itemCol, userCol, ratingCol,
+          p, broadcastFactors = bcast)
         .localCheckpoint()
       delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
       users = newUsers; items = newItems
@@ -201,6 +244,15 @@ object AlsBias {
       Trace.snapshotFactors(dir, "final", users, items)
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
+    // the returned factor frames are checkpointed — the pre-partitioned
+    // ratings copies are training-internal and safe to release here
+    if (bcast) { byUser.unpersist(blocking = false); byItem.unpersist(blocking = false) }
     (Model(users, items), hist.toSeq)
+    } finally {
+      oldFb match {
+        case Some(v) => ss.conf.set(fbKey, v)
+        case None => ss.conf.unset(fbKey)
+      }
+    }
   }
 }

@@ -24,13 +24,15 @@ object AlsGenre {
 
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, beta: Double = 0.01,
-                          maxIter: Int = 20, tol: Double = 0.05, seed: Long = 42L)
+                          maxIter: Int = 20, tol: Double = 0.05, seed: Long = 42L,
+                          broadcastEntities: Long = 1000000L)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
                          genreFactors: Map[Int, Array[Double]])
 
   private def toBiasParams(p: Params) =
-    AlsBias.Params(p.rank, p.lambda, p.tau, p.alpha, p.maxIter, p.tol, p.seed)
+    AlsBias.Params(p.rank, p.lambda, p.tau, p.alpha, p.maxIter, p.tol, p.seed,
+      broadcastEntities = p.broadcastEntities)
 
   /** Movie half-sweep with the genre prior. `movieGenres` carries
     * (id, genre_values ARRAY<INT>, genre_count INT); `genreF` is the current
@@ -38,16 +40,22 @@ object AlsGenre {
   def movieSweepWithPrior(ratings: DataFrame, itemFactors: DataFrame,
                           userFactors: DataFrame, movieGenres: DataFrame,
                           itemCol: String, userCol: String, ratingCol: String,
-                          genreF: Map[Int, Array[Double]], p: Params): DataFrame = {
+                          genreF: Map[Int, Array[Double]], p: Params,
+                          broadcastFactors: Boolean = false): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
+    // broadcastFactors: same zero-exchange sweep plan as
+    // [[AlsBias.halfSweep]] — factor joins broadcast, item-partitioned
+    // ratings keep their partitioning into the groupBy
+    val uf = userFactors.select(col("id").as("oid"), col("features").as("v"),
+      col("bias").as("bo"))
+    val sf = itemFactors.select(col("id").as("sid"), col("features").as("u"))
     val joined = ratings
       .select(col(itemCol).as("sid"), col(userCol).as("oid"), col(ratingCol).as("r"))
-      .join(userFactors.select(col("id").as("oid"), col("features").as("v"),
-        col("bias").as("bo")), Seq("oid"))
-      .join(itemFactors.select(col("id").as("sid"), col("features").as("u")), Seq("sid"))
+      .join(if (broadcastFactors) broadcast(uf) else uf, Seq("oid"))
+      .join(if (broadcastFactors) broadcast(sf) else sf, Seq("sid"))
 
     val aggd = joined
       .withColumn("resid", col("r") - VectorOps.dot(col("u"), col("v")) - col("bo"))
@@ -154,14 +162,31 @@ object AlsGenre {
     val rng = new java.util.Random(p.seed)
     var genreF: Map[Int, Array[Double]] =
       (0 until 20).map(g => g -> Array.fill(p.rank)(rng.nextGaussian())).toMap
+    // the AlsBias zero-exchange sweep plan, decided the same way (two
+    // bounded 1-row reads; ratings pre-partitioned once per sweep key)
+    val bcast = math.max(users.count(), items.count()) <= bp.broadcastEntities
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val byUser = if (bcast) ratings.repartition(col(userCol)).persist(lvl)
+      else ratings
+    val byItem = if (bcast) ratings.repartition(col(itemCol)).persist(lvl)
+      else ratings
+    // raise the ObjectHashAggregate sort-fallback for the duration of
+    // training and restore after — see the AlsBias.trainTraced note (the
+    // default 128-key fallback silently sorts the full joined frame)
+    val ss = ratings.sparkSession
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
+    ss.conf.set(fbKey, "4194304")
+    try {
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
-      val newUsers = AlsBias.halfSweep(ratings, users, items, userCol, itemCol, ratingCol, bp)
+      val newUsers = AlsBias.halfSweep(byUser, users, items, userCol, itemCol,
+          ratingCol, bp, broadcastFactors = bcast)
         .localCheckpoint()
-      val newItems = movieSweepWithPrior(ratings, items, newUsers, movieGenres,
-        itemCol, userCol, ratingCol, genreF, p)
+      val newItems = movieSweepWithPrior(byItem, items, newUsers, movieGenres,
+        itemCol, userCol, ratingCol, genreF, p, broadcastFactors = bcast)
         .localCheckpoint()
       val newGenreF = updateGenreFactors(newItems, movieGenres, genreF, p)
       val fDelta = newGenreF.map { case (g, f) =>
@@ -194,6 +219,13 @@ object AlsGenre {
       Trace.snapshotGenreFactors(ratings.sparkSession, dir, "final", genreF)
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
+    if (bcast) { byUser.unpersist(blocking = false); byItem.unpersist(blocking = false) }
     (Model(users, items, genreF), hist.toSeq)
+    } finally {
+      oldFb match {
+        case Some(v) => ss.conf.set(fbKey, v)
+        case None => ss.conf.unset(fbKey)
+      }
+    }
   }
 }

@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** At-scale validation of the custom EXPLICIT-ALS trainers — the
+  * [[graft.model.AlsBias]] Gramian-Aggregator + per-entity Cholesky sweep
+  * that carries the reference's headline workload (the 25M-rating
+  * MovieLens run, explicit_ratings/prac_1.py:22: 162,541 users × 59,047
+  * movies). The DSGD sibling is [[TrainerBench]]; this main gives the
+  * bias/genre family the same treatment: synthesize a
+  * MovieLens-25M-SHAPED explicit corpus DISTRIBUTIVELY (spark.range +
+  * hash math, nothing corpus-sized on the driver), train a fixed number
+  * of sweeps, and print per-sweep wall time plus the run's data-movement
+  * profile (shuffle/spill via [[graft.MovementListener]] — the auditable
+  * form of "the aggregation is map-side partial").
+  *
+  * Corpus shape: movie popularity is Zipf-skewed (square-law transform of
+  * a hash uniform — the long-tail shape of the real ratings file); each
+  * user rates a fixed mean count, so scaling USERS by F scales ratings by
+  * F with the per-user distribution preserved — the structure-preserving
+  * 10× axis, like [[TrainerBench]]'s. Rating values are a deterministic
+  * half-star grid in [0.5, 5] from a (user, movie) hash: value content is
+  * irrelevant to the sweep's cost model (every rating pays one join row
+  * and one packed-buffer merge regardless), and determinism keeps reruns
+  * comparable.
+  *
+  * What linearity means here: a half-sweep is ratings ⋈ factors →
+  * groupBy(entity) with map-side partial aggregation, so time should
+  * scale ~linearly in ratings while the SHUFFLE grows with
+  * (#entities-per-partition × partitions) packed buffers — at 10× users
+  * the user-sweep exchange is the number to watch (the movie side stays
+  * 59k rows regardless). Zero spill at sized partitions is the pass bar.
+  *
+  * Usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> [genre]
+  *   `genre` runs [[graft.model.AlsGenre]] (the genre-prior variant) with
+  *   a synthetic 20-genre assignment instead of [[graft.model.AlsBias]].
+  */
+object AlsTrainerBench {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> [genre]")
+    val Array(nUsers, nItems, ratingsPerUser, sweeps, rank) =
+      args.take(5).map(_.toInt)
+    val genreMode = args.length > 5 && args(5) == "genre"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        shufflePartitions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val mv = new graft.MovementListener
+    spark.sparkContext.addSparkListener(mv)
+
+    // per-(user, draw) Zipf-skewed movie pick + half-star rating grid
+    val u01 = pmod(xxhash64(col("user"), col("j")), lit(1000003L))
+      .cast("double") / 1000003.0
+    val ratings = spark.range(nUsers.toLong)
+      .select(col("id").cast("int").as("user"))
+      .crossJoin(spark.range(ratingsPerUser.toLong).select(col("id").as("j")))
+      .select(col("user"), floor(u01 * u01 * nItems).cast("int").as("movie"))
+      .distinct() // per-user duplicate draws collapse, like a ratings dedup
+      .withColumn("rating",
+        (pmod(xxhash64(col("user"), col("movie"), lit(7L)), lit(10L))
+          .cast("double") + 1.0) * 0.5)
+      .persist()
+    val nRatings = ratings.count()
+    mv.reset()
+
+    // pin the co-located zero-exchange sweep plan at every probe scale
+    // (the 10× axis crosses the 1M-entity default; a 1.6M-user factor
+    // broadcast is ~260 MB — the per-executor price a deployment sizes
+    // for, and exactly the plan whose scaling this probe measures)
+    val p = graft.model.AlsBias.Params(rank = rank, maxIter = sweeps,
+      tol = 0.0, seed = 42L, broadcastEntities = 10000000L)
+    val sweepSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var last = System.nanoTime()
+    val trace = graft.model.Trace.Config(computeMetrics = false,
+      onIter = _ => {
+        val now = System.nanoTime()
+        sweepSec += (now - last) / 1e9
+        last = now
+      })
+    val t0 = System.nanoTime()
+    if (genreMode) {
+      // synthetic 20-genre assignment: 1-2 hash-picked genres per movie,
+      // the (id, genre_values, genre_count) frame AlsGenre trains on
+      val genres = spark.range(nItems.toLong)
+        .select(col("id").cast("int").as("id"),
+          array_distinct(array(
+            pmod(xxhash64(col("id"), lit(3L)), lit(20L)).cast("int"),
+            pmod(xxhash64(col("id"), lit(5L)), lit(20L)).cast("int")))
+            .as("genre_values"))
+        .withColumn("genre_count", size(col("genre_values")))
+      graft.model.AlsGenre.trainTraced(ratings, genres, "user", "movie",
+        "rating", graft.model.AlsGenre.Params(rank = rank, maxIter = sweeps,
+          tol = 0.0, seed = 42L, broadcastEntities = 10000000L), trace)
+    } else {
+      graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
+        p, trace)
+    }
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    mv.settle()
+
+    val sweeps_js = sweepSec.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(f"""{"model":"${if (genreMode) "als_genre" else "als_bias"}",""" +
+      f""""users":$nUsers,"items":$nItems,"ratings":$nRatings,""" +
+      f""""sweeps":$sweeps,"rank":$rank,"train_sec":$trainSec%.2f,""" +
+      f""""per_sweep_sec":$sweeps_js,""" +
+      f""""shuffle_mb":${mv.shuffleWriteBytes.get() / 1048576.0}%.1f,""" +
+      f""""spill_mb":${mv.spillDiskBytes.get() / 1048576.0}%.1f}""")
+    spark.stop()
+  }
+}
