@@ -143,8 +143,12 @@ object AlsBias {
       solve(col("n"), col("sresid"), col("srv"), col("sv"), col("gram")).as("ub"))
       .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
 
-    // entities with zero ratings this sweep: closed form -> zero bias/vector
-    selfFactors.select(col("id")).join(updated, Seq("id"), "left")
+    // entities with zero ratings this sweep: closed form -> zero bias/vector.
+    // Under broadcastFactors the (entity-sized) updated frame broadcasts so
+    // the alignment join adds no exchange either — the sweep stays
+    // exchange-free end to end (PlanShapeSpec pins it)
+    val updJ = if (broadcastFactors) broadcast(updated) else updated
+    selfFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
           transform(sequence(lit(0), lit(rank - 1)), _ => lit(0.0))).as("features"),

@@ -64,8 +64,11 @@ object AlsGenre {
       .agg(count(lit(1)).as("n"), sum(col("resid")).as("sresid"),
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
         gramSum(col("v")).as("gram"))
-      .join(movieGenres.select(col("id").as("sid"), col("genre_values"),
-        col("genre_count")), Seq("sid"), "left")
+      .join({
+        val mg = movieGenres.select(col("id").as("sid"), col("genre_values"),
+          col("genre_count"))
+        if (broadcastFactors) broadcast(mg) else mg // genre dim is item-sized
+      }, Seq("sid"), "left")
 
     val lambda = p.lambda; val tau = p.tau; val alpha = p.alpha
     val fMap = genreF // serialized into the UDF closure (20×d doubles)
@@ -90,7 +93,8 @@ object AlsGenre {
         col("genre_values"), coalesce(col("genre_count"), lit(0))).as("ub"))
       .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
 
-    itemFactors.select(col("id")).join(updated, Seq("id"), "left")
+    val updJ = if (broadcastFactors) broadcast(updated) else updated
+    itemFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
           transform(sequence(lit(0), lit(rank - 1)), _ => lit(0.0))).as("features"),

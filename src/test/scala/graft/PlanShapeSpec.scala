@@ -469,6 +469,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(scans >= 2, s"fusion must read the persisted rec frames:\n$p")
   }
 
+  test("ALS half-sweep under co-location + broadcast runs with ZERO exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the trainTraced fast path: ratings pre-partitioned by the sweep's
+    // entity key, factor frames broadcast — the whole join + Gramian
+    // aggregation must reuse that partitioning (alias-aware), so the
+    // executed plan contains NO shuffle exchange at all (measured: this
+    // is what turns the 25M-rating sweep from 14 GB shuffle + 4.3 GB
+    // spill into 0.7 GB one-time / zero spill — ALS_BENCH.json)
+    // persist + force the pre-partitioned frame (as trainTraced does) so
+    // the sweep plan reads the cached layout — the one-time repartition
+    // exchange lives in the cached subtree, not in the per-sweep plan
+    val ratings = (1 to 60).map(i => (i % 12, i % 7, (i % 9 + 1) * 0.5))
+      .toDF("u", "m", "r")
+      .repartition(col("u"))
+      .persist()
+    ratings.count()
+    val p = graft.model.AlsBias.Params(rank = 3, maxIter = 1, tol = 0.0)
+    val users = graft.model.AlsBias.initFactors(ratings, "u", p, 1L)
+      .localCheckpoint()
+    val items = graft.model.AlsBias.initFactors(ratings, "m", p, 2L)
+      .localCheckpoint()
+    val sweep = graft.model.AlsBias.halfSweep(ratings, users, items,
+      "u", "m", "r", p, broadcastFactors = true)
+    sweep.collect() // force AQE to finalize the executed plan
+    val plan = sweep.queryExecution.executedPlan.toString
+    // REPARTITION_BY_COL lines are the one-time cached layout echoed
+    // inside the InMemoryRelation's stored plan — they do not re-execute;
+    // any ENSURE_REQUIREMENTS hash exchange would be a real per-sweep
+    // shuffle the planner added because co-location failed to propagate
+    val shuffles = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("REPARTITION_BY_COL")).toSeq
+    assert(shuffles.isEmpty,
+      s"co-located broadcast sweep must be exchange-free:\n${shuffles.mkString("\n")}")
+    spark.catalog.clearCache()
+  }
+
   test("digest-store probe: store side distincts on its bucket layout, no store exchange") {
     val q = "q146_digest_store"
     val p = plan(q) // builds the store, returns the probe
