@@ -5479,6 +5479,83 @@ object PipelineQueries {
            |  WHERE q > 0)
            |WHERE rs <= 10 ORDER BY cust, rn""".stripMargin))
 
+  /** ASSOCIATION RULES over order baskets
+    * ([[graft.ops.GraphCF.liftRules]] — support/confidence/lift, the
+    * classical "customers also bought" serving surface): top-5
+    * consequent suppliers per antecedent by exact quantized lift, both
+    * ratios integer divisions DuckDB `//` replays bit-exactly, supports
+    * exact distinct-basket counts. The Apriori prune (minSupport = 3)
+    * runs before the basket-keyed pair join — at 100 TB the prune plus
+    * the basket cap is what bounds the pair fanout at #baskets·B². */
+  private val q200 = Q("q200_assoc_rules",
+    (s, d) => {
+      val inter = orders(s, d).select(col("o_orderkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("bsk"), col("l_suppkey").as("supp"))
+      GraphCF.liftRules(inter, "bsk", "supp", minSupport = 3L, k = 5)
+        .orderBy(col("ante"), col("rnk"))
+    },
+    Some(assocRulesSql))
+
+  /** Shared oracle of q200/q201: the ONE-SHOT rule build over the full
+    * basket log — q201 serving off the statistics store must hash-match
+    * it, which IS the store == rebuild proof (the q190/q182 pattern). */
+  private lazy val assocRulesSql: String =
+    """WITH bi AS (SELECT DISTINCT o_orderkey AS b, l_suppkey AS i
+           |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |itn AS (SELECT i, CAST(count(*) AS BIGINT) AS s FROM bi
+           |        GROUP BY 1),
+           |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM bi),
+           |freq AS (SELECT i FROM itn WHERE s >= 3),
+           |bif AS (SELECT bi.b, bi.i FROM bi JOIN freq USING (i)),
+           |pr AS (SELECT a.i AS ante, c.i AS cons,
+           |         CAST(count(*) AS BIGINT) AS pair_n
+           |       FROM bif a JOIN bif c ON a.b = c.b AND a.i <> c.i
+           |       GROUP BY 1, 2),
+           |sc AS (SELECT ante, cons, pair_n, sa.s AS ante_n,
+           |         sc2.s AS cons_n,
+           |         (1000000 * pair_n) // sa.s AS conf_q,
+           |         (1000000 * nb.n * pair_n) // (sa.s * sc2.s) AS lift_q
+           |       FROM pr JOIN itn sa ON pr.ante = sa.i
+           |            JOIN itn sc2 ON pr.cons = sc2.i CROSS JOIN nb
+           |       WHERE pair_n >= 3)
+           |SELECT ante, cons, pair_n, ante_n, cons_n, conf_q, lift_q,
+           |       CAST(rn AS BIGINT) AS rnk
+           |FROM (SELECT *, row_number() OVER
+           |    (PARTITION BY ante ORDER BY lift_q DESC, cons) AS rn FROM sc)
+           |WHERE rn <= 5 ORDER BY ante, rnk""".stripMargin
+
+  /** ASSOCIATION RULES served off the STANDING statistics store
+    * ([[graft.ops.GraphCF.writeRuleStatsBatch]] /
+    * [[graft.ops.GraphCF.liftRulesFromStore]]): the basket log lands as
+    * four basket-sharded partials (item supports, UNPRUNED pair counts,
+    * basket counts — all additive over disjoint baskets; the Apriori
+    * prune is global, so it runs at serve time, never in a batch), and
+    * the rules fold from the store. SHARED one-shot oracle with q200 —
+    * the hash match IS store == rebuild, closing the standing-state
+    * story for this family too (every recommender surface now serves
+    * from a maintained store). */
+  private val q201 = Q("q201_assoc_from_store",
+    (s, d) => {
+      val dir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q201_rules")
+      val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.delete(dir, true)
+      val inter = orders(s, d).select(col("o_orderkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("bsk"), col("l_suppkey").as("supp"))
+      (0L until 4L).foreach { b =>
+        GraphCF.writeRuleStatsBatch(
+          inter.filter(pmod(col("bsk"), lit(4L)) === b),
+          "bsk", "supp", Int.MaxValue, dir.toString, b)
+      }
+      GraphCF.liftRulesFromStore(s, dir.toString, minSupport = 3L, k = 5)
+        .orderBy(col("ante"), col("rnk"))
+    },
+    Some(assocRulesSql))
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q50,
     q51, q52, q53, q54, q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65,
     q66, q67, q68, q69, q70, q71, q72, q73, q78, q79, q80, q89, q90, q101,
@@ -5490,7 +5567,7 @@ object PipelineQueries {
     q162, q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173,
     q174, q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197,
-    q198, q199)
+    q198, q199, q200, q201)
 
   // ------------------------------------------------- phase decompositions
 

@@ -178,6 +178,150 @@ object GraphCF {
     * |users|·|pool| fanout anti-joined against the edge frame, never a
     * users × catalog product. Exactness is by the pool argument above,
     * not an approximation. */
+  /** Association rules over baskets — support / confidence / lift, the
+    * classical "customers also bought" market-basket surface (Agrawal &
+    * Srikant 1994's measures; only 1→1 rules, the serving shape): for
+    * each frequent antecedent item a, its top-`k` consequents c by
+    *
+    *   conf(a→c) = s(ac)/s(a),   lift(a→c) = N·s(ac)/(s(a)·s(c))
+    *
+    * with s(·) EXACT basket-support counts (distinct baskets containing
+    * the itemset) and both ratios quantized ONCE by integer division
+    * (`floor(scale·…)` — DuckDB `//` replays it bit-exactly). Output:
+    * (ante, cons, pair_n, ante_n, cons_n, conf_q, lift_q, rnk), ties by
+    * smallest consequent id.
+    *
+    * Scale shape: the Apriori prune runs FIRST (items below `minSupport`
+    * never enter the pair join), baskets are capped to their top-
+    * `maxBasket` items by (multiplicity desc, id — the Markov family's
+    * exact cut), so the basket-keyed self-join fans out ≤ #baskets·B²
+    * pair rows; pairs below `minSupport` drop before the stats joins.
+    * Long budget (bounded 1-row reads, the cosineSimQ idiom):
+    * scale·N·max(s) must stay < 2⁶³ — corpora past it shard by basket
+    * key or drop `scale`. */
+  def liftRules(interactions: DataFrame, basketCol: String, itemCol: String,
+                minSupport: Long = 2L, maxBasket: Int = Int.MaxValue,
+                k: Int = 10, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minSupport >= 1L, "minSupport must be >= 1")
+    require(maxBasket >= 1, "maxBasket must be >= 1")
+    require(scale >= 10L && scale <= 1000000L,
+      "scale must be in [10, 10^6] (the exactness budget)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val biAgg = interactions
+      .groupBy(col(basketCol).as("b"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val biCap =
+      if (maxBasket == Int.MaxValue) biAgg
+      else Relational.topKPerGroup(biAgg, Seq(col("b")),
+        Seq(col("w").desc, col("i")), maxBasket, rankName = "__rw")
+        .drop("__rw")
+    // cache lifetime: caller-owned release after materialization, the
+    // family's documented contract (USAGE.md / GraphCFSpec no-orphan)
+    val bi = biCap.select(col("b"), col("i")).persist(lvl)
+    val itemN = bi.groupBy(col("i")).agg(count(lit(1)).as("s")).persist(lvl)
+    val frequent = itemN.filter(col("s") >= minSupport)
+    val biF = bi.join(frequent.select(col("i")), Seq("i"), "left_semi")
+    val pairs = biF.select(col("b"), col("i").as("ante"))
+      .join(biF.select(col("b"), col("i").as("cons")), "b")
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("pair_n"))
+    val n = bi.select(col("b")).distinct().count()
+    rulesFromStats(itemN, pairs, n, minSupport, k, scale)
+  }
+
+  /** The shared serving tail of [[liftRules]] / [[liftRulesFromStore]]:
+    * thresholds, the quantized confidence/lift projection, and the
+    * per-antecedent truncation — over an (i, s) support frame, an
+    * (ante, cons, pair_n) pair frame (pre-prune or not: pair_n ≤
+    * min(s(a), s(c)), so the support threshold subsumes any skipped
+    * Apriori prune — the prune is a work saver, never a result change)
+    * and the basket count. */
+  private def rulesFromStats(itemN: DataFrame, pairs: DataFrame, n: Long,
+                             minSupport: Long, k: Int,
+                             scale: Long): DataFrame = {
+    // bounded 1-row read: the lift numerator's 2^63 exactness budget
+    val head = itemN.agg(max(col("s"))).head()
+    require(!head.isNullAt(0), "liftRules: empty basket frame")
+    val maxS = head.getLong(0)
+    require(maxS <= Long.MaxValue / scale / math.max(n, 1L),
+      s"liftRules: scale*N*max(support) = $scale*$n*$maxS breaks the " +
+        "2^63 exactness budget — shard by basket key or drop scale")
+    val scored = pairs
+      .filter(col("pair_n") >= minSupport)
+      .join(itemN.select(col("i").as("ante"), col("s").as("ante_n")), "ante")
+      .join(itemN.select(col("i").as("cons"), col("s").as("cons_n")), "cons")
+      .filter(col("ante_n") >= minSupport && col("cons_n") >= minSupport)
+      .select(col("ante"), col("cons"), col("pair_n"), col("ante_n"),
+        col("cons_n"),
+        expr(s"(${scale}L * pair_n) div ante_n").as("conf_q"),
+        expr(s"(${scale}L * ${n}L * pair_n) div (ante_n * cons_n)")
+          .as("lift_q"))
+    Relational.topKPerGroup(scored, Seq(col("ante")),
+      Seq(col("lift_q").desc, col("cons")), k, rankName = "rnk")
+  }
+
+  /** Per-batch additive partials for the standing ASSOCIATION-RULE store
+    * — the family's q173/q190 pattern for [[liftRules]]: each batch lands
+    * its capped distinct-basket item supports, UNPRUNED pair counts and
+    * basket count; all three are sums over disjoint baskets, so the fold
+    * is one groupBy per frame and store-served == one-shot bit-exactly.
+    * Contract: batches must not SPLIT a basket (supports and pair counts
+    * are within-basket statistics — the transition store's user-shard
+    * contract, transposed to baskets), and the Apriori prune is GLOBAL,
+    * so it applies at serve time, never in a batch (an item infrequent
+    * in one batch may be frequent overall). Batch-id-keyed overwrite =
+    * replay-idempotent. */
+  def writeRuleStatsBatch(batch: DataFrame, basketCol: String,
+                          itemCol: String, maxBasket: Int, path: String,
+                          batchId: Long): Unit = {
+    require(maxBasket >= 1, "maxBasket must be >= 1")
+    val biAgg = batch.groupBy(col(basketCol).as("b"), col(itemCol).as("i"))
+      .agg(count(lit(1)).as("w"))
+    val biCap =
+      if (maxBasket == Int.MaxValue) biAgg
+      else Relational.topKPerGroup(biAgg, Seq(col("b")),
+        Seq(col("w").desc, col("i")), maxBasket, rankName = "__rw")
+        .drop("__rw")
+    val bi = biCap.select(col("b"), col("i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
+      .write.mode("overwrite").parquet(s"$path/items/batch=$batchId")
+    bi.select(col("b"), col("i").as("ante"))
+      .join(bi.select(col("b"), col("i").as("cons")), "b")
+      .filter(col("ante") =!= col("cons"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("pair_n"))
+      .write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
+    bi.groupBy().agg(countDistinct(col("b")).as("n"))
+      .write.mode("overwrite").parquet(s"$path/baskets/batch=$batchId")
+    bi.unpersist()
+  }
+
+  /** [[liftRules]] served off the standing rule-statistics store
+    * ([[writeRuleStatsBatch]]) — bit-equal to the one-shot build over the
+    * concatenated batches (long sums are order-free; basket-sharded
+    * batches witness disjoint baskets). */
+  def liftRulesFromStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, minSupport: Long = 2L, k: Int = 10,
+                         scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(minSupport >= 1L, "minSupport must be >= 1")
+    require(scale >= 10L && scale <= 1000000L,
+      "scale must be in [10, 10^6] (the exactness budget)")
+    val itemN = spark.read.option("basePath", s"$path/items")
+      .parquet(s"$path/items")
+      .groupBy(col("i")).agg(sum(col("s")).as("s"))
+    val pairs = spark.read.option("basePath", s"$path/pairs")
+      .parquet(s"$path/pairs")
+      .groupBy(col("ante"), col("cons")).agg(sum(col("pair_n")).as("pair_n"))
+    val n = spark.read.option("basePath", s"$path/baskets")
+      .parquet(s"$path/baskets")
+      .agg(sum(col("n"))).head().getLong(0)
+    rulesFromStats(itemN, pairs, n, minSupport, k, scale)
+  }
+
   def popularityRecs(interactions: DataFrame, userCol: String,
                      itemCol: String, k: Int,
                      maxHistory: Int = Int.MaxValue): DataFrame = {

@@ -560,6 +560,85 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("liftRules matches the hand-computed support/confidence/lift table") {
+    // baskets: b1{a,b,c} b2{a,b} b3{a,c} b4{b} b5{a}; N=5
+    // s(a)=4 s(b)=3 s(c)=2; pairs >= 2: (a,b)=2, (a,c)=2 (+mirrors);
+    // (b,c)=1 drops. scale 100:
+    //   conf(a->b)=floor(200/4)=50   lift=floor(100*5*2/(4*3))=83
+    //   conf(b->a)=floor(200/3)=66   lift=83
+    //   conf(a->c)=50                lift=floor(1000/8)=125
+    //   conf(c->a)=floor(200/2)=100  lift=125
+    // per-ante order by (lift desc, cons): a -> [c, b]
+    val log = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b"),
+      (5L, "a")).toDF("bsk", "item")
+    val got = GraphCF.liftRules(log, "bsk", "item", minSupport = 2L,
+        k = 5, scale = 100L)
+      .select($"ante", $"cons", $"pair_n", $"ante_n", $"cons_n",
+        $"conf_q", $"lift_q", $"rnk")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      ("a", "c", 2L, 4L, 2L, 50L, 125L, 1L),
+      ("a", "b", 2L, 4L, 3L, 50L, 83L, 2L),
+      ("b", "a", 2L, 3L, 4L, 66L, 83L, 1L),
+      ("c", "a", 2L, 2L, 4L, 100L, 125L, 1L)))
+    spark.catalog.clearCache()
+  }
+
+  test("liftRules: Apriori prune, basket cap, and the budget guard") {
+    // item d appears once (< minSupport 2): no rule may contain it even
+    // though it co-occurs with a — the prune must fire BEFORE pairing
+    val log = Seq((1L, "a"), (1L, "d"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "b")).toDF("bsk", "item")
+    val got = GraphCF.liftRules(log, "bsk", "item", minSupport = 2L,
+        k = 5, scale = 100L)
+      .select($"ante", $"cons").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("b", "a")))
+    // basket {a,a,b} capped at 1 keeps a (the Markov-family cut): the
+    // (a,b) pair never exists
+    val capLog = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("bsk", "item")
+    val capped = GraphCF.liftRules(capLog, "bsk", "item", minSupport = 1L,
+        maxBasket = 1, k = 5, scale = 100L)
+      .select($"ante", $"cons").as[(String, String)].collect().toSet
+    assert(capped.isEmpty) // b1 reduces to {a}, b2 keeps only a
+    // the scale*N*max(s) budget guard refuses up front
+    val ex = intercept[IllegalArgumentException] {
+      GraphCF.liftRules(log, "bsk", "item", minSupport = 2L, k = 5,
+        scale = 7L)
+    }
+    assert(ex.getMessage.contains("[10, 10^6]"))
+    spark.catalog.clearCache()
+  }
+
+  test("liftRulesFromStore over basket-sharded batches equals the direct build") {
+    val dir = java.nio.file.Files.createTempDirectory("rule_store").toString
+    val log = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"),
+      (4L, "b"),
+      (5L, "a")).toDF("bsk", "item")
+    // basket-sharded mod-2 batches: item 'a' is below minSupport WITHIN
+    // batch 0 (baskets 2,4 — one occurrence) but frequent globally; the
+    // store keeps unpruned partials and prunes at serve time, which is
+    // exactly what makes the fold bit-equal to the one-shot build
+    (0L until 2L).foreach { bt =>
+      GraphCF.writeRuleStatsBatch(log.filter(pmod($"bsk", lit(2L)) === bt),
+        "bsk", "item", Int.MaxValue, dir, bt)
+    }
+    val direct = GraphCF.liftRules(log, "bsk", "item", minSupport = 2L,
+      k = 5, scale = 100L).collect().map(_.toSeq).toSet
+    val fromStore = GraphCF.liftRulesFromStore(spark, dir, minSupport = 2L,
+      k = 5, scale = 100L).collect().map(_.toSeq).toSet
+    assert(fromStore == direct && direct.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("served-and-released leaves no orphan cache entry (cache-lifetime contract)") {
     // the lazy-return serving APIs persist internal frames that must stay
     // cached until the result materializes; the documented release path
