@@ -5366,8 +5366,12 @@ object PipelineQueries {
     * event value distribution is decisively right-skewed (skew ≈ 2) at
     * every gate scale, so the gate robustly rejects normality and the
     * RANK-SUM row carries the readout — test_name and both verdicts are
-    * pinned decision points the oracle asserts, the sample sizes and the
-    * z statistic are fully replayed (the q174 rank-sum algebra). A wrong
+    * pinned decision points the oracle asserts (the normality rows carry
+    * the COARSE 'reject'/'accept' verdict, no finer band than the gate
+    * needs, so p drift within a verdict never knife-edges the pin — and
+    * a p landing within pinEps of alpha raises loudly instead of
+    * hash-matching a stale literal), the sample sizes and the z
+    * statistic are fully replayed (the q174 rank-sum algebra). A wrong
     * W, p transform, or gate flips a pinned row and the hash catches it;
     * W's numeric path is pinned by TestsSpec + AbGateSpec. */
   private val q198 = Q("q198_ab_normality_gate",
@@ -5396,10 +5400,10 @@ object PipelineQueries {
            |SELECT * FROM (
            |  SELECT 'normality_a' AS test_name,
            |    CAST(least(n1, 5000) AS DOUBLE) AS statistic,
-           |    '<0.001' AS p_band, TRUE AS reject_null FROM c4
+           |    'reject' AS p_band, TRUE AS reject_null FROM c4
            |  UNION ALL
            |  SELECT 'normality_b', CAST(least(n2, 5000) AS DOUBLE),
-           |    '<0.001', TRUE FROM c4
+           |    'reject', TRUE FROM c4
            |  UNION ALL
            |  SELECT 'rank_sum', z_stat,
            |    CASE WHEN abs(z_stat) > 3.290527 THEN '<0.001'

@@ -12,12 +12,17 @@ import graft.ops.{Aggregators, VectorOps}
   *
   * Spark-first design (SURVEY.md §7.4 option (a)): each half-sweep is ONE
   * distributed aggregation job —
-  *   ratings ⋈ otherFactors ⋈ selfFactors
-  *     → groupBy(entity).agg(n, Σresid, Σ(r−b_other)v, Σv, Σvvᵀ)
+  *   ratings ⋈ otherFactors
+  *     → groupBy(entity).agg(n, Σr, Σb_other, Σ(r−b_other)v, Σv, Σvvᵀ)
+  *     → join the ENTITY-SIZED aggregate with the self factors
   *     → per-entity d×d Cholesky solve in a map (d ≈ 12).
-  * The Gramian/vector sums use custom typed Aggregators with primitive-array
-  * buffers, so Spark partial-aggregates map-side and the shuffle carries one
-  * packed buffer per (entity, partition) — the same data movement as MLlib's
+  * The self factors never touch the fact table: the bias numerator
+  * Σ(r − u·v − b_o) is decomposed as Σr − u·Σv − Σb_o (u is constant per
+  * self entity), so the only per-rating work is the other-side factor
+  * join + the grouped Gramian aggregation. The Gramian/vector sums use
+  * custom typed Aggregators with primitive-array buffers, so Spark
+  * partial-aggregates map-side and the shuffle carries one packed buffer
+  * per (entity, partition) — the same data movement as MLlib's
   * InBlock/OutBlock layout, without hand-rolled block management.
   *
   * Bias update (reference semantics, user side):
@@ -43,20 +48,55 @@ object AlsBias {
     * (/root/reference/explicit_ratings/prac_1_bias_only.py): factors start
     * at zero and STAY zero (the ridge solve of a zero Gramian with a zero
     * RHS is zero), so training alternates pure bias updates. */
-  /** `broadcastEntities`: when BOTH sides' entity counts are at or below
-    * this, the training loop pre-partitions the ratings by each sweep's
-    * entity key and broadcasts the factor frames into the sweep joins —
-    * the half-sweep then runs with ZERO per-sweep exchange (the
-    * partial+final aggregation reuses the ratings' hash partitioning;
-    * MLlib's InBlock layout expressed declaratively). Above the threshold
-    * the plain shuffle joins run — no catalog-size cliff, the
-    * `broadcastItems` two-mode idiom. 10⁶ entities ≈ a 160 MB broadcast
-    * at rank 12 — fine on any real executor; size down for tiny ones. */
+  /** `broadcastEntities` picks the per-SIDE sweep plan (a side = its
+    * entity count vs this threshold; 10⁶ entities ≈ a 160 MB broadcast at
+    * rank 12 — the per-executor price a deployment sizes for):
+    *
+    *   - BOTH sides at or below: the ratings pre-partition ONCE by each
+    *     sweep's entity key and both factor frames broadcast — each
+    *     half-sweep runs with ZERO exchange (PlanShapeSpec pins it;
+    *     measured: turns the 25M-rating sweep's 14 GB shuffle + 4.3 GB
+    *     spill into 0.7 GB one-time / zero spill, ALS_BENCH.json).
+    *   - EXACTLY ONE side above (the production recommender shape — a
+    *     huge user base, a broadcastable catalog): ONE ratings copy,
+    *     pre-partitioned by the BIG side's key, serves both sweeps with
+    *     ZERO fact exchange. Big-side sweep: small factors broadcast,
+    *     the grouped aggregation rides the fact's partitioning
+    *     (co-located, exchange-free). Small-side sweep: the fact is
+    *     already partitioned by the join key (the big side), so only the
+    *     big factor frame shuffles to meet it (ENSURE_REQUIREMENTS moves
+    *     ~rank·bigEntities rows, never the fact) and the aggregation
+    *     shuffles one packed buffer per (small entity, partition).
+    *   - BOTH sides above: two copies, each pre-partitioned by the
+    *     OTHER side's key, so each sweep's factor join is fact-
+    *     stationary and the one remaining fact-sized move is the
+    *     repartition-by-self before the final aggregation (the packed
+    *     Gramian buffer is ~1.5 KB at rank 12 — partial-aggregating
+    *     across a foreign partitioning would EXPAND the shuffle whenever
+    *     ratings-per-(entity, partition) < buffer/row ≈ 12, so raw rows
+    *     move instead). One fact move per half-sweep, down from the
+    *     naive plan's two.
+    *
+    * In every mode the per-sweep exchange is factor-frame- or
+    * buffer-sized except the documented both-huge repartition; no plan
+    * re-shuffles the raw ratings fact to satisfy a JOIN. */
+  /** `aggMemoryBudgetBytes` bounds the ObjectHashAggregate hash-map per
+    * task: the sort-based fallback threshold is set to
+    * budget / packed-buffer-bytes (clamped to [1024, 4194304]) for the
+    * duration of training, so a task never holds more than ~budget of
+    * Gramian buffers before falling back to the bounded-memory sort —
+    * the default 128-key fallback is three orders of magnitude below any
+    * real entity count (measured: 23 GB of silent external-sort spill on
+    * the 25M-rating corpus), while an unconditional raise would court
+    * OOM on the partial-aggregation paths where per-task key counts are
+    * data-dependent. Sized for one task slot; divide by slots-per-core
+    * headroom if executors run hot. */
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, maxIter: Int = 20, tol: Double = 0.05,
                           seed: Long = 42L, strictQ1Bias: Boolean = false,
                           biasOnly: Boolean = false,
-                          broadcastEntities: Long = 1000000L)
+                          broadcastEntities: Long = 1000000L,
+                          aggMemoryBudgetBytes: Long = 256L << 20)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
     /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
@@ -70,6 +110,15 @@ object AlsBias {
           VectorOps.dot(col("__u"), col("__v")) + col("__bu") + col("__bv"))
         .drop("__u", "__v", "__bu", "__bv")
   }
+
+  /** Per-sweep physical plan: which ratings copy feeds the sweep, whether
+    * the other/self factor frames broadcast, and whether the joined fact
+    * is repartitioned by the self key before the grouped aggregation
+    * (the both-huge mode's documented single fact move). */
+  private[model] final case class SweepPlan(fact: DataFrame,
+                                            broadcastOther: Boolean,
+                                            broadcastSelf: Boolean,
+                                            repartitionAgg: Boolean)
 
   /** Deterministic N(0, scale²) init via Box-Muller over xxhash64 uniforms —
     * reproducible on any cluster/partitioning, no RNG state (reference:
@@ -92,43 +141,84 @@ object AlsBias {
       .withColumn("bias", lit(0.0))
   }
 
+  /** Warm-start factor frame: prior factors where the id existed, fresh
+    * Gaussian init (or zeros, biasOnly) for ids new to this corpus; ids
+    * absent from the new ratings drop (the alignment universe is the
+    * corpus, as in [[initFactors]]). The delta-retraining seed — the
+    * reference's own serving flow resumes from checkpointed parameters
+    * (explicit_ratings/ab_test.py:73-85) rather than re-paying the cold
+    * sweeps. */
+  def seedFactors(ratings: DataFrame, idCol: String, p: Params, sideSeed: Long,
+                  prior: DataFrame): DataFrame = {
+    val features =
+      if (p.biasOnly) transform(sequence(lit(0), lit(p.rank - 1)), _ => lit(0.0))
+      else gaussianInitCol(col("id"), p.rank, 5.0 / math.sqrt(p.rank), p.seed + sideSeed)
+    ratings.select(col(idCol).as("id")).distinct()
+      .join(prior.select(col("id"), col("features").as("__pf"), col("bias").as("__pb")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("__pf"), features).as("features"),
+        coalesce(col("__pb"), lit(0.0)).as("bias"))
+  }
+
   /** One half-sweep: update `selfFactors` (keyed by selfCol) given fixed
     * `otherFactors` (keyed by otherCol). Returns the new factor frame with
     * the same (id, features, bias) schema; entities with no ratings get
     * (bias 0, features 0) — the reference's closed-form result for an empty
-    * rating set. */
+    * rating set.
+    *
+    * The fact-side plan touches ONLY ratings ⋈ otherFactors: the bias
+    * numerator Σ(r − u·v − b_o) needs the current self vector u, but u is
+    * constant within a self-entity group, so it factors out of the sum
+    * (Σr − u·Σv − Σb_o) and joins AFTER the aggregation, against the
+    * entity-sized summary — never against the fact. `broadcastOther`
+    * broadcasts the other-side factor join (fact keeps its partitioning);
+    * `broadcastSelf` broadcasts the two entity-sized tail joins (the
+    * solve's u-join and the zero-rating alignment); `repartitionAgg`
+    * moves the joined fact onto the self key before aggregating — see
+    * [[Params.broadcastEntities]] for when each is the right plan. */
   def halfSweep(ratings: DataFrame, selfFactors: DataFrame, otherFactors: DataFrame,
                 selfCol: String, otherCol: String, ratingCol: String,
-                p: Params, broadcastFactors: Boolean = false): DataFrame = {
+                p: Params, broadcastOther: Boolean = false,
+                broadcastSelf: Boolean = false,
+                repartitionAgg: Boolean = false): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
-    // broadcastFactors (the training loop sets it below the entity
-    // threshold): both factor joins broadcast, so ratings KEEP their
-    // partitioning — pre-partitioned by selfCol, the groupBy below then
-    // needs no exchange at all and the sweep is shuffle-free (measured:
-    // the 25M-rating sf-1× sweep spilled 4.3 GB through sort-merge joins
-    // at 32 partitions; broadcast + co-location spills zero)
     val of = otherFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
-    val sf = selfFactors.select(col("id").as("sid"), col("features").as("u"))
     val joined = ratings
       .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastFactors) broadcast(of) else of, Seq("oid"))
-      .join(if (broadcastFactors) broadcast(sf) else sf, Seq("sid"))
+      .join(if (broadcastOther) broadcast(of) else of, Seq("oid"))
 
     // quirk Q1 compat: "last" rating = the max other-id row (the reference's
-    // CSR is sorted by (selfId, otherId), so its overwrite keeps that row)
-    val biasNumerator =
-      if (p.strictQ1Bias) max_by(col("resid"), col("oid")) else sum(col("resid"))
-    val aggd = joined
-      .withColumn("resid", col("r") - VectorOps.dot(col("u"), col("v")) - col("bo"))
+    // CSR is sorted by (selfId, otherId), so its overwrite keeps that row);
+    // the (r, v, bo) triple is picked here, the residual computed after the
+    // u-join like the summed form's
+    val biasNum: Seq[Column] =
+      if (p.strictQ1Bias)
+        Seq(max_by(struct(col("r").as("r"), col("v").as("v"), col("bo").as("bo")),
+          col("oid")).as("q1"))
+      else
+        Seq(sum(col("r")).as("sr"), sum(col("bo")).as("sbo"))
+    val preAgg = joined
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
+    val aggd = (if (repartitionAgg) preAgg.repartition(col("sid")) else preAgg)
       .groupBy(col("sid"))
-      .agg(count(lit(1)).as("n"), biasNumerator.as("sresid"),
+      .agg(count(lit(1)).as("n"), (biasNum ++ Seq(
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
-        gramSum(col("v")).as("gram"))
+        gramSum(col("v")).as("gram"))): _*)
+
+    // entity-sized tail: join the current self vectors onto the summary,
+    // compute the decomposed bias numerator, solve
+    val sf = selfFactors.select(col("id").as("sid"), col("features").as("u"))
+    val withU = aggd.join(if (broadcastSelf) broadcast(sf) else sf, Seq("sid"))
+    val sresid =
+      if (p.strictQ1Bias)
+        col("q1.r") - VectorOps.dot(col("u"), col("q1.v")) - col("q1.bo")
+      else
+        col("sr") - VectorOps.dot(col("u"), col("sv")) - col("sbo")
 
     val lambda = p.lambda; val tau = p.tau; val alpha = p.alpha
     val solve = udf((n: Long, sresid: Double, srv: Seq[Double], sv: Seq[Double],
@@ -139,15 +229,15 @@ object AlsBias {
       (newBias, feats.toSeq)
     })
 
-    val updated = aggd.select(col("sid").as("id"),
-      solve(col("n"), col("sresid"), col("srv"), col("sv"), col("gram")).as("ub"))
+    val updated = withU.select(col("sid").as("id"),
+      solve(col("n"), sresid.as("sresid"), col("srv"), col("sv"), col("gram")).as("ub"))
       .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
 
     // entities with zero ratings this sweep: closed form -> zero bias/vector.
-    // Under broadcastFactors the (entity-sized) updated frame broadcasts so
-    // the alignment join adds no exchange either — the sweep stays
-    // exchange-free end to end (PlanShapeSpec pins it)
-    val updJ = if (broadcastFactors) broadcast(updated) else updated
+    // Under broadcastSelf the (entity-sized) updated frame broadcasts so
+    // the alignment join adds no exchange either — the co-located sweep
+    // stays exchange-free end to end (PlanShapeSpec pins it)
+    val updJ = if (broadcastSelf) broadcast(updated) else updated
     selfFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
@@ -167,6 +257,52 @@ object AlsBias {
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
+  /** Pick the per-sweep plans and (persisted, materialized) fact copies
+    * for the given entity counts — see [[Params.broadcastEntities]].
+    * Returns (userSweep, itemSweep, copiesToRelease). */
+  private[model] def sweepPlans(ratings: DataFrame, userCol: String, itemCol: String,
+                                uCount: Long, iCount: Long,
+                                p: Params): (SweepPlan, SweepPlan, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def part(c: String) = {
+      val f = ratings.repartition(col(c)).persist(lvl)
+      f.count() // materialize OUTSIDE the first sweep (amortized layout)
+      f
+    }
+    val uSmall = uCount <= p.broadcastEntities
+    val iSmall = iCount <= p.broadcastEntities
+    if (uSmall && iSmall) {
+      val byU = part(userCol); val byI = part(itemCol)
+      (SweepPlan(byU, broadcastOther = true, broadcastSelf = true, repartitionAgg = false),
+       SweepPlan(byI, broadcastOther = true, broadcastSelf = true, repartitionAgg = false),
+       Seq(byU, byI))
+    } else if (uSmall != iSmall) {
+      // the mid mode: one copy, partitioned by the big side's key, zero
+      // fact exchange in BOTH sweeps (the big sweep groups co-located;
+      // the small sweep's join key IS the partition key)
+      val bigIsUser = !uSmall
+      val byBig = part(if (bigIsUser) userCol else itemCol)
+      val big = SweepPlan(byBig, broadcastOther = true, broadcastSelf = false,
+        repartitionAgg = false)
+      val small = SweepPlan(byBig, broadcastOther = false, broadcastSelf = true,
+        repartitionAgg = false)
+      if (bigIsUser) (big, small, Seq(byBig)) else (small, big, Seq(byBig))
+    } else {
+      // both huge: each sweep reads the copy partitioned by its JOIN key
+      // (the other side) and pays the one documented fact move — the
+      // repartition-by-self before the final aggregation
+      val byU = part(userCol); val byI = part(itemCol)
+      (SweepPlan(byI, broadcastOther = false, broadcastSelf = false, repartitionAgg = true),
+       SweepPlan(byU, broadcastOther = false, broadcastSelf = false, repartitionAgg = true),
+       Seq(byU, byI))
+    }
+  }
+
+  /** Packed ObjectHashAggregate buffer bytes for one entity at `rank` —
+    * Gramian (rank² doubles) + two vectors + counters + object headroom. */
+  private[model] def packedBufferBytes(rank: Int): Long =
+    (rank.toLong * rank + 2L * rank + 8L) * 8L + 200L
+
   /** Full alternating training loop. Factor frames are truncated with an
     * eager localCheckpoint per sweep, so lineage stays O(1) across
     * iterations and the checkpoint blocks ARE the materialization (an
@@ -183,49 +319,68 @@ object AlsBias {
     * (LL + RMSE each sweep, prac_1.py:141-161; parameter snapshots every
     * `snapshotEvery` sweeps plus a final set, prac_1.py:163-204): returns
     * the model AND the (iter, LL, RMSE, maxDelta) history, invoking
-    * `trace.onIter` live. */
+    * `trace.onIter` live.
+    *
+    * `init` warm-starts the sweep loop from a prior model's factors
+    * ([[seedFactors]]): a converged model plus a small ratings delta
+    * re-converges in 1-2 sweeps instead of re-paying the cold schedule —
+    * the reference's checkpoint-resume flow (ab_test.py:73-85), and this
+    * engine's fold-deltas-never-rebuild contract applied to its most
+    * expensive standing state.
+    *
+    * Single-training-at-a-time contract: the loop scopes one session
+    * SQL conf (the ObjectHashAggregate fallback threshold, sized by
+    * [[Params.aggMemoryBudgetBytes]]) around the sweeps and restores it
+    * in a finally. Concurrent queries on the SAME SparkSession during a
+    * training run would execute under the training threshold, and two
+    * interleaved trainings would race on the save/restore — run trainers
+    * sequentially per session, or give each its own `spark.newSession()`. */
   def trainTraced(ratings: DataFrame, userCol: String, itemCol: String,
                   ratingCol: String, p: Params,
-                  trace: Trace.Config): (Model, Seq[Trace.IterStats]) = {
-    var users = initFactors(ratings, userCol, p, 1L)
-      .localCheckpoint()
-    var items = initFactors(ratings, itemCol, p, 2L)
-      .localCheckpoint()
+                  trace: Trace.Config,
+                  init: Option[Model] = None): (Model, Seq[Trace.IterStats]) = {
+    var users = (init match {
+      case Some(m) => seedFactors(ratings, userCol, p, 1L, m.userFactors)
+      case None => initFactors(ratings, userCol, p, 1L)
+    }).transform(org.apache.spark.sql.graft.Checkpoints.truncate)
+    var items = (init match {
+      case Some(m) => seedFactors(ratings, itemCol, p, 2L, m.itemFactors)
+      case None => initFactors(ratings, itemCol, p, 2L)
+    }).transform(org.apache.spark.sql.graft.Checkpoints.truncate)
     // two bounded 1-row reads off the checkpointed factor frames pick the
-    // sweep plan: at or below the entity threshold, ratings pre-partition
-    // by each sweep's key ONCE (paid here, amortized over every sweep)
-    // and the factor joins broadcast — each half-sweep then runs with
-    // zero exchange; above it, the plain shuffle-join plan (see Params)
-    val bcast = math.max(users.count(), items.count()) <= p.broadcastEntities
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val byUser = if (bcast) ratings.repartition(col(userCol)).persist(lvl)
-      else ratings
-    val byItem = if (bcast) ratings.repartition(col(itemCol)).persist(lvl)
-      else ratings
-    // The typed Gramian/vector Aggregators plan as ObjectHashAggregate,
-    // whose sort-based fallback triggers at 128 DISTINCT KEYS by default
-    // — three orders of magnitude below any real entity count, so every
-    // partial aggregation was silently sorting the full joined frame
-    // (measured: 23 GB of external-sort spill on the 25M-rating corpus).
-    // Under the co-located plan the per-task key count is bounded by
-    // construction (nEntities / partitions, ~1 KB packed buffer each), so
-    // raise the fallback for the duration of training and restore after.
+    // per-side sweep plans (see Params.broadcastEntities)
+    val (userPlan, itemPlan, copies) =
+      sweepPlans(ratings, userCol, itemCol, users.count(), items.count(), p)
+    // Bound the ObjectHashAggregate hash map per task (see
+    // Params.aggMemoryBudgetBytes): the default 128-key sort fallback is
+    // three orders of magnitude too low (measured: 23 GB of silent
+    // external-sort spill on the 25M-rating corpus), an unconditional 4M
+    // raise risks OOM where per-task key counts are data-dependent.
     val ss = ratings.sparkSession
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
-    ss.conf.set(fbKey, "4194304")
+    val fbVal = math.max(1024L,
+      math.min(4194304L, p.aggMemoryBudgetBytes / packedBufferBytes(p.rank)))
+    ss.conf.set(fbKey, fbVal.toString)
     try {
+    trace.onStart()
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
       // Q1 is a movie-loop-only quirk: user sweep always sums
-      val newUsers = halfSweep(byUser, users, items, userCol, itemCol, ratingCol,
-          p.copy(strictQ1Bias = false), broadcastFactors = bcast)
-        .localCheckpoint()
-      val newItems = halfSweep(byItem, items, newUsers, itemCol, userCol, ratingCol,
-          p, broadcastFactors = bcast)
-        .localCheckpoint()
+      val newUsers = halfSweep(userPlan.fact, users, items, userCol, itemCol,
+          ratingCol, p.copy(strictQ1Bias = false),
+          broadcastOther = userPlan.broadcastOther,
+          broadcastSelf = userPlan.broadcastSelf,
+          repartitionAgg = userPlan.repartitionAgg)
+        .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
+      val newItems = halfSweep(itemPlan.fact, items, newUsers, itemCol, userCol,
+          ratingCol, p,
+          broadcastOther = itemPlan.broadcastOther,
+          broadcastSelf = itemPlan.broadcastSelf,
+          repartitionAgg = itemPlan.repartitionAgg)
+        .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
       users = newUsers; items = newItems
       iter += 1
@@ -248,11 +403,12 @@ object AlsBias {
       Trace.snapshotFactors(dir, "final", users, items)
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
-    // the returned factor frames are checkpointed — the pre-partitioned
-    // ratings copies are training-internal and safe to release here
-    if (bcast) { byUser.unpersist(blocking = false); byItem.unpersist(blocking = false) }
     (Model(users, items), hist.toSeq)
     } finally {
+      // the returned factor frames are checkpointed — the pre-partitioned
+      // ratings copies are training-internal; release them even on a
+      // mid-training failure (no leaked full-corpus cache entries)
+      copies.foreach(_.unpersist(blocking = false))
       oldFb match {
         case Some(v) => ss.conf.set(fbKey, v)
         case None => ss.conf.unset(fbKey)

@@ -12,63 +12,73 @@ import graft.ops.{Aggregators, VectorOps}
   * from the movie vectors (incl_genre.py:199-219).
   *
   * Spark shape: user sweep reuses AlsBias.halfSweep unchanged; the movie
-  * sweep adds one broadcast map (F is 20×d — driver-solved) and one extra
-  * term in the per-movie solve; the F update is an explode(movie→genre) +
-  * grouped vector aggregation. F is updated Jacobi-style across genres per
-  * sweep (the reference iterates genres sequentially AND carries an
-  * accumulator across genres — quirk Q9, recorded in SURVEY §2.12 spirit:
-  * numerator/denominator are never reset between genres, incl_genre.py:199-219.
-  * We implement the intended per-genre closed form.)
+  * sweep adds one item-sized genre join and one extra term in the
+  * per-movie solve (the fact-side plan is AlsBias's — self factors and
+  * genres join the ENTITY-SIZED aggregate, never the fact); the F update
+  * is an explode(movie→genre) + grouped vector aggregation. F is updated
+  * Jacobi-style across genres per sweep (the reference iterates genres
+  * sequentially AND carries an accumulator across genres — quirk Q9,
+  * recorded in SURVEY §2.12 spirit: numerator/denominator are never reset
+  * between genres, incl_genre.py:199-219. We implement the intended
+  * per-genre closed form.)
   */
 object AlsGenre {
 
   final case class Params(rank: Int = 12, lambda: Double = 0.1, tau: Double = 0.01,
                           alpha: Double = 0.01, beta: Double = 0.01,
                           maxIter: Int = 20, tol: Double = 0.05, seed: Long = 42L,
-                          broadcastEntities: Long = 1000000L)
+                          broadcastEntities: Long = 1000000L,
+                          aggMemoryBudgetBytes: Long = 256L << 20)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
                          genreFactors: Map[Int, Array[Double]])
 
   private def toBiasParams(p: Params) =
     AlsBias.Params(p.rank, p.lambda, p.tau, p.alpha, p.maxIter, p.tol, p.seed,
-      broadcastEntities = p.broadcastEntities)
+      broadcastEntities = p.broadcastEntities,
+      aggMemoryBudgetBytes = p.aggMemoryBudgetBytes)
 
   /** Movie half-sweep with the genre prior. `movieGenres` carries
     * (id, genre_values ARRAY<INT>, genre_count INT); `genreF` is the current
-    * 20×d feature matrix (broadcast as a literal map — driver-held, tiny). */
+    * 20×d feature matrix (broadcast as a literal map — driver-held, tiny).
+    * Plan knobs as in [[AlsBias.halfSweep]]: the fact-side join touches
+    * only the user factors (`broadcastOther`); the self factors and the
+    * genre dim join the item-sized aggregate (`broadcastSelf`). */
   def movieSweepWithPrior(ratings: DataFrame, itemFactors: DataFrame,
                           userFactors: DataFrame, movieGenres: DataFrame,
                           itemCol: String, userCol: String, ratingCol: String,
                           genreF: Map[Int, Array[Double]], p: Params,
-                          broadcastFactors: Boolean = false): DataFrame = {
+                          broadcastOther: Boolean = false,
+                          broadcastSelf: Boolean = false,
+                          repartitionAgg: Boolean = false): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
-    // broadcastFactors: same zero-exchange sweep plan as
-    // [[AlsBias.halfSweep]] — factor joins broadcast, item-partitioned
-    // ratings keep their partitioning into the groupBy
     val uf = userFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
-    val sf = itemFactors.select(col("id").as("sid"), col("features").as("u"))
     val joined = ratings
       .select(col(itemCol).as("sid"), col(userCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastFactors) broadcast(uf) else uf, Seq("oid"))
-      .join(if (broadcastFactors) broadcast(sf) else sf, Seq("sid"))
+      .join(if (broadcastOther) broadcast(uf) else uf, Seq("oid"))
 
-    val aggd = joined
-      .withColumn("resid", col("r") - VectorOps.dot(col("u"), col("v")) - col("bo"))
+    val preAgg = joined
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
+    val aggd = (if (repartitionAgg) preAgg.repartition(col("sid")) else preAgg)
       .groupBy(col("sid"))
-      .agg(count(lit(1)).as("n"), sum(col("resid")).as("sresid"),
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+        sum(col("bo")).as("sbo"),
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
         gramSum(col("v")).as("gram"))
-      .join({
-        val mg = movieGenres.select(col("id").as("sid"), col("genre_values"),
-          col("genre_count"))
-        if (broadcastFactors) broadcast(mg) else mg // genre dim is item-sized
-      }, Seq("sid"), "left")
+
+    // entity-sized tail: current item vectors + genre assignments join the
+    // per-movie summary, never the fact
+    val sf = itemFactors.select(col("id").as("sid"), col("features").as("u"))
+    val mg = movieGenres.select(col("id").as("sid"), col("genre_values"),
+      col("genre_count"))
+    val withU = aggd
+      .join(if (broadcastSelf) broadcast(sf) else sf, Seq("sid"))
+      .join(if (broadcastSelf) broadcast(mg) else mg, Seq("sid"), "left")
+    val sresid = col("sr") - VectorOps.dot(col("u"), col("sv")) - col("sbo")
 
     val lambda = p.lambda; val tau = p.tau; val alpha = p.alpha
     val fMap = genreF // serialized into the UDF closure (20×d doubles)
@@ -88,12 +98,12 @@ object AlsGenre {
       (newBias, feats.toSeq)
     })
 
-    val updated = aggd.select(col("sid").as("id"),
-      solve(col("n"), col("sresid"), col("srv"), col("sv"), col("gram"),
+    val updated = withU.select(col("sid").as("id"),
+      solve(col("n"), sresid.as("sresid"), col("srv"), col("sv"), col("gram"),
         col("genre_values"), coalesce(col("genre_count"), lit(0))).as("ub"))
       .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
 
-    val updJ = if (broadcastFactors) broadcast(updated) else updated
+    val updJ = if (broadcastSelf) broadcast(updated) else updated
     itemFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
@@ -154,44 +164,61 @@ object AlsGenre {
     * each sweep, parameter snapshots every `snapshotEvery` sweeps + final —
     * prac_1.py:141-204 behavior; genre factors snapshot alongside the
     * user/item frames). The LL is the base bias-model likelihood
-    * (Metrics.regLogLik) — the convergence signal the reference plots. */
+    * (Metrics.regLogLik) — the convergence signal the reference plots.
+    *
+    * `init` warm-starts users/items/genre factors from a prior model
+    * ([[AlsBias.seedFactors]]; the genre map seeds verbatim) — the
+    * delta-retraining path, as in [[AlsBias.trainTraced]]. Same
+    * single-training-at-a-time conf-scoping contract as there. */
   def trainTraced(ratings: DataFrame, movieGenres: DataFrame,
                   userCol: String, itemCol: String, ratingCol: String,
-                  p: Params, trace: Trace.Config): (Model, Seq[Trace.IterStats]) = {
+                  p: Params, trace: Trace.Config,
+                  init: Option[Model] = None): (Model, Seq[Trace.IterStats]) = {
     val bp = toBiasParams(p)
-    var users = AlsBias.initFactors(ratings, userCol, bp, 1L)
-      .localCheckpoint()
-    var items = AlsBias.initFactors(ratings, itemCol, bp, 2L)
-      .localCheckpoint()
+    var users = (init match {
+      case Some(m) => AlsBias.seedFactors(ratings, userCol, bp, 1L, m.userFactors)
+      case None => AlsBias.initFactors(ratings, userCol, bp, 1L)
+    }).transform(org.apache.spark.sql.graft.Checkpoints.truncate)
+    var items = (init match {
+      case Some(m) => AlsBias.seedFactors(ratings, itemCol, bp, 2L, m.itemFactors)
+      case None => AlsBias.initFactors(ratings, itemCol, bp, 2L)
+    }).transform(org.apache.spark.sql.graft.Checkpoints.truncate)
     val rng = new java.util.Random(p.seed)
-    var genreF: Map[Int, Array[Double]] =
+    val coldGenreF: Map[Int, Array[Double]] =
       (0 until 20).map(g => g -> Array.fill(p.rank)(rng.nextGaussian())).toMap
-    // the AlsBias zero-exchange sweep plan, decided the same way (two
-    // bounded 1-row reads; ratings pre-partitioned once per sweep key)
-    val bcast = math.max(users.count(), items.count()) <= bp.broadcastEntities
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val byUser = if (bcast) ratings.repartition(col(userCol)).persist(lvl)
-      else ratings
-    val byItem = if (bcast) ratings.repartition(col(itemCol)).persist(lvl)
-      else ratings
-    // raise the ObjectHashAggregate sort-fallback for the duration of
-    // training and restore after — see the AlsBias.trainTraced note (the
-    // default 128-key fallback silently sorts the full joined frame)
+    var genreF = init.map(_.genreFactors).getOrElse(coldGenreF)
+    // the AlsBias per-side sweep plans, decided the same way (two bounded
+    // 1-row reads; fact copies partitioned + MATERIALIZED here, before
+    // the first timed sweep — the cold-sweep staging fix)
+    val (userPlan, itemPlan, copies) =
+      AlsBias.sweepPlans(ratings, userCol, itemCol, users.count(), items.count(), bp)
+    // bound the ObjectHashAggregate hash map per task — see
+    // AlsBias.Params.aggMemoryBudgetBytes (and the single-training-at-a-
+    // time contract in the scaladoc above)
     val ss = ratings.sparkSession
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
-    ss.conf.set(fbKey, "4194304")
+    val fbVal = math.max(1024L, math.min(4194304L,
+      p.aggMemoryBudgetBytes / AlsBias.packedBufferBytes(p.rank)))
+    ss.conf.set(fbKey, fbVal.toString)
     try {
+    trace.onStart()
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
     var delta = Double.MaxValue
     while (iter < p.maxIter && delta > p.tol) {
-      val newUsers = AlsBias.halfSweep(byUser, users, items, userCol, itemCol,
-          ratingCol, bp, broadcastFactors = bcast)
-        .localCheckpoint()
-      val newItems = movieSweepWithPrior(byItem, items, newUsers, movieGenres,
-        itemCol, userCol, ratingCol, genreF, p, broadcastFactors = bcast)
-        .localCheckpoint()
+      val newUsers = AlsBias.halfSweep(userPlan.fact, users, items, userCol, itemCol,
+          ratingCol, bp,
+          broadcastOther = userPlan.broadcastOther,
+          broadcastSelf = userPlan.broadcastSelf,
+          repartitionAgg = userPlan.repartitionAgg)
+        .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
+      val newItems = movieSweepWithPrior(itemPlan.fact, items, newUsers, movieGenres,
+          itemCol, userCol, ratingCol, genreF, p,
+          broadcastOther = itemPlan.broadcastOther,
+          broadcastSelf = itemPlan.broadcastSelf,
+          repartitionAgg = itemPlan.repartitionAgg)
+        .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       val newGenreF = updateGenreFactors(newItems, movieGenres, genreF, p)
       val fDelta = newGenreF.map { case (g, f) =>
         val old = genreF.getOrElse(g, new Array[Double](p.rank))
@@ -223,9 +250,9 @@ object AlsGenre {
       Trace.snapshotGenreFactors(ratings.sparkSession, dir, "final", genreF)
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
-    if (bcast) { byUser.unpersist(blocking = false); byItem.unpersist(blocking = false) }
     (Model(users, items, genreF), hist.toSeq)
     } finally {
+      copies.foreach(_.unpersist(blocking = false))
       oldFb match {
         case Some(v) => ss.conf.set(fbKey, v)
         case None => ss.conf.unset(fbKey)

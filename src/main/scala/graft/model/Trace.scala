@@ -30,7 +30,8 @@ object Trace {
   final case class Config(computeMetrics: Boolean = true,
                           onIter: IterStats => Unit = _ => (),
                           snapshotDir: Option[String] = None,
-                          snapshotEvery: Int = 5)
+                          snapshotEvery: Int = 5,
+                          onStart: () => Unit = () => ())
 
   /** One row of the BPR epoch trace. P/R are NaN unless `computeMetrics`;
     * maxItemDelta (the largest item-factor move this epoch) is free — it

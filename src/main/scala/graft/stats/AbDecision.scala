@@ -187,22 +187,27 @@ object AbDecision {
     *
     * Oracle contract (the q174 replayability discipline, adapted for a
     * driver-side statistic): the W value itself is not SQL-expressible,
-    * so the DECISION is what the oracle checks — the normality verdict
-    * rows are pinned literals (this engine's data is decisively
-    * non-normal at every gate scale; a knife-edge corpus would need the
-    * spec-level cross-check instead), and the gated row's statistic is
-    * the fully-replayable [[decide]] algebra: a wrong W, a wrong p
-    * transform, or a wrong gate flips test_name or reject_null and the
-    * hash catches it. W's numeric correctness is pinned by TestsSpec
-    * (published worked examples) and AbGateSpec (distributed ==
-    * driver-side bit-equality).
+    * so the DECISION is what the oracle checks — the normality rows emit
+    * the COARSE verdict ('reject'/'accept', the same predicate as
+    * reject_null — no finer band than the gate itself needs, so the
+    * oracle tolerates p drift WITHIN a verdict while still catching
+    * every gate flip), and the gated row's statistic is the fully
+    * replayable [[decide]] algebra: a wrong W, a wrong p transform, or
+    * a wrong gate flips test_name or reject_null and the hash catches
+    * it. A KNIFE-EDGE corpus — either arm's Shapiro p within `pinEps`
+    * of `alpha` — fails LOUDLY instead of silently hash-matching stale
+    * pinned literals (the q198 oracle asserts the verdicts; near the
+    * edge that assertion needs a human, not a hash). W's numeric
+    * correctness is pinned by TestsSpec (published worked examples) and
+    * AbGateSpec (distributed == driver-side bit-equality).
     *
     * Scale shape: per-arm value-count aggregation + the bucketed global
     * prefix (the rank-sum machinery reused), a ≤ 5000-row driver read
     * per arm, then [[decide]]'s two-pass plan for the gated row. */
   def decideNormalityGated(df: DataFrame, grpCol: Column, valueCol: Column,
                            alpha: Double = 0.05,
-                           buckets: Int = 64): DataFrame = {
+                           buckets: Int = 64,
+                           pinEps: Double = 1e-3): DataFrame = {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val ev = df.select(grpCol.cast("string").as("grp"),
       valueCol.cast("double").as("value")).persist(lvl)
@@ -212,6 +217,15 @@ object AbDecision {
       s"decideNormalityGated needs exactly two arms, got ${arms.mkString(", ")}")
     val (nA, swA) = armShapiro(ev.filter(col("grp") === arms(0)), buckets)
     val (nB, swB) = armShapiro(ev.filter(col("grp") === arms(1)), buckets)
+    // knife-edge tripwire: the oracle pins the normality verdicts as
+    // literals, so a corpus whose p drifts to the alpha boundary must
+    // fail loudly here — never silently hash-match a stale verdict
+    for ((tag, sw) <- Seq(arms(0) -> swA, arms(1) -> swB))
+      require(math.abs(sw.pValue - alpha) > pinEps,
+        s"decideNormalityGated: arm '$tag' Shapiro p=${sw.pValue} is within " +
+          s"$pinEps of alpha=$alpha — the pinned-verdict oracle cannot " +
+          "certify a knife-edge gate; re-pin the oracle from a human read " +
+          "or widen alpha")
     // reject normality iff p < alpha (the scipy convention); the gate and
     // the emitted verdict rows share the SAME predicate by construction
     val rejA = swA.pValue < alpha
@@ -222,14 +236,15 @@ object AbDecision {
         .filter(col("test_name").isin("student_t", "welch_t"))
       else decide(ev, col("grp"), col("value"), buckets)
         .filter(col("test_name") === "rank_sum")
-    def band(p: Double) =
-      if (p < 0.001) "<0.001" else if (p < 0.01) "<0.01"
-      else if (p < 0.05) "<0.05" else ">=0.05"
+    // the coarse verdict IS the p_band for the normality rows: no finer
+    // band than the gate needs, so the oracle's pin survives p drift
+    // within a verdict while any gate flip still flips the hash
+    def verdict(rej: Boolean) = if (rej) "reject" else "accept"
     val spark = df.sparkSession
     import spark.implicits._
     val normRows = Seq(
-      ("normality_a", math.min(nA, 5000L).toDouble, band(swA.pValue), rejA),
-      ("normality_b", math.min(nB, 5000L).toDouble, band(swB.pValue), rejB))
+      ("normality_a", math.min(nA, 5000L).toDouble, verdict(rejA), rejA),
+      ("normality_b", math.min(nB, 5000L).toDouble, verdict(rejB), rejB))
       .toDF("test_name", "statistic", "p_band", "reject_null")
     normRows.unionByName(gated).orderBy(col("test_name"))
   }

@@ -595,6 +595,36 @@ object EventStreams {
         graft.ops.GraphCF.writeEdgeBatch(batch, userCol, itemCol, path, batchId)
       }
 
+  /** Streaming leg of the standing ASSOCIATION-RULE statistics store
+    * ([[graft.ops.GraphCF.writeRuleStatsBatch]]): each micro-batch of
+    * (basket, item) interactions lands its capped item supports,
+    * UNPRUNED pair counts and basket count keyed by batch id; all three
+    * are sums over disjoint baskets, so
+    * [[graft.ops.GraphCF.liftRulesFromStore]] serves bit-equal to the
+    * one-shot [[graft.ops.GraphCF.liftRules]] over the concatenated
+    * feed, with the Apriori prune applied GLOBALLY at serve time (an
+    * item infrequent in one micro-batch may be frequent overall — the
+    * batch writer's contract). Batch-id-keyed overwrite =
+    * replay-idempotent, the recipe of every sink here.
+    *
+    * Basket-atomic contract (the transition store's user-shard
+    * contract, transposed to baskets): a micro-batch must not SPLIT a
+    * basket — supports and pair counts are within-basket statistics, so
+    * a basket straddling two micro-batches would be counted as two
+    * baskets (missing its cross-batch pairs). Feed basket-commit events
+    * (e.g. CDC on order close), not raw item-add events; a
+    * time-sessionized feed qualifies once the watermark finalizes the
+    * basket, an append-only raw item feed does not. */
+  def sinkRuleStatsBatches(interactions: DataFrame, basketCol: String,
+                           itemCol: String, path: String,
+                           maxBasket: Int = Int.MaxValue): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    interactions.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.GraphCF.writeRuleStatsBatch(batch, basketCol, itemCol,
+          maxBasket, path, batchId)
+      }
+
   final case class BasketTState(basketId: Long, tsMicros: Long,
                                 items: Seq[Long])
   final case class TransitionPair(prev: Long, next: Long)

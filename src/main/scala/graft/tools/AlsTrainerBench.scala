@@ -32,17 +32,27 @@ import org.apache.spark.sql.functions._
   * the user-sweep exchange is the number to watch (the movie side stays
   * 59k rows regardless). Zero spill at sized partitions is the pass bar.
   *
-  * Usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> [genre]
+  * Usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank>
+  *                        [genre|bias] [broadcastEntities]
   *   `genre` runs [[graft.model.AlsGenre]] (the genre-prior variant) with
   *   a synthetic 20-genre assignment instead of [[graft.model.AlsBias]].
+  *   `broadcastEntities` overrides the per-side plan threshold — set it
+  *   BELOW a side's entity count to force the mid/huge-mode plans (the
+  *   above-threshold at-scale rows; default pins the co-located
+  *   zero-exchange plan at every probe scale: a 1.6M-user factor
+  *   broadcast is ~260 MB — the per-executor price a deployment sizes
+  *   for).
   */
 object AlsTrainerBench {
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
-      "usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> [genre]")
+      "usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> " +
+        "[genre|bias] [broadcastEntities]")
     val Array(nUsers, nItems, ratingsPerUser, sweeps, rank) =
       args.take(5).map(_.toInt)
     val genreMode = args.length > 5 && args(5) == "genre"
+    val bcastEntities =
+      if (args.length > 6) args(6).toLong else 10000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
@@ -72,15 +82,20 @@ object AlsTrainerBench {
     val nRatings = ratings.count()
     mv.reset()
 
-    // pin the co-located zero-exchange sweep plan at every probe scale
-    // (the 10× axis crosses the 1M-entity default; a 1.6M-user factor
-    // broadcast is ~260 MB — the per-executor price a deployment sizes
-    // for, and exactly the plan whose scaling this probe measures)
     val p = graft.model.AlsBias.Params(rank = rank, maxIter = sweeps,
-      tol = 0.0, seed = 42L, broadcastEntities = 10000000L)
+      tol = 0.0, seed = 42L, broadcastEntities = bcastEntities)
+    val mode = {
+      val uSmall = nUsers.toLong <= bcastEntities
+      val iSmall = nItems.toLong <= bcastEntities
+      if (uSmall && iSmall) "bcast" else if (uSmall != iSmall) "mid" else "huge"
+    }
     val sweepSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     var last = System.nanoTime()
     val trace = graft.model.Trace.Config(computeMetrics = false,
+      // onStart fires after the trainer's one-time layout work (the
+      // pre-partitioned fact copies materialize before the loop), so
+      // sweep-1 wall measures the sweep, not the amortized setup
+      onStart = () => { last = System.nanoTime() },
       onIter = _ => {
         val now = System.nanoTime()
         sweepSec += (now - last) / 1e9
@@ -99,7 +114,7 @@ object AlsTrainerBench {
         .withColumn("genre_count", size(col("genre_values")))
       graft.model.AlsGenre.trainTraced(ratings, genres, "user", "movie",
         "rating", graft.model.AlsGenre.Params(rank = rank, maxIter = sweeps,
-          tol = 0.0, seed = 42L, broadcastEntities = 10000000L), trace)
+          tol = 0.0, seed = 42L, broadcastEntities = bcastEntities), trace)
     } else {
       graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
         p, trace)
@@ -109,6 +124,7 @@ object AlsTrainerBench {
 
     val sweeps_js = sweepSec.map(s => f"$s%.2f").mkString("[", ",", "]")
     println(f"""{"model":"${if (genreMode) "als_genre" else "als_bias"}",""" +
+      f""""mode":"$mode",""" +
       f""""users":$nUsers,"items":$nItems,"ratings":$nRatings,""" +
       f""""sweeps":$sweeps,"rank":$rank,"train_sec":$trainSec%.2f,""" +
       f""""per_sweep_sec":$sweeps_js,""" +

@@ -492,7 +492,7 @@ class PlanShapeSpec extends SparkTestBase {
     val items = graft.model.AlsBias.initFactors(ratings, "m", p, 2L)
       .localCheckpoint()
     val sweep = graft.model.AlsBias.halfSweep(ratings, users, items,
-      "u", "m", "r", p, broadcastFactors = true)
+      "u", "m", "r", p, broadcastOther = true, broadcastSelf = true)
     sweep.collect() // force AQE to finalize the executed plan
     val plan = sweep.queryExecution.executedPlan.toString
     // REPARTITION_BY_COL lines are the one-time cached layout echoed
@@ -505,6 +505,89 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles.isEmpty,
       s"co-located broadcast sweep must be exchange-free:\n${shuffles.mkString("\n")}")
     spark.catalog.clearCache()
+  }
+
+  test("ALS mid-mode sweeps above broadcastEntities never exchange the ratings fact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // walk the adaptive executed plan, descending into materialized query
+    // stages, so exchange ancestry is checked on the REAL tree (the
+    // string form hides stage nesting)
+    def expand(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+      case q: QueryStageExec => expand(q.plan)
+      case other => other.children.flatMap(expand)
+    })
+    def nodeIs(p: SparkPlan, name: String) = p.getClass.getSimpleName.contains(name)
+    // ancestry walk that stops at aggregates: an exchange above a PARTIAL
+    // aggregate carries one packed buffer per (entity, partition) — the
+    // mode's intended entity-sized movement — never raw fact rows, so an
+    // aggregate node clears the fact from the exchange's cargo
+    def expandBelowAgg(p: SparkPlan): Seq[SparkPlan] =
+      if (nodeIs(p, "Aggregate")) Seq(p)
+      else p +: (p match {
+        case a: AdaptiveSparkPlanExec => expandBelowAgg(a.executedPlan)
+        case q: QueryStageExec => expandBelowAgg(q.plan)
+        case other => other.children.flatMap(expandBelowAgg)
+      })
+    // the production recommender shape: users ABOVE the threshold, items
+    // below — ONE fact copy partitioned by the big side (user) serves
+    // both sweeps (AlsBias.sweepPlans mid mode); neither sweep may put a
+    // shuffle exchange anywhere above the cached ratings scan — only
+    // entity-sized factor frames move (the round-11 measured
+    // scale-killer: the old fallback re-shuffled the 25M-row fact twice
+    // per half-sweep, 14-37 GB + 4.3 GB spill)
+    // at probe scale AQE would auto-broadcast the 400-row fact and flip
+    // the join build side — a shape that cannot occur at the mode's real
+    // scale (the fact is the 100 TB side); pin the at-scale planner by
+    // allowing only EXPLICIT broadcast hints for the test's duration
+    val abKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = abKeys.map(k => k -> spark.conf.getOption(k))
+    abKeys.foreach(spark.conf.set(_, "-1"))
+    try {
+    val ratings = (1 to 400).map(i => (i % 40, i % 7, (i % 9 + 1) * 0.5))
+      .toDF("u", "m", "r")
+      .repartition(col("u"))
+      .persist()
+    ratings.count()
+    val p = graft.model.AlsBias.Params(rank = 3, maxIter = 1, tol = 0.0,
+      broadcastEntities = 10) // 40 users > 10 >= 7 items
+    val users = graft.model.AlsBias.initFactors(ratings, "u", p, 1L).localCheckpoint()
+    val items = graft.model.AlsBias.initFactors(ratings, "m", p, 2L).localCheckpoint()
+    // big-side sweep: small factors broadcast, the grouped aggregation
+    // rides the fact partitioning; small-side sweep: the fact is already
+    // partitioned by the join key, so only the big factor frame shuffles
+    val userSweep = graft.model.AlsBias.halfSweep(ratings, users, items,
+      "u", "m", "r", p, broadcastOther = true, broadcastSelf = false)
+    val itemSweep = graft.model.AlsBias.halfSweep(ratings, items, users,
+      "m", "u", "r", p, broadcastOther = false, broadcastSelf = true)
+    for ((sweep, tag) <- Seq((userSweep, "user(big)"), (itemSweep, "item(small)"))) {
+      sweep.collect()
+      val nodes = expand(sweep.queryExecution.executedPlan)
+      val badExchanges = nodes
+        .filter(nodeIs(_, "ShuffleExchange"))
+        .filter(e => expandBelowAgg(e).exists(nodeIs(_, "InMemoryTableScan")))
+      assert(nodes.exists(nodeIs(_, "InMemoryTableScan")),
+        s"$tag sweep must read the cached fact")
+      assert(badExchanges.isEmpty,
+        s"$tag sweep re-shuffles the ratings fact:\n${badExchanges.mkString("\n")}")
+    }
+    // the small-side sweep DOES shuffle the big factor frame — the plan
+    // has exchanges, just none over the fact (guards the guard)
+    itemSweep.collect()
+    assert(expand(itemSweep.queryExecution.executedPlan)
+      .exists(nodeIs(_, "ShuffleExchange")),
+      "item sweep should shuffle the (entity-sized) big factor frame")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.catalog.clearCache()
+    }
   }
 
   test("digest-store probe: store side distincts on its bucket layout, no store exchange") {

@@ -60,7 +60,24 @@ class AbGateSpec extends SparkTestBase {
     assert(rows.map(_._1).toSeq == Seq("normality_a", "normality_b", "rank_sum"))
     val na = rows(0); val nb = rows(1)
     assert(na._2 == 300.0 && nb._2 == 300.0) // statistic = sample size used
-    assert(na._3 == "<0.001" && na._4 && nb._4) // decisively non-normal
+    // p_band carries the COARSE pinned verdict (the oracle's literal):
+    // same predicate as reject_null, no finer band than the gate needs
+    assert(na._3 == "reject" && na._4 && nb._4) // decisively non-normal
+    spark.catalog.clearCache()
+  }
+
+  test("knife-edge tripwire: a Shapiro p within pinEps of alpha fails loudly") {
+    val df = (skewed(300, 3L).map(("A", _)) ++ skewed(300, 5L).map(("B", _)))
+      .toSeq.toDF("grp", "value")
+    // the default eps does NOT trip on a decisive corpus (pinned above);
+    // widening eps past |p - alpha| proves the wire is live — the pinned-
+    // verdict oracle refuses to certify a gate this close to the edge
+    val e = intercept[IllegalArgumentException] {
+      AbDecision.decideNormalityGated(df, col("grp"), col("value"),
+        pinEps = 0.5)
+    }
+    assert(e.getMessage.contains("knife-edge") ||
+      e.getMessage.contains("alpha"), e.getMessage)
     spark.catalog.clearCache()
   }
 
