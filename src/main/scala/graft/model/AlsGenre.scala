@@ -198,6 +198,13 @@ object AlsGenre {
     val ss = ratings.sparkSession
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
+    // the non-broadcast factor joins build a hash map from the
+    // entity-sized side instead of sort-merge (which would SORT the
+    // fact's millions of rows per half-sweep); scoped like the fallback
+    // threshold, same single-training-at-a-time contract
+    val smjKey = "spark.sql.join.preferSortMergeJoin"
+    val oldSmj = try Some(ss.conf.get(smjKey)) catch { case _: Exception => None }
+    ss.conf.set(smjKey, "false")
     val fbVal = math.max(1024L, math.min(4194304L,
       p.aggMemoryBudgetBytes / AlsBias.packedBufferBytes(p.rank)))
     ss.conf.set(fbKey, fbVal.toString)
@@ -256,6 +263,10 @@ object AlsGenre {
       oldFb match {
         case Some(v) => ss.conf.set(fbKey, v)
         case None => ss.conf.unset(fbKey)
+      }
+      oldSmj match {
+        case Some(v) => ss.conf.set(smjKey, v)
+        case None => ss.conf.unset(smjKey)
       }
     }
   }

@@ -711,7 +711,7 @@ object Dedup {
         struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
     // SMALL-GRAPH FAST PATH: the threshold graph of a dedup run is the
     // rare-duplicate product, usually orders of magnitude below the corpus
     // — when the (already checkpointed) edge set fits the cap, collect it
@@ -741,7 +741,7 @@ object Dedup {
     var labels = edges.groupBy(col("dst"))
       .agg(least(min(col("src")), col("dst")).as("cluster_id"))
       .select(col("dst").as("id"), col("cluster_id"))
-      .localCheckpoint(eager = false)
+      .transform(org.apache.spark.sql.graft.Checkpoints.truncateLazy)
     // a node's neighbors have seen its ORIGINAL id; only improved labels
     // (cluster_id < id) are news that still must travel
     var frontier = labels.filter(col("cluster_id") < col("id"))
@@ -757,7 +757,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("cand"), col("cluster_id"))).as("cluster_id"),
           (col("cand") < col("cluster_id")).as("__improved"))
-        .localCheckpoint(eager = false)
+        .transform(org.apache.spark.sql.graft.Checkpoints.truncateLazy)
       frontier = merged.filter(col("__improved")).select(col("id"), col("cluster_id"))
       frontierSize = frontier.count()
       labels = merged.select(col("id"), col("cluster_id"))

@@ -47,10 +47,14 @@ object AlsTrainerBench {
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
       "usage: AlsTrainerBench <nUsers> <nItems> <ratingsPerUser> <sweeps> <rank> " +
-        "[genre|bias] [broadcastEntities]")
+        "[genre|bias|warm] [broadcastEntities]")
     val Array(nUsers, nItems, ratingsPerUser, sweeps, rank) =
       args.take(5).map(_.toInt)
     val genreMode = args.length > 5 && args(5) == "genre"
+    // warm probe: cold-train `sweeps` sweeps, then warm-retrain 2 sweeps
+    // seeded from the result — the delta-retraining path at scale (the
+    // spec proves the convergence win; this row prices the warm sweep)
+    val warmMode = args.length > 5 && args(5) == "warm"
     val bcastEntities =
       if (args.length > 6) args(6).toLong else 10000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,6 +119,11 @@ object AlsTrainerBench {
       graft.model.AlsGenre.trainTraced(ratings, genres, "user", "movie",
         "rating", graft.model.AlsGenre.Params(rank = rank, maxIter = sweeps,
           tol = 0.0, seed = 42L, broadcastEntities = bcastEntities), trace)
+    } else if (warmMode) {
+      val (model, _) = graft.model.AlsBias.trainTraced(ratings, "user",
+        "movie", "rating", p, trace)
+      graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
+        p.copy(maxIter = 2), trace, init = Some(model))
     } else {
       graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
         p, trace)
@@ -123,7 +132,9 @@ object AlsTrainerBench {
     mv.settle()
 
     val sweeps_js = sweepSec.map(s => f"$s%.2f").mkString("[", ",", "]")
-    println(f"""{"model":"${if (genreMode) "als_genre" else "als_bias"}",""" +
+    val model =
+      if (genreMode) "als_genre" else if (warmMode) "als_bias_warm" else "als_bias"
+    println(f"""{"model":"$model",""" +
       f""""mode":"$mode",""" +
       f""""users":$nUsers,"items":$nItems,"ratings":$nRatings,""" +
       f""""sweeps":$sweeps,"rank":$rank,"train_sec":$trainSec%.2f,""" +

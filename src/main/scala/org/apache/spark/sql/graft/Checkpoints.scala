@@ -32,9 +32,15 @@ object Checkpoints {
   /** `df.localCheckpoint()` with the carried stats estimate replaced by
     * the checkpoint blocks' actual storage size (memory + disk). Use for
     * every iterative loop whose checkpointed output feeds the next
-    * iteration's plan. */
-  def truncate(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint()
+    * iteration's plan. Lazy form ([[truncateLazy]]): the blocks don't
+    * exist yet, so the stats fall back to the session default — still a
+    * CONSTANT, which is the property the loop needs. */
+  def truncate(df: DataFrame): DataFrame = truncate(df, eager = true)
+
+  def truncateLazy(df: DataFrame): DataFrame = truncate(df, eager = false)
+
+  private def truncate(df: DataFrame, eager: Boolean): DataFrame = {
+    val cp = df.localCheckpoint(eager)
     cp.queryExecution.logical match {
       case lr: LogicalRDD =>
         val ss = cp.sparkSession.asInstanceOf[SparkSession]

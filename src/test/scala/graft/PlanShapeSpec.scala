@@ -581,6 +581,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(expand(itemSweep.queryExecution.executedPlan)
       .exists(nodeIs(_, "ShuffleExchange")),
       "item sweep should shuffle the (entity-sized) big factor frame")
+    // HUGE mode (both sides above the threshold): each sweep reads the
+    // copy partitioned by its JOIN key and pays exactly ONE fact move —
+    // the explicit repartition-by-self before the aggregation. More than
+    // one fact-rooted exchange = the old fallback crept back in.
+    val byItem = (1 to 400).map(i => (i % 40, i % 7, (i % 9 + 1) * 0.5))
+      .toDF("u", "m", "r")
+      .repartition(col("m"))
+      .persist()
+    byItem.count()
+    val hugeSweep = graft.model.AlsBias.halfSweep(byItem, users, items,
+      "u", "m", "r", p, broadcastOther = false, broadcastSelf = false,
+      repartitionAgg = true)
+    hugeSweep.collect()
+    val hugeFactExchanges = expand(hugeSweep.queryExecution.executedPlan)
+      .filter(nodeIs(_, "ShuffleExchange"))
+      .filter(e => expandBelowAgg(e).exists(nodeIs(_, "InMemoryTableScan")))
+    assert(hugeFactExchanges.size == 1,
+      s"huge-mode sweep must move the fact EXACTLY once (the repartition" +
+        s"-by-self), found ${hugeFactExchanges.size}:\n" +
+        hugeFactExchanges.mkString("\n"))
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
