@@ -507,7 +507,7 @@ class PlanShapeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("ALS mid-mode sweeps above broadcastEntities never exchange the ratings fact") {
+  test("ALS above-threshold sweeps: mid mode never exchanges the fact; huge mode exactly once") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan
