@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.linalg.Linalg
 import graft.ops.{Aggregators, VectorOps}
@@ -186,11 +186,16 @@ object AlsBias {
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
+    // non-broadcast factor joins carry a shuffle_hash hint: the build side
+    // is the entity-sized factor frame, and a sort-merge plan would SORT
+    // the fact's millions of rows per half-sweep. A per-join hint instead
+    // of a session-wide preferSortMergeJoin flip keeps concurrent queries
+    // on the same SparkSession planning normally during training.
     val of = otherFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
     val joined = ratings
       .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastOther) broadcast(of) else of, Seq("oid"))
+      .join(if (broadcastOther) broadcast(of) else of.hint("shuffle_hash"), Seq("oid"))
 
     // quirk Q1 compat: "last" rating = the max other-id row (the reference's
     // CSR is sorted by (selfId, otherId), so its overwrite keeps that row);
@@ -213,7 +218,8 @@ object AlsBias {
     // entity-sized tail: join the current self vectors onto the summary,
     // compute the decomposed bias numerator, solve
     val sf = selfFactors.select(col("id").as("sid"), col("features").as("u"))
-    val withU = aggd.join(if (broadcastSelf) broadcast(sf) else sf, Seq("sid"))
+    val withU = aggd.join(
+      if (broadcastSelf) broadcast(sf) else sf.hint("shuffle_hash"), Seq("sid"))
     val sresid =
       if (p.strictQ1Bias)
         col("q1.r") - VectorOps.dot(col("u"), col("q1.v")) - col("q1.bo")
@@ -237,7 +243,7 @@ object AlsBias {
     // Under broadcastSelf the (entity-sized) updated frame broadcasts so
     // the alignment join adds no exchange either — the co-located sweep
     // stays exchange-free end to end (PlanShapeSpec pins it)
-    val updJ = if (broadcastSelf) broadcast(updated) else updated
+    val updJ = if (broadcastSelf) broadcast(updated) else updated.hint("shuffle_hash")
     selfFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
@@ -259,13 +265,31 @@ object AlsBias {
 
   /** Pick the per-sweep plans and (persisted, materialized) fact copies
     * for the given entity counts — see [[Params.broadcastEntities]].
-    * Returns (userSweep, itemSweep, copiesToRelease). */
+    * Returns (userSweep, itemSweep, copiesToRelease). Exception-safe: a
+    * failure after the first copy materializes unpersists everything
+    * created so far before rethrowing, so a mid-setup error never
+    * strands a full-corpus MEMORY_AND_DISK entry (the caller's finally
+    * only sees copies from a SUCCESSFUL return). */
   private[model] def sweepPlans(ratings: DataFrame, userCol: String, itemCol: String,
                                 uCount: Long, iCount: Long,
                                 p: Params): (SweepPlan, SweepPlan, Seq[DataFrame]) = {
+    val created = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    try sweepPlansImpl(ratings, userCol, itemCol, uCount, iCount, p, created)
+    catch {
+      case t: Throwable =>
+        created.foreach(_.unpersist(blocking = false))
+        throw t
+    }
+  }
+
+  private def sweepPlansImpl(ratings: DataFrame, userCol: String, itemCol: String,
+                             uCount: Long, iCount: Long, p: Params,
+                             created: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (SweepPlan, SweepPlan, Seq[DataFrame]) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def part(c: String) = {
       val f = ratings.repartition(col(c)).persist(lvl)
+      created += f
       f.count() // materialize OUTSIDE the first sweep (amortized layout)
       f
     }
@@ -302,6 +326,33 @@ object AlsBias {
     * Gramian (rank² doubles) + two vectors + counters + object headroom. */
   private[model] def packedBufferBytes(rank: Int): Long =
     (rank.toLong * rank + 2L * rank + 8L) * 8L + 200L
+
+  /** Scope the training-session SQL confs around `body`, restoring them in
+    * a finally. One conf today: the ObjectHashAggregate sort fallback
+    * threshold, sized to `budgetBytes` of packed Gramian buffers per task
+    * (see [[Params.aggMemoryBudgetBytes]] — the default 128-key fallback
+    * is three orders of magnitude below any real entity count; an
+    * unconditional raise courts OOM where per-task key counts are
+    * data-dependent). Single-training-at-a-time contract: concurrent
+    * queries on the SAME SparkSession execute under the training value,
+    * and two interleaved trainings race on the save/restore — run
+    * trainers sequentially per session, or give each its own
+    * `spark.newSession()`. */
+  private[model] def withTrainingConfs[T](ss: SparkSession, budgetBytes: Long,
+                                          rank: Int)(body: => T): T = {
+    val fbVal = math.max(1024L,
+      math.min(4194304L, budgetBytes / packedBufferBytes(rank)))
+    val scoped = Seq(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> fbVal.toString)
+    val saved = scoped.map { case (k, _) =>
+      k -> (try Some(ss.conf.get(k)) catch { case _: Exception => None }) }
+    scoped.foreach { case (k, v) => ss.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => ss.conf.set(k, v)
+      case (k, None) => ss.conf.unset(k)
+    }
+  }
 
   /** Full alternating training loop. Factor frames are truncated with an
     * eager localCheckpoint per sweep, so lineage stays O(1) across
@@ -348,28 +399,13 @@ object AlsBias {
       case None => initFactors(ratings, itemCol, p, 2L)
     }).transform(org.apache.spark.sql.graft.Checkpoints.truncate)
     // two bounded 1-row reads off the checkpointed factor frames pick the
-    // per-side sweep plans (see Params.broadcastEntities)
+    // per-side sweep plans (see Params.broadcastEntities); the try opens
+    // IMMEDIATELY after the copies exist, so any later failure — conf
+    // setup included — releases them
     val (userPlan, itemPlan, copies) =
       sweepPlans(ratings, userCol, itemCol, users.count(), items.count(), p)
-    // Bound the ObjectHashAggregate hash map per task (see
-    // Params.aggMemoryBudgetBytes): the default 128-key sort fallback is
-    // three orders of magnitude too low (measured: 23 GB of silent
-    // external-sort spill on the 25M-rating corpus), an unconditional 4M
-    // raise risks OOM where per-task key counts are data-dependent.
-    val ss = ratings.sparkSession
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
-    // the non-broadcast factor joins build a hash map from the
-    // entity-sized side instead of sort-merge (which would SORT the
-    // fact's millions of rows per half-sweep); scoped like the fallback
-    // threshold, same single-training-at-a-time contract
-    val smjKey = "spark.sql.join.preferSortMergeJoin"
-    val oldSmj = try Some(ss.conf.get(smjKey)) catch { case _: Exception => None }
-    ss.conf.set(smjKey, "false")
-    val fbVal = math.max(1024L,
-      math.min(4194304L, p.aggMemoryBudgetBytes / packedBufferBytes(p.rank)))
-    ss.conf.set(fbKey, fbVal.toString)
     try {
+    withTrainingConfs(ratings.sparkSession, p.aggMemoryBudgetBytes, p.rank) {
     trace.onStart()
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
@@ -411,19 +447,12 @@ object AlsBias {
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
     (Model(users, items), hist.toSeq)
+    }
     } finally {
       // the returned factor frames are checkpointed — the pre-partitioned
       // ratings copies are training-internal; release them even on a
       // mid-training failure (no leaked full-corpus cache entries)
       copies.foreach(_.unpersist(blocking = false))
-      oldFb match {
-        case Some(v) => ss.conf.set(fbKey, v)
-        case None => ss.conf.unset(fbKey)
-      }
-      oldSmj match {
-        case Some(v) => ss.conf.set(smjKey, v)
-        case None => ss.conf.unset(smjKey)
-      }
     }
   }
 }

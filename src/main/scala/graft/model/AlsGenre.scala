@@ -55,11 +55,14 @@ object AlsGenre {
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
 
+    // shuffle_hash hints on the non-broadcast joins: build from the
+    // entity-sized side, never sort the fact (per-join, not a session
+    // conf — see AlsBias.halfSweep)
     val uf = userFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
     val joined = ratings
       .select(col(itemCol).as("sid"), col(userCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastOther) broadcast(uf) else uf, Seq("oid"))
+      .join(if (broadcastOther) broadcast(uf) else uf.hint("shuffle_hash"), Seq("oid"))
 
     val preAgg = joined
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
@@ -76,8 +79,9 @@ object AlsGenre {
     val mg = movieGenres.select(col("id").as("sid"), col("genre_values"),
       col("genre_count"))
     val withU = aggd
-      .join(if (broadcastSelf) broadcast(sf) else sf, Seq("sid"))
-      .join(if (broadcastSelf) broadcast(mg) else mg, Seq("sid"), "left")
+      .join(if (broadcastSelf) broadcast(sf) else sf.hint("shuffle_hash"), Seq("sid"))
+      .join(if (broadcastSelf) broadcast(mg) else mg.hint("shuffle_hash"),
+        Seq("sid"), "left")
     val sresid = col("sr") - VectorOps.dot(col("u"), col("sv")) - col("sbo")
 
     val lambda = p.lambda; val tau = p.tau; val alpha = p.alpha
@@ -103,7 +107,7 @@ object AlsGenre {
         col("genre_values"), coalesce(col("genre_count"), lit(0))).as("ub"))
       .select(col("id"), col("ub._2").as("features"), col("ub._1").as("bias"))
 
-    val updJ = if (broadcastSelf) broadcast(updated) else updated
+    val updJ = if (broadcastSelf) broadcast(updated) else updated.hint("shuffle_hash")
     itemFactors.select(col("id")).join(updJ, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("features"),
@@ -189,26 +193,13 @@ object AlsGenre {
     var genreF = init.map(_.genreFactors).getOrElse(coldGenreF)
     // the AlsBias per-side sweep plans, decided the same way (two bounded
     // 1-row reads; fact copies partitioned + MATERIALIZED here, before
-    // the first timed sweep — the cold-sweep staging fix)
+    // the first timed sweep — the cold-sweep staging fix); the try opens
+    // IMMEDIATELY after the copies exist, so any later failure — conf
+    // setup included — releases them
     val (userPlan, itemPlan, copies) =
       AlsBias.sweepPlans(ratings, userCol, itemCol, users.count(), items.count(), bp)
-    // bound the ObjectHashAggregate hash map per task — see
-    // AlsBias.Params.aggMemoryBudgetBytes (and the single-training-at-a-
-    // time contract in the scaladoc above)
-    val ss = ratings.sparkSession
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val oldFb = try Some(ss.conf.get(fbKey)) catch { case _: Exception => None }
-    // the non-broadcast factor joins build a hash map from the
-    // entity-sized side instead of sort-merge (which would SORT the
-    // fact's millions of rows per half-sweep); scoped like the fallback
-    // threshold, same single-training-at-a-time contract
-    val smjKey = "spark.sql.join.preferSortMergeJoin"
-    val oldSmj = try Some(ss.conf.get(smjKey)) catch { case _: Exception => None }
-    ss.conf.set(smjKey, "false")
-    val fbVal = math.max(1024L, math.min(4194304L,
-      p.aggMemoryBudgetBytes / AlsBias.packedBufferBytes(p.rank)))
-    ss.conf.set(fbKey, fbVal.toString)
     try {
+    AlsBias.withTrainingConfs(ratings.sparkSession, p.aggMemoryBudgetBytes, p.rank) {
     trace.onStart()
     val hist = scala.collection.mutable.ArrayBuffer.empty[Trace.IterStats]
     var iter = 0
@@ -258,16 +249,9 @@ object AlsGenre {
       Trace.writeHistory(ratings.sparkSession, dir, hist.toSeq)
     }
     (Model(users, items, genreF), hist.toSeq)
+    }
     } finally {
       copies.foreach(_.unpersist(blocking = false))
-      oldFb match {
-        case Some(v) => ss.conf.set(fbKey, v)
-        case None => ss.conf.unset(fbKey)
-      }
-      oldSmj match {
-        case Some(v) => ss.conf.set(smjKey, v)
-        case None => ss.conf.unset(smjKey)
-      }
     }
   }
 }

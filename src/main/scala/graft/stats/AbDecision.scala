@@ -211,6 +211,13 @@ object AbDecision {
     val lvl = StorageLevel.MEMORY_AND_DISK
     val ev = df.select(grpCol.cast("string").as("grp"),
       valueCol.cast("double").as("value")).persist(lvl)
+    // the knife-edge tripwire and the two-arms require are DESIGNED throw
+    // paths: release the persisted (grp, value) projection before
+    // propagating, or a tripped gate strands a full-corpus cache entry
+    // until an external clearCache. The SUCCESS path keeps ev cached — the
+    // returned gated rows still read it (the decide() cache contract:
+    // clear between corpora).
+    try {
     val arms = ev.select(col("grp")).distinct().limit(3)
       .collect().map(_.getString(0)).sorted
     require(arms.length == 2,
@@ -247,6 +254,11 @@ object AbDecision {
       ("normality_b", math.min(nB, 5000L).toDouble, verdict(rejB), rejB))
       .toDF("test_name", "statistic", "p_band", "reject_null")
     normRows.unionByName(gated).orderBy(col("test_name"))
+    } catch {
+      case t: Throwable =>
+        ev.unpersist(blocking = false)
+        throw t
+    }
   }
 
   /** The two-proportion z statistic over the pivoted (n1, s1, n2, s2)

@@ -94,17 +94,24 @@ object AlsTrainerBench {
       if (uSmall && iSmall) "bcast" else if (uSmall != iSmall) "mid" else "huge"
     }
     val sweepSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // the warm retrain gets its OWN buffer and timer: one shared buffer
+    // would interleave cold and warm sweeps, and a train_sec spanning both
+    // trainings misattributes which entries are the priced warm sweeps
+    val warmSweepSec = scala.collection.mutable.ArrayBuffer.empty[Double]
     var last = System.nanoTime()
-    val trace = graft.model.Trace.Config(computeMetrics = false,
-      // onStart fires after the trainer's one-time layout work (the
-      // pre-partitioned fact copies materialize before the loop), so
-      // sweep-1 wall measures the sweep, not the amortized setup
-      onStart = () => { last = System.nanoTime() },
-      onIter = _ => {
-        val now = System.nanoTime()
-        sweepSec += (now - last) / 1e9
-        last = now
-      })
+    def timedTrace(buf: scala.collection.mutable.ArrayBuffer[Double]) =
+      graft.model.Trace.Config(computeMetrics = false,
+        // onStart fires after the trainer's one-time layout work (the
+        // pre-partitioned fact copies materialize before the loop), so
+        // sweep-1 wall measures the sweep, not the amortized setup
+        onStart = () => { last = System.nanoTime() },
+        onIter = _ => {
+          val now = System.nanoTime()
+          buf += (now - last) / 1e9
+          last = now
+        })
+    val trace = timedTrace(sweepSec)
+    var warmTrainSec = 0.0
     val t0 = System.nanoTime()
     if (genreMode) {
       // synthetic 20-genre assignment: 1-2 hash-picked genres per movie,
@@ -122,23 +129,33 @@ object AlsTrainerBench {
     } else if (warmMode) {
       val (model, _) = graft.model.AlsBias.trainTraced(ratings, "user",
         "movie", "rating", p, trace)
+      val tw = System.nanoTime()
       graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
-        p.copy(maxIter = 2), trace, init = Some(model))
+        p.copy(maxIter = 2), timedTrace(warmSweepSec), init = Some(model))
+      warmTrainSec = (System.nanoTime() - tw) / 1e9
     } else {
       graft.model.AlsBias.trainTraced(ratings, "user", "movie", "rating",
         p, trace)
     }
-    val trainSec = (System.nanoTime() - t0) / 1e9
+    // train_sec / per_sweep_sec are the COLD training only; the warm
+    // retrain reports through its own warm_* fields
+    val trainSec = (System.nanoTime() - t0) / 1e9 - warmTrainSec
     mv.settle()
 
     val sweeps_js = sweepSec.map(s => f"$s%.2f").mkString("[", ",", "]")
     val model =
       if (genreMode) "als_genre" else if (warmMode) "als_bias_warm" else "als_bias"
+    val warmFields =
+      if (warmMode) {
+        val wjs = warmSweepSec.map(s => f"$s%.2f").mkString("[", ",", "]")
+        f""""warm_sweeps":${warmSweepSec.length},""" +
+          f""""warm_per_sweep_sec":$wjs,"warm_train_sec":$warmTrainSec%.2f,"""
+      } else ""
     println(f"""{"model":"$model",""" +
       f""""mode":"$mode",""" +
       f""""users":$nUsers,"items":$nItems,"ratings":$nRatings,""" +
       f""""sweeps":$sweeps,"rank":$rank,"train_sec":$trainSec%.2f,""" +
-      f""""per_sweep_sec":$sweeps_js,""" +
+      f""""per_sweep_sec":$sweeps_js,""" + warmFields +
       f""""shuffle_mb":${mv.shuffleWriteBytes.get() / 1048576.0}%.1f,""" +
       f""""spill_mb":${mv.spillDiskBytes.get() / 1048576.0}%.1f}""")
     spark.stop()

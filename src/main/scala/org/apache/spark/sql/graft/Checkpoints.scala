@@ -44,9 +44,20 @@ object Checkpoints {
     cp.queryExecution.logical match {
       case lr: LogicalRDD =>
         val ss = cp.sparkSession.asInstanceOf[SparkSession]
-        val measured = ss.sparkContext.getRDDStorageInfo
-          .find(_.id == lr.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize))
+        // point lookup (statusStore.rdd is a KV-store get by id) — the
+        // full getRDDStorageInfo listing walks EVERY cached RDD, which a
+        // per-iteration loop over a session with hundreds of cached
+        // frames pays each round. Trust the measurement only when every
+        // partition reports cached: on a cluster, block-status updates
+        // can lag the checkpoint action, and stamping a PARTIAL size
+        // would understate the stat (and could wrongly qualify a large
+        // frame for auto-broadcast downstream); an incomplete read falls
+        // back to the session-default estimate — conservative and still
+        // iteration-independent, which is the property the loop needs.
+        val measured = (try Some(ss.sparkContext.statusStore.rdd(lr.rdd.id))
+          catch { case _: NoSuchElementException => None })
+          .filter(_.numCachedPartitions == lr.rdd.getNumPartitions)
+          .map(i => BigInt(i.memoryUsed + i.diskUsed))
           .filter(_ > 0)
         val stats = measured.map(b => Statistics(sizeInBytes = b))
         Dataset.ofRows(ss, LogicalRDD(lr.output, lr.rdd,
