@@ -67,19 +67,40 @@ object AlsBias {
     *     big factor frame shuffles to meet it (ENSURE_REQUIREMENTS moves
     *     ~rank·bigEntities rows, never the fact) and the aggregation
     *     shuffles one packed buffer per (small entity, partition).
-    *   - BOTH sides above: two copies, each pre-partitioned by the
-    *     OTHER side's key, so each sweep's factor join is fact-
-    *     stationary and the one remaining fact-sized move is the
-    *     repartition-by-self before the final aggregation (the packed
-    *     Gramian buffer is ~1.5 KB at rank 12 — partial-aggregating
-    *     across a foreign partitioning would EXPAND the shuffle whenever
-    *     ratings-per-(entity, partition) < buffer/row ≈ 12, so raw rows
-    *     move instead). One fact move per half-sweep, down from the
-    *     naive plan's two.
+    *   - BOTH sides above: ROUTED-FACTOR sweeps (MLlib ALS's
+    *     InBlock/OutBlock idea, expressed Spark-native). Each sweep
+    *     reads a copy partitioned by a SELF-derived bucket column
+    *     (`pmod(hash(self), factBuckets)`), so the fact NEVER moves:
+    *     a once-per-training routing table (other-id → the distinct
+    *     self buckets whose partitions hold a rating for it) routes
+    *     other-side factor rows onto the fact's layout, the factor
+    *     join runs co-partitioned on (bucket, other-id) — subset-key
+    *     co-partitioning, enabled by the training-scoped
+    *     requireAllClusterKeysForCoPartition=false — and the grouped
+    *     aggregation rides the bucket partitioning via
+    *     groupBy(bucket, self). Per-sweep movement is the factor frame
+    *     plus its routed copies, Σ_other min(degree, buckets) rows —
+    *     factor-sized, never fact-sized (the pre-round-13 plan
+    *     repartitioned the joined fact by the self key once per
+    *     half-sweep: ~10 GB/sweep measured at the 25M shape).
     *
     * In every mode the per-sweep exchange is factor-frame- or
-    * buffer-sized except the documented both-huge repartition; no plan
-    * re-shuffles the raw ratings fact to satisfy a JOIN. */
+    * buffer-sized; no plan moves the raw ratings fact — to satisfy a
+    * join OR an aggregation — after the one-time layout. */
+  /** `factBuckets` sizes the both-huge bucket column. Replication per
+    * other-entity is ≈ the distinct buckets its ratings touch — capped
+    * by min(degree, B) — so FEWER buckets mean a smaller routing table
+    * and less per-sweep factor traffic on BOTH sides (a light-degree
+    * side with B ≫ degree would route nearly one copy per rating —
+    * fact-sized again). The floor is one bucket per partition, which is
+    * exactly MLlib ALS's OutBlock geometry: the default (0) uses
+    * B = spark.sql.shuffle.partitions with each bucket PINNED to its
+    * own partition via murmur-representative encoding ([[bucketReps]]),
+    * so replication is the theoretical factor-routing minimum
+    * min(degree, partitions) AND bucket balance over partitions is
+    * exact (plain hash at B = P would leave ~1/e of partitions empty).
+    * Set it explicitly only to decouple routing granularity from the
+    * partition count (values > partitions spread via plain hash). */
   /** `aggMemoryBudgetBytes` bounds the ObjectHashAggregate hash-map per
     * task: the sort-based fallback threshold is set to
     * budget / packed-buffer-bytes (clamped to [1024, 4194304]) for the
@@ -96,7 +117,8 @@ object AlsBias {
                           seed: Long = 42L, strictQ1Bias: Boolean = false,
                           biasOnly: Boolean = false,
                           broadcastEntities: Long = 1000000L,
-                          aggMemoryBudgetBytes: Long = 256L << 20)
+                          aggMemoryBudgetBytes: Long = 256L << 20,
+                          factBuckets: Int = 0)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame) {
     /** r̂ = u·v + b_u + b_i over a ratings frame with (userCol, itemCol). */
@@ -111,14 +133,43 @@ object AlsBias {
         .drop("__u", "__v", "__bu", "__bv")
   }
 
+  /** The both-huge modes' self-derived bucket column on the fact copies
+    * (see [[Params.factBuckets]]) — the partition key the routed factor
+    * join and the grouped aggregation both ride. */
+  val BucketCol = "__graft_sb"
+
+  /** Representative ints for the default both-huge bucket encoding: the
+    * j-th value murmur3-hashes onto partition j of n
+    * (`pmod(murmur3(rep(j)), n) == j`, the exact function
+    * HashPartitioning applies to a repartition column), so bucket j's
+    * rows land in partition j — one bucket per partition, no
+    * balls-in-bins holes. Sequential search; coupon-collector
+    * ~n·ln n probes (driver-side ints, microseconds up to 10^5
+    * partitions). */
+  private[model] def bucketReps(n: Int): Array[Int] = {
+    val reps = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0
+    while (remaining > 0) {
+      val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)))
+        .eval(null).asInstanceOf[Int]
+      val j = math.floorMod(h, n)
+      if (!found(j)) { found(j) = true; reps(j) = v; remaining -= 1 }
+      v += 1
+    }
+    reps
+  }
+
   /** Per-sweep physical plan: which ratings copy feeds the sweep, whether
-    * the other/self factor frames broadcast, and whether the joined fact
-    * is repartitioned by the self key before the grouped aggregation
-    * (the both-huge mode's documented single fact move). */
+    * the other/self factor frames broadcast, and (both-huge mode) the
+    * routing table (otherCol, [[BucketCol]]) that lands other-side factor
+    * rows on the fact's stationary bucket layout. */
   private[model] final case class SweepPlan(fact: DataFrame,
                                             broadcastOther: Boolean,
                                             broadcastSelf: Boolean,
-                                            repartitionAgg: Boolean)
+                                            routing: Option[DataFrame])
 
   /** Deterministic N(0, scale²) init via Box-Muller over xxhash64 uniforms —
     * reproducible on any cluster/partitioning, no RNG state (reference:
@@ -174,14 +225,17 @@ object AlsBias {
     * entity-sized summary — never against the fact. `broadcastOther`
     * broadcasts the other-side factor join (fact keeps its partitioning);
     * `broadcastSelf` broadcasts the two entity-sized tail joins (the
-    * solve's u-join and the zero-rating alignment); `repartitionAgg`
-    * moves the joined fact onto the self key before aggregating — see
+    * solve's u-join and the zero-rating alignment); `routing` switches to
+    * the both-huge ROUTED-FACTOR plan: `ratings` must carry [[BucketCol]]
+    * and sit on its hash layout, `routing` is the (otherCol, bucket)
+    * table, and the sweep joins co-partitioned on (bucket, other-id) then
+    * aggregates on (bucket, self) — the fact never moves. See
     * [[Params.broadcastEntities]] for when each is the right plan. */
   def halfSweep(ratings: DataFrame, selfFactors: DataFrame, otherFactors: DataFrame,
                 selfCol: String, otherCol: String, ratingCol: String,
                 p: Params, broadcastOther: Boolean = false,
                 broadcastSelf: Boolean = false,
-                repartitionAgg: Boolean = false): DataFrame = {
+                routing: Option[DataFrame] = None): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
@@ -193,9 +247,27 @@ object AlsBias {
     // on the same SparkSession planning normally during training.
     val of = otherFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
-    val joined = ratings
-      .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastOther) broadcast(of) else of.hint("shuffle_hash"), Seq("oid"))
+    val joined = routing match {
+      case Some(rt) =>
+        // routed-factor join: decorate the other-side factors with the
+        // self buckets that need them (factor-sized shuffle to the
+        // stationary routing layout), land the routed copies on the
+        // fact's exact partitioning (routing-sized REPARTITION_BY_NUM),
+        // then join on (bucket, oid) — subset-key co-partitioned, so the
+        // cached fact contributes ZERO exchange
+        val rtk = rt.select(col(otherCol).as("oid"), col(BucketCol))
+        val ofR = of.hint("shuffle_hash").join(rtk, Seq("oid"))
+        ratings
+          .select(col(BucketCol), col(selfCol).as("sid"),
+            col(otherCol).as("oid"), col(ratingCol).as("r"))
+          .join(ofR.repartition(ratings.rdd.getNumPartitions, col(BucketCol))
+            .hint("shuffle_hash"), Seq(BucketCol, "oid"))
+      case None =>
+        ratings
+          .select(col(selfCol).as("sid"), col(otherCol).as("oid"), col(ratingCol).as("r"))
+          .join(if (broadcastOther) broadcast(of) else of.hint("shuffle_hash"),
+            Seq("oid"))
+    }
 
     // quirk Q1 compat: "last" rating = the max other-id row (the reference's
     // CSR is sorted by (selfId, otherId), so its overwrite keeps that row);
@@ -209,11 +281,18 @@ object AlsBias {
         Seq(sum(col("r")).as("sr"), sum(col("bo")).as("sbo"))
     val preAgg = joined
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
-    val aggd = (if (repartitionAgg) preAgg.repartition(col("sid")) else preAgg)
-      .groupBy(col("sid"))
+    // routed mode groups on (bucket, self) — the bucket is functionally
+    // determined by the self id, so the groups are identical, and the
+    // fact's HashPartitioning(bucket) satisfies the clustered
+    // distribution: the aggregation runs partition-local, no exchange
+    val aggKeys =
+      if (routing.isDefined) Seq(col(BucketCol), col("sid")) else Seq(col("sid"))
+    val aggd = preAgg
+      .groupBy(aggKeys: _*)
       .agg(count(lit(1)).as("n"), (biasNum ++ Seq(
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
         gramSum(col("v")).as("gram"))): _*)
+      .drop(BucketCol)
 
     // entity-sized tail: join the current self vectors onto the summary,
     // compute the decomposed bias numerator, solve
@@ -297,8 +376,8 @@ object AlsBias {
     val iSmall = iCount <= p.broadcastEntities
     if (uSmall && iSmall) {
       val byU = part(userCol); val byI = part(itemCol)
-      (SweepPlan(byU, broadcastOther = true, broadcastSelf = true, repartitionAgg = false),
-       SweepPlan(byI, broadcastOther = true, broadcastSelf = true, repartitionAgg = false),
+      (SweepPlan(byU, broadcastOther = true, broadcastSelf = true, routing = None),
+       SweepPlan(byI, broadcastOther = true, broadcastSelf = true, routing = None),
        Seq(byU, byI))
     } else if (uSmall != iSmall) {
       // the mid mode: one copy, partitioned by the big side's key, zero
@@ -307,18 +386,59 @@ object AlsBias {
       val bigIsUser = !uSmall
       val byBig = part(if (bigIsUser) userCol else itemCol)
       val big = SweepPlan(byBig, broadcastOther = true, broadcastSelf = false,
-        repartitionAgg = false)
+        routing = None)
       val small = SweepPlan(byBig, broadcastOther = false, broadcastSelf = true,
-        repartitionAgg = false)
+        routing = None)
       if (bigIsUser) (big, small, Seq(byBig)) else (small, big, Seq(byBig))
     } else {
-      // both huge: each sweep reads the copy partitioned by its JOIN key
-      // (the other side) and pays the one documented fact move — the
-      // repartition-by-self before the final aggregation
-      val byU = part(userCol); val byI = part(itemCol)
-      (SweepPlan(byI, broadcastOther = false, broadcastSelf = false, repartitionAgg = true),
-       SweepPlan(byU, broadcastOther = false, broadcastSelf = false, repartitionAgg = true),
-       Seq(byU, byI))
+      // both huge: ROUTED-FACTOR mode. Each sweep reads a copy partitioned
+      // by a SELF-derived bucket column — the fact never moves again; the
+      // once-per-training routing tables (other-id → distinct self
+      // buckets holding a rating for it) land factor copies on that
+      // layout every sweep. See Params.broadcastEntities / factBuckets.
+      val ss = ratings.sparkSession
+      val nPart = ss.conf.get("spark.sql.shuffle.partitions").toInt
+      // default: one bucket per partition, murmur-representative encoded
+      // so bucket j LANDS in partition j — minimum replication
+      // min(degree, partitions) and exact balance (Params.factBuckets)
+      val bCount = if (p.factBuckets > 0) p.factBuckets else nPart
+      val bucketOf: Column => Column =
+        if (p.factBuckets > 0) c => pmod(hash(c), lit(bCount))
+        else {
+          val reps = bucketReps(nPart)
+          c => element_at(
+            array(reps.map(lit(_)).toIndexedSeq: _*),
+            (pmod(hash(c), lit(nPart)) + 1).cast("int"))
+        }
+      def bucketed(selfC: String) = {
+        val f = ratings
+          .withColumn(BucketCol, bucketOf(col(selfC)))
+          .repartition(nPart, col(BucketCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        created += f
+        f.count()
+        f
+      }
+      def route(f: DataFrame, otherC: String) = {
+        // the distinct rides the bucket layout exchange-free (bucket ⊆
+        // grouping keys); one routing-sized shuffle lays the table out by
+        // other-id so every sweep's factor join meets it stationary
+        val r = f.select(col(otherC), col(BucketCol)).distinct()
+          .repartition(col(otherC))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        created += r
+        r.count()
+        r
+      }
+      val factU = bucketed(userCol)
+      val routeU = route(factU, itemCol)
+      val factI = bucketed(itemCol)
+      val routeI = route(factI, userCol)
+      (SweepPlan(factU, broadcastOther = false, broadcastSelf = false,
+         routing = Some(routeU)),
+       SweepPlan(factI, broadcastOther = false, broadcastSelf = false,
+         routing = Some(routeI)),
+       Seq(factU, routeU, factI, routeI))
     }
   }
 
@@ -328,22 +448,28 @@ object AlsBias {
     (rank.toLong * rank + 2L * rank + 8L) * 8L + 200L
 
   /** Scope the training-session SQL confs around `body`, restoring them in
-    * a finally. One conf today: the ObjectHashAggregate sort fallback
+    * a finally. Two confs: the ObjectHashAggregate sort fallback
     * threshold, sized to `budgetBytes` of packed Gramian buffers per task
     * (see [[Params.aggMemoryBudgetBytes]] — the default 128-key fallback
     * is three orders of magnitude below any real entity count; an
     * unconditional raise courts OOM where per-task key counts are
-    * data-dependent). Single-training-at-a-time contract: concurrent
-    * queries on the SAME SparkSession execute under the training value,
-    * and two interleaved trainings race on the save/restore — run
-    * trainers sequentially per session, or give each its own
-    * `spark.newSession()`. */
+    * data-dependent), and requireAllClusterKeysForCoPartition=false so
+    * the both-huge routed-factor join on (bucket, other-id) accepts the
+    * fact's bucket-only hash layout as co-partitioned (subset-key
+    * co-partitioning; under the default `true` the planner re-shuffles
+    * BOTH sides on the full key set — i.e. moves the fact). Harmless in
+    * the other modes (their joins key exactly on the partition column).
+    * Single-training-at-a-time contract: concurrent queries on the SAME
+    * SparkSession execute under the training values, and two interleaved
+    * trainings race on the save/restore — run trainers sequentially per
+    * session, or give each its own `spark.newSession()`. */
   private[model] def withTrainingConfs[T](ss: SparkSession, budgetBytes: Long,
                                           rank: Int)(body: => T): T = {
     val fbVal = math.max(1024L,
       math.min(4194304L, budgetBytes / packedBufferBytes(rank)))
     val scoped = Seq(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> fbVal.toString)
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> fbVal.toString,
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
     val saved = scoped.map { case (k, _) =>
       k -> (try Some(ss.conf.get(k)) catch { case _: Exception => None }) }
     scoped.foreach { case (k, v) => ss.conf.set(k, v) }
@@ -416,13 +542,13 @@ object AlsBias {
           ratingCol, p.copy(strictQ1Bias = false),
           broadcastOther = userPlan.broadcastOther,
           broadcastSelf = userPlan.broadcastSelf,
-          repartitionAgg = userPlan.repartitionAgg)
+          routing = userPlan.routing)
         .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       val newItems = halfSweep(itemPlan.fact, items, newUsers, itemCol, userCol,
           ratingCol, p,
           broadcastOther = itemPlan.broadcastOther,
           broadcastSelf = itemPlan.broadcastSelf,
-          repartitionAgg = itemPlan.repartitionAgg)
+          routing = itemPlan.routing)
         .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       delta = math.max(maxDelta(users, newUsers), maxDelta(items, newItems))
       users = newUsers; items = newItems

@@ -28,7 +28,8 @@ object AlsGenre {
                           alpha: Double = 0.01, beta: Double = 0.01,
                           maxIter: Int = 20, tol: Double = 0.05, seed: Long = 42L,
                           broadcastEntities: Long = 1000000L,
-                          aggMemoryBudgetBytes: Long = 256L << 20)
+                          aggMemoryBudgetBytes: Long = 256L << 20,
+                          factBuckets: Int = 0)
 
   final case class Model(userFactors: DataFrame, itemFactors: DataFrame,
                          genreFactors: Map[Int, Array[Double]])
@@ -36,7 +37,8 @@ object AlsGenre {
   private def toBiasParams(p: Params) =
     AlsBias.Params(p.rank, p.lambda, p.tau, p.alpha, p.maxIter, p.tol, p.seed,
       broadcastEntities = p.broadcastEntities,
-      aggMemoryBudgetBytes = p.aggMemoryBudgetBytes)
+      aggMemoryBudgetBytes = p.aggMemoryBudgetBytes,
+      factBuckets = p.factBuckets)
 
   /** Movie half-sweep with the genre prior. `movieGenres` carries
     * (id, genre_values ARRAY<INT>, genre_count INT); `genreF` is the current
@@ -50,7 +52,7 @@ object AlsGenre {
                           genreF: Map[Int, Array[Double]], p: Params,
                           broadcastOther: Boolean = false,
                           broadcastSelf: Boolean = false,
-                          repartitionAgg: Boolean = false): DataFrame = {
+                          routing: Option[DataFrame] = None): DataFrame = {
     val rank = p.rank
     val vecSum = udaf(new Aggregators.VectorSum(rank))
     val gramSum = udaf(new Aggregators.GramianSum(rank))
@@ -60,18 +62,37 @@ object AlsGenre {
     // conf — see AlsBias.halfSweep)
     val uf = userFactors.select(col("id").as("oid"), col("features").as("v"),
       col("bias").as("bo"))
-    val joined = ratings
-      .select(col(itemCol).as("sid"), col(userCol).as("oid"), col(ratingCol).as("r"))
-      .join(if (broadcastOther) broadcast(uf) else uf.hint("shuffle_hash"), Seq("oid"))
+    val joined = routing match {
+      case Some(rt) =>
+        // both-huge routed-factor plan — see AlsBias.halfSweep: the fact
+        // carries AlsBias.BucketCol and never moves; user-factor copies
+        // route onto its layout via the once-per-training table
+        val rtk = rt.select(col(userCol).as("oid"), col(AlsBias.BucketCol))
+        val ufR = uf.hint("shuffle_hash").join(rtk, Seq("oid"))
+        ratings
+          .select(col(AlsBias.BucketCol), col(itemCol).as("sid"),
+            col(userCol).as("oid"), col(ratingCol).as("r"))
+          .join(ufR.repartition(ratings.rdd.getNumPartitions, col(AlsBias.BucketCol))
+            .hint("shuffle_hash"), Seq(AlsBias.BucketCol, "oid"))
+      case None =>
+        ratings
+          .select(col(itemCol).as("sid"), col(userCol).as("oid"), col(ratingCol).as("r"))
+          .join(if (broadcastOther) broadcast(uf) else uf.hint("shuffle_hash"),
+            Seq("oid"))
+    }
 
     val preAgg = joined
       .withColumn("rv", transform(col("v"), x => (col("r") - col("bo")) * x))
-    val aggd = (if (repartitionAgg) preAgg.repartition(col("sid")) else preAgg)
-      .groupBy(col("sid"))
+    val aggKeys =
+      if (routing.isDefined) Seq(col(AlsBias.BucketCol), col("sid"))
+      else Seq(col("sid"))
+    val aggd = preAgg
+      .groupBy(aggKeys: _*)
       .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
         sum(col("bo")).as("sbo"),
         vecSum(col("rv")).as("srv"), vecSum(col("v")).as("sv"),
         gramSum(col("v")).as("gram"))
+      .drop(AlsBias.BucketCol)
 
     // entity-sized tail: current item vectors + genre assignments join the
     // per-movie summary, never the fact
@@ -209,13 +230,13 @@ object AlsGenre {
           ratingCol, bp,
           broadcastOther = userPlan.broadcastOther,
           broadcastSelf = userPlan.broadcastSelf,
-          repartitionAgg = userPlan.repartitionAgg)
+          routing = userPlan.routing)
         .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       val newItems = movieSweepWithPrior(itemPlan.fact, items, newUsers, movieGenres,
           itemCol, userCol, ratingCol, genreF, p,
           broadcastOther = itemPlan.broadcastOther,
           broadcastSelf = itemPlan.broadcastSelf,
-          repartitionAgg = itemPlan.repartitionAgg)
+          routing = itemPlan.routing)
         .transform(org.apache.spark.sql.graft.Checkpoints.truncate)
       val newGenreF = updateGenreFactors(newItems, movieGenres, genreF, p)
       val fDelta = newGenreF.map { case (g, f) =>

@@ -27,11 +27,18 @@ object Bpr {
   /** `initScale` NaN ⇒ reference default 5/√rank
     * (/root/reference/implicit_feedback/prac_2.py:52-57); smaller values
     * avoid sigmoid saturation on dense synthetic data. */
+  /** `epochOffset` numbers this run's epochs from `offset` instead of 0 —
+    * the per-(user, epoch) sampling RNGs, the trace's epoch labels, and
+    * the snapshot tags all continue the prior run's sequence, so a
+    * checkpoint-resume (`init` + the offset) replays EXACTLY the epochs
+    * a longer cold run would have executed (BprWarmStartSpec pins
+    * cold(N+k) == cold(N) then resume(k, offset N)). */
   final case class Params(rank: Int = 12, lr: Double = 0.02, reg: Double = 0.01,
                           epochs: Int = 30, seed: Long = 42L,
                           maxSampleRetries: Int = 200,
                           refCompatRegSign: Boolean = false,
-                          initScale: Double = Double.NaN) {
+                          initScale: Double = Double.NaN,
+                          epochOffset: Int = 0) {
     def resolvedInitScale: Double =
       if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
   }
@@ -112,11 +119,22 @@ object Bpr {
     * `onEpoch` (opt-in — it prices a users × items scoring pass per epoch,
     * as the reference does every iteration), the epoch's max item-factor
     * delta (free — it falls out of the delta merge), and factor parquet
-    * snapshots every `snapshotEvery` epochs plus a final set. */
+    * snapshots every `snapshotEvery` epochs plus a final set.
+    *
+    * `init` warm-starts the epoch loop from a prior model — the
+    * reference's checkpoint-resume flow (prac_2.py:118-122 snapshots
+    * every 5 epochs; prac_2_results.py:22-23 reloads): prior user/item
+    * rows seed verbatim, ids new to this corpus get the deterministic
+    * cold init (the item side replays the cold init sequence first, so
+    * a grown catalog's new tail matches what cold training at the same
+    * `numItems` would draw). At scale prefer [[DsgdBpr.trainFactors]]'s
+    * frame-based `init` — this trainer's ModelArrays contract is
+    * driver-sized by design. */
   def train(positives: DataFrame, userCol: String, itemCol: String, numItems: Int,
             p: Params = Params(), itemGenres: Option[Map[Int, Array[Int]]] = None,
             numPartitions: Int = 0,
-            trace: Trace.BprConfig = Trace.BprConfig()): ModelArrays = {
+            trace: Trace.BprConfig = Trace.BprConfig(),
+            init: Option[ModelArrays] = None): ModelArrays = {
     val spark = positives.sparkSession
     import spark.implicits._
 
@@ -139,7 +157,17 @@ object Bpr {
 
     val initRng = new java.util.Random(p.seed)
     val scale = p.resolvedInitScale
+    // cold init always draws the full sequence (item i's draw depends on
+    // the i-1 before it), THEN the warm seed overwrites the covered
+    // prefix — new tail ids match a cold training at the same numItems
     var itemF = Array.fill(numItems)(gaussianRow(initRng, p.rank, scale))
+    init.foreach { m =>
+      var i = 0
+      val bound = math.min(numItems, m.itemFactors.length)
+      while (i < bound) { itemF(i) = m.itemFactors(i).clone(); i += 1 }
+    }
+    val bcWarmU = init.map(m => positives.sparkSession.sparkContext
+      .broadcast(m.userFactors))
 
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
@@ -148,7 +176,9 @@ object Bpr {
       .as[(Int, Seq[Int])]
       .map { case (u, pos) =>
         val rng = new java.util.Random(p.seed ^ (u.toLong * 2654435761L))
-        UserState(u, pos.toArray, gaussianRow(rng, p.rank, scale))
+        val warm = bcWarmU.flatMap(_.value.get(u))
+        UserState(u, pos.toArray,
+          warm.map(_.clone()).getOrElse(gaussianRow(rng, p.rank, scale)))
       }
       .repartition(nPart, col("user"))
       .persist()
@@ -160,7 +190,8 @@ object Bpr {
     val bcCdf = sc.broadcast(cdf)
     val bcGenres = sc.broadcast(genresArr)
     val epochHist = mutable.ArrayBuffer.empty[Trace.EpochStats]
-    for (epoch <- 0 until p.epochs) {
+    for (epoch0 <- 0 until p.epochs) {
+      val epoch = p.epochOffset + epoch0 // global epoch: resume replays exactly
       val bcV = sc.broadcast(itemF)
       val pp = p
       val epochOut = users.mapPartitions { it =>
@@ -258,7 +289,9 @@ object Bpr {
           Trace.snapshotFactors(dir, s"epoch_$it", userDf, itemDf)
       }
     }
-    bcCdf.destroy(); bcGenres.destroy()
+    // warm-seed broadcast outlives the first materialization only because
+    // a recomputed lost block would still read it through the lineage
+    bcCdf.destroy(); bcGenres.destroy(); bcWarmU.foreach(_.destroy())
     trace.snapshotDir.foreach { dir =>
       Trace.snapshotFactors(dir, "final",
         users.map(st => (st.user, st.u.toSeq)).toDF("id", "features"),

@@ -38,10 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object DsgdBpr {
 
+  /** `epochOffset` numbers this run's epochs from `offset` — the
+    * per-(user, epoch, sub-epoch) RNGs, trace labels, and snapshot tags
+    * continue the prior run's sequence, so `init` + the offset replays
+    * EXACTLY the epochs a longer cold run would have executed
+    * (BprWarmStartSpec pins the bit-identical continuation). */
   final case class Params(rank: Int = 12, lr: Double = 0.02, reg: Double = 0.01,
                           epochs: Int = 30, blocks: Int = 4, seed: Long = 42L,
                           maxSampleRetries: Int = 200,
-                          initScale: Double = Double.NaN) {
+                          initScale: Double = Double.NaN,
+                          epochOffset: Int = 0) {
     def resolvedInitScale: Double =
       if (initScale.isNaN) 5.0 / math.sqrt(rank) else initScale
   }
@@ -89,13 +95,26 @@ object DsgdBpr {
     * the `itemGenres` driver Map stays for the reference-shaped fixture
     * contract. `factorsDir` makes the returned frames parquet-backed
     * (durable, lineage-free); otherwise they sit on the final
-    * localCheckpoint. */
+    * localCheckpoint.
+    *
+    * `init` warm-starts the epoch schedule from prior factor frames —
+    * the reference's own checkpoint-resume flow for BPR (its epoch loop
+    * snapshots parameters every 5 epochs and reloads them,
+    * implicit_feedback/prac_2.py:118-122, prac_2_results.py:22-23).
+    * Prior rows seed their ids verbatim; ids NEW to this corpus (or a
+    * grown catalog) get the deterministic per-id cold init, so a
+    * converged model plus a positives delta re-converges in a few
+    * epochs instead of re-paying the cold schedule. Seeding is two
+    * factor-sized left-joins at init — nothing collects, the at-scale
+    * contract holds (pair with [[Trace.loadFactorFrames]] to resume
+    * from a `factorsDir`/snapshot dump on disk). */
   def trainFactors(positives: DataFrame, userCol: String, itemCol: String,
                    numItems: Int, p: Params = Params(),
                    itemGenres: Option[Map[Int, Array[Int]]] = None,
                    trace: Trace.BprConfig = Trace.BprConfig(),
                    factorsDir: Option[String] = None,
-                   itemGenresDf: Option[DataFrame] = None): FactorFrames = {
+                   itemGenresDf: Option[DataFrame] = None,
+                   init: Option[FactorFrames] = None): FactorFrames = {
     val spark = positives.sparkSession
     import spark.implicits._
     val P = p.blocks
@@ -129,12 +148,23 @@ object DsgdBpr {
     // bit-identical-across-layouts contract strengthens to the init too.
     val pr = p.rank
     val pseed = p.seed
-    val itemsInit = spark.range(numItems.toLong).as[Long].map { il =>
+    val itemsCold = spark.range(numItems.toLong).as[Long].map { il =>
       val i = il.toInt
       val rng = new java.util.Random(pseed ^ 0x9E3779B97F4A7C15L ^ (i.toLong * 2654435761L))
       (itemBlock(i, P), i, Array.fill(pr)(rng.nextGaussian() * scale))
     }.toDF("block", "item", "f")
-      .join(popDf, col("item") === col("__item"), "left")
+    // warm seed: prior rows override the per-id cold init (left join —
+    // factor-sized, distributed; ids without a prior row keep the cold
+    // Gaussian, so a grown catalog warm-starts deterministically)
+    val itemsSeeded = init match {
+      case Some(ff) =>
+        itemsCold.join(ff.itemFactors.select(col("id").as("__wid"),
+            col("features").as("__wf")), col("item") === col("__wid"), "left")
+          .select(col("block"), col("item"),
+            coalesce(col("__wf"), col("f")).as("f"))
+      case None => itemsCold
+    }
+    val itemsInit = itemsSeeded.join(popDf, col("item") === col("__item"), "left")
     val withPop = genreSrc match {
       case Some(g) =>
         itemsInit.join(g, col("item") === col("__gitem"), "left")
@@ -150,13 +180,23 @@ object DsgdBpr {
       .repartition(P, col("block")).persist()
     items.count()
 
-    var users: Dataset[UserRow] = positives
+    val usersAgg = positives
       .groupBy(col(userCol)).agg(collect_list(col(itemCol)).as("pos"))
-      .as[(Int, Seq[Int])]
-      .map { case (u, pos) =>
+    val usersSeeded = init match {
+      case Some(ff) =>
+        usersAgg.join(ff.userFactors.select(col("id").as("__wid"),
+            col("features").as("__wf")), col(userCol) === col("__wid"), "left")
+          .select(col(userCol), col("pos"), col("__wf"))
+      case None =>
+        usersAgg.withColumn("__wf", lit(null).cast("array<double>"))
+    }
+    var users: Dataset[UserRow] = usersSeeded
+      .as[(Int, Seq[Int], Option[Seq[Double]])]
+      .map { case (u, pos, warm) =>
         val rng = new java.util.Random(p.seed ^ (u.toLong * 2654435761L))
         UserRow(userBlock(u, P), u, pos.toArray.sorted,
-          Array.fill(p.rank)(rng.nextGaussian() * scale))
+          warm.map(_.toArray)
+            .getOrElse(Array.fill(p.rank)(rng.nextGaussian() * scale)))
       }
       .repartition(P, col("block")).persist()
     users.count()
@@ -165,7 +205,8 @@ object DsgdBpr {
     val deltaAcc = new Trace.MaxAccumulator
     sc.register(deltaAcc, "dsgd_max_item_delta")
     val epochHist = scala.collection.mutable.ArrayBuffer.empty[Trace.EpochStats]
-    for (epoch <- 0 until p.epochs; sub <- 0 until P) {
+    for (epoch0 <- 0 until p.epochs; sub <- 0 until P) {
+      val epoch = p.epochOffset + epoch0 // global epoch: resume replays exactly
       if (sub == 0) deltaAcc.reset()
       // stratum for item block q pairs with user block (q - sub) mod P;
       // key both sides by the ITEM block id

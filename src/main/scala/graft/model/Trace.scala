@@ -77,9 +77,33 @@ object Trace {
   }
 
   /** Read an ALS snapshot back as a model (round-trip of the parquet dump;
-    * `tag` is `iter_N` or `final`). */
+    * `tag` is `iter_N` or `final`). Feed the result straight to
+    * `AlsBias.trainTraced(init = Some(loaded))` for the reference's
+    * resume-from-disk flow (explicit_ratings/ab_test.py:73-85): load
+    * checkpointed parameters, retrain on the new corpus warm. */
   def loadModel(spark: SparkSession, dir: String, tag: String): AlsBias.Model =
     AlsBias.Model(spark.read.parquet(s"$dir/$tag/user_factors"),
+      spark.read.parquet(s"$dir/$tag/item_factors"))
+
+  /** Genre-coupled variant of [[loadModel]]: the factor frames plus the
+    * genre matrix written by the AlsGenre trainer's snapshots. The genre
+    * map is genre-cardinality-sized (tens of rows) — the collect is the
+    * trainer's own driver-side contract for it. */
+  def loadGenreModel(spark: SparkSession, dir: String, tag: String): AlsGenre.Model = {
+    val genreF = spark.read.parquet(s"$dir/$tag/genre_factors")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    AlsGenre.Model(spark.read.parquet(s"$dir/$tag/user_factors"),
+      spark.read.parquet(s"$dir/$tag/item_factors"), genreF)
+  }
+
+  /** Implicit-trainer snapshot loader: the distributed frame contract for
+    * `DsgdBpr.trainFactors(init = Some(loaded))` — resume the BPR epoch
+    * schedule from a `factorsDir`/snapshot dump without anything
+    * factor-sized touching the driver (the reference reloads its BPR
+    * checkpoints the same way, implicit_feedback/prac_2_results.py:22-23). */
+  def loadFactorFrames(spark: SparkSession, dir: String, tag: String): DsgdBpr.FactorFrames =
+    DsgdBpr.FactorFrames(spark.read.parquet(s"$dir/$tag/user_factors"),
       spark.read.parquet(s"$dir/$tag/item_factors"))
 
   /** Max-aggregating accumulator: lets distributed training strata report

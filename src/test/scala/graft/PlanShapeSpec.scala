@@ -507,7 +507,7 @@ class PlanShapeSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("ALS above-threshold sweeps: mid mode never exchanges the fact; huge mode exactly once") {
+  test("ALS above-threshold sweeps: neither mid nor routed huge mode ever exchanges the fact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import org.apache.spark.sql.execution.SparkPlan
@@ -545,7 +545,8 @@ class PlanShapeSpec extends SparkTestBase {
     // allowing only EXPLICIT broadcast hints for the test's duration
     val abKeys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = abKeys.map(k => k -> spark.conf.getOption(k))
+    val saved = (abKeys :+ "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(k => k -> spark.conf.getOption(k))
     abKeys.foreach(spark.conf.set(_, "-1"))
     try {
     val ratings = (1 to 400).map(i => (i % 40, i % 7, (i % 9 + 1) * 0.5))
@@ -581,26 +582,60 @@ class PlanShapeSpec extends SparkTestBase {
     assert(expand(itemSweep.queryExecution.executedPlan)
       .exists(nodeIs(_, "ShuffleExchange")),
       "item sweep should shuffle the (entity-sized) big factor frame")
-    // HUGE mode (both sides above the threshold): each sweep reads the
-    // copy partitioned by its JOIN key and pays exactly ONE fact move —
-    // the explicit repartition-by-self before the aggregation. More than
-    // one fact-rooted exchange = the old fallback crept back in.
-    val byItem = (1 to 400).map(i => (i % 40, i % 7, (i % 9 + 1) * 0.5))
+    // HUGE mode (both sides above the threshold): ROUTED-FACTOR sweeps.
+    // The fact sits on a self-derived bucket layout and NEVER moves —
+    // other-side factor rows route onto it via the once-per-training
+    // (other-id, bucket) table, the join runs subset-key co-partitioned
+    // on (bucket, oid), and the aggregation rides the bucket layout via
+    // groupBy(bucket, self). ANY fact-rooted exchange = the pre-round-13
+    // repartition-by-self fallback (or worse) crept back in. Mirrors
+    // AlsBias.sweepPlans' huge branch, with the routing table
+    // lineage-truncated (localCheckpoint) instead of cached so the
+    // fact-below-exchange walk can't mistake the routing cache's scan
+    // for the fact's.
+    val bCount = 64
+    val byBucket = (1 to 400).map(i => (i % 40, i % 7, (i % 9 + 1) * 0.5))
       .toDF("u", "m", "r")
-      .repartition(col("m"))
+      .withColumn(graft.model.AlsBias.BucketCol,
+        pmod(hash(col("u")), lit(bCount)))
+      .repartition(col(graft.model.AlsBias.BucketCol))
       .persist()
-    byItem.count()
-    val hugeSweep = graft.model.AlsBias.halfSweep(byItem, users, items,
+    byBucket.count()
+    val routing = byBucket.select(col("m"), col(graft.model.AlsBias.BucketCol))
+      .distinct().repartition(col("m")).localCheckpoint()
+    // the subset-key co-partition the production trainer scopes via
+    // withTrainingConfs — without it the planner re-shuffles BOTH join
+    // sides on the full (bucket, oid) key set, i.e. moves the fact
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val hugeSweep = graft.model.AlsBias.halfSweep(byBucket, users, items,
       "u", "m", "r", p, broadcastOther = false, broadcastSelf = false,
-      repartitionAgg = true)
+      routing = Some(routing))
     hugeSweep.collect()
     val hugeFactExchanges = expand(hugeSweep.queryExecution.executedPlan)
       .filter(nodeIs(_, "ShuffleExchange"))
       .filter(e => expandBelowAgg(e).exists(nodeIs(_, "InMemoryTableScan")))
-    assert(hugeFactExchanges.size == 1,
-      s"huge-mode sweep must move the fact EXACTLY once (the repartition" +
-        s"-by-self), found ${hugeFactExchanges.size}:\n" +
-        hugeFactExchanges.mkString("\n"))
+    assert(hugeFactExchanges.isEmpty,
+      s"routed huge-mode sweep must NEVER move the fact, found " +
+        s"${hugeFactExchanges.size}:\n" + hugeFactExchanges.mkString("\n"))
+    // the routed plan DOES move the factor frame + its routed copies —
+    // exchanges exist, just none fact-rooted (guards the guard)
+    assert(expand(hugeSweep.queryExecution.executedPlan)
+      .exists(nodeIs(_, "ShuffleExchange")),
+      "routed sweep should shuffle the (factor-sized) routed copies")
+    // and the routed plan is numerically the plain plan: same sweep on
+    // the same inputs through the non-routed path, compared exactly
+    val plainSweep = graft.model.AlsBias.halfSweep(ratings, users, items,
+      "u", "m", "r", p, broadcastOther = false, broadcastSelf = false)
+    val routedRows = hugeSweep.orderBy("id").collect()
+    val plainRows = plainSweep.orderBy("id").collect()
+    assert(routedRows.length == plainRows.length)
+    routedRows.zip(plainRows).foreach { case (a, b) =>
+      assert(a.getInt(0) == b.getInt(0))
+      val fa = a.getSeq[Double](1); val fb = b.getSeq[Double](1)
+      fa.zip(fb).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9,
+        s"factor mismatch at id ${a.getInt(0)}: $x vs $y") }
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-9)
+    }
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)

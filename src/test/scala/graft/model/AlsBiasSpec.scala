@@ -86,6 +86,72 @@ class AlsBiasSpec extends SparkTestBase {
     assert(math.abs(AlsBias.maxDelta(f1, f2) - 0.5) < 1e-12)
   }
 
+  test("sweep modes are numerically identical: bcast == mid == routed huge") {
+    // the threshold picks the PLAN, never the math: full multi-sweep
+    // trainings through each sweepPlans branch (both-small broadcast,
+    // one-side-above mid, both-above routed-factor huge) must produce
+    // bit-comparable models on the same corpus. Covers the huge branch's
+    // bucketed-fact + routing-table construction end to end, including
+    // the training-scoped subset-key co-partition conf.
+    val rng = new scala.util.Random(11)
+    val ratings = (for {
+      u <- 0 until 30; i <- 0 until 12 if rng.nextDouble() < 0.6
+    } yield (u, i, (rng.nextInt(9) + 1) * 0.5)).toDF("u", "i", "r")
+    val base = AlsBias.Params(rank = 3, lambda = 0.5, tau = 0.01, alpha = 0.01,
+      maxIter = 4, tol = 0.0)
+    def dump(m: AlsBias.Model) =
+      (m.userFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq,
+       m.itemFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq)
+    def close(a: (Int, Seq[Double], Double), b: (Int, Seq[Double], Double)): Unit = {
+      assert(a._1 == b._1)
+      a._2.zip(b._2).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+      assert(math.abs(a._3 - b._3) < 1e-9)
+    }
+    val bcast = dump(AlsBias.train(ratings, "u", "i", "r", base))
+    val mid = dump(AlsBias.train(ratings, "u", "i", "r",
+      base.copy(broadcastEntities = 20))) // 30 users above, 12 items below
+    val huge = dump(AlsBias.train(ratings, "u", "i", "r",
+      base.copy(broadcastEntities = 5, factBuckets = 16))) // both above
+    // default bucket encoding: one murmur-representative bucket per
+    // partition (the OutBlock-minimum routing geometry)
+    val hugeDef = dump(AlsBias.train(ratings, "u", "i", "r",
+      base.copy(broadcastEntities = 5)))
+    for (other <- Seq(mid, huge, hugeDef)) {
+      bcast._1.zip(other._1).foreach { case (a, b) => close(a, b) }
+      bcast._2.zip(other._2).foreach { case (a, b) => close(a, b) }
+    }
+    // the scoped conf restored after training (default true on 4.x)
+    assert(spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition") == "true")
+  }
+
+  test("bucketReps pins bucket j to partition j under Spark's repartition hash") {
+    for (n <- Seq(3, 32, 100)) {
+      val reps = AlsBias.bucketReps(n)
+      assert(reps.distinct.length == n)
+      // the exact partition function a repartition(n, col) applies
+      reps.zipWithIndex.foreach { case (v, j) =>
+        val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(v)))
+          .eval(null).asInstanceOf[Int]
+        assert(math.floorMod(h, n) == j, s"rep $v for bucket $j of $n")
+      }
+    }
+    // and through the REAL planner: a frame repartitioned on the rep
+    // column puts every bucket alone in its own partition
+    val n = 8
+    val reps = AlsBias.bucketReps(n)
+    val df = (0 until 400).toDF("id")
+      .withColumn("b", element_at(
+        array(reps.map(lit(_)).toIndexedSeq: _*),
+        (pmod(hash(col("id")), lit(n)) + 1).cast("int")))
+      .repartition(n, col("b"))
+    val perPart = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_.getInt(1)).toSet)
+    }.collect().toMap
+    assert(perPart.values.forall(_.size <= 1), s"bucket collision: $perPart")
+    assert(perPart.count(_._2.nonEmpty) == n, "every partition owns a bucket")
+  }
+
   test("gaussian init is deterministic and roughly scaled") {
     val ids = (0 until 500).toDF("id")
     val feats = ids.select(AlsBias.gaussianInitCol(col("id"), 4, 1.0, 42L).as("f"))

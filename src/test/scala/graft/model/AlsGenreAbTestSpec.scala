@@ -62,6 +62,29 @@ class AlsGenreAbTestSpec extends SparkTestBase {
     assert(rmse < 1.0, s"rmse $rmse")
   }
 
+  test("genre-coupled sweep modes are numerically identical: bcast == routed huge") {
+    // AlsGenre clones AlsBias's routed-factor path in movieSweepWithPrior;
+    // pin that the threshold picks only the PLAN there too — full trainings
+    // through the broadcast and both-huge routed branches must agree.
+    val ratings = syntheticRatings(3)
+    val base = AlsGenre.Params(rank = 3, lambda = 0.5, maxIter = 3, tol = 0.0)
+    def dump(m: AlsGenre.Model) =
+      (m.userFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq,
+       m.itemFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq,
+       m.genreFactors.toSeq.sortBy(_._1).map { case (g, f) => (g, f.toSeq) })
+    val bcast = dump(AlsGenre.train(ratings, movieGenres, "u", "i", "r", base))
+    val huge = dump(AlsGenre.train(ratings, movieGenres, "u", "i", "r",
+      base.copy(broadcastEntities = 5, factBuckets = 16))) // both sides above
+    def close(a: Seq[Double], b: Seq[Double]): Unit =
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    bcast._1.zip(huge._1).foreach { case (a, b) =>
+      assert(a._1 == b._1); close(a._2, b._2); assert(math.abs(a._3 - b._3) < 1e-9) }
+    bcast._2.zip(huge._2).foreach { case (a, b) =>
+      assert(a._1 == b._1); close(a._2, b._2); assert(math.abs(a._3 - b._3) < 1e-9) }
+    bcast._3.zip(huge._3).foreach { case (a, b) =>
+      assert(a._1 == b._1); close(a._2, b._2) }
+  }
+
   test("MLlib plain ALS path trains and exports engine-shaped factors") {
     val model = AlsPlain.train(syntheticRatings(3), "u", "i", "r",
       AlsPlain.Params(rank = 3, regParam = 0.1, maxIter = 5, numBlocks = 2))

@@ -84,6 +84,46 @@ class AlsWarmStartSpec extends SparkTestBase {
     base.unpersist()
   }
 
+  test("disk resume: train -> snapshot -> loadModel -> warm retrain in <= 2 sweeps") {
+    // the reference's ACTUAL resume flow loads factors FROM DISK
+    // (ab_test.py:73-85) — close the loop end-to-end through the public
+    // loader, not the in-memory model
+    val dir = java.nio.file.Files.createTempDirectory("als_resume").toString
+    val base = baseCells.toDF("u", "i", "r").persist()
+    val (_, coldHist) = AlsBias.trainTraced(base, "u", "i", "r", p,
+      Trace.Config(computeMetrics = false, snapshotDir = Some(dir)))
+    assert(coldHist.length >= 5)
+    val loaded = Trace.loadModel(spark, dir, "final")
+    val updated = base.unionByName(deltaCells.toDF("u", "i", "r")).persist()
+    val (_, warmHist) = AlsBias.trainTraced(updated, "u", "i", "r", p,
+      Trace.Config(computeMetrics = false), init = Some(loaded))
+    assert(warmHist.length <= 2,
+      s"disk-resumed warm restart took ${warmHist.length} sweeps (cold: ${coldHist.length})")
+    assert(warmHist.last.maxDelta <= p.tol)
+    base.unpersist(); updated.unpersist()
+  }
+
+  test("loadGenreModel round-trips the genre matrix and warm-retrains from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("als_genre_resume").toString
+    val ratings = baseCells.toDF("u", "i", "r").persist()
+    val genres = (0 until 9)
+      .map(i => (i, Seq(i % 3, (i + 1) % 3).distinct, 2))
+      .toDF("id", "genre_values", "genre_count")
+    val gp = AlsGenre.Params(rank = 1, maxIter = 40, tol = 0.05, seed = 42L)
+    val (model, coldHist) = AlsGenre.trainTraced(ratings, genres, "u", "i", "r", gp,
+      Trace.Config(computeMetrics = false, snapshotDir = Some(dir)))
+    val loaded = Trace.loadGenreModel(spark, dir, "final")
+    // the genre matrix round-trips exactly
+    assert(loaded.genreFactors.keySet == model.genreFactors.keySet)
+    loaded.genreFactors.foreach { case (g, f) =>
+      assert(f.sameElements(model.genreFactors(g)), s"genre $g") }
+    val (_, warmHist) = AlsGenre.trainTraced(ratings, genres, "u", "i", "r", gp,
+      Trace.Config(computeMetrics = false), init = Some(loaded))
+    assert(warmHist.length <= 2,
+      s"disk-resumed genre restart took ${warmHist.length} (cold: ${coldHist.length})")
+    ratings.unpersist()
+  }
+
   test("AlsGenre warm restart seeds users, items AND the genre matrix") {
     val ratings = baseCells.toDF("u", "i", "r").persist()
     val genres = (0 until 9)
