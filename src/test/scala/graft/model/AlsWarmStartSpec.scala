@@ -84,6 +84,38 @@ class AlsWarmStartSpec extends SparkTestBase {
     base.unpersist()
   }
 
+  test("ALS continuation is exact: cold(N+k) == cold(N) + warm(k) on the same corpus") {
+    // ALS sweeps have no per-sweep randomness (init is id-hash derived,
+    // sweeps are deterministic given factors), so checkpoint-resume loses
+    // NOTHING: k warm sweeps from the N-sweep model replay exactly the
+    // sweeps N+1..N+k of a longer cold run — the explicit-trainer
+    // counterpart of BprWarmStartSpec's epochOffset contract. Tolerance
+    // covers only partial-aggregation merge order, not model drift.
+    val base = baseCells.toDF("u", "i", "r").persist()
+    val pp = p.copy(maxIter = 6, tol = 0.0)
+    val (cold8, _) = AlsBias.trainTraced(base, "u", "i", "r",
+      pp.copy(maxIter = 8), Trace.Config(computeMetrics = false))
+    val (cold6, _) = AlsBias.trainTraced(base, "u", "i", "r", pp,
+      Trace.Config(computeMetrics = false))
+    val (resumed, hist) = AlsBias.trainTraced(base, "u", "i", "r",
+      pp.copy(maxIter = 2), Trace.Config(computeMetrics = false),
+      init = Some(cold6))
+    assert(hist.length == 2)
+    def dump(m: AlsBias.Model) =
+      (m.userFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq,
+       m.itemFactors.orderBy("id").as[(Int, Seq[Double], Double)].collect().toSeq)
+    val (a, b) = (dump(cold8), dump(resumed))
+    a._1.zip(b._1).foreach { case (x, y) =>
+      assert(x._1 == y._1)
+      x._2.zip(y._2).foreach { case (u, v) => assert(math.abs(u - v) < 1e-9) }
+      assert(math.abs(x._3 - y._3) < 1e-9) }
+    a._2.zip(b._2).foreach { case (x, y) =>
+      assert(x._1 == y._1)
+      x._2.zip(y._2).foreach { case (u, v) => assert(math.abs(u - v) < 1e-9) }
+      assert(math.abs(x._3 - y._3) < 1e-9) }
+    base.unpersist()
+  }
+
   test("disk resume: train -> snapshot -> loadModel -> warm retrain in <= 2 sweeps") {
     // the reference's ACTUAL resume flow loads factors FROM DISK
     // (ab_test.py:73-85) — close the loop end-to-end through the public
