@@ -3817,16 +3817,22 @@ object PipelineQueries {
       s.conf.get("spark.sql.warehouse.dir"), dirName)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
+    // persist across the four batch-write actions: un-persisted, every
+    // batch job re-ran the scan + order-line join (4 passes → 1); the
+    // batch filter runs on the cached frame (round-13, guide §2.4)
     val inter = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey").as("cust"),
         col("l_suppkey").as("supp"))
-    (0L until 4L).foreach { b =>
-      GraphCF.writeEdgeBatch(
-        inter.filter(pmod(col("o_orderkey"), lit(4L)) === b),
-        "cust", "supp", dir.toString, b)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0L until 4L).foreach { b =>
+        GraphCF.writeEdgeBatch(
+          inter.filter(pmod(col("o_orderkey"), lit(4L)) === b),
+          "cust", "supp", dir.toString, b)
+      }
+    } finally inter.unpersist(blocking = false)
     dir.toString
   }
 
@@ -4956,13 +4962,18 @@ object PipelineQueries {
       s.conf.get("spark.sql.warehouse.dir"), name)
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
+    // persist across the four batch-write actions (the custSuppEdgeStore
+    // pattern): 4 scan+join passes → 1
     val inter = custSuppBasketFrame(s, d)
-    (0L until 4L).foreach { b =>
-      GraphCF.writeTransitionBatch(
-        inter.filter(pmod(col("cust"), lit(4L)) === b),
-        "cust", "bsk", "ts", "supp", maxBasket = 8,
-        path = dir.toString, batchId = b)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      (0L until 4L).foreach { b =>
+        GraphCF.writeTransitionBatch(
+          inter.filter(pmod(col("cust"), lit(4L)) === b),
+          "cust", "bsk", "ts", "supp", maxBasket = 8,
+          path = dir.toString, batchId = b)
+      }
+    } finally inter.unpersist(blocking = false)
   }
 
   /** The Markov next-basket model under the SAME leave-last-basket-out
@@ -5546,15 +5557,20 @@ object PipelineQueries {
         s.conf.get("spark.sql.warehouse.dir"), "q201_rules")
       val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) fs.delete(dir, true)
+      // persist across the four batch-write actions (the
+      // custSuppEdgeStore pattern): 4 scan+join passes → 1
       val inter = orders(s, d).select(col("o_orderkey"))
         .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey").as("bsk"), col("l_suppkey").as("supp"))
-      (0L until 4L).foreach { b =>
-        GraphCF.writeRuleStatsBatch(
-          inter.filter(pmod(col("bsk"), lit(4L)) === b),
-          "bsk", "supp", Int.MaxValue, dir.toString, b)
-      }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        (0L until 4L).foreach { b =>
+          GraphCF.writeRuleStatsBatch(
+            inter.filter(pmod(col("bsk"), lit(4L)) === b),
+            "bsk", "supp", Int.MaxValue, dir.toString, b)
+        }
+      } finally inter.unpersist(blocking = false)
       GraphCF.liftRulesFromStore(s, dir.toString, minSupport = 3L, k = 5)
         .orderBy(col("ante"), col("rnk"))
     },

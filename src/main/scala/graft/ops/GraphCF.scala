@@ -53,12 +53,29 @@ object GraphCF {
 
   /** Aggregate (user,item,weight) edges, optionally capped to each user's
     * top-`maxHistory` interactions by (weight desc, item asc) — an exact,
-    * replayable cut (same idiom as the neighbor truncation). The default
-    * Int.MaxValue adds no window exchange at all. */
+    * replayable cut (same idiom as the neighbor truncation).
+    *
+    * Physical shape (round 13): the raw rows are hash-partitioned on `u`
+    * BEFORE the aggregation, so ONE exchange serves the whole family —
+    * the (u,i) count (ClusteredDistribution(u,i) is satisfied by the
+    * u-subset partitioning), the history-cap window (partitionBy u), and
+    * the downstream user-keyed co-walk self-join all run exchange-free on
+    * top of it. The previous plain `groupBy(u,i)` cost one (u,i)-keyed
+    * exchange of the AGGREGATED frame plus a second u-keyed exchange for
+    * the cap window (and a third for the self-join when uncapped) —
+    * 2× aggregated bytes moved vs 1× raw bytes here, a win whenever the
+    * log's repetition ratio raw/distinct(u,i) < 2 (measured 1.28 on the
+    * declared cust-supp shape; exactly 1.0 on MovieLens-shaped ratings,
+    * the reference's own data). Repeat-heavy corpora past that ratio
+    * should pre-aggregate upstream and enter via [[edgesFromStore]]-style
+    * partials. The repartition picks up `spark.sql.shuffle.partitions`
+    * and stays AQE-coalescible — no constant tuned to either scale. */
   private def edgeFrame(interactions: DataFrame, userCol: String,
                         itemCol: String, maxHistory: Int): DataFrame =
     capEdges(interactions
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w")), maxHistory)
 
   /** The history cut alone, on an already-aggregated (u, i, w) frame. */
@@ -159,6 +176,7 @@ object GraphCF {
           lit("edgesWeighted: non-positive weight "), w.cast("string"),
           lit(s" in $weightCol — weights must be positive integers"))))
           .otherwise(w).as("__w"))
+      .repartition(col("u")) // one u-keyed exchange serves agg + cap + co-walk (edgeFrame's layout)
       .groupBy(col("u"), col("i"))
       .agg(sum(col("__w")).as("w")), maxHistory)
   }
@@ -208,8 +226,14 @@ object GraphCF {
     require(scale >= 10L && scale <= 1000000L,
       "scale must be in [10, 10^6] (the exactness budget)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // one b-keyed exchange serves the (b,i) count, the basket-cap window
+    // AND — because the persisted frame keeps the partitioning — the
+    // basket-keyed pair self-join and the distinct-basket count below,
+    // all exchange-free off the cache (the edgeFrame layout argument)
     val biAgg = interactions
-      .groupBy(col(basketCol).as("b"), col(itemCol).as("i"))
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .repartition(col("b"))
+      .groupBy(col("b"), col("i"))
       .agg(count(lit(1)).as("w"))
     val biCap =
       if (maxBasket == Int.MaxValue) biAgg
@@ -277,7 +301,12 @@ object GraphCF {
                           itemCol: String, maxBasket: Int, path: String,
                           batchId: Long): Unit = {
     require(maxBasket >= 1, "maxBasket must be >= 1")
-    val biAgg = batch.groupBy(col(basketCol).as("b"), col(itemCol).as("i"))
+    // liftRules' b-partitioned build: the cached bi feeds the pair
+    // self-join and the distinct-basket count exchange-free
+    val biAgg = batch
+      .select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .repartition(col("b"))
+      .groupBy(col("b"), col("i"))
       .agg(count(lit(1)).as("w"))
     val biCap =
       if (maxBasket == Int.MaxValue) biAgg
@@ -370,6 +399,8 @@ object GraphCF {
                      maxHistory: Int = Int.MaxValue): DataFrame = {
     require(maxHistory >= 1, "maxHistory must be >= 1")
     capEdges(spark.read.option("basePath", path).parquet(path)
+      .select(col("u"), col("i"), col("w"))
+      .repartition(col("u")) // one u-keyed exchange serves fold + cap + co-walk (edgeFrame's layout)
       .groupBy(col("u"), col("i")).agg(sum(col("w")).as("w")), maxHistory)
   }
 
@@ -378,7 +409,27 @@ object GraphCF {
     * [[foldCoDelta]] for incremental refreshes between store folds. */
   def coFromEdgeStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       maxHistory: Int = Int.MaxValue): DataFrame =
-    coPairs(edgesFromStore(spark, path, maxHistory))
+    // persist + eager count: coPairs self-joins the frame, so both legs
+    // read one cache entry instead of re-running the fold + cap per leg
+    // (round 13; caller-owned release, the family's cache contract). The
+    // count matters: a LAZY cache plans as unknown-partitioned (its
+    // AdaptiveSparkPlan is un-finalized), so the u-keyed self-join would
+    // re-shuffle BOTH cache legs — measured +10M shuffle rows on q172's
+    // sibling path; materialized, the cache reports hash(u) and the join
+    // plans exchange-free (the knnFromEdges probe pattern).
+    coPairs(materialized(edgesFromStore(spark, path, maxHistory)))
+
+  /** persist(MEMORY_AND_DISK) + eager materialization, so downstream
+    * plans see the cache's FINALIZED partitioning instead of unknown —
+    * a lazily-persisted frame under AQE plans as unknown-partitioned and
+    * forces re-exchanges on every keyed consumer (measured: the co
+    * self-join re-shuffled both legs of a lazy cache). One count() job,
+    * which is work the first consumer would have paid anyway. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
 
   /** Standing (s1, s2, co) co-occurrence counts from an interaction log
     * — the maintained state behind an ItemKNN serving layer (aggregated
@@ -390,7 +441,10 @@ object GraphCF {
   def coCounts(interactions: DataFrame, userCol: String, itemCol: String,
                maxHistory: Int = Int.MaxValue): DataFrame = {
     require(maxHistory >= 1, "maxHistory must be >= 1")
-    coPairs(edgeFrame(interactions, userCol, itemCol, maxHistory))
+    // persist + eager count (see materialized): the co self-join reads
+    // the capped frame twice, and only a FINALIZED cache keeps hash(u)
+    // so the join plans exchange-free (round 13; caller-owned release)
+    coPairs(materialized(edgeFrame(interactions, userCol, itemCol, maxHistory)))
   }
 
   /** Fold a DELTA of interactions into standing co-occurrence counts
@@ -422,15 +476,30 @@ object GraphCF {
       "oldCo must be a coCounts frame with columns (s1, s2, co)")
     // UNCAPPED aggregation on both sides: the cap applies to each
     // touched user's MERGED vector (a delta can evict an old top-C item)
+    // persisted reuse (round 13): dAgg feeds the touched set AND the
+    // merge; oldT feeds the merge AND the negative leg — un-persisted,
+    // each consumer re-ran the full log scan + aggregation at action
+    // time (q172 measured 3 log passes; now 1 per frame). u-partitioned
+    // like edgeFrame and EAGERLY materialized (see [[materialized]]) so
+    // the cap windows and u-keyed joins below plan exchange-free off the
+    // finalized cache. Cache lifetime: the family's caller-owned release
+    // contract (USAGE.md).
     val oldAgg = oldInteractions
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w"))
-    val dAgg = delta
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
+    val dAgg = materialized(delta
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("i"))
+      .agg(count(lit(1)).as("w")))
     val touched = dAgg.select(col("u")).distinct()
-    val oldT = oldAgg.join(touched, Seq("u"), "left_semi")
+    val oldT = materialized(oldAgg.join(touched, Seq("u"), "left_semi"))
+    // union drops the inputs' partitioning — re-establish hash(u) so the
+    // merge agg AND its cap window below share one exchange
     val mergedT = oldT.unionByName(dAgg)
+      .repartition(col("u"))
       .groupBy(col("u"), col("i")).agg(sum(col("w")).as("w"))
     val neg = coPairs(capEdges(oldT, maxHistory))
       .select(col("s1"), col("s2"), (-col("co")).as("co"))
@@ -472,8 +541,11 @@ object GraphCF {
                    maxAudience: Int = Int.MaxValue): DataFrame = {
     require(maxHistory >= 1, "maxHistory must be >= 1")
     require(maxAudience >= 1, "maxAudience must be >= 1")
-    coUserPairs(capAudience(
-      edgeFrame(interactions, userCol, itemCol, maxHistory), maxAudience))
+    // persist + eager count (see materialized): the co self-join reads
+    // the capped frame twice, and only a FINALIZED cache keeps hash(i)
+    // so the join plans exchange-free (round 13; caller-owned release)
+    coUserPairs(materialized(capAudience(
+      edgeFrame(interactions, userCol, itemCol, maxHistory), maxAudience)))
   }
 
   /** Fold a DELTA of interactions into standing USER-user co-counts
@@ -513,34 +585,51 @@ object GraphCF {
     require(maxAudience >= 1, "maxAudience must be >= 1")
     require(Seq("s1", "s2", "co").forall(oldCo.columns.contains),
       "oldCo must be a userCoCounts frame with columns (s1, s2, co)")
-    val oldAgg = oldInteractions
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
-    val dAgg = delta
-      .groupBy(col(userCol).as("u"), col(itemCol).as("i"))
-      .agg(count(lit(1)).as("w"))
+    // persisted reuse (round 13): oldAgg feeds THREE legs (touched-user
+    // slice, relevant-user widening, relevant re-cap), dAgg two, the two
+    // capped touched frames two each (the diff + their co legs), the
+    // touched-item set three — un-persisted, every consumer re-ran the
+    // full log scan + aggregation at action time (q199 measured ~7 log
+    // passes; now 1 per distinct frame). u-partitioned like edgeFrame
+    // and EAGERLY materialized (see [[materialized]]) so every cap
+    // window and u-keyed join below plans exchange-free off the
+    // finalized caches. Cache lifetime: the family's caller-owned
+    // release contract (USAGE.md).
+    val oldAgg = materialized(oldInteractions
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("i"))
+      .agg(count(lit(1)).as("w")))
+    val dAgg = materialized(delta
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("i"))
+      .agg(count(lit(1)).as("w")))
     val touchedU = dAgg.select(col("u")).distinct()
     // re-cap the touched users' histories on both sides of the delta
     val oldTU = oldAgg.join(touchedU, Seq("u"), "left_semi")
-    val oldCappedTU = capEdges(oldTU, maxHistory)
-    val newCappedTU = capEdges(
-      oldTU.unionByName(dAgg).groupBy(col("u"), col("i"))
-        .agg(sum(col("w")).as("w")), maxHistory)
+    val oldCappedTU = materialized(capEdges(oldTU, maxHistory))
+    val newCappedTU = materialized(capEdges(
+      oldTU.unionByName(dAgg)
+        .repartition(col("u")) // union drops partitioning; re-key for agg + cap
+        .groupBy(col("u"), col("i"))
+        .agg(sum(col("w")).as("w")), maxHistory))
     // EXACT touched-item set: items of the rows that differ between the
     // two capped frames (presence or weight) — everything else nets zero
-    val touchedI = oldCappedTU.select(col("u"), col("i"), col("w").as("__wo"))
-      .join(newCappedTU.select(col("u"), col("i"), col("w").as("__wn")),
-        Seq("u", "i"), "full")
-      .filter(not(col("__wo") <=> col("__wn")))
-      .select(col("i")).distinct()
+    val touchedI = materialized(
+      oldCappedTU.select(col("u"), col("i"), col("w").as("__wo"))
+        .join(newCappedTU.select(col("u"), col("i"), col("w").as("__wn")),
+          Seq("u", "i"), "full")
+        .filter(not(col("__wo") <=> col("__wn")))
+        .select(col("i")).distinct())
     // audiences of touched items include users OUTSIDE the delta; their
     // history caps need their FULL vectors, so widen to every user with
     // an old-log edge on a touched item, window over that subset only
     val relevantU = oldAgg.join(touchedI, Seq("i"), "left_semi")
       .select(col("u")).distinct()
       .unionByName(touchedU).distinct()
-    val oldCappedRel = capEdges(
-      oldAgg.join(relevantU, Seq("u"), "left_semi"), maxHistory)
+    val oldCappedRel = materialized(capEdges(
+      oldAgg.join(relevantU, Seq("u"), "left_semi"), maxHistory))
     val newCappedRel = oldCappedRel.join(touchedU, Seq("u"), "left_anti")
       .unionByName(newCappedTU)
     val neg = coUserPairs(capAudience(
@@ -631,17 +720,25 @@ object GraphCF {
     // doc); scale <= 10^6 keeps that under 2^62 — no catalog-size term
     require(scale <= 1000000L,
       "scale > 10^6 risks long overflow: walk sums are bounded by scale^3")
-    val e = edges0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nItems = e.select(col("i")).distinct().count()
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges0.persist(lvl)
     // row-normalized transitions, quantized to integer fixed-point:
     // floor(scale*w/deg) — exact in IEEE doubles (operands < 2^53) and
     // exactly DuckDB's integer `//` on the same longs
     val du = e.groupBy(col("u")).agg(sum(col("w")).as("du"))
-    val di = e.groupBy(col("i")).agg(sum(col("w")).as("di"))
-    val pUi = e.join(du, "u")
+    // di is read twice (the pIu build and the mode probe); persisting it
+    // makes the probe — di's row count IS the distinct item count — the
+    // action that materializes both caches: one driver job where the old
+    // distinct().count() probe paid its own full aggregation and pIu
+    // re-aggregated di again at action time (round 13)
+    val di = e.groupBy(col("i")).agg(sum(col("w")).as("di")).persist(lvl)
+    val nItems = di.count()
+    // pUi feeds TWO legs of the returned plan (the item-item hop and the
+    // final scoring hop) — persist + materialize so the u-keyed hop join
+    // plans exchange-free off the finalized hash(u) cache
+    val pUi = materialized(e.join(du, "u")
       .select(col("u"), col("i"),
-        floor(col("w") * lit(scale) / col("du")).cast("long").as("p"))
+        floor(col("w") * lit(scale) / col("du")).cast("long").as("p")))
     val pIu = e.join(broadcast(di), "i")
       .select(col("i"), col("u"),
         floor(col("w") * lit(scale) / col("di")).cast("long").as("p"))
@@ -789,17 +886,27 @@ object GraphCF {
     require(k >= 1, "k must be >= 1")
     require(neighbors >= 1, "neighbors must be >= 1")
     require(maxAudience >= 1, "maxAudience must be >= 1")
-    val e = edges0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ea = capAudience(e, maxAudience)
-    val nUsers = e.select(col("u")).distinct().count()
-    val small = nUsers <= broadcastUsers
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges0.persist(lvl)
+    // the audience-capped frame feeds THREE legs (norms + both sides of
+    // the i-keyed co self-join) — persist so the audience window runs
+    // once instead of per leg (round 13; same cache contract as e)
+    val ea = capAudience(e, maxAudience).persist(lvl)
     // user squared norms and user-user co-counts from the audience-capped
     // frame: the i-keyed self-join's intermediate is Σ_i min(aud, A)²
     val nrm = ea.groupBy(col("u").as("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    // ONE driver action serves both probes (the knnFromEdges fold):
+    // nUsers (the broadcast-mode switch — distinct u over the FULL edge
+    // frame, the pre-cap cohort as before) and the overflow budget's
+    // max(norm²) off the audience-capped norm frame, cross-joined 1×1
+    val probe = nrm.agg(max(col("nrm")).as("m"))
+      .crossJoin(e.agg(countDistinct(col("u")).as("n"))).head()
+    val maxNrm = if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    val nUsers = probe.getLong(1)
+    val small = nUsers <= broadcastUsers
     val co = coUserPairs(ea)
     val sim =
-      try cosineSimQ(co, nrm, scale, broadcastNorms = small)
+      try cosineSimQPre(co, nrm, scale, maxNrm, broadcastNorms = small)
       catch { case t: Throwable => e.unpersist(); throw t }
     val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
         Seq(col("q").desc, col("s2")), neighbors)
@@ -908,8 +1015,6 @@ object GraphCF {
   def cosineSimQ(co: DataFrame, nrm: DataFrame, scale: Long,
                  broadcastNorms: Boolean = true): DataFrame = {
     require(scale >= 10L, "scale < 10 quantizes similarities to noise")
-    // without this bound, maxNrm just under 2^31 with scale ~ 2^32 wraps
-    // maxNrm * scale negative and the budget check silently passes
     require(scale <= 1000000L,
       "scale > 10^6 breaks the exactness budget: max(norm^2) * scale " +
         "must stay < 2^53 and the guard product itself must not overflow")
@@ -917,6 +1022,22 @@ object GraphCF {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
+    cosineSimQPre(co, nrm, scale, maxNrm, broadcastNorms)
+  }
+
+  /** [[cosineSimQ]] with the max(norm²) probe value already read — lets a
+    * caller that needs its own bounded 1-row read off the norm frame (the
+    * knnFromEdges mode probe) fold the budget guard's read into it: one
+    * driver action instead of two. Same guard, same result. */
+  private[ops] def cosineSimQPre(co: DataFrame, nrm: DataFrame, scale: Long,
+                                 maxNrm: Long,
+                                 broadcastNorms: Boolean): DataFrame = {
+    require(scale >= 10L, "scale < 10 quantizes similarities to noise")
+    // without this bound, maxNrm just under 2^31 with scale ~ 2^32 wraps
+    // maxNrm * scale negative and the budget check silently passes
+    require(scale <= 1000000L,
+      "scale > 10^6 breaks the exactness budget: max(norm^2) * scale " +
+        "must stay < 2^53 and the guard product itself must not overflow")
     if (maxNrm >= (1L << 31) || maxNrm * scale >= (1L << 53)) {
       throw new IllegalArgumentException(
         s"cosineSimQ: max item norm^2 = $maxNrm breaks the exactness " +
@@ -971,7 +1092,11 @@ object GraphCF {
         col(rankCol).cast("long").as("__r"))
       .select(col("u"), col("i"),
         expr(s"1000000L div (${rrfK}L + __r)").as("__rrf")))
+    // one u-keyed exchange serves the (u,i) fold and the per-user top-k
+    // window below (the edgeFrame layout; a pair appears in ≤ `lists`
+    // rows, so raw ≈ folded bytes and the second exchange was pure cost)
     val fused = contrib.reduce(_.unionByName(_))
+      .repartition(col("u"))
       .groupBy(col("u"), col("i"))
       .agg(sum(col("__rrf")).as("rrf_q"))
     Relational.topKPerGroup(fused, Seq(col("u")),
@@ -996,9 +1121,16 @@ object GraphCF {
                           basketCol: String, timeCol: String,
                           itemCol: String, maxBasket: Int): DataFrame = {
     require(maxBasket >= 1, "maxBasket must be >= 1")
+    // one u-keyed exchange serves the (u,b,t,i) count, the (u,b) cap
+    // window AND the per-user dense_rank window (u is a subset of every
+    // key) — the plain groupBy paid three exchanges for the same chain
+    // (the edgeFrame layout argument; basket rows are near-unique per
+    // (u,b,i), so raw ≈ aggregated bytes)
     val bi = interactions
-      .groupBy(col(userCol).as("u"), col(basketCol).as("b"),
+      .select(col(userCol).as("u"), col(basketCol).as("b"),
         col(timeCol).as("t"), col(itemCol).as("i"))
+      .repartition(col("u"))
+      .groupBy(col("u"), col("b"), col("t"), col("i"))
       .agg(count(lit(1)).as("w"))
     val capped =
       if (maxBasket == Int.MaxValue) bi
@@ -1104,9 +1236,13 @@ object GraphCF {
                           neighbors: Int = 20,
                           maxBasket: Int = Int.MaxValue,
                           broadcastItems: Long = 10000L): DataFrame =
+    // persist + materialize the serving-side basket frame: lastBasket
+    // self-joins it (the frame vs its per-user max), so un-persisted it
+    // was built twice — markovRecs already persists its bi for the same
+    // reason (round 13; caller-owned release, the family's cache contract)
     markovServe(transitionsFromStore(spark, path),
-      lastBasket(basketItems(interactions, userCol, basketCol, timeCol,
-        itemCol, maxBasket)),
+      lastBasket(materialized(basketItems(interactions, userCol, basketCol,
+        timeCol, itemCol, maxBasket))),
       userCol, itemCol, k, neighbors, broadcastItems)
 
   /** Each user's last (highest-index) capped basket: (u, i) rows. */
@@ -1152,17 +1288,26 @@ object GraphCF {
     require(neighbors >= 1, "neighbors must be >= 1")
     val e = edges0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nItems = e.select(col("i")).distinct().count()
     // squared norms: tiny (|items| rows) — broadcast into the pair frame
     val nrm = e.groupBy(col("i")).agg(sum(col("w") * col("w")).as("nrm"))
+    // ONE bounded 1-row driver read serves both probes: the norm frame
+    // has exactly one row per distinct item, so its row count IS nItems
+    // (the broadcast-mode switch) and its max is the overflow budget's
+    // max(norm²) — previously two separate driver actions (a distinct
+    // count + cosineSimQ's own head()). This read also materializes the
+    // edge cache, as the distinct count used to.
+    val probe = nrm
+      .agg(count(lit(1)).as("n"), max(col("nrm")).as("m")).head()
+    val nItems = probe.getLong(0)
+    val maxNrm = if (probe.isNullAt(1)) 0L else probe.getLong(1)
     // co-occurrence: user-keyed self-join, both (i,j) directions so the
     // per-s1 truncation below sees every row of the symmetric matrix
     // (the half-matrix mirror is a measured dead end — see coPairs)
     val co = coPairs(e)
-    // cosineSimQ enforces the overflow budget (one bounded 1-row driver
-    // read of max(norm^2)) and owns the single quantization point
+    // cosineSimQPre enforces the overflow budget on the pre-read max and
+    // owns the single quantization point
     val sim =
-      try cosineSimQ(co, nrm, scale)
+      try cosineSimQPre(co, nrm, scale, maxNrm, broadcastNorms = true)
       catch { case t: Throwable => e.unpersist(); throw t }
     val ss = Relational.topKPerGroup(sim, Seq(col("s1")),
         Seq(col("q").desc, col("s2")), neighbors)
