@@ -194,6 +194,15 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"BENCH: could not write $out: ${e.getMessage}") }
+    // The driver's artifact keeps only the last ~2000 characters of stdout,
+    // and the full line above (201-query map + movement + phases) is tens of
+    // KB — which left `parsed: null` in every BENCH_r*.json since round 9.
+    // Emit a COMPACT final line that fits the tail: headline total, failure
+    // list, scale knobs, and a pointer to the full-map file written above.
+    // The full line still prints first (old numbers kept, per the contract).
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$fl,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,"detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

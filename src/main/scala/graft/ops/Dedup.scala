@@ -47,8 +47,9 @@ object Dedup {
     * true after a takedown.) */
   def writeDigestStore(df: DataFrame, idCol: String, textCol: String,
                        table: String, numBuckets: Int = 32): Unit =
-    exactDupGroups(df, idCol, textCol)
-      .select(col("text_hash"), col("keep_id").as("first_id"))
+    Stores.bucketAligned(exactDupGroups(df, idCol, textCol)
+        .select(col("text_hash"), col("keep_id").as("first_id")),
+        numBuckets, "text_hash")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "text_hash")
       .sortBy("text_hash")
@@ -93,8 +94,9 @@ object Dedup {
                     idCol: String, textCol: String,
                     numBuckets: Int = 32): Unit = {
     val verdicts = dedupAgainstStore(spark, table, batch, idCol, textCol)
-    verdicts.filter(col("keep"))
-      .select(col("text_hash"), col("doc_id").as("first_id"))
+    Stores.bucketAligned(verdicts.filter(col("keep"))
+        .select(col("text_hash"), col("doc_id").as("first_id")),
+        numBuckets, "text_hash")
       .write.mode("append")
       .bucketBy(numBuckets, "text_hash")
       .sortBy("text_hash")
@@ -106,8 +108,9 @@ object Dedup {
     * back to one row per hash (min first_id). */
   def compactDigestStore(spark: SparkSession, table: String, into: String,
                          numBuckets: Int = 32): Unit =
-    spark.table(table)
-      .groupBy(col("text_hash")).agg(min(col("first_id")).as("first_id"))
+    Stores.bucketAligned(spark.table(table)
+        .groupBy(col("text_hash")).agg(min(col("first_id")).as("first_id")),
+        numBuckets, "text_hash")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "text_hash")
       .sortBy("text_hash")
@@ -243,8 +246,9 @@ object Dedup {
                              numBuckets: Int = 32): Unit = {
     val rowsPerBand = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-    sigs.select(col("id"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    Stores.bucketAligned(sigs.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key")),
+        numBuckets, "band_key")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band_key")
       .sortBy("band_key")
@@ -267,8 +271,9 @@ object Dedup {
                                 numBuckets: Int = 32): Unit = {
     val rowsPerBand = numHashes / bands
     val sigs = minHashSignatures(df, idCol, textCol, shingleLen, numHashes)
-    sigs.select(col("id"), col("sig"),
-        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+    Stores.bucketAligned(sigs.select(col("id"), col("sig"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key")),
+        numBuckets, "band_key")
       .write.mode("append")
       .bucketBy(numBuckets, "band_key")
       .sortBy("band_key")
@@ -375,8 +380,9 @@ object Dedup {
     if (batches.isEmpty) return 0
     // pin the fold to the batches seen NOW — a micro-batch landing during
     // the append is left for the next compaction, not half-folded
-    delta.filter(col("batch").isin(batches: _*))
-      .select(col("id"), col("sig"), col("band_key"))
+    Stores.bucketAligned(delta.filter(col("batch").isin(batches: _*))
+        .select(col("id"), col("sig"), col("band_key")),
+        numBuckets, "band_key")
       .write.mode("append")
       .bucketBy(numBuckets, "band_key")
       .sortBy("band_key")

@@ -72,11 +72,31 @@ object GraphCF {
     * and stays AQE-coalescible — no constant tuned to either scale. */
   private def edgeFrame(interactions: DataFrame, userCol: String,
                         itemCol: String, maxHistory: Int): DataFrame =
-    capEdges(interactions
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
-      .repartition(col("u"))
+    capEdges(prefixKeyed(interactions
+      .select(col(userCol).as("u"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w")), maxHistory)
+
+  /** The one-exchange layout's guard (round 14, closing the round-13
+    * scaladoc rule as code): hash-partition RAW rows on the prefix key so
+    * the aggregation, the cap window and any prefix-keyed self-join all
+    * share ONE exchange — the right trade whenever the log's repetition
+    * ratio raw/distinct(group keys) is < 2 (measured 1.28 on the declared
+    * cust-supp shape, exactly 1.0 on MovieLens-shaped ratings). A
+    * repeat-heavy corpus (ratio > 2) moves MORE bytes this way — the
+    * exchange carries raw rows with no map-side combine (guide §2.3) and
+    * a hot prefix lands in one task un-combined (§2.5) — so such corpora
+    * set `spark.graft.cf.preAggregate=true`, which skips the raw
+    * repartition: the aggregation keeps its own (full-key) exchange with
+    * map-side combine and the window/join pays a second, aggregated-row
+    * exchange — the pre-round-13 shape. Both shapes are bit-identical
+    * (GraphCFSpec pins the differential); the knob is per-corpus session
+    * conf, set where the repetition ratio is known (ingest statistics),
+    * NOT probed per query — an exact probe would cost the very
+    * aggregation it is trying to place. */
+  private def prefixKeyed(raw: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (raw.sparkSession.conf.get("spark.graft.cf.preAggregate", "false").toBoolean) raw
+    else raw.repartition(key)
 
   /** The history cut alone, on an already-aggregated (u, i, w) frame. */
   private def capEdges(e: DataFrame, maxHistory: Int): DataFrame =
@@ -90,12 +110,21 @@ object GraphCF {
     * sums. The user-keyed self-join's intermediate is Σ_u deg(u)² pair
     * rows — the family's quadratic leg (cap histories upstream).
     *
-    * Measured dead end (do not retry): aggregating only the s1 < s2 half
-    * and mirroring afterwards is SLOWER here (9.3s -> 12.7s explode
-    * mirror, 23.8s self-union at sf0.1/32t) — partial-agg output is
-    * bounded by distinct keys per partition, not by pair fanout, so the
-    * exchange barely shrinks while the mirror projection adds a pass
-    * (and a self-union re-executes the whole subtree). */
+    * Physical shape (round 14): the matrix is SYMMETRIC (the product
+    * w1·w2 commutes), so only the s1 < s2 HALF is generated and
+    * aggregated — the join's residual predicate drops half the Σ deg²
+    * fanout before the partial aggregation ever sees it, and the
+    * (s1,s2) exchange carries half the pair rows — then the full matrix
+    * is mirrored as a union of two scans of the MATERIALIZED half cache
+    * ([[halfMirror]]). Round 9 measured the half+mirror idea as a dead
+    * end (23.8 s at sf0.1/32t), but that was the UNPERSISTED self-union,
+    * which re-executes the whole join subtree per leg; the round-13
+    * materialized-cache rule (persist + eager count, so the cache plans
+    * with its real partitioning) is what changes the math — measured
+    * round 14: co-walk leg 4.34 s → 3.48 s, pair-agg shuffle rows
+    * halved. Cache lifetime: caller-owned release, the family's
+    * documented contract (USAGE.md; Bench/Verify clear between
+    * queries). */
   /** Physical note (measured at ~sf1): the u-keyed self-join's INPUT is
     * the compact edge frame but its OUTPUT is the Σ min(deg,C)² pair
     * fanout, and the stage that runs [join → filter → partial agg] is
@@ -112,12 +141,27 @@ object GraphCF {
     * (`spark.sql.adaptive.coalescePartitions.minPartitionNum`), which
     * graft.Bench sets alongside the partitions knob; measured: the same
     * probe at 256 floored partitions spills ZERO bytes. */
-  private def coPairs(e: DataFrame): DataFrame =
+  private def coPairs(e: DataFrame): DataFrame = halfMirror(
     e.select(col("u"), col("i").as("s1"), col("w").as("w1"))
       .join(e.select(col("u"), col("i").as("s2"), col("w").as("w2")), "u")
-      .filter(col("s1") =!= col("s2"))
+      .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
-      .agg(sum(col("w1") * col("w2")).as("co"))
+      .agg(sum(col("w1") * col("w2")).as("co")))
+
+  /** Mirror a strictly-upper-triangular (s1 < s2) co frame to the full
+    * symmetric matrix: materialize the half once, union two scans of the
+    * cache (identity + transposed projection). The transpose leg is a
+    * projection over cached rows — no join, no re-execution; co values
+    * are exact long sums and the product commutes, so the mirrored rows
+    * are bit-identical to aggregating both directions. */
+  private def halfMirror(half0: DataFrame): DataFrame =
+    halfMirrorCols(half0, "s1", "s2", "co")
+
+  private def halfMirrorCols(half0: DataFrame, a: String, b: String,
+                             v: String): DataFrame = {
+    val half = materialized(half0)
+    half.unionByName(half.select(col(b).as(a), col(a).as(b), col(v)))
+  }
 
   /** The audience cut alone, on an already-aggregated (u, i, w) frame:
     * each ITEM keeps its top-`maxAudience` users by (weight desc, user
@@ -132,13 +176,15 @@ object GraphCF {
   /** User-user co-occurrence counts from an aggregated (u, i, w) edge
     * frame: co(u1,u2) = Σ_i w_u1i·w_u2i, both directions, exact long
     * sums — [[coPairs]] transposed (the item-keyed self-join's
-    * intermediate is Σ_i aud(i)² pair rows; cap audiences upstream). */
-  private def coUserPairs(e: DataFrame): DataFrame =
+    * intermediate is Σ_i aud(i)² pair rows; cap audiences upstream).
+    * Same half-pair + materialized-mirror layout as [[coPairs]]: the
+    * matrix is symmetric, so only s1 < s2 is generated and aggregated. */
+  private def coUserPairs(e: DataFrame): DataFrame = halfMirror(
     e.select(col("i"), col("u").as("s1"), col("w").as("w1"))
       .join(e.select(col("i"), col("u").as("s2"), col("w").as("w2")), "i")
-      .filter(col("s1") =!= col("s2"))
+      .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2"))
-      .agg(sum(col("w1") * col("w2")).as("co"))
+      .agg(sum(col("w1") * col("w2")).as("co")))
 
   /** The aggregated, history-capped (u, i, w) edge frame — the compact
     * standing representation of an interaction log (distinct user-item
@@ -170,13 +216,12 @@ object GraphCF {
                     maxHistory: Int = Int.MaxValue): DataFrame = {
     require(maxHistory >= 1, "maxHistory must be >= 1")
     val w = col(weightCol).cast("long")
-    capEdges(interactions
+    capEdges(prefixKeyed(interactions
       .select(col(userCol).as("u"), col(itemCol).as("i"),
         when(w <= 0L, raise_error(concat(
           lit("edgesWeighted: non-positive weight "), w.cast("string"),
           lit(s" in $weightCol — weights must be positive integers"))))
-          .otherwise(w).as("__w"))
-      .repartition(col("u")) // one u-keyed exchange serves agg + cap + co-walk (edgeFrame's layout)
+          .otherwise(w).as("__w")), col("u")) // one u-keyed exchange serves agg + cap + co-walk (edgeFrame's layout)
       .groupBy(col("u"), col("i"))
       .agg(sum(col("__w")).as("w")), maxHistory)
   }
@@ -230,9 +275,8 @@ object GraphCF {
     // AND — because the persisted frame keeps the partitioning — the
     // basket-keyed pair self-join and the distinct-basket count below,
     // all exchange-free off the cache (the edgeFrame layout argument)
-    val biAgg = interactions
-      .select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .repartition(col("b"))
+    val biAgg = prefixKeyed(interactions
+      .select(col(basketCol).as("b"), col(itemCol).as("i")), col("b"))
       .groupBy(col("b"), col("i"))
       .agg(count(lit(1)).as("w"))
     val biCap =
@@ -246,11 +290,13 @@ object GraphCF {
     val itemN = bi.groupBy(col("i")).agg(count(lit(1)).as("s")).persist(lvl)
     val frequent = itemN.filter(col("s") >= minSupport)
     val biF = bi.join(frequent.select(col("i")), Seq("i"), "left_semi")
-    val pairs = biF.select(col("b"), col("i").as("ante"))
+    // pair supports are symmetric (baskets containing {a, c} contain
+    // {c, a}) — the coPairs half-pair + materialized-mirror layout
+    val pairs = halfMirrorCols(biF.select(col("b"), col("i").as("ante"))
       .join(biF.select(col("b"), col("i").as("cons")), "b")
-      .filter(col("ante") =!= col("cons"))
+      .filter(col("ante") < col("cons"))
       .groupBy(col("ante"), col("cons"))
-      .agg(count(lit(1)).as("pair_n"))
+      .agg(count(lit(1)).as("pair_n")), "ante", "cons", "pair_n")
     val n = bi.select(col("b")).distinct().count()
     rulesFromStats(itemN, pairs, n, minSupport, k, scale)
   }
@@ -303,9 +349,8 @@ object GraphCF {
     require(maxBasket >= 1, "maxBasket must be >= 1")
     // liftRules' b-partitioned build: the cached bi feeds the pair
     // self-join and the distinct-basket count exchange-free
-    val biAgg = batch
-      .select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .repartition(col("b"))
+    val biAgg = prefixKeyed(batch
+      .select(col(basketCol).as("b"), col(itemCol).as("i")), col("b"))
       .groupBy(col("b"), col("i"))
       .agg(count(lit(1)).as("w"))
     val biCap =
@@ -317,11 +362,14 @@ object GraphCF {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bi.groupBy(col("i")).agg(count(lit(1)).as("s"))
       .write.mode("overwrite").parquet(s"$path/items/batch=$batchId")
-    bi.select(col("b"), col("i").as("ante"))
+    // symmetric pair supports: build the s1 < s2 half, mirror off the
+    // materialized cache (the liftRules/coPairs layout) — halves the
+    // basket self-join's B² fanout through the partial aggregation
+    halfMirrorCols(bi.select(col("b"), col("i").as("ante"))
       .join(bi.select(col("b"), col("i").as("cons")), "b")
-      .filter(col("ante") =!= col("cons"))
+      .filter(col("ante") < col("cons"))
       .groupBy(col("ante"), col("cons"))
-      .agg(count(lit(1)).as("pair_n"))
+      .agg(count(lit(1)).as("pair_n")), "ante", "cons", "pair_n")
       .write.mode("overwrite").parquet(s"$path/pairs/batch=$batchId")
     bi.groupBy().agg(countDistinct(col("b")).as("n"))
       .write.mode("overwrite").parquet(s"$path/baskets/batch=$batchId")
@@ -398,9 +446,8 @@ object GraphCF {
   def edgesFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
                      maxHistory: Int = Int.MaxValue): DataFrame = {
     require(maxHistory >= 1, "maxHistory must be >= 1")
-    capEdges(spark.read.option("basePath", path).parquet(path)
-      .select(col("u"), col("i"), col("w"))
-      .repartition(col("u")) // one u-keyed exchange serves fold + cap + co-walk (edgeFrame's layout)
+    capEdges(prefixKeyed(spark.read.option("basePath", path).parquet(path)
+      .select(col("u"), col("i"), col("w")), col("u")) // one u-keyed exchange serves fold + cap + co-walk (edgeFrame's layout)
       .groupBy(col("u"), col("i")).agg(sum(col("w")).as("w")), maxHistory)
   }
 
@@ -484,14 +531,12 @@ object GraphCF {
     // the cap windows and u-keyed joins below plan exchange-free off the
     // finalized cache. Cache lifetime: the family's caller-owned release
     // contract (USAGE.md).
-    val oldAgg = oldInteractions
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
-      .repartition(col("u"))
+    val oldAgg = prefixKeyed(oldInteractions
+      .select(col(userCol).as("u"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w"))
-    val dAgg = materialized(delta
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
-      .repartition(col("u"))
+    val dAgg = materialized(prefixKeyed(delta
+      .select(col(userCol).as("u"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w")))
     val touched = dAgg.select(col("u")).distinct()
@@ -595,14 +640,12 @@ object GraphCF {
     // window and u-keyed join below plans exchange-free off the
     // finalized caches. Cache lifetime: the family's caller-owned
     // release contract (USAGE.md).
-    val oldAgg = materialized(oldInteractions
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
-      .repartition(col("u"))
+    val oldAgg = materialized(prefixKeyed(oldInteractions
+      .select(col(userCol).as("u"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w")))
-    val dAgg = materialized(delta
-      .select(col(userCol).as("u"), col(itemCol).as("i"))
-      .repartition(col("u"))
+    val dAgg = materialized(prefixKeyed(delta
+      .select(col(userCol).as("u"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("i"))
       .agg(count(lit(1)).as("w")))
     val touchedU = dAgg.select(col("u")).distinct()
@@ -1126,10 +1169,9 @@ object GraphCF {
     // key) — the plain groupBy paid three exchanges for the same chain
     // (the edgeFrame layout argument; basket rows are near-unique per
     // (u,b,i), so raw ≈ aggregated bytes)
-    val bi = interactions
+    val bi = prefixKeyed(interactions
       .select(col(userCol).as("u"), col(basketCol).as("b"),
-        col(timeCol).as("t"), col(itemCol).as("i"))
-      .repartition(col("u"))
+        col(timeCol).as("t"), col(itemCol).as("i")), col("u"))
       .groupBy(col("u"), col("b"), col("t"), col("i"))
       .agg(count(lit(1)).as("w"))
     val capped =
@@ -1300,9 +1342,9 @@ object GraphCF {
       .agg(count(lit(1)).as("n"), max(col("nrm")).as("m")).head()
     val nItems = probe.getLong(0)
     val maxNrm = if (probe.isNullAt(1)) 0L else probe.getLong(1)
-    // co-occurrence: user-keyed self-join, both (i,j) directions so the
-    // per-s1 truncation below sees every row of the symmetric matrix
-    // (the half-matrix mirror is a measured dead end — see coPairs)
+    // co-occurrence: user-keyed self-join; coPairs builds the s1 < s2
+    // half and mirrors off the materialized cache, so the per-s1
+    // truncation below still sees every row of the symmetric matrix
     val co = coPairs(e)
     // cosineSimQPre enforces the overflow budget on the pre-read max and
     // owns the single quantization point

@@ -19,7 +19,8 @@ object ScaleJoins {
     * managed table — the write-time shuffle that later joins amortize. */
   def writeBucketed(df: DataFrame, key: String, numBuckets: Int,
                     table: String): Unit =
-    df.write.mode("overwrite")
+    Stores.bucketAligned(df, numBuckets, key)
+      .write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")

@@ -401,9 +401,11 @@ object Similarity {
     // ([[compactIvfDelta]]): −1 = initial build, −2 = trusted batch
     // append, batch id = folded delta batch. Constant per file ⇒ RLE'd
     // to bytes and probed footer-only via row-group stats.
-    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell"),
-        lit(-1L).as("src")) ++ metaCols.map(col): _*)
+    Stores.bucketAligned(
+        df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+          nearestCell(col(vecCol), centroids).as("cell"),
+          lit(-1L).as("src")) ++ metaCols.map(col): _*),
+        numBuckets, "cell")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -425,9 +427,11 @@ object Similarity {
   def appendToIvfStore(df: DataFrame, idCol: String, vecCol: String,
                        centroids: Seq[(Long, Seq[Double])], table: String,
                        numBuckets: Int, metaCols: Seq[String] = Nil): Unit =
-    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-        nearestCell(col(vecCol), centroids).as("cell"),
-        lit(-2L).as("src")) ++ metaCols.map(col): _*)
+    Stores.bucketAligned(
+        df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
+          nearestCell(col(vecCol), centroids).as("cell"),
+          lit(-2L).as("src")) ++ metaCols.map(col): _*),
+        numBuckets, "cell")
       .write.mode("append")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -584,10 +588,10 @@ object Similarity {
         case "src" => col("batch").cast("long").as("src")
         case c     => col(c)
       }
-      spark.read.option("basePath", s"$deltaPath/rows")
-        .parquet(s"$deltaPath/rows")
-        .filter(col("batch").isin(pending: _*))
-        .select(cols: _*)
+      Stores.bucketAligned(spark.read.option("basePath", s"$deltaPath/rows")
+          .parquet(s"$deltaPath/rows")
+          .filter(col("batch").isin(pending: _*))
+          .select(cols: _*), numBuckets, "cell")
         .write.mode("append")
         .bucketBy(numBuckets, "cell")
         .sortBy("cell")
@@ -615,8 +619,8 @@ object Similarity {
                              centroids: Seq[(Long, Seq[Double])], table: String,
                              numBuckets: Int, metaCols: Seq[String] = Nil): Unit = {
     dropStaleStore(df.sparkSession, table)
-    quantizedRows(df, idCol, vecCol, centroids, metaCols)
-      .withColumn("src", lit(-1L))
+    Stores.bucketAligned(quantizedRows(df, idCol, vecCol, centroids, metaCols)
+        .withColumn("src", lit(-1L)), numBuckets, "cell")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")

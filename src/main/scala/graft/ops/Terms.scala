@@ -512,7 +512,8 @@ object Terms {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stats")
     toks.select(col("doc_id"), col("dl"), lit(-1L).as("src"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_docs")
-    bm25Postings(toks).withColumn("src", lit(-1L))
+    Stores.bucketAligned(bm25Postings(toks).withColumn("src", lit(-1L)),
+        numBuckets, "term")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -668,8 +669,11 @@ object Terms {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${newTable}_stats")
-    Stores.minusTombstones(spark.table(table), table, "doc_id")
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"), lit(-1L).as("src"))
+    Stores.bucketAligned(
+        Stores.minusTombstones(spark.table(table), table, "doc_id")
+          .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+            lit(-1L).as("src")),
+        numBuckets, "term")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -709,7 +713,8 @@ object Terms {
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
     val prev = spark.table(s"${table}_stats")
       .select(col("n_docs"), col("sum_dl")).head()
-    bm25Postings(toks).withColumn("src", lit(-2L))
+    Stores.bucketAligned(bm25Postings(toks).withColumn("src", lit(-2L)),
+        numBuckets, "term")
       .write.mode("append")
       .bucketBy(numBuckets, "term")
       .sortBy("term")
@@ -970,9 +975,10 @@ object Terms {
       .filter(col("src").isin(batches: _*)).distinct().as[Long].collect().toSet
     val postPending = batches.filterNot(postDone)
     if (postPending.nonEmpty)
-      post.filter(col("batch").isin(postPending: _*))
-        .select(col("term"), col("doc_id"), col("dl"), col("tf"),
-          col("batch").cast("long").as("src"))
+      Stores.bucketAligned(post.filter(col("batch").isin(postPending: _*))
+          .select(col("term"), col("doc_id"), col("dl"), col("tf"),
+            col("batch").cast("long").as("src")),
+          numBuckets, "term")
         .write.mode("append")
         .bucketBy(numBuckets, "term")
         .sortBy("term")

@@ -90,9 +90,11 @@ object Recommend {
     // against the previous store version (safe under the store's
     // single-writer contract)
     graft.ops.Stores.dropStore(spark, table)
-    eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
-      .select(col("id"), col("features").as("vec"), col("bias"),
-        Similarity.nearestCell(col("features"), centroids).as("cell"))
+    graft.ops.Stores.bucketAligned(
+        eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+          .select(col("id"), col("features").as("vec"), col("bias"),
+            Similarity.nearestCell(col("features"), centroids).as("cell")),
+        numBuckets, "cell")
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")
@@ -112,9 +114,11 @@ object Recommend {
   def appendToCatalogStore(itemFactors: DataFrame, itemRatingCounts: DataFrame,
                            centroids: Seq[(Long, Seq[Double])], table: String,
                            numBuckets: Int, popularityFloor: Long = 90L): Unit =
-    eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
-      .select(col("id"), col("features").as("vec"), col("bias"),
-        Similarity.nearestCell(col("features"), centroids).as("cell"))
+    graft.ops.Stores.bucketAligned(
+        eligibleItems(itemFactors, itemRatingCounts, popularityFloor)
+          .select(col("id"), col("features").as("vec"), col("bias"),
+            Similarity.nearestCell(col("features"), centroids).as("cell")),
+        numBuckets, "cell")
       .write.mode("append")
       .bucketBy(numBuckets, "cell")
       .sortBy("cell")

@@ -639,6 +639,31 @@ class GraphCFSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("preAggregate knob: both physical shapes are bit-identical") {
+    // spark.graft.cf.preAggregate=true skips the raw-row prefix
+    // repartition (the repeat-heavy-corpus escape hatch, guide §2.3/§2.5)
+    // — results must not move for ANY entry point that uses the layout
+    def all(): Seq[Set[Seq[Any]]] = Seq(
+      GraphCF.itemKnnRecs(inter, "user", "item", k = 3, scale = 10L),
+      GraphCF.userKnnRecs(inter, "user", "item", k = 3, scale = 10L),
+      GraphCF.p3alphaRecs(inter, "user", "item", k = 3, scale = 10L),
+      GraphCF.edges(inter, "user", "item", maxHistory = 1),
+      GraphCF.liftRules(basketLog, "bsk", "item", minSupport = 1L, k = 5,
+        scale = 100L),
+      GraphCF.markovRecs(basketLog, "user", "bsk", "ts", "item", k = 3)
+    ).map { df =>
+      val r = df.collect().map(_.toSeq).toSet
+      spark.catalog.clearCache()
+      r
+    }
+    val raw = all()
+    spark.conf.set("spark.graft.cf.preAggregate", "true")
+    val pre = try all()
+    finally spark.conf.unset("spark.graft.cf.preAggregate")
+    assert(raw == pre)
+    assert(raw.forall(_.nonEmpty))
+  }
+
   test("served-and-released leaves no orphan cache entry (cache-lifetime contract)") {
     // the lazy-return serving APIs persist internal frames that must stay
     // cached until the result materializes; the documented release path
